@@ -1,0 +1,101 @@
+"""Table configuration — the Spark equivalent of ``BigtableDataSource::new``.
+
+Reference: ``/root/reference/src/datasource.rs:57-103`` builds a *declared*
+(not inferred) schema: one non-null Utf8 field per row-key component, a
+reserved ``_timestamp`` Timestamp(µs, no tz) field, then the user-declared
+qualifier columns.  Field order is load-bearing (the ``SELECT *`` golden test
+at src/datasource.rs:208-216 depends on it).
+
+Deliberate deviation (documented, SURVEY §1.3): qualifier columns are
+nullable here.  The reference materializes a missing qualifier cell as an
+empty byte vector (src/execute_plan.rs:264-267) which renders as ``""`` for
+Utf8 and would *panic* for Int64; we produce SQL ``NULL`` instead.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+RESERVED_ROWKEY = "_row_key"  # reference src/datasource.rs:21
+RESERVED_TIMESTAMP = "_timestamp"  # reference src/datasource.rs:22
+DEFAULT_SEPARATOR = "#"  # reference src/datasource.rs:20
+
+_TYPE_MAP: dict[str, T.DataType] = {
+    "string": T.StringType(),
+    "utf8": T.StringType(),
+    "int64": T.LongType(),
+    "long": T.LongType(),
+    "binary": T.BinaryType(),
+    "double": T.DoubleType(),
+    "float64": T.DoubleType(),
+}
+
+
+@dataclass(frozen=True)
+class ColumnSpec:
+    """One declared qualifier column: name + logical type.
+
+    Cell encodings (reference src/execute_plan.rs:283-304 + README.md:32-33):
+    ``int64`` = 8-byte big-endian signed; everything else = UTF-8 bytes
+    (the reference's catch-all ``_`` arm).  ``binary`` passes raw bytes
+    through — an extension for multimodal payloads the reference's type
+    system (Utf8/Int64 only) cannot carry.
+    """
+
+    name: str
+    type: str = "string"
+
+    def spark_type(self) -> T.DataType:
+        try:
+            return _TYPE_MAP[self.type.lower()]
+        except KeyError:
+            raise ValueError(f"unsupported column type {self.type!r} for {self.name!r}") from None
+
+
+@dataclass(frozen=True)
+class BigtableTableConfig:
+    """Equivalent of the ``BigtableDataSource::new`` argument list
+    (reference src/datasource.rs:57-66): project/instance/table identify the
+    Bigtable table; ``cells_path`` points at the parquet-backed cells store
+    that stands in for the gRPC connection in this environment.
+    """
+
+    table: str
+    column_family: str
+    columns: tuple[ColumnSpec, ...]
+    table_partition_cols: tuple[str, ...] = (RESERVED_ROWKEY,)
+    table_partition_separator: str = DEFAULT_SEPARATOR
+    only_read_latest: bool = True
+    project: str = "local"
+    instance: str = "local"
+    cells_path: str | None = None
+    allow_full_scan: bool = True
+
+    def __post_init__(self) -> None:
+        if not self.table_partition_cols:
+            raise ValueError("table_partition_cols must be non-empty")
+        reserved = {RESERVED_TIMESTAMP}
+        if len(self.table_partition_cols) > 1:
+            reserved.add(RESERVED_ROWKEY)
+        for c in self.columns:
+            if c.name in reserved or c.name in self.table_partition_cols:
+                raise ValueError(f"qualifier column {c.name!r} collides with a reserved/key column")
+
+    @property
+    def qualifiers(self) -> tuple[str, ...]:
+        return tuple(c.name for c in self.columns)
+
+    def is_qualifier(self, name: str) -> bool:
+        """Membership test, reference src/datasource.rs:105-116."""
+        return name not in (RESERVED_ROWKEY, RESERVED_TIMESTAMP) and name not in self.table_partition_cols
+
+    def schema(self) -> T.StructType:
+        """Declared output schema — field order mirrors the reference:
+        partition cols, then ``_timestamp``, then qualifiers
+        (reference src/datasource.rs:68-79)."""
+        fields = [T.StructField(c, T.StringType(), False) for c in self.table_partition_cols]
+        fields.append(T.StructField(RESERVED_TIMESTAMP, T.TimestampNTZType(), False))
+        fields.extend(T.StructField(c.name, c.spark_type(), True) for c in self.columns)
+        return T.StructType(fields)

@@ -1,0 +1,99 @@
+"""High-level table assembly — the Spark equivalent of registering a
+``BigtableDataSource`` with DataFusion (reference src/datasource.rs:195-198).
+
+``BigtableTable(config).to_df(spark, predicates)`` produces the declared
+relational view from the cells store:
+
+    read cells parquet                     (A1 scan; parquet stats prune)
+    → family filter                        (A10, composer.rs:254-256)
+    → key-range filter from the composer   (A3-A8 partition pruning)
+    → latest-version filter                (A11, CellsPerColumnLimitFilter)
+    → cell→row pivot                       (A13, execute_plan.rs:223-271)
+    → composite-key split                  (A14, execute_plan.rs:226-251)
+    → typed decode                         (A15, execute_plan.rs:283-304)
+    → declared column order                (schema, datasource.rs:68-79)
+
+All steps are Catalyst expressions — the whole pipeline is one shuffle
+(the pivot's hash aggregate) and stays in whole-stage codegen.
+
+Inexact-pushdown semantics (A16, datasource.rs:163-165): the composer's
+ranges only *prune*; when the caller supplies predicates we do NOT assume
+they are fully applied — callers re-filter above (Spark re-applies WHERE
+clauses above any source automatically, so registering the view and
+querying with the same WHERE reproduces the reference's correctness net).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from datafusion_bigtable_spark.config import RESERVED_TIMESTAMP, BigtableTableConfig
+from datafusion_bigtable_spark.operators.decode import decode_value
+from datafusion_bigtable_spark.operators.pivot import latest_cells, pivot_cells, split_row_key
+from datafusion_bigtable_spark.plans.composer import (
+    KeyRange,
+    Predicate,
+    compose,
+    key_range_predicate,
+)
+from datafusion_bigtable_spark.sources.cells import read_cells
+
+
+class BigtableTable:
+    def __init__(self, config: BigtableTableConfig):
+        self.config = config
+
+    # -- pruning ----------------------------------------------------------
+    def key_ranges(self, predicates: Iterable[Predicate]) -> list[KeyRange]:
+        return compose(
+            predicates,
+            self.config.table_partition_cols,
+            self.config.table_partition_separator,
+            allow_full_scan=self.config.allow_full_scan,
+        )
+
+    # -- assembly ---------------------------------------------------------
+    def cells(self, spark: SparkSession) -> DataFrame:
+        if not self.config.cells_path:
+            raise NotImplementedError(
+                "gRPC Bigtable transport is not available in this environment; "
+                "set cells_path to a parquet cells store (SURVEY §7 design)"
+            )
+        df = read_cells(spark, self.config.cells_path)
+        return df.filter(F.col("family") == self.config.column_family)
+
+    def to_df(
+        self,
+        spark: SparkSession,
+        predicates: Sequence[Predicate] = (),
+    ) -> DataFrame:
+        cells = self.cells(spark)
+
+        ranges = self.key_ranges(predicates)
+        pred = key_range_predicate(ranges, "row_key")
+        if pred is not None:
+            cells = cells.filter(pred)
+
+        if self.config.only_read_latest:
+            cells = latest_cells(cells)
+
+        wide = pivot_cells(cells, self.config.qualifiers)
+        wide = split_row_key(
+            wide,
+            self.config.table_partition_cols,
+            self.config.table_partition_separator,
+        )
+
+        cols = [F.col(c) for c in self.config.table_partition_cols]
+        cols.append(F.col("_timestamp").cast("timestamp_ntz").alias(RESERVED_TIMESTAMP))
+        for spec in self.config.columns:
+            cols.append(decode_value(F.col(spec.name), spec.spark_type()).alias(spec.name))
+        return wide.select(*cols)
+
+    def register(self, spark: SparkSession, name: str | None = None, **kw) -> DataFrame:
+        """``ctx.register_table`` equivalent (reference src/datasource.rs:196-197)."""
+        df = self.to_df(spark, **kw)
+        df.createOrReplaceTempView(name or self.config.table)
+        return df

@@ -1,0 +1,143 @@
+"""The 7 golden end-to-end queries ported from the reference's integration
+tests (src/datasource.rs:177-300), run against the parquet-backed cells
+store seeded with the same 5 weather-balloon rows (FIXTURES.md §1).
+
+The reference registers the provider and runs SQL; we register the
+assembled view (pruned by the composer from the same predicates — Inexact
+semantics mean the WHERE clause is re-applied above, reference
+src/datasource.rs:163-165) and run the same SQL through Spark.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from datafusion_bigtable_spark.plans.composer import Between, Eq, In
+from datafusion_bigtable_spark.sources.bigtable_table import BigtableTable
+
+TS = {
+    "1200": dt.datetime(2021, 3, 5, 12, 0, 5, 100000),
+    "1201": dt.datetime(2021, 3, 5, 12, 1, 5, 200000),
+    "1202": dt.datetime(2021, 3, 5, 12, 2, 5, 300000),
+}
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+# --- test_simple_row_key (src/datasource.rs:177-241) -----------------------
+
+
+def test_simple_eq_projection(spark, simple_config):
+    # src/datasource.rs:198-206
+    table = BigtableTable(simple_config)
+    table.register(spark, predicates=[Eq("_row_key", "us-west2#3698#2021-03-05-1200")])
+    out = spark.sql(
+        "SELECT _row_key, pressure, _timestamp FROM weather_balloons "
+        "WHERE _row_key = 'us-west2#3698#2021-03-05-1200'"
+    )
+    assert _rows(out) == [("us-west2#3698#2021-03-05-1200", 94558, TS["1200"])]
+
+
+def test_simple_select_star(spark, simple_config):
+    # src/datasource.rs:208-216 — field order is load-bearing.
+    table = BigtableTable(simple_config)
+    table.register(spark, predicates=[Eq("_row_key", "us-west2#3698#2021-03-05-1200")])
+    out = spark.sql("SELECT * FROM weather_balloons WHERE _row_key = 'us-west2#3698#2021-03-05-1200'")
+    assert out.columns == ["_row_key", "_timestamp", "pressure", "temperature"]
+    assert _rows(out) == [("us-west2#3698#2021-03-05-1200", TS["1200"], 94558, "9.6")]
+
+
+def test_simple_in_order_by(spark, simple_config):
+    # src/datasource.rs:218-227
+    keys = ["us-west2#3698#2021-03-05-1200", "us-west2#3698#2021-03-05-1201"]
+    table = BigtableTable(simple_config)
+    table.register(spark, predicates=[In("_row_key", tuple(keys))])
+    out = spark.sql(
+        "SELECT _row_key, pressure, _timestamp FROM weather_balloons "
+        f"WHERE _row_key IN ('{keys[0]}', '{keys[1]}') ORDER BY _timestamp"
+    )
+    assert _rows(out) == [
+        (keys[0], 94558, TS["1200"]),
+        (keys[1], 94122, TS["1201"]),
+    ]
+
+
+def test_simple_between_order_by(spark, simple_config):
+    # src/datasource.rs:229-239
+    lo, hi = "us-west2#3698#2021-03-05-1200", "us-west2#3698#2021-03-05-1202"
+    table = BigtableTable(simple_config)
+    table.register(spark, predicates=[Between("_row_key", lo, hi)])
+    out = spark.sql(
+        "SELECT _row_key, pressure, _timestamp FROM weather_balloons "
+        f"WHERE _row_key BETWEEN '{lo}' AND '{hi}' ORDER BY _timestamp"
+    )
+    assert _rows(out) == [
+        (lo, 94558, TS["1200"]),
+        ("us-west2#3698#2021-03-05-1201", 94122, TS["1201"]),
+        (hi, 95992, TS["1202"]),
+    ]
+
+
+# --- test_composite_row_key (src/datasource.rs:243-300) --------------------
+
+
+def test_composite_all_eq(spark, composite_config):
+    # src/datasource.rs:268-276
+    table = BigtableTable(composite_config)
+    table.register(
+        spark,
+        predicates=[Eq("region", "us-west2"), Eq("balloon_id", "3698"), Eq("event_minute", "2021-03-05-1200")],
+    )
+    out = spark.sql(
+        "SELECT region, balloon_id, event_minute, pressure, _timestamp FROM weather_balloons "
+        "WHERE region = 'us-west2' AND balloon_id = '3698' AND event_minute = '2021-03-05-1200'"
+    )
+    assert _rows(out) == [("us-west2", "3698", "2021-03-05-1200", 94558, TS["1200"])]
+
+
+def test_composite_eq_in_in(spark, composite_config):
+    # src/datasource.rs:278-287
+    table = BigtableTable(composite_config)
+    table.register(
+        spark,
+        predicates=[
+            Eq("region", "us-west2"),
+            In("balloon_id", ("3698",)),
+            In("event_minute", ("2021-03-05-1200", "2021-03-05-1201")),
+        ],
+    )
+    out = spark.sql(
+        "SELECT region, balloon_id, event_minute, pressure, _timestamp FROM weather_balloons "
+        "WHERE region = 'us-west2' AND balloon_id IN ('3698') "
+        "AND event_minute IN ('2021-03-05-1200', '2021-03-05-1201') ORDER BY _timestamp"
+    )
+    assert _rows(out) == [
+        ("us-west2", "3698", "2021-03-05-1200", 94558, TS["1200"]),
+        ("us-west2", "3698", "2021-03-05-1201", 94122, TS["1201"]),
+    ]
+
+
+def test_composite_eq_in_between(spark, composite_config):
+    # src/datasource.rs:289-298
+    table = BigtableTable(composite_config)
+    table.register(
+        spark,
+        predicates=[
+            Eq("region", "us-west2"),
+            In("balloon_id", ("3698",)),
+            Between("event_minute", "2021-03-05-1200", "2021-03-05-1201"),
+        ],
+    )
+    out = spark.sql(
+        "SELECT region, balloon_id, event_minute, pressure, _timestamp FROM weather_balloons "
+        "WHERE region = 'us-west2' AND balloon_id IN ('3698') "
+        "AND event_minute BETWEEN '2021-03-05-1200' AND '2021-03-05-1201' ORDER BY _timestamp"
+    )
+    assert _rows(out) == [
+        ("us-west2", "3698", "2021-03-05-1200", 94558, TS["1200"]),
+        ("us-west2", "3698", "2021-03-05-1201", 94122, TS["1201"]),
+    ]
