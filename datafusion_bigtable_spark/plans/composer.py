@@ -203,7 +203,9 @@ def from_datasource_filters(filters: Iterable[object], partition_cols: Sequence[
         if name == "EqualTo" and isinstance(getattr(f, "value", None), str):
             preds.append(Eq(col, f.value))
         elif name == "In":
-            vals = tuple(v for v in getattr(f, "values", ()) if isinstance(v, str))
+            # pyspark.sql.datasource.In stores its tuple in field `value`.
+            raw = getattr(f, "value", None) or getattr(f, "values", ())
+            vals = tuple(v for v in raw if isinstance(v, str))
             if vals:
                 preds.append(In(col, vals))
         elif name == "GreaterThanOrEqual" and isinstance(getattr(f, "value", None), str):

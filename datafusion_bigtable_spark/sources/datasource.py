@@ -1,0 +1,254 @@
+"""PySpark Python Data Source for the wide-column cells store.
+
+This is the full connector analogue of the reference's DataFusion
+``TableProvider`` + ``BigtableExec`` (src/datasource.rs:121-175,
+src/execute_plan.rs:45-158), registered via ``spark.dataSource.register``
+and used as ``spark.read.format("bigtable")``:
+
+- ``schema()``     — the declared relational schema (A2, datasource.rs:57-103).
+- ``pushFilters``  — receives Catalyst predicates, feeds the key-range
+  composer, and returns **all** filters as unsupported: exactly the
+  reference's Inexact pushdown contract (A16, datasource.rs:163-165) —
+  ranges prune, Spark re-applies every predicate above the scan.
+- ``partitions()`` — ONE InputPartition PER KeyRange.  The reference scans
+  single-partition (``UnknownPartitioning(1)``, execute_plan.rs:84-86;
+  roadmap gap README.md:50); here every composed range scans in parallel
+  on a different executor.  On a full scan, one partition per parquet
+  file of the store.
+- ``read()``       — per-partition: pyarrow scan of the cells parquet with
+  family/key-range/qualifier predicates pushed into the parquet reader
+  (the stand-in for the gRPC ``ReadRowsRequest`` + RowFilter chain,
+  execute_plan.rs:168-183), then the latest-version filter, cell→row
+  pivot and typed decode (A11/A13/A15) — *partition-local*, because one
+  row key's cells never span two key ranges.  The pruned path therefore
+  runs with ZERO shuffles, where the DataFrame-assembly path
+  (bigtable_table.py) needs one.
+
+Scale: at 100 TB the cells store is written range-partitioned and sorted
+by row_key (see sources/cells.py); ``partitions()`` maps ranges to the
+overlapping files only, so a pruned query reads just those files, and the
+full-scan path parallelizes over files.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from datafusion_bigtable_spark.config import (
+    DEFAULT_SEPARATOR,
+    RESERVED_ROWKEY,
+    BigtableTableConfig,
+    ColumnSpec,
+)
+from datafusion_bigtable_spark.plans.composer import (
+    ComposerError,
+    KeyRange,
+    compose,
+    from_datasource_filters,
+)
+
+FORMAT_NAME = "bigtable"
+
+
+def _config_from_options(options) -> BigtableTableConfig:
+    def opt(key: str, default: str | None = None) -> str | None:
+        v = options.get(key)
+        return v if v is not None else default
+
+    path = opt("path") or opt("cells_path")
+    if not path:
+        raise ValueError("bigtable data source requires .option('path', <cells parquet>)")
+    columns = []
+    for spec in (opt("columns") or "").split(","):
+        spec = spec.strip()
+        if spec:
+            name, _, typ = spec.partition(":")
+            columns.append(ColumnSpec(name.strip(), (typ or "string").strip()))
+    if not columns:
+        raise ValueError("bigtable data source requires .option('columns', 'name:type,...')")
+    pcols = tuple(c.strip() for c in (opt("table_partition_cols") or RESERVED_ROWKEY).split(",") if c.strip())
+    return BigtableTableConfig(
+        table=opt("table", "bigtable"),
+        column_family=opt("column_family", "default"),
+        columns=tuple(columns),
+        table_partition_cols=pcols,
+        table_partition_separator=opt("table_partition_separator", DEFAULT_SEPARATOR),
+        only_read_latest=(opt("only_read_latest", "true").lower() == "true"),
+        cells_path=path,
+        allow_full_scan=(opt("allow_full_scan", "true").lower() == "true"),
+    )
+
+
+@dataclass
+class RangePartition(InputPartition):
+    """One composed KeyRange → one Spark scan task."""
+
+    start: str
+    end: str
+
+
+@dataclass
+class FilePartition(InputPartition):
+    """Full-scan path: one parquet file → one scan task."""
+
+    file: str
+
+
+class BigtableReader(DataSourceReader):
+    def __init__(self, schema, options):
+        self.config = _config_from_options(options)
+        self.ranges: list[KeyRange] = []
+        self._filters_pushed = False
+
+    # -- pushdown (A3-A8 pruning + A16 Inexact) ---------------------------
+    def pushFilters(self, filters):
+        self._filters_pushed = True
+        preds = from_datasource_filters(filters, self.config.table_partition_cols)
+        try:
+            self.ranges = compose(
+                preds,
+                self.config.table_partition_cols,
+                self.config.table_partition_separator,
+                allow_full_scan=self.config.allow_full_scan,
+            )
+        except ComposerError:
+            if not self.config.allow_full_scan:
+                raise
+            self.ranges = []
+        # Inexact contract: claim nothing, Spark re-applies every filter.
+        return iter(filters)
+
+    # -- parallelism (improves on UnknownPartitioning(1)) -----------------
+    def _files(self) -> list[str]:
+        p = self.config.cells_path
+        if os.path.isdir(p):
+            return sorted(glob.glob(os.path.join(p, "*.parquet")))
+        return [p]
+
+    def partitions(self) -> Sequence[InputPartition]:
+        if self.ranges:
+            return [RangePartition(r.start, r.end) for r in self.ranges]
+        if not self.config.allow_full_scan:
+            raise ComposerError("table_partition_cols: filter is not provided or not supported")
+        return [FilePartition(f) for f in self._files()]
+
+    # -- scan (A1/A11/A13/A14/A15, partition-local) -----------------------
+    def read(self, partition: InputPartition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.dataset as pa_ds
+
+        cfg = self.config
+        flt = pa_ds.field("family") == cfg.column_family
+        flt = flt & pa_ds.field("qualifier").isin(list(cfg.qualifiers))
+        if isinstance(partition, RangePartition):
+            flt = flt & (pa_ds.field("row_key") >= partition.start)
+            flt = flt & (pa_ds.field("row_key") <= partition.end)
+            dataset = pa_ds.dataset(self._files(), format="parquet")
+        else:
+            dataset = pa_ds.dataset([partition.file], format="parquet")
+        cells = dataset.to_table(
+            columns=["row_key", "qualifier", "ts", "value"], filter=flt
+        ).to_pandas()
+
+        yield from _pivot_partition(cells, cfg)
+
+
+def _pivot_partition(cells, cfg: BigtableTableConfig):
+    """Latest-filter + pivot + key-split + decode for one partition's cells,
+    in pandas (Arrow-batched back to Spark).  Mirrors execute_plan.rs:186-304
+    but emits NULL (None/NaN→None) for missing cells instead of empty bytes."""
+    import pandas as pd
+    import pyarrow as pa
+
+    spark_schema = cfg.schema()
+    arrow_fields = []
+    for f in spark_schema.fields:
+        t = f.dataType.typeName()
+        arrow_fields.append(
+            pa.field(
+                f.name,
+                {
+                    "string": pa.string(),
+                    "long": pa.int64(),
+                    "binary": pa.binary(),
+                    "double": pa.float64(),
+                    "timestamp_ntz": pa.timestamp("us"),
+                }[t],
+            )
+        )
+    arrow_schema = pa.schema(arrow_fields)
+
+    if len(cells) == 0:
+        yield pa.RecordBatch.from_pydict({f.name: [] for f in arrow_fields}, schema=arrow_schema)
+        return
+
+    if cfg.only_read_latest:
+        cells = cells.sort_values("ts", kind="stable").groupby(
+            ["row_key", "qualifier"], as_index=False, sort=False
+        ).last()
+
+    wide = cells.pivot_table(
+        index=["row_key", "ts"], columns="qualifier", values="value", aggfunc="first"
+    ).reset_index()
+
+    out: dict[str, object] = {}
+    keys = wide["row_key"].astype(str)
+    if len(cfg.table_partition_cols) == 1:
+        out[cfg.table_partition_cols[0]] = keys
+    else:
+        parts = keys.str.split(cfg.table_partition_separator, expand=True)
+        for i, name in enumerate(cfg.table_partition_cols):
+            out[name] = parts[i] if i in parts.columns else pd.Series([None] * len(wide))
+    out["_timestamp"] = wide["ts"]
+
+    for spec in cfg.columns:
+        if spec.name in wide.columns:
+            raw = wide[spec.name]
+        else:
+            raw = pd.Series([None] * len(wide))
+        if spec.type in ("int64", "long"):
+            out[spec.name] = raw.map(
+                lambda b: int.from_bytes(b, "big", signed=True)
+                if isinstance(b, (bytes, bytearray)) and len(b) == 8
+                else None
+            )
+        elif spec.type == "binary":
+            out[spec.name] = raw.map(lambda b: bytes(b) if isinstance(b, (bytes, bytearray)) else None)
+        else:
+            out[spec.name] = raw.map(
+                lambda b: b.decode("utf-8", errors="replace")
+                if isinstance(b, (bytes, bytearray))
+                else None
+            )
+
+    yield pa.RecordBatch.from_pandas(pd.DataFrame(out), schema=arrow_schema, preserve_index=False)
+
+
+class BigtableDataSource(DataSource):
+    """``spark.read.format("bigtable")`` entry point.
+
+    Options: path, column_family, columns ("name:type,..."),
+    table_partition_cols ("a,b,c"), table_partition_separator,
+    only_read_latest, allow_full_scan.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self):
+        return _config_from_options(self.options).schema()
+
+    def reader(self, schema) -> DataSourceReader:
+        return BigtableReader(schema, self.options)
+
+
+def register(spark) -> None:
+    """Register the format + enable python filter pushdown for this session."""
+    spark.dataSource.register(BigtableDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")

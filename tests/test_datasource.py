@@ -1,0 +1,86 @@
+"""End-to-end tests for the Python Data Source connector path
+(spark.read.format("bigtable")) — the same golden data as the reference's
+integration tests, but through Spark's DSv2 pushdown machinery."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from datafusion_bigtable_spark.sources import datasource as bt_ds
+
+TS0 = dt.datetime(2021, 3, 5, 12, 0, 5, 100000)
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    bt_ds.register(spark)
+    return spark
+
+
+def _reader(spark, cells_path, **overrides):
+    opts = dict(
+        path=cells_path,
+        column_family="measurements",
+        columns="pressure:int64,temperature:string",
+        table_partition_cols="region,balloon_id,event_minute",
+    )
+    opts.update(overrides)
+    r = spark.read.format("bigtable")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_full_scan_schema_and_rows(registered, cells_path):
+    df = _reader(registered, cells_path)
+    assert df.columns == ["region", "balloon_id", "event_minute", "_timestamp", "pressure", "temperature"]
+    rows = df.orderBy("_timestamp").collect()
+    assert len(rows) == 5
+    assert rows[0].region == "us-west2"
+    assert rows[0].pressure == 94558
+    assert rows[0].temperature == "9.6"
+    assert rows[0]._timestamp == TS0
+
+
+def test_pushdown_eq(registered, cells_path):
+    df = _reader(registered, cells_path).filter(
+        "region = 'us-west2' AND balloon_id = '3698' AND event_minute = '2021-03-05-1200'"
+    )
+    rows = df.collect()
+    assert [(r.event_minute, r.pressure) for r in rows] == [("2021-03-05-1200", 94558)]
+
+
+def test_pushdown_between_parallel_partitions(registered, cells_path):
+    df = _reader(registered, cells_path).filter(
+        "region = 'us-west2' AND balloon_id IN ('3698', '9999') "
+        "AND event_minute >= '2021-03-05-1200' AND event_minute <= '2021-03-05-1202'"
+    )
+    rows = df.orderBy("_timestamp").collect()
+    assert [r.pressure for r in rows] == [94558, 94122, 95992]
+    # two composed ranges (one per balloon_id) → two input partitions
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_simple_key_single_component(registered, cells_path):
+    df = _reader(registered, cells_path, table_partition_cols="_row_key").filter(
+        "_row_key = 'us-west2#3698#2021-03-05-1201'"
+    )
+    rows = df.collect()
+    assert [(r._row_key, r.pressure, r.temperature) for r in rows] == [
+        ("us-west2#3698#2021-03-05-1201", 94122, "9.7")
+    ]
+
+
+def test_residual_filter_reapplied_above_scan(registered, cells_path):
+    # Inexact semantics: a non-key predicate must still filter results even
+    # though the source claims nothing.
+    df = _reader(registered, cells_path).filter("pressure > 95000")
+    assert sorted(r.pressure for r in df.collect()) == [95992, 96021, 96025]
+
+
+def test_full_scan_refused_when_disallowed(registered, cells_path):
+    df = _reader(registered, cells_path, allow_full_scan="false")
+    with pytest.raises(Exception, match="filter is not provided or not supported"):
+        df.collect()
