@@ -1,0 +1,71 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed to completion via a count/collect-free action
+(``df.write.format("noop")``) so the measured time is plan+execute without
+driver materialization cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_revenue_change",
+    "tpch_q10_returned_items",
+    "window_topk_per_group",
+    "window_running_sum",
+    "bt_cell_pivot",
+    "bt_latest_version",
+    "events_sessionize",
+    "asof_join_latest_event",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from datafusion_bigtable_spark import queries as Q
+    from datafusion_bigtable_spark.session import get_spark
+
+    spark = get_spark("dbs-bench")
+
+    # Warm the JVM/codegen once with a trivial action so query timings
+    # measure execution, not session startup.
+    spark.range(1).count()
+
+    names = [n for n in HEADLINE if n in Q.REGISTRY]
+    extra = [n for n in Q.REGISTRY if n not in names]
+    timings: dict[str, float] = {}
+    for name in names + extra:
+        fn = Q.REGISTRY[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec_all_queries",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,751 @@
+"""Query registry — the engine's verified surface.
+
+Every entry pairs a Spark-first DataFrame implementation with an ANSI-SQL
+oracle that DuckDB runs on the same parquet tables (the driver's
+correctness gate, see ``__spark_entry__.py``).  Column names are aliased
+identically on both sides; double-typed aggregates are rounded on both
+sides so the value-hash comparison is stable across engines.
+
+Tier B (SURVEY §2.2): the reference delegates everything above the scan to
+DataFusion (reference README.md:53) — these queries demonstrate the same
+relational surface served by stock Spark SQL: projection/filter, joins of
+every shape, hash aggregation, grouping sets, window functions,
+sort/limit/top-k, set ops, scalar functions, subqueries/CTEs.
+
+Bigtable-model ops (SURVEY §2.1): the connector-specific operators —
+composite-key compose/split, lexicographic key-range pruning,
+latest-version-per-cell, cell→row pivot — expressed over the driver's
+`events` table so the oracle can verify their *semantics* (the golden
+fixture tests in tests/ verify the connector plumbing itself).
+
+Scale notes are inline per query; the common posture: filters reach the
+parquet scan (Catalyst pushdown), small dimensions are broadcast, shuffles
+are keyed on the aggregation/join keys with AQE handling skew and
+partition count, and nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: Optional[str]  # DuckDB oracle; None → rows-only check
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, sql: Optional[str]):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn, sql)
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects (PARQUET_TYPE_ILLEGAL).  Read nanos as long (the
+    documented escape hatch) and rebuild a µs timestamp_ntz JVM-side —
+    truncation matches DuckDB's ns→µs behavior."""
+    path = f"{sf_dir}/events.parquet"
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type in ("bigint", "long"):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+    return df
+
+
+# =========================================================================
+# Tier B — TPC-H-style relational surface (stock Spark SQL above the scan)
+# =========================================================================
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)  AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+           ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+           COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark, sf_dir):
+    # One partial+final hash aggregate; filter pushed to parquet scan.
+    l = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l.l_orderkey AS o_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1998-01-01'
+      AND l.l_shipdate  > DATE '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    """,
+)
+def tpch_q3(spark, sf_dir):
+    # customer is the small side → broadcast; one shuffle on l_orderkey.
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("date"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(l.l_orderkey.alias("o_orderkey"), F.col("o_orderdate"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .select("o_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("orderdate"))
+    )
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1999-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5(spark, sf_dir):
+    # All dimensions broadcast; the only big shuffle is lineitem⋈orders.
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("date"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q6_revenue_change",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark, sf_dir):
+    # Pure scan+filter+scalar agg: every predicate reaches the parquet reader.
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           CAST(c.c_acctbal AS DOUBLE) AS c_acctbal, n.n_name AS nation
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= DATE '1996-10-01' AND o.o_orderdate < DATE '1997-01-01'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    """,
+)
+def tpch_q10(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "nation")
+    )
+
+
+@query(
+    "agg_distinct_stats",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT l_suppkey)  AS BIGINT) AS n_supps,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price,
+           ROUND(AVG(l_quantity), 4)      AS avg_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_stats(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+    )
+
+
+@query(
+    "rollup_lineitem_qty",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_qty(spark, sf_dir):
+    # GROUPING SETS expand before the shuffle — one pass, partial aggs.
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@query(
+    "cube_orders_revenue",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           ROUND(SUM(o_totalprice), 2) AS total, COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_revenue(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "total",
+            "n",
+        )
+    )
+
+
+@query(
+    "window_topk_per_group",
+    """
+    SELECT p_brand, p_partkey, CAST(p_retailprice AS DOUBLE) AS p_retailprice, rk FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk
+      FROM part) t
+    WHERE rk <= 3
+    """,
+)
+def window_topk(spark, sf_dir):
+    # Spark plans rank-limit windows with WindowGroupLimit: per-partition
+    # top-k before the shuffle — the scalable top-k-per-group shape.
+    p = load(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rk")
+    )
+
+
+@query(
+    "window_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def window_running(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@query(
+    "window_lag_delta",
+    """
+    SELECT event_id, user_id,
+           ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
+    FROM events
+    """,
+)
+def window_lag(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+    )
+
+
+@query(
+    "topk_orders_global",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def topk_orders(spark, sf_dir):
+    # orderBy().limit() → TakeOrderedAndProject: per-partition top-20 then
+    # a single-reduce merge; no global sort materialization.
+    o = load(spark, sf_dir, "orders")
+    return o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(20).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "set_ops_nation_overlap",
+    """
+    SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+    INTERSECT
+    SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
+    """,
+)
+def set_ops_intersect(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("int").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("int").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "set_ops_nation_except",
+    """
+    SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+    EXCEPT
+    SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
+    """,
+)
+def set_ops_except(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("int").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("int").alias("nationkey"))
+    # subtract == SQL EXCEPT (set semantics); exceptAll would be EXCEPT ALL.
+    return c.subtract(s)
+
+
+@query(
+    "semi_join_active_customers",
+    """
+    SELECT n.n_name AS nation, COUNT(*) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY n.n_name
+    """,
+)
+def semi_join(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "anti_join_idle_customers",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_idle
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def anti_join(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_idle"))
+    )
+
+
+@query(
+    "outer_join_nation_customer_counts",
+    """
+    SELECT n.n_name AS nation, CAST(COUNT(c.c_custkey) AS BIGINT) AS n_customers
+    FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def outer_join_counts(spark, sf_dir):
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+@query(
+    "scalar_functions_part",
+    """
+    SELECT p_partkey,
+           UPPER(p_name)                          AS name_upper,
+           CAST(LENGTH(p_name) AS INT)            AS name_len,
+           SUBSTRING(p_type, 1, 4)                AS type_prefix,
+           ROUND(p_retailprice * 1.1, 3)          AS marked_up,
+           CAST(p_size % 5 AS INT)                AS size_mod,
+           ROUND(SQRT(CAST(p_size AS DOUBLE)), 4) AS size_sqrt
+    FROM part
+    """,
+)
+def scalar_funcs(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.substring("p_type", 1, 4).alias("type_prefix"),
+        F.round(F.col("p_retailprice") * 1.1, 3).alias("marked_up"),
+        (F.col("p_size") % 5).cast("int").alias("size_mod"),
+        F.round(F.sqrt(F.col("p_size").cast("double")), 4).alias("size_sqrt"),
+    )
+
+
+@query(
+    "json_extract_props",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def json_extract(spark, sf_dir):
+    # regexp-based extraction is dialect-portable; Spark's native
+    # get_json_object compiles to the same scan+agg shape.
+    e = load(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
+    return e.groupBy("event_type").agg(F.sum(k).alias("k_sum"), F.count("*").alias("n"))
+
+
+@query(
+    "cte_above_nation_avg",
+    """
+    WITH nation_avg AS (
+      SELECT c_nationkey, AVG(c_acctbal) AS avg_bal FROM customer GROUP BY c_nationkey
+    )
+    SELECT c.c_custkey, CAST(c.c_nationkey AS INT) AS nationkey
+    FROM customer c JOIN nation_avg a ON c.c_nationkey = a.c_nationkey
+    WHERE c.c_acctbal > a.avg_bal
+    """,
+)
+def cte_above_avg(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    avg = c.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("avg_bal"))
+    return (
+        c.join(F.broadcast(avg.withColumnRenamed("c_nationkey", "nk")), F.col("c_nationkey") == F.col("nk"))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .select("c_custkey", F.col("c_nationkey").cast("int").alias("nationkey"))
+    )
+
+
+@query(
+    "having_repeat_customers",
+    """
+    SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS spend
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3
+    """,
+)
+def having_groups(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+@query(
+    "median_quantiles",
+    """
+    SELECT l_returnflag,
+           ROUND(MEDIAN(l_quantity), 4) AS med_qty,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def median_quantiles(spark, sf_dir):
+    # Exact percentiles for the oracle check; at 100 TB swap to
+    # approx_percentile (t-digest) — same API shape, bounded memory.
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+    )
+
+
+# =========================================================================
+# Bigtable-model operators over driver testdata (SURVEY §2.1 semantics)
+# =========================================================================
+
+
+@query(
+    "bt_key_compose_range_prune",
+    """
+    SELECT event_type || '#' || LPAD(CAST(user_id AS VARCHAR), 4, '0')
+                      || '#' || LPAD(CAST(event_id AS VARCHAR), 8, '0') AS row_key,
+           ROUND(value, 4) AS value
+    FROM events
+    WHERE event_type || '#' || LPAD(CAST(user_id AS VARCHAR), 4, '0')
+                    || '#' || LPAD(CAST(event_id AS VARCHAR), 8, '0')
+          BETWEEN 'click#0010#' AND 'click#0020#~'
+    """,
+)
+def bt_key_compose(spark, sf_dir):
+    # A7/A14: composite key composition + lexicographic range filtering —
+    # the same ordering semantics the composer's KeyRanges rely on.
+    from datafusion_bigtable_spark.operators.pivot import compose_row_key
+
+    e = load(spark, sf_dir, "events")
+    key = compose_row_key(
+        [
+            F.col("event_type"),
+            F.lpad(F.col("user_id").cast("string"), 4, "0"),
+            F.lpad(F.col("event_id").cast("string"), 8, "0"),
+        ]
+    )
+    return (
+        e.withColumn("row_key", key)
+        .filter((F.col("row_key") >= "click#0010#") & (F.col("row_key") <= "click#0020#~"))
+        .select("row_key", F.round("value", 4).alias("value"))
+    )
+
+
+@query(
+    "bt_key_split",
+    """
+    SELECT split_part(k, '#', 1) AS region, split_part(k, '#', 2) AS balloon_id,
+           split_part(k, '#', 3) AS minute, COUNT(*) AS n
+    FROM (SELECT event_type || '#' || CAST(user_id AS VARCHAR) || '#'
+                 || CAST(event_id % 100 AS VARCHAR) AS k FROM events) t
+    GROUP BY 1, 2, 3
+    """,
+)
+def bt_key_split(spark, sf_dir):
+    from datafusion_bigtable_spark.operators.pivot import compose_row_key, split_row_key
+
+    e = load(spark, sf_dir, "events")
+    keyed = e.select(
+        compose_row_key(
+            [F.col("event_type"), F.col("user_id"), (F.col("event_id") % 100)]
+        ).alias("row_key")
+    )
+    split = split_row_key(keyed, ["region", "balloon_id", "minute"])
+    return split.groupBy("region", "balloon_id", "minute").agg(F.count("*").alias("n"))
+
+
+@query(
+    "bt_latest_version",
+    """
+    SELECT user_id, event_type, ROUND(value, 4) AS latest_value
+    FROM (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def bt_latest_version(spark, sf_dir):
+    # A11 CellsPerColumnLimitFilter(1): events as cells keyed by
+    # (user_id=row_key, event_type=qualifier, ts=version).
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.round("value", 4).alias("latest_value"))
+    )
+
+
+@query(
+    "bt_cell_pivot",
+    """
+    SELECT user_id,
+           ROUND(MAX(CASE WHEN event_type = 'click'    THEN value END), 4) AS click,
+           ROUND(MAX(CASE WHEN event_type = 'view'     THEN value END), 4) AS view,
+           ROUND(MAX(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+           ROUND(MAX(CASE WHEN event_type = 'signup'   THEN value END), 4) AS signup,
+           ROUND(MAX(CASE WHEN event_type = 'error'    THEN value END), 4) AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def bt_cell_pivot(spark, sf_dir):
+    # A13 cell→row pivot with a *declared* qualifier list (static plan):
+    # .pivot(col, values) compiles to exactly the CASE-WHEN aggregate.
+    e = load(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    piv = e.groupBy("user_id").pivot("event_type", types).agg(F.max("value"))
+    return piv.select("user_id", *[F.round(F.col(t), 4).alias(t) for t in types])
+
+
+@query(
+    "events_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events)
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+)
+def sessionize(spark, sf_dir):
+    # Gap-based sessionization: lag + conditional sum — two windows, one
+    # shuffle on user_id (the streaming module has the session_window twin).
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = F.col("ts") - prev  # day-time interval (NTZ can't cast to long in ANSI mode)
+    new_session = F.when(prev.isNull() | (gap > F.expr("INTERVAL 30 MINUTE")), 1).otherwise(0)
+    return (
+        e.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+@query(
+    "asof_join_latest_event",
+    """
+    SELECT o_orderkey, user_id, ROUND(value, 4) AS last_value FROM (
+      SELECT o.o_orderkey, e.user_id, e.value,
+             ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
+                                ORDER BY e.ts DESC, e.event_id DESC) AS rn
+      FROM orders o JOIN events e
+        ON e.user_id = o.o_custkey AND e.ts <= TIMESTAMP '2024-01-15 00:00:00'
+      WHERE o.o_custkey < 150) t
+    WHERE rn = 1
+    """,
+)
+def asof_join(spark, sf_dir):
+    # As-of join (Spark has no native one): equi-join on the entity key +
+    # rank-1 window on the time key.  At scale the window's rank-limit
+    # turns into WindowGroupLimit (partial top-1 before shuffle).
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 150)
+    e = load(spark, sf_dir, "events").filter(F.col("ts") <= F.lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
+    j = o.join(e, o.o_custkey == e.user_id)
+    w = W.partitionBy("o_orderkey").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "user_id", F.round("value", 4).alias("last_value"))
+    )
+
+
+def names() -> list[str]:
+    return list(REGISTRY)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.sql for name, spec in REGISTRY.items() if spec.sql is not None}
