@@ -1,0 +1,131 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The wide-column cells model already carries arbitrary bytes (a qualifier
+declared ``binary`` passes raw cell values through — config.py ColumnSpec),
+so multimodal payloads ride the same storage path as every other column.
+What this module adds is the compute plumbing a 100 TB media pipeline
+needs on Spark:
+
+- a canonical asset schema (payload + mime + metadata),
+- ``extract_features`` / ``decode_image`` / ``sample_frames`` operators as
+  ``mapInPandas`` stages: executors stream Arrow batches through pandas,
+  so memory is bounded by batch size, not partition size, and the ops
+  parallelize per input split like any scan,
+- real codecs STUBBED: PIL/ffmpeg/torchaudio are not in this container,
+  so decode raises ``NotImplementedError`` unless ``fake=True``
+  (deterministic metadata derived from the bytes) — the Spark-side
+  plumbing (schema, partitioning, UDF signature, batch shape) is real
+  and tested either way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), False),
+        T.StructField("byte_len", T.LongType(), True),
+        T.StructField("sha256", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def assets_from_documents(docs: DataFrame) -> DataFrame:
+    """Adapt the documents table into binary assets (UTF-8 payload standing
+    in for encoded media) — lets the plumbing run on driver testdata."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+
+
+def _decode_dims(payload: bytes) -> tuple[int, int]:
+    """STUB for a real image decode.  Deterministic fake dimensions from a
+    stable digest, so tests and oracles are reproducible."""
+    d = hashlib.sha256(payload).digest()
+    return 16 + d[0] % 241, 16 + d[1] % 241
+
+
+def extract_features(assets: DataFrame, *, fake: bool = True) -> DataFrame:
+    """Binary payload → typed metadata row per asset via mapInPandas.
+
+    Arrow-batched: each pandas chunk is one Arrow batch (~10k rows), so an
+    executor never holds more than a batch of payloads in Python memory.
+    """
+
+    def op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decode requires PIL/ffmpeg (not in this container); "
+                    "pass fake=True for the deterministic stub"
+                )
+            payloads = pdf["payload"]
+            dims = payloads.map(lambda b: _decode_dims(bytes(b)) if b is not None else (None, None))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "mime": pdf["mime"],
+                    "byte_len": payloads.map(lambda b: len(b) if b is not None else None),
+                    "sha256": payloads.map(
+                        lambda b: hashlib.sha256(bytes(b)).hexdigest() if b is not None else None
+                    ),
+                    "width": dims.map(lambda t: t[0]),
+                    "height": dims.map(lambda t: t[1]),
+                }
+            )
+
+    return assets.mapInPandas(op, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """Video-style frame sampling STUB: chunk the payload every N bytes
+    (standing in for ffmpeg keyframe extraction), capped at max_frames.
+    One input row → up to max_frames output rows; mapInPandas keeps the
+    fan-out executor-side and Arrow-batched."""
+
+    def op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"asset_id": [], "frame_idx": [], "frame": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                for i in range(min(max_frames, max(1, len(b) // every_n_bytes))):
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(i)
+                    out["frame"].append(b[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(op, FRAME_SCHEMA)

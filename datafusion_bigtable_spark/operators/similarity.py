@@ -1,0 +1,112 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, mirroring what a 100 TB pipeline needs:
+
+- **brute-force top-k**: exact cosine of query rows against the corpus,
+  rank-k window per query.  The cross join is bounded by the (small)
+  query set; the corpus side streams — this is the correctness baseline
+  and stays practical whenever |queries| ≪ |corpus|.
+- **LSH-bucketed ANN**: sign-of-dimension signatures (axis-aligned
+  hyperplanes — deterministic and engine-portable) bucket the corpus;
+  queries only scan their own bucket.  Recall trades against bucket
+  count exactly like IVF cell count.
+
+All arithmetic is double-precision fold over the array — a pure Catalyst
+expression (`zip_with` + `aggregate`), no UDF, so the whole scan+score
+pipeline stays in codegen.  Scores round to 6 before ranking so results
+are deterministic across engines (ties broken by id).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision, sequential fold (matches DuckDB's
+    DOUBLE[] list functions bit-for-bit)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def topk_bruteforce(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: rows matching ``query_pred`` are the queries.
+
+    Output: (query_id, neighbor_id, score, rk), rk 1..k, score rounded 6,
+    deterministic tie-break on neighbor id.
+    """
+    q = embeddings.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def sign_bucket(vec: Column, dims: Sequence[int]) -> Column:
+    """Axis-aligned hyperplane LSH signature: '1'/'0' per probed dimension.
+    ``dims`` are 0-based; element_at is 1-based."""
+    bits = [
+        F.when(F.element_at(vec, d + 1) >= 0, F.lit("1")).otherwise(F.lit("0")) for d in dims
+    ]
+    return F.concat(*bits)
+
+
+def topk_lsh(
+    embeddings: DataFrame,
+    query_pred: Column,
+    dims: Sequence[int] = (0, 3, 7, 11),
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k within the query's LSH bucket only.
+
+    2^len(dims) buckets; the bucket equi-join replaces the cross join, so
+    scored pairs shrink by ~2^len(dims) — the scale path for corpus-side
+    growth.  Output schema matches topk_bruteforce.
+    """
+    bucketed = embeddings.withColumn("bucket", sign_bucket(F.col(vec_col), dims))
+    q = bucketed.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), F.col("bucket")
+    )
+    c = bucketed.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), F.col("bucket")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

@@ -749,3 +749,321 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: spec.sql for name, spec in REGISTRY.items() if spec.sql is not None}
+
+
+# =========================================================================
+# LLM-pipeline extensions: dedup / similarity / text analysis
+# (operators live in operators/dedup.py, operators/similarity.py,
+#  functions/text.py — these entries bind them to testdata + oracles)
+# =========================================================================
+
+_SHINGLES_CTE = """
+    w AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS w
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT id, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS shingle
+      FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-2, 0))) AS g) i)
+"""
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_q(spark, sf_dir):
+    from datafusion_bigtable_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id)
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM inter JOIN sizes sa ON sa.id = inter.id_a JOIN sizes sb ON sb.id = inter.id_b
+    WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
+    """,
+)
+def dedup_jaccard_q(spark, sf_dir):
+    from datafusion_bigtable_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(load(spark, sf_dir, "documents"), k=3, threshold=0.5)
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SHINGLES_CTE},
+    mh AS (
+      SELECT id, s.seed, MIN(md5(CAST(s.seed AS VARCHAR) || '|' || shingle)) AS minhash
+      FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS seed) s
+      GROUP BY id, s.seed),
+    banded AS (
+      SELECT id, CAST(seed // 2 AS INT) AS band,
+             string_agg(minhash, ',' ORDER BY minhash) AS band_sig
+      FROM mh GROUP BY id, seed // 2)
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id
+    """,
+)
+def dedup_minhash_q(spark, sf_dir):
+    from datafusion_bigtable_spark.operators.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(load(spark, sf_dir, "documents"), bands=4, rows_per_band=2, k=3)
+
+
+@query(
+    "dedup_simhash",
+    """
+    WITH wds AS (
+      SELECT DISTINCT doc_id AS id, wrd AS word FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS wrd
+        FROM documents)),
+    h AS (SELECT id, md5(word) AS h FROM wds),
+    agg AS (SELECT id, {sums} FROM h GROUP BY id)
+    SELECT id, {fp} AS simhash FROM agg
+    """.format(
+        sums=", ".join(
+            f"SUM(CASE WHEN substr(h, {j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS bit_{j}"
+            for j in range(16)
+        ),
+        fp=" || ".join(f"(CASE WHEN bit_{j} > 0 THEN '1' ELSE '0' END)" for j in range(16)),
+    ),
+)
+def dedup_simhash_q(spark, sf_dir):
+    from datafusion_bigtable_spark.operators.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(load(spark, sf_dir, "documents"), bits=16)
+
+
+@query(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+    """,
+)
+def dedup_embedding_q(spark, sf_dir):
+    from datafusion_bigtable_spark.operators.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@query(
+    "sim_topk_bruteforce",
+    """
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS score
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id % 100 = 0)
+    SELECT query_id, neighbor_id, score, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rk
+      FROM scored) t
+    WHERE rk <= 5
+    """,
+)
+def sim_topk_q(spark, sf_dir):
+    from datafusion_bigtable_spark.operators.similarity import topk_bruteforce
+
+    e = load(spark, sf_dir, "embeddings")
+    return topk_bruteforce(e, F.col("vec_id") % 100 == 0, k=5)
+
+
+@query(
+    "sim_topk_lsh_bucketed",
+    """
+    WITH bucketed AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1]  >= 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN embedding[4]  >= 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN embedding[8]  >= 0 THEN '1' ELSE '0' END) ||
+             (CASE WHEN embedding[12] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS score
+      FROM bucketed q JOIN bucketed c
+        ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      WHERE q.vec_id % 100 = 0)
+    SELECT query_id, neighbor_id, score, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rk
+      FROM scored) t
+    WHERE rk <= 3
+    """,
+)
+def sim_lsh_q(spark, sf_dir):
+    from datafusion_bigtable_spark.operators.similarity import topk_lsh
+
+    e = load(spark, sf_dir, "embeddings")
+    return topk_lsh(e, F.col("vec_id") % 100 == 0, dims=(0, 3, 7, 11), k=3)
+
+
+def _lang_sql_score(lang: str) -> str:
+    from datafusion_bigtable_spark.functions.text import stopword_pattern
+
+    # DuckDB len(regexp_extract_all(...)) == Spark size(regexp_extract_all(...))
+    return f"len(regexp_extract_all(lower(text), '{stopword_pattern(lang)}', 1))"
+
+
+def _langid_oracle() -> str:
+    from datafusion_bigtable_spark.functions.text import LANG_ORDER
+
+    scores = {lang: _lang_sql_score(lang) for lang in LANG_ORDER}
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    case = "CASE "
+    for lang in LANG_ORDER:  # first match wins ties, same priority as Spark side
+        case += f"WHEN {scores[lang]} = {best} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+    SELECT doc_id, CASE WHEN {best} > 0 THEN {case} ELSE 'und' END AS pred_lang
+    FROM documents
+    """
+
+
+@query("text_langid", None)  # placeholder; real SQL bound below
+def text_langid_q(spark, sf_dir):
+    from datafusion_bigtable_spark.functions.text import langid
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", langid(F.col("text")).alias("pred_lang"))
+
+
+REGISTRY["text_langid"] = QuerySpec(text_langid_q, _langid_oracle())
+
+
+@query(
+    "text_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS w
+      FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS chars,
+           CAST(len(w) AS INT)       AS words,
+           ROUND(CAST(len(regexp_extract_all(text, '([,.;:!?])', 1)) AS DOUBLE)
+                 / greatest(length(text), 1), 4) AS punct_ratio,
+           ROUND(CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|a)\\b', 1)) AS DOUBLE)
+                 / greatest(len(w), 1), 4) AS stop_ratio,
+           ROUND(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                 / greatest(len(w), 1), 4) AS avg_wlen
+    FROM t
+    """,
+)
+def text_quality_q(spark, sf_dir):
+    from datafusion_bigtable_spark.functions import text as X
+
+    d = load(spark, sf_dir, "documents")
+    w = X.words(F.col("text"))
+    punct = F.size(F.regexp_extract_all("text", F.lit(r"([,.;:!?])"), 1))
+    stop = X.lang_hits(F.col("text"), "en")
+    wl_sum = F.aggregate(F.transform(w, F.length), F.lit(0), lambda a, x: a + x)
+    return d.select(
+        "doc_id",
+        F.length("text").cast("int").alias("chars"),
+        F.size(w).cast("int").alias("words"),
+        F.round(punct.cast("double") / F.greatest(F.length("text"), F.lit(1)), 4).alias("punct_ratio"),
+        F.round(stop.cast("double") / F.greatest(F.size(w), F.lit(1)), 4).alias("stop_ratio"),
+        F.round(wl_sum.cast("double") / F.greatest(F.size(w), F.lit(1)), 4).alias("avg_wlen"),
+    )
+
+
+@query(
+    "text_token_counts",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS INT) AS bpe_tokens
+    FROM documents
+    """,
+)
+def text_tokens_q(spark, sf_dir):
+    from datafusion_bigtable_spark.functions import text as X
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.whitespace_token_count(F.col("text")).cast("int").alias("ws_tokens"),
+        X.bpe_ish_token_count(F.col("text")).cast("int").alias("bpe_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                                   ' +', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint_q(spark, sf_dir):
+    from datafusion_bigtable_spark.functions.text import fingerprint
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# =========================================================================
+# Streaming + multimodal (SURVEY §7 extensions)
+# =========================================================================
+
+
+@query(
+    "streaming_window_counts",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_window_q(spark, sf_dir):
+    # Real Structured Streaming execution: parquet stream → watermark →
+    # tumbling-window agg → memory sink, driven to completion.  The oracle
+    # is the batch equivalent — streaming and batch must agree exactly.
+    from datafusion_bigtable_spark.streaming import run_events_stream_to_memory
+
+    name = "dbs_stream_hourly_" + str(abs(hash(sf_dir)) % 10**8)
+    return run_events_stream_to_memory(spark, sf_dir, agg="hourly", query_name=name)
+
+
+@query("multimodal_features", None)  # binary decode plumbing: rows-only check
+def multimodal_features_q(spark, sf_dir):
+    from datafusion_bigtable_spark.functions.multimodal import assets_from_documents, extract_features
+
+    docs = load(spark, sf_dir, "documents")
+    return extract_features(assets_from_documents(docs), fake=True)
+
+
+@query("multimodal_frame_sample", None)  # video-style fan-out: rows-only check
+def multimodal_frames_q(spark, sf_dir):
+    from datafusion_bigtable_spark.functions.multimodal import assets_from_documents, sample_frames
+
+    docs = load(spark, sf_dir, "documents")
+    frames = sample_frames(assets_from_documents(docs), every_n_bytes=64, max_frames=4)
+    return frames.groupBy("asset_id").agg(
+        F.count("*").alias("n_frames"), F.sum(F.length("frame")).alias("total_bytes")
+    )

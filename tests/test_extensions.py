@@ -1,0 +1,134 @@
+"""Operator-level tests for the LLM-pipeline extensions: dedup behavior on
+crafted near-duplicates (the synthetic documents are all-distinct, so these
+fixtures exercise the actual dedup semantics), similarity ranking sanity,
+multimodal plumbing shapes, and streaming/batch agreement."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the sleepy dog"),  # near-dup of 1
+        (4, "completely different content about spark engines and shuffles"),
+        (5, "another unrelated document mentioning bigtable row keys"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, near_dup_docs):
+    from datafusion_bigtable_spark.operators.dedup import exact_dedup, exact_dedup_groups
+
+    groups = exact_dedup_groups(near_dup_docs).collect()
+    assert len(groups) == 4  # 5 docs, one exact pair
+    dup = [g for g in groups if g.n_copies == 2]
+    assert len(dup) == 1 and dup[0].canonical_id == 1
+
+    kept = exact_dedup(near_dup_docs).select("doc_id").collect()
+    assert sorted(r.doc_id for r in kept) == [1, 3, 4, 5]
+
+
+def test_jaccard_finds_near_dup(spark, near_dup_docs):
+    from datafusion_bigtable_spark.operators.dedup import jaccard_pairs
+
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in jaccard_pairs(near_dup_docs, k=3, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0  # exact dup
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0  # near dup
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_minhash_lsh_candidates(spark, near_dup_docs):
+    from datafusion_bigtable_spark.operators.dedup import lsh_candidate_pairs
+
+    cands = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(near_dup_docs, bands=4, rows_per_band=2).collect()}
+    assert (1, 2) in cands  # identical docs always share every band
+    assert (4, 5) not in cands  # unrelated docs shouldn't collide with 8 hashes
+
+
+def test_simhash_identical_docs_same_fingerprint(spark, near_dup_docs):
+    from datafusion_bigtable_spark.operators.dedup import simhash_fingerprints
+
+    fp = {r.id: r.simhash for r in simhash_fingerprints(near_dup_docs).collect()}
+    assert fp[1] == fp[2]
+    assert len(fp[1]) == 16 and set(fp[1]) <= {"0", "1"}
+    assert fp[1] != fp[4]
+
+
+def test_similarity_self_rank(spark):
+    from datafusion_bigtable_spark.operators.similarity import cosine, topk_bruteforce
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),  # closest to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),  # opposite of 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = topk_bruteforce(df, F.col("vec_id") == 1, k=3).orderBy("rk").collect()
+    assert [r.neighbor_id for r in top] == [2, 3, 4]
+    assert top[0].score > 0.99
+
+    c = df.filter("vec_id = 1").select(
+        cosine(F.col("embedding"), F.col("embedding")).alias("c")
+    ).collect()[0].c
+    assert abs(c - 1.0) < 1e-12
+
+
+def test_multimodal_feature_shapes(spark, sf_dir):
+    from datafusion_bigtable_spark.functions.multimodal import (
+        assets_from_documents,
+        extract_features,
+        sample_frames,
+    )
+    from datafusion_bigtable_spark.queries import load
+
+    docs = load(spark, sf_dir, "documents").limit(20)
+    assets = assets_from_documents(docs)
+    feats = extract_features(assets, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.byte_len > 0 and len(r.sha256) == 64
+        assert 16 <= r.width <= 256 and 16 <= r.height <= 256
+
+    frames = sample_frames(assets, every_n_bytes=64, max_frames=4)
+    g = frames.groupBy("asset_id").count().collect()
+    assert all(1 <= r["count"] <= 4 for r in g)
+
+
+def test_multimodal_real_decode_raises(spark, sf_dir):
+    from datafusion_bigtable_spark.functions.multimodal import assets_from_documents, extract_features
+    from datafusion_bigtable_spark.queries import load
+
+    docs = load(spark, sf_dir, "documents").limit(1)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        extract_features(assets_from_documents(docs), fake=False).collect()
+
+
+def test_streaming_matches_batch(spark, sf_dir):
+    """The streaming windowed agg must agree exactly with its batch twin."""
+    from datafusion_bigtable_spark.queries import load_events
+    from datafusion_bigtable_spark.streaming import run_events_stream_to_memory
+
+    stream_out = run_events_stream_to_memory(spark, sf_dir, agg="hourly", query_name="t_stream_batch")
+    batch = (
+        load_events(spark, sf_dir)
+        .groupBy(F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("value_sum"))
+    )
+    s = sorted(tuple(r) for r in stream_out.collect())
+    b = sorted(tuple(r) for r in batch.collect())
+    assert s == b
+
+
+def test_streaming_session_window(spark, sf_dir):
+    from datafusion_bigtable_spark.streaming import run_events_stream_to_memory
+
+    out = run_events_stream_to_memory(spark, sf_dir, agg="session", query_name="t_stream_sess")
+    assert out.count() > 0
+    assert out.columns == ["user_id", "session_start", "n_events"]
