@@ -52,17 +52,26 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 # ------------------------------------------------------------- shingles --
 
-
 def shingles(docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Distinct word k-gram shingles per document: (id, shingle)."""
+    """Distinct word k-gram shingles per document: (id, shingle).
+
+    Shape note (measured at sf0.1): building the k-gram array with
+    ``transform(sequence(...), i -> element_at(words, i+j))`` re-evaluates
+    the regex word-split per element reference (~3k regex runs per doc) —
+    13.9 s just to explode 260k shingles.  Instead: posexplode the words
+    ONCE (one regex per document), then assemble k-grams with ``lead()``
+    windows over (id, pos) — cheap row-neighbor access, one narrow window
+    shuffle on id, then a distinct.  0.9 s for the same output.
+    """
     w = words(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(w) - k),
-        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(k)]),
-    )
+    ex = docs.select(F.col(id_col).alias("id"), F.posexplode(w).alias("pos", "w0"))
+    win = W.partitionBy("id").orderBy("pos")
+    parts = [F.col("w0")] + [F.lead("w0", j).over(win) for j in range(1, k)]
     return (
-        docs.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
-        .where(F.size(w) >= k)
+        ex.select("id", F.lead("w0", k - 1).over(win).alias("_tail"), F.concat_ws(" ", *parts).alias("shingle"))
+        .filter(F.col("_tail").isNotNull())
+        .select("id", "shingle")
+        .distinct()
     )
 
 
@@ -120,21 +129,38 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, seed, minhash): portable min over md5('<seed>|'||shingle).
 
-    One aggregation per document over its shingles; the md5-string min is
-    engine-independent (see module docstring).
+    Shape note (measured at sf0.1): the tempting all-row-local form
+    (``array_min(transform(grams, ...))`` per seed in one projection) is
+    ~10× SLOWER because CollapseProject inlines the shingle-array
+    expression into every seed column — the split/gram/distinct pipeline
+    runs ``num_hashes`` times per row.  Exploding the array once and
+    min-aggregating per seed evaluates shingling exactly once; the
+    shuffle it costs carries only (id, shingle) pairs with map-side
+    partial mins.  The md5-string min is engine-independent (module
+    docstring).
     """
+    return _minhash_wide(docs, num_hashes, k, text_col, id_col).select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(s).alias("seed"), F.col(f"mh_{s}").alias("minhash"))
+                    for s in range(num_hashes)
+                ]
+            )
+        ).alias("x"),
+    ).select("id", F.col("x.seed").alias("seed"), F.col("x.minhash").alias("minhash"))
+
+
+def _minhash_wide(docs: DataFrame, num_hashes: int, k: int, text_col: str, id_col: str) -> DataFrame:
+    """(id, mh_0..mh_{n-1}): shingles evaluated once via explode, then one
+    partial+final min-aggregation for all seeds."""
     sh = shingles(docs, k, text_col, id_col)
-    per_seed = [
-        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"mh_{s}")
-        for s in range(num_hashes)
-    ]
-    sig = sh.groupBy("id").agg(*per_seed)
-    # long form: (id, seed, minhash)
-    pairs = F.array(
-        *[F.struct(F.lit(s).alias("seed"), F.col(f"mh_{s}").alias("minhash")) for s in range(num_hashes)]
-    )
-    return sig.select("id", F.explode(pairs).alias("x")).select(
-        "id", F.col("x.seed").alias("seed"), F.col("x.minhash").alias("minhash")
+    return sh.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"mh_{s}")
+            for s in range(num_hashes)
+        ]
     )
 
 
@@ -150,13 +176,27 @@ def lsh_candidate_pairs(
 
     The band signature join is the only pairwise step and it is bucketed
     by (band, signature) — the classic sub-quadratic near-dup shape.
+    Band signatures are assembled row-locally from the per-seed minhash
+    columns (no groupBy), so the only shuffle is the candidate join.
     """
     num_hashes = bands * rows_per_band
-    mh = minhash_signatures(docs, num_hashes, k, text_col, id_col)
-    banded = (
-        mh.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("id", "band")
-        .agg(F.concat_ws(",", F.array_sort(F.collect_list("minhash"))).alias("band_sig"))
+    sig = _minhash_wide(docs, num_hashes, k, text_col, id_col)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    F.array_sort(
+                        F.array(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)])
+                    ),
+                ).alias("band_sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("id", F.explode(band_structs).alias("x")).select(
+        "id", F.col("x.band").alias("band"), F.col("x.band_sig").alias("band_sig")
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -222,16 +262,21 @@ def embedding_dup_pairs(
     ``block_col`` is the blocking key (label here; an IVF cell id at
     scale) — it turns the n² self-join into Σ|block|².
     """
-    from datafusion_bigtable_spark.operators.similarity import cosine
+    from datafusion_bigtable_spark.operators.similarity import dot, norm
 
-    a = embeddings.alias("a")
-    b = embeddings.alias("b")
+    # Precompute the norm once per vector (not once per pair): each scored
+    # pair then folds the arrays a single time for the dot product.
+    withn = embeddings.withColumn("_norm", norm(F.col(vec_col)))
+    a = withn.alias("a")
+    b = withn.alias("b")
     j = a.join(
         b,
         (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     )
-    c = F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6)
+    c = F.round(
+        dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (F.col("a._norm") * F.col("b._norm")), 6
+    )
     return (
         j.select(
             F.col(f"a.{id_col}").alias("id_a"),

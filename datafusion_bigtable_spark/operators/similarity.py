@@ -48,20 +48,28 @@ def topk_bruteforce(
 ) -> DataFrame:
     """Exact cosine top-k: rows matching ``query_pred`` are the queries.
 
+    Norms are precomputed per row (corpus-side once, not once per pair) so
+    each scored pair folds the array a single time for the dot product —
+    at 100 TB this is the difference between 1 and 3 array passes per
+    candidate.  cosine = dot/(norm_q·norm_c) keeps the bit-exact formula
+    the oracle uses.
+
     Output: (query_id, neighbor_id, score, rk), rk 1..k, score rounded 6,
     deterministic tie-break on neighbor id.
     """
     q = embeddings.filter(query_pred).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("qn")
     )
-    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), norm(F.col(vec_col)).alias("cn")
+    )
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias("score"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -93,10 +101,12 @@ def topk_lsh(
     """
     bucketed = embeddings.withColumn("bucket", sign_bucket(F.col(vec_col), dims))
     q = bucketed.filter(query_pred).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), F.col("bucket")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), F.col("bucket"),
+        norm(F.col(vec_col)).alias("qn"),
     )
     c = bucketed.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), F.col("bucket")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), F.col("bucket"),
+        norm(F.col(vec_col)).alias("cn"),
     )
     scored = (
         F.broadcast(q)
@@ -105,7 +115,7 @@ def topk_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias("score"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))

@@ -89,6 +89,25 @@ def read_cells(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(CELLS_SCHEMA).parquet(path)
 
 
+def write_cells(cells: DataFrame, path: str, num_ranges: int = 32, mode: str = "overwrite") -> None:
+    """Write a cells store in the layout the composer's pruning relies on:
+    range-partitioned on ``row_key`` and sorted within each file by
+    ``(row_key, qualifier, ts)``.
+
+    Each output file then covers a disjoint key range, so a KeyRange scan
+    touches only overlapping files (parquet min/max stats prune the rest),
+    and the Python Data Source's full-scan path parallelizes per file.
+    ``num_ranges`` ≈ cluster write parallelism; at 100 TB pick it so files
+    land in the 128 MB–1 GB band.
+    """
+    (
+        cells.repartitionByRange(num_ranges, "row_key")
+        .sortWithinPartitions("row_key", "qualifier", "ts")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def cells_from_long_df(
     df: DataFrame,
     *,
