@@ -50,6 +50,10 @@ def query(name: str, sql: Optional[str]):
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    # The driver calls queries() with ITS session; timestamp→date/string
+    # conversions are session-timezone-dependent, and the DuckDB oracle is
+    # timezone-naive.  Pin UTC so results are tz-independent.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if table == "events":
         return load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
@@ -1067,3 +1071,34 @@ def multimodal_frames_q(spark, sf_dir):
     return frames.groupBy("asset_id").agg(
         F.count("*").alias("n_frames"), F.sum(F.length("frame")).alias("total_bytes")
     )
+
+
+@query(
+    "union_all_entities",
+    """
+    SELECT kind, COUNT(*) AS n, ROUND(SUM(acctbal), 2) AS total_bal FROM (
+      SELECT 'customer' AS kind, c_acctbal AS acctbal FROM customer
+      UNION ALL
+      SELECT 'supplier' AS kind, s_acctbal AS acctbal FROM supplier
+    ) t GROUP BY kind
+    """,
+)
+def union_all_q(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select(F.lit("customer").alias("kind"), F.col("c_acctbal").alias("acctbal"))
+    s = load(spark, sf_dir, "supplier").select(F.lit("supplier").alias("kind"), F.col("s_acctbal").alias("acctbal"))
+    return (
+        c.unionByName(s)
+        .groupBy("kind")
+        .agg(F.count("*").alias("n"), F.round(F.sum("acctbal"), 2).alias("total_bal"))
+    )
+
+
+@query("streaming_stateful_user_totals", None)  # custom stateful op: rows-only
+def streaming_stateful_q(spark, sf_dir):
+    # applyInPandasWithState running totals — genuinely non-SQL-expressible
+    # (arbitrary per-key state across micro-batches), hence no oracle; the
+    # pytest suite pins it against the batch groupBy instead.
+    from datafusion_bigtable_spark.streaming import run_events_stream_to_memory
+
+    name = "dbs_stream_stateful_" + str(abs(hash(sf_dir)) % 10**8)
+    return run_events_stream_to_memory(spark, sf_dir, agg="stateful", query_name=name)

@@ -34,7 +34,9 @@ _EVENTS_RAW_SCHEMA = T.StructType(
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The file stream source requires a *directory*; select just the events
-    # table with a glob filter.
+    # table with a glob filter.  UTC pin: window starts are formatted to
+    # strings and must not shift with the caller session's timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(_EVENTS_RAW_SCHEMA)
@@ -80,6 +82,47 @@ def streaming_session_window(events: DataFrame, gap: str = "30 minutes") -> Data
     )
 
 
+def streaming_user_totals_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    totals maintained across micro-batches.
+
+    This is the shape for operators Spark's built-ins can't express —
+    arbitrary per-key state (counters, HLL sketches, model features)
+    updated incrementally.  State lives in the state store (checkpointed,
+    partitioned by key); each micro-batch delivers that key's new rows as
+    pandas frames.  Timeouts would evict idle keys at scale.
+    """
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("value_sum", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        import pandas as pd
+
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "value_sum": [round(s, 4)]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )
+
+
 def run_events_stream_to_memory(
     spark: SparkSession,
     sf_dir: str,
@@ -89,9 +132,14 @@ def run_events_stream_to_memory(
     """Drive the streaming plan over the parquet events to completion and
     return the materialized result table (synchronous; test/driver path)."""
     events = read_events_stream(spark, sf_dir)
-    plan = streaming_hourly_agg(events) if agg == "hourly" else streaming_session_window(events)
+    if agg == "hourly":
+        plan, mode = streaming_hourly_agg(events), "complete"
+    elif agg == "stateful":
+        plan, mode = streaming_user_totals_stateful(events), "update"
+    else:
+        plan, mode = streaming_session_window(events), "complete"
     q = (
-        plan.writeStream.outputMode("complete")
+        plan.writeStream.outputMode(mode)
         .format("memory")
         .queryName(query_name)
         .start()

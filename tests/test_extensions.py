@@ -132,3 +132,35 @@ def test_streaming_session_window(spark, sf_dir):
     out = run_events_stream_to_memory(spark, sf_dir, agg="session", query_name="t_stream_sess")
     assert out.count() > 0
     assert out.columns == ["user_id", "session_start", "n_events"]
+
+
+def test_streaming_stateful_totals(spark, sf_dir):
+    """applyInPandasWithState running totals: final state (last update per
+    user) must equal the batch groupBy totals."""
+    from datafusion_bigtable_spark.queries import load_events
+    from datafusion_bigtable_spark.streaming import run_events_stream_to_memory
+    from pyspark.sql import Window
+
+    out = run_events_stream_to_memory(spark, sf_dir, agg="stateful", query_name="t_stateful")
+    # update-mode memory sink appends every state update; the final row per
+    # user (max n_events) is the end state
+    final = {
+        r.user_id: (r.n_events, r.value_sum)
+        for r in out.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("user_id").orderBy(F.desc("n_events"))),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+    batch = {
+        r.user_id: (r.n, round(r.s, 4))
+        for r in load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for u in batch:
+        assert final[u][0] == batch[u][0]
+        assert abs(final[u][1] - batch[u][1]) < 1e-6
