@@ -1102,3 +1102,37 @@ def streaming_stateful_q(spark, sf_dir):
 
     name = "dbs_stream_stateful_" + str(abs(hash(sf_dir)) % 10**8)
     return run_events_stream_to_memory(spark, sf_dir, agg="stateful", query_name=name)
+
+
+@query(
+    "skew_salted_aggregation",
+    """
+    SELECT event_type, ROUND(SUM(value), 4) AS sum_value, COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_q(spark, sf_dir):
+    # Two-phase salted aggregation — same answer as a plain groupBy (the
+    # oracle), but a hot event_type spreads over 16 reducers in phase 1.
+    # NOTE: sum-of-partial-sums can differ from a single-pass sum in last
+    # bits; value grid here is raw doubles so we round at 4 (error ~1e-10).
+    from datafusion_bigtable_spark.operators.skew import salted_sum_count
+
+    e = load(spark, sf_dir, "events")
+    out = salted_sum_count(e, ["event_type"], "value", buckets=16)
+    return out.select(
+        "event_type", F.round("sum_value", 4).alias("sum_value"), F.col("n")
+    )
+
+
+@query("approx_aggregates", None)  # approx sketches: engine-specific, rows-only
+def approx_q(spark, sf_dir):
+    # HLL++ distinct + t-digest percentile — the bounded-memory twins of
+    # agg_distinct_stats/median_quantiles for the 100 TB path.  DuckDB's
+    # approx sketches produce different estimates, so no value oracle;
+    # pytest pins them within rtol of the exact values.
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("approx_p90"),
+    )

@@ -26,8 +26,19 @@ and used as ``spark.read.format("bigtable")``:
 
 Scale: at 100 TB the cells store is written range-partitioned and sorted
 by row_key (see sources/cells.py); ``partitions()`` maps ranges to the
-overlapping files only, so a pruned query reads just those files, and the
-full-scan path parallelizes over files.
+overlapping files only (parquet footer min/max — the emulation of
+Bigtable's tablet metadata), so a pruned query reads just those files, and
+the full-scan path parallelizes over files.
+
+KNOWN UPSTREAM CAVEAT (Spark 4.1, verified by tracing worker invocations
+with DBS_TRACE=1): the JVM caches a Python data source's planned scan
+(read function + partitions) per ``load()`` handle and only re-invokes the
+Python planning workers when the new query pushes filters.  Consequence:
+an UNFILTERED query planned after a key-filtered query on the SAME
+DataFrame handle silently reuses the pruned partitions and returns pruned
+results.  Use a fresh ``spark.read...load()`` per distinct predicate set
+(cheap — planning only).  The library's own surfaces (BigtableTable,
+queries registry, tests) always do.
 """
 
 from __future__ import annotations
@@ -86,10 +97,12 @@ def _config_from_options(options) -> BigtableTableConfig:
 
 @dataclass
 class RangePartition(InputPartition):
-    """One composed KeyRange → one Spark scan task."""
+    """One composed KeyRange → one Spark scan task, carrying the pruned
+    list of overlapping files (empty tuple = all files)."""
 
     start: str
     end: str
+    files: tuple = ()
 
 
 @dataclass
@@ -107,6 +120,10 @@ class BigtableReader(DataSourceReader):
 
     # -- pushdown (A3-A8 pruning + A16 Inexact) ---------------------------
     def pushFilters(self, filters):
+        import os
+        if os.environ.get("DBS_TRACE"):
+            with open("/tmp/ds_trace", "a") as _f:
+                _f.write(f"pushFilters n={len(list(filters))}\n")
         self._filters_pushed = True
         preds = from_datasource_filters(filters, self.config.table_partition_cols)
         try:
@@ -130,9 +147,55 @@ class BigtableReader(DataSourceReader):
             return sorted(glob.glob(os.path.join(p, "*.parquet")))
         return [p]
 
+    def _file_key_bounds(self) -> list[tuple[str, str, str]]:
+        """(file, min_row_key, max_row_key) from parquet footer statistics —
+        the emulation of Bigtable's tablet key-range metadata."""
+        import pyarrow.parquet as pq
+
+        out = []
+        for f in self._files():
+            meta = pq.ParquetFile(f).metadata
+            lo, hi = None, None
+            for rg in range(meta.num_row_groups):
+                for ci in range(meta.num_columns):
+                    col = meta.row_group(rg).column(ci)
+                    if col.path_in_schema == "row_key" and col.statistics is not None:
+                        s = col.statistics
+                        if s.has_min_max:
+                            lo = s.min if lo is None else min(lo, s.min)
+                            hi = s.max if hi is None else max(hi, s.max)
+            out.append((f, lo, hi))
+        return out
+
     def partitions(self) -> Sequence[InputPartition]:
-        if self.ranges:
-            return [RangePartition(r.start, r.end) for r in self.ranges]
+        # CONSUME the pushed ranges: Spark reuses this reader instance for
+        # every query planned from the same load(), but only calls
+        # pushFilters when the plan HAS filters — without the reset, an
+        # unfiltered query planned after a pruned one silently inherits the
+        # stale ranges (wrong results, found by probing).
+        ranges, self.ranges = self.ranges, []
+        import os
+        if os.environ.get("DBS_TRACE"):
+            with open("/tmp/ds_trace", "a") as _f:
+                _f.write(f"partitions ranges={len(ranges)}\n")
+        if ranges:
+            # File-level pruning: a range partition only scans files whose
+            # footer [min,max] row_key interval overlaps the range — with a
+            # write_cells() layout (range-partitioned, sorted) that is one
+            # or two files per range regardless of store size.
+            bounds = self._file_key_bounds()
+            parts = []
+            for r in ranges:
+                files = [
+                    f
+                    for f, lo, hi in bounds
+                    if lo is None or hi is None or (lo <= r.end and hi >= r.start)
+                ]
+                if files:
+                    parts.append(RangePartition(r.start, r.end, tuple(files)))
+            # every range pruned to zero files → still need ≥1 partition so
+            # the scan yields an empty result with the right schema
+            return parts or [RangePartition(ranges[0].start, ranges[0].end, (self._files()[0],))]
         if not self.config.allow_full_scan:
             raise ComposerError("table_partition_cols: filter is not provided or not supported")
         return [FilePartition(f) for f in self._files()]
@@ -148,7 +211,8 @@ class BigtableReader(DataSourceReader):
         if isinstance(partition, RangePartition):
             flt = flt & (pa_ds.field("row_key") >= partition.start)
             flt = flt & (pa_ds.field("row_key") <= partition.end)
-            dataset = pa_ds.dataset(self._files(), format="parquet")
+            files = list(partition.files) or self._files()
+            dataset = pa_ds.dataset(files, format="parquet")
         else:
             dataset = pa_ds.dataset([partition.file], format="parquet")
         cells = dataset.to_table(

@@ -59,8 +59,17 @@ def test_pushdown_between_parallel_partitions(registered, cells_path):
     )
     rows = df.orderBy("_timestamp").collect()
     assert [r.pressure for r in rows] == [94558, 94122, 95992]
-    # two composed ranges (one per balloon_id) → two input partitions
-    assert df.rdd.getNumPartitions() == 2
+    # two composed ranges, but the balloon 9999 range overlaps no file's
+    # [min,max] row_key stats → file-level pruning drops it entirely
+    assert df.rdd.getNumPartitions() == 1
+
+    df2 = _reader(registered, cells_path).filter(
+        "region = 'us-west2' AND balloon_id = '3698' "
+        "AND event_minute IN ('2021-03-05-1200', '2021-03-05-1201')"
+    )
+    # two point ranges, both inside the single file → one partition each
+    assert df2.rdd.getNumPartitions() == 2
+    assert sorted(r.pressure for r in df2.collect()) == [94122, 94558]
 
 
 def test_simple_key_single_component(registered, cells_path):
@@ -84,3 +93,15 @@ def test_full_scan_refused_when_disallowed(registered, cells_path):
     df = _reader(registered, cells_path, allow_full_scan="false")
     with pytest.raises(Exception, match="filter is not provided or not supported"):
         df.collect()
+
+
+def test_fresh_load_per_predicate_set_is_clean(registered, cells_path):
+    """Upstream caveat (see sources/datasource.py docstring): Spark caches
+    the planned scan per load() handle.  Fresh load() handles per predicate
+    set must be independent — pruned then full on separate handles."""
+    pruned = _reader(registered, cells_path).filter(
+        "region = 'us-west2' AND balloon_id = '3698' AND event_minute = '2021-03-05-1200'"
+    )
+    assert pruned.count() == 1
+    full = _reader(registered, cells_path)
+    assert full.count() == 5

@@ -164,3 +164,46 @@ def test_streaming_stateful_totals(spark, sf_dir):
     for u in batch:
         assert final[u][0] == batch[u][0]
         assert abs(final[u][1] - batch[u][1]) < 1e-6
+
+
+def test_salted_aggregation_matches_plain(spark, sf_dir):
+    from datafusion_bigtable_spark.operators.skew import salted_sum_count
+    from datafusion_bigtable_spark.queries import load_events
+
+    e = load_events(spark, sf_dir)
+    salted = {
+        r.event_type: (round(r.sum_value, 4), r.n)
+        for r in salted_sum_count(e, ["event_type"], "value").collect()
+    }
+    plain = {
+        r.event_type: (round(r.s, 4), r.n)
+        for r in e.groupBy("event_type").agg(F.sum("value").alias("s"), F.count("*").alias("n")).collect()
+    }
+    assert salted == plain
+
+
+def test_replicated_skew_join_matches_plain(spark, sf_dir):
+    from datafusion_bigtable_spark.operators.skew import replicated_skew_join
+    from datafusion_bigtable_spark.queries import load
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("o_custkey"), "c_name")
+    skewed = replicated_skew_join(o, c, "o_custkey").orderBy("o_orderkey")
+    plain = o.join(c, "o_custkey").orderBy("o_orderkey")
+    assert [tuple(r) for r in skewed.collect()] == [tuple(r) for r in plain.collect()]
+
+
+def test_approx_aggregates_close_to_exact(spark, sf_dir):
+    from datafusion_bigtable_spark.queries import REGISTRY, load
+
+    approx = {r.l_returnflag: (r.approx_orders, r.approx_p90) for r in REGISTRY["approx_aggregates"].fn(spark, sf_dir).collect()}
+    l = load(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: (r.n, r.p90)
+        for r in l.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"), F.expr("percentile(l_extendedprice, 0.9)").alias("p90"))
+        .collect()
+    }
+    for k in exact:
+        assert abs(approx[k][0] - exact[k][0]) / exact[k][0] < 0.1
+        assert abs(approx[k][1] - exact[k][1]) / exact[k][1] < 0.1
