@@ -101,3 +101,23 @@ def test_split_preserves_trailing_empty(spark):
     df = spark.createDataFrame([("a##",)], "row_key string")
     out = split_row_key(df, ["x", "y", "z"]).collect()[0]
     assert (out.x, out.y, out.z) == ("a", "", "")
+
+
+def test_pivot_regex_metachar_qualifiers(spark):
+    # A9 quirk NOT replicated: the reference's ColumnQualifierRegexFilter
+    # joins names with '|' so a qualifier like 'a.b' over-matches 'axb'.
+    # Our declared-list pruning must match exactly.
+    df = _cells(
+        spark,
+        [
+            ("k", "f", "a.b", T0, b"dot"),
+            ("k", "f", "axb", T0, b"x"),
+            ("k", "f", "a|b", T0, b"pipe"),
+        ],
+    )
+    out = pivot_cells(df, ["a.b", "a|b"]).collect()
+    assert len(out) == 1
+    row = out[0].asDict()
+    assert row["a.b"] == bytearray(b"dot") or row["a.b"] == b"dot"
+    assert row["a|b"] == bytearray(b"pipe") or row["a|b"] == b"pipe"
+    assert "axb" not in row
