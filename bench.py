@@ -39,9 +39,10 @@ def main() -> None:
 
     spark = get_spark("dbs-bench")
 
-    # Warm the JVM/codegen once with a trivial action so query timings
-    # measure execution, not session startup.
+    # Warm the JVM, parquet reader, codegen, and noop sink once so query
+    # timings measure steady-state execution, not first-use machinery.
     spark.range(1).count()
+    Q.load(spark, sf_dir, "lineitem").limit(1000).write.format("noop").mode("overwrite").save()
 
     names = [n for n in HEADLINE if n in Q.REGISTRY]
     extra = [n for n in Q.REGISTRY if n not in names]

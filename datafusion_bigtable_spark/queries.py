@@ -88,7 +88,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
            ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
            ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)  AS sum_charge,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
            ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
            ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
            ROUND(AVG(l_discount), 4)                                        AS avg_disc,
@@ -109,7 +109,7 @@ def tpch_q1(spark, sf_dir):
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -1351,3 +1351,20 @@ def tpch_q19(spark, sf_dir):
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "deterministic_hash_sample",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE CAST(CAST(('0x' || substr(md5('s0' || CAST(doc_id AS VARCHAR)), 1, 8)) AS INT64)
+               % 10000 AS INT) < 2000
+    """,
+)
+def hash_sample_q(spark, sf_dir):
+    # Reproducible 20% sample by content-hash bucket — identical member-
+    # ship on every run and every engine (vs df.sample's RNG streams).
+    from datafusion_bigtable_spark.operators.sampling import hash_sample
+
+    d = load(spark, sf_dir, "documents")
+    return hash_sample(d, "doc_id", 0.2, seed="s0").select("doc_id", "lang")

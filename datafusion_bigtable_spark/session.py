@@ -28,6 +28,10 @@ def get_spark(app_name: str = "datafusion_bigtable_spark", *, cpus: int | None =
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        # testdata tables are single ~1-40MB files; a smaller split size
+        # lets their scans parallelize across local cores.  On a cluster
+        # with properly-sized (128MB-1GB) files, raise back to the default.
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -207,3 +207,21 @@ def test_approx_aggregates_close_to_exact(spark, sf_dir):
     for k in exact:
         assert abs(approx[k][0] - exact[k][0]) / exact[k][0] < 0.1
         assert abs(approx[k][1] - exact[k][1]) / exact[k][1] < 0.1
+
+
+def test_hash_sample_deterministic_and_split_disjoint(spark, sf_dir):
+    from datafusion_bigtable_spark.operators.sampling import hash_sample, train_val_split
+    from datafusion_bigtable_spark.queries import load
+
+    d = load(spark, sf_dir, "documents")
+    s1 = sorted(r.doc_id for r in hash_sample(d, "doc_id", 0.2).select("doc_id").collect())
+    s2 = sorted(r.doc_id for r in hash_sample(d, "doc_id", 0.2).select("doc_id").collect())
+    assert s1 == s2 and 0 < len(s1) < d.count()
+
+    train, val = train_val_split(d, "doc_id", 0.25)
+    t = {r.doc_id for r in train.select("doc_id").collect()}
+    v = {r.doc_id for r in val.select("doc_id").collect()}
+    assert t.isdisjoint(v) and len(t) + len(v) == d.count()
+    # different seeds → different (independent) samples
+    s3 = sorted(r.doc_id for r in hash_sample(d, "doc_id", 0.2, seed="other").select("doc_id").collect())
+    assert s3 != s1
