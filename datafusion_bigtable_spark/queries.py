@@ -1368,3 +1368,118 @@ def hash_sample_q(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return hash_sample(d, "doc_id", 0.2, seed="s0").select("doc_id", "lang")
+
+
+@query(
+    "tpch_q8_market_share",
+    """
+    SELECT l_year, ROUND(asia_rev / total_rev, 6) AS mkt_share FROM (
+      SELECT CAST(YEAR(o.o_orderdate) AS INT) AS l_year,
+             SUM(CASE WHEN r.r_name = 'ASIA'
+                      THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END) AS asia_rev,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS total_rev
+      FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+      GROUP BY YEAR(o.o_orderdate)) t
+    """,
+)
+def tpch_q8(spark, sf_dir):
+    # Market-share shape: conditional vs total aggregation in one pass —
+    # the ratio is computed post-agg so the plan stays one shuffle.
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    asia = F.when(F.col("r_name") == "ASIA", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("l_year"))
+        .agg(F.sum(asia).alias("_a"), F.sum(rev).alias("_t"))
+        .select("l_year", F.round(F.col("_a") / F.col("_t"), 6).alias("mkt_share"))
+    )
+
+
+@query(
+    "tpch_q22_idle_rich_customers",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_custs, ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def tpch_q22(spark, sf_dir):
+    # Scalar subquery (global avg, computed once and broadcast as a
+    # literal-like single-row plan) + anti join.
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_custs"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+    )
+
+
+@query(
+    "dedup_multi_signal",
+    """
+    WITH w AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS w
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT id, w[g] || ' ' || w[g+1] || ' ' || w[g+2] AS shingle
+      FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-2, 0))) AS g) i),
+    mh AS (
+      SELECT id, s.seed, MIN(md5(CAST(s.seed AS VARCHAR) || '|' || shingle)) AS minhash
+      FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS seed) s
+      GROUP BY id, s.seed),
+    banded AS (
+      SELECT id, CAST(seed // 2 AS INT) AS band,
+             string_agg(minhash, ',' ORDER BY minhash) AS band_sig
+      FROM mh GROUP BY id, seed // 2),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id)
+    SELECT c.id_a, c.id_b,
+           ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[])), 6) AS cosine
+    FROM cand c JOIN embeddings ea ON ea.vec_id = c.id_a
+                JOIN embeddings eb ON eb.vec_id = c.id_b
+    """,
+)
+def dedup_multi_signal_q(spark, sf_dir):
+    # Composition: text-signal candidates (MinHash LSH) re-scored by the
+    # embedding signal — the two-stage multi-modal dedup a training
+    # pipeline actually runs (cheap blocking, expensive verify on the
+    # candidate set only).
+    from datafusion_bigtable_spark.operators.dedup import lsh_candidate_pairs
+    from datafusion_bigtable_spark.operators.similarity import dot, norm
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings").withColumn("_n", norm(F.col("embedding")))
+    cand = lsh_candidate_pairs(docs)
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("_n").alias("na"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("_n").alias("nb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+    )
