@@ -105,3 +105,37 @@ def test_fresh_load_per_predicate_set_is_clean(registered, cells_path):
     assert pruned.count() == 1
     full = _reader(registered, cells_path)
     assert full.count() == 5
+
+
+def test_datasource_version_unnest(registered, tmp_path, spark):
+    """Multi-version cells through the DS reader: only_read_latest=false
+    yields one row per (row_key, ts); =true applies the per-column limit
+    (same semantics as the DataFrame path, tests/test_versions.py)."""
+    import datetime as dt
+
+    from datafusion_bigtable_spark.sources.cells import CELLS_SCHEMA
+
+    T0, T1 = dt.datetime(2021, 1, 1), dt.datetime(2021, 1, 1, 0, 0, 1)
+    cells = [
+        ("k1", "f", "p", T0, (100).to_bytes(8, "big", signed=True)),
+        ("k1", "f", "p", T1, (101).to_bytes(8, "big", signed=True)),
+        ("k1", "f", "t", T1, b"a"),
+    ]
+    path = str(tmp_path / "vcells.parquet")
+    spark.createDataFrame(cells, CELLS_SCHEMA).coalesce(1).write.parquet(path)
+
+    def rd(latest):
+        return (
+            registered.read.format("bigtable")
+            .option("path", path)
+            .option("column_family", "f")
+            .option("columns", "p:int64,t:string")
+            .option("table_partition_cols", "_row_key")
+            .option("only_read_latest", latest)
+            .load()
+        )
+
+    allv = {(r._row_key, r._timestamp): (r.p, r.t) for r in rd("false").collect()}
+    assert allv == {("k1", T0): (100, None), ("k1", T1): (101, "a")}
+    latest = {(r._row_key, r._timestamp): (r.p, r.t) for r in rd("true").collect()}
+    assert latest == {("k1", T1): (101, "a")}
