@@ -42,7 +42,7 @@ def main() -> None:
     # Warm the JVM, parquet reader, codegen, and noop sink once so query
     # timings measure steady-state execution, not first-use machinery.
     spark.range(1).count()
-    Q.load(spark, sf_dir, "lineitem").limit(1000).write.format("noop").mode("overwrite").save()
+    Q.load(spark, sf_dir, "lineitem").write.format("noop").mode("overwrite").save()
 
     names = [n for n in HEADLINE if n in Q.REGISTRY]
     extra = [n for n in Q.REGISTRY if n not in names]

@@ -225,3 +225,22 @@ def test_hash_sample_deterministic_and_split_disjoint(spark, sf_dir):
     # different seeds → different (independent) samples
     s3 = sorted(r.doc_id for r in hash_sample(d, "doc_id", 0.2, seed="other").select("doc_id").collect())
     assert s3 != s1
+
+
+def test_streaming_dedup_ingest_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch dedup-ingest: all distinct docs land once; re-running
+    the same stream adds nothing (idempotent re-delivery)."""
+    from datafusion_bigtable_spark.streaming.sinks import run_dedup_ingest
+
+    target = str(tmp_path / "ingested")
+    out1 = run_dedup_ingest(spark, sf_dir, target, query_name="t_ingest1")
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text").distinct().count()
+    assert out1.count() == n_docs
+    assert out1.select("content_hash").distinct().count() == n_docs
+
+    # second pass with a fresh checkpoint: same files re-delivered
+    import shutil
+
+    shutil.rmtree(target + "_ckpt")
+    out2 = run_dedup_ingest(spark, sf_dir, target, query_name="t_ingest2")
+    assert out2.count() == n_docs
