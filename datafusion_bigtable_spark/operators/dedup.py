@@ -262,11 +262,13 @@ def embedding_dup_pairs(
     ``block_col`` is the blocking key (label here; an IVF cell id at
     scale) — it turns the n² self-join into Σ|block|².
     """
-    from datafusion_bigtable_spark.operators.similarity import dot, norm
+    from datafusion_bigtable_spark.operators.similarity import as_double_vec, dot_raw, norm
 
-    # Precompute the norm once per vector (not once per pair): each scored
-    # pair then folds the arrays a single time for the dot product.
-    withn = embeddings.withColumn("_norm", norm(F.col(vec_col)))
+    # Precompute per vector (not per pair): the norm AND the double-cast
+    # array — each scored pair then folds cast-free exactly once.
+    withn = embeddings.withColumn("_norm", norm(F.col(vec_col))).withColumn(
+        "_dv", as_double_vec(F.col(vec_col))
+    )
     a = withn.alias("a")
     b = withn.alias("b")
     j = a.join(
@@ -275,7 +277,7 @@ def embedding_dup_pairs(
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     )
     c = F.round(
-        dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (F.col("a._norm") * F.col("b._norm")), 6
+        dot_raw(F.col("a._dv"), F.col("b._dv")) / (F.col("a._norm") * F.col("b._norm")), 6
     )
     return (
         j.select(
