@@ -1483,3 +1483,78 @@ def dedup_multi_signal_q(spark, sf_dir):
             F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cosine"),
         )
     )
+
+
+@query(
+    "text_top_bigrams",
+    """
+    WITH w AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS w
+      FROM documents),
+    bg AS (
+      SELECT w[g] || ' ' || w[g+1] AS bigram
+      FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(w)-1, 0))) AS g) i)
+    SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 10
+    """,
+)
+def text_top_bigrams_q(spark, sf_dir):
+    # Corpus n-gram statistics: non-distinct bigrams (frequency counts,
+    # unlike dedup's distinct shingles), global top-k with tie-break.
+    from datafusion_bigtable_spark.functions.text import words
+
+    d = load(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    ex = d.select(F.posexplode(w).alias("pos", "w0"), F.col("doc_id"))
+    win = W.partitionBy("doc_id").orderBy("pos")
+    nxt = F.lead("w0", 1).over(win)
+    return (
+        ex.withColumn("w1", nxt)
+        .filter(F.col("w1").isNotNull())
+        .select(F.concat_ws(" ", "w0", "w1").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(10)
+    )
+
+
+@query(
+    "events_funnel_analysis",
+    """
+    WITH steps AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id)
+    SELECT CAST(COUNT(*) AS BIGINT)                                       AS n_users,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT)                    AS clicked_after_view,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                          AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT)                    AS purchased_after_click
+    FROM steps
+    """,
+)
+def funnel_q(spark, sf_dir):
+    # Sequential funnel: first-occurrence per step, strict ordering between
+    # steps — one conditional aggregation, one scalar rollup (no joins).
+    e = load(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    steps = e.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return steps.agg(
+        F.count("*").alias("n_users"),
+        F.sum(viewed.cast("long")).alias("viewed"),
+        F.sum(clicked.cast("long")).alias("clicked_after_view"),
+        F.sum(purchased.cast("long")).alias("purchased_after_click"),
+    )
