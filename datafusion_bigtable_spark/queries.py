@@ -1558,3 +1558,116 @@ def funnel_q(spark, sf_dir):
         F.sum(clicked.cast("long")).alias("clicked_after_view"),
         F.sum(purchased.cast("long")).alias("purchased_after_click"),
     )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(l_extendedprice * (1 - l_discount)) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, ROUND(r.total_rev, 4) AS total_rev
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+)
+def tpch_q15(spark, sf_dir):
+    # View + scalar-max subquery: the revenue CTE is computed once and the
+    # max is a broadcast single-row join (Catalyst plans the reused CTE
+    # subtree twice here; a cache() would dedup it at scale).
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
+    )
+    mx = revenue.agg(F.max("total_rev").alias("mx"))
+    return (
+        revenue.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.round("total_rev", 4).alias("total_rev"))
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    """
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly, COUNT(*) AS n
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def tpch_q17(spark, sf_dir):
+    # Correlated per-group aggregate subquery → decorrelated as a join
+    # against the per-part average (exactly what Catalyst/DataFusion do).
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_qty = l.groupBy(F.col("l_partkey").alias("ap")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(avg_qty, l.l_partkey == F.col("ap"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+      JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate)
+    GROUP BY s.s_name
+    """,
+)
+def tpch_q21(spark, sf_dir):
+    # EXISTS + NOT EXISTS with inequality correlation: decorrelated into
+    # per-order supplier stats (distinct supplier count; late-supplier
+    # set) joined back — one pass over lineitem for the stats instead of
+    # two correlated probes.
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load(spark, sf_dir, "supplier")
+
+    l1 = l.join(o, l.l_orderkey == o.o_orderkey).filter(F.col("l_shipdate") > F.col("o_orderdate"))
+    # per order: #distinct suppliers; #distinct LATE suppliers
+    order_stats = (
+        l.join(o.select("o_orderkey", "o_orderdate"), l.l_orderkey == F.col("o_orderkey"))
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(
+                F.when(F.col("l_shipdate") > F.col("o_orderdate"), F.col("l_suppkey"))
+            ).alias("n_late"),
+        )
+    )
+    j = l1.join(order_stats, l1.l_orderkey == F.col("ok"))
+    # EXISTS other supplier: n_supp >= 2; NOT EXISTS other late: n_late == 1
+    # (l1 rows are late themselves, so the only late supplier is l1's)
+    kept = j.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    return (
+        kept.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
