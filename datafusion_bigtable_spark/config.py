@@ -73,23 +73,35 @@ class BigtableTableConfig:
     cells_path: str | None = None
     allow_full_scan: bool = True
 
+    # Physical columns of the cells store (sources/cells.py CELLS_SCHEMA):
+    # a qualifier with one of these names would collide inside the pivot.
+    _PHYSICAL = frozenset({"row_key", "family", "qualifier", "ts", "value"})
+
     def __post_init__(self) -> None:
         if not self.table_partition_cols:
             raise ValueError("table_partition_cols must be non-empty")
-        reserved = {RESERVED_TIMESTAMP}
-        if len(self.table_partition_cols) > 1:
-            reserved.add(RESERVED_ROWKEY)
         for c in self.columns:
-            if c.name in reserved or c.name in self.table_partition_cols:
+            if not self.is_qualifier(c.name):
                 raise ValueError(f"qualifier column {c.name!r} collides with a reserved/key column")
+            if c.name in self._PHYSICAL:
+                raise ValueError(
+                    f"qualifier column {c.name!r} collides with a cells-store physical "
+                    f"column {sorted(self._PHYSICAL)}; rename the qualifier"
+                )
 
     @property
     def qualifiers(self) -> tuple[str, ...]:
         return tuple(c.name for c in self.columns)
 
     def is_qualifier(self, name: str) -> bool:
-        """Membership test, reference src/datasource.rs:105-116."""
-        return name not in (RESERVED_ROWKEY, RESERVED_TIMESTAMP) and name not in self.table_partition_cols
+        """Membership test, reference src/datasource.rs:105-116 — also the
+        single validation predicate used by __post_init__.  ``_row_key`` is
+        reserved only when it is not itself the (single) partition column."""
+        if name == RESERVED_TIMESTAMP or name in self.table_partition_cols:
+            return False
+        if name == RESERVED_ROWKEY and len(self.table_partition_cols) > 1:
+            return False
+        return True
 
     def schema(self) -> T.StructType:
         """Declared output schema — field order mirrors the reference:

@@ -158,9 +158,21 @@ def compose(
         if tail_range is not None:
             ranges.append(KeyRange(_join(prefix, tail_range[0]), _join(prefix, tail_range[1])))
 
-    # Dedup + stable order: deterministic partition planning regardless of
-    # predicate order (the reference's HashMap made this nondeterministic).
-    return sorted(set(ranges))
+    # Canonicalize: sort, dedup, and MERGE overlapping/contained ranges.
+    # Without the merge, a tail point value lying inside a tail BETWEEN
+    # (deviation 2's union) would produce two overlapping scan partitions
+    # and therefore DUPLICATE rows from the data source (each partition
+    # scans the overlap; Spark's re-applied filters pass both copies).
+    # Also makes planning deterministic regardless of predicate order
+    # (the reference's HashMap iteration was not).
+    merged: list[KeyRange] = []
+    for r in sorted(set(ranges)):
+        if merged and r.start <= merged[-1].end:
+            if r.end > merged[-1].end:
+                merged[-1] = KeyRange(merged[-1].start, r.end)
+        else:
+            merged.append(r)
+    return merged
 
 
 def key_range_predicate(ranges: Sequence[KeyRange], key_col: str = "row_key"):

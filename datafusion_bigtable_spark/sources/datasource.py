@@ -30,8 +30,8 @@ overlapping files only (parquet footer min/max — the emulation of
 Bigtable's tablet metadata), so a pruned query reads just those files, and
 the full-scan path parallelizes over files.
 
-KNOWN UPSTREAM CAVEAT (Spark 4.1, verified by tracing worker invocations
-with DBS_TRACE=1): the JVM caches a Python data source's planned scan
+KNOWN UPSTREAM CAVEAT (Spark 4.1, verified by tracing worker invocations):
+the JVM caches a Python data source's planned scan
 (read function + partitions) per ``load()`` handle and only re-invokes the
 Python planning workers when the new query pushes filters.  Consequence:
 an UNFILTERED query planned after a key-filtered query on the SAME
@@ -120,10 +120,6 @@ class BigtableReader(DataSourceReader):
 
     # -- pushdown (A3-A8 pruning + A16 Inexact) ---------------------------
     def pushFilters(self, filters):
-        import os
-        if os.environ.get("DBS_TRACE"):
-            with open("/tmp/ds_trace", "a") as _f:
-                _f.write(f"pushFilters n={len(list(filters))}\n")
         self._filters_pushed = True
         preds = from_datasource_filters(filters, self.config.table_partition_cols)
         try:
@@ -174,10 +170,6 @@ class BigtableReader(DataSourceReader):
         # unfiltered query planned after a pruned one silently inherits the
         # stale ranges (wrong results, found by probing).
         ranges, self.ranges = self.ranges, []
-        import os
-        if os.environ.get("DBS_TRACE"):
-            with open("/tmp/ds_trace", "a") as _f:
-                _f.write(f"partitions ranges={len(ranges)}\n")
         if ranges:
             # File-level pruning: a range partition only scans files whose
             # footer [min,max] row_key interval overlaps the range — with a
@@ -202,7 +194,6 @@ class BigtableReader(DataSourceReader):
 
     # -- scan (A1/A11/A13/A14/A15, partition-local) -----------------------
     def read(self, partition: InputPartition) -> Iterator:
-        import pyarrow as pa
         import pyarrow.dataset as pa_ds
 
         cfg = self.config
@@ -212,14 +203,82 @@ class BigtableReader(DataSourceReader):
             flt = flt & (pa_ds.field("row_key") >= partition.start)
             flt = flt & (pa_ds.field("row_key") <= partition.end)
             files = list(partition.files) or self._files()
-            dataset = pa_ds.dataset(files, format="parquet")
         else:
-            dataset = pa_ds.dataset([partition.file], format="parquet")
-        cells = dataset.to_table(
-            columns=["row_key", "qualifier", "ts", "value"], filter=flt
-        ).to_pandas()
+            files = [partition.file]
 
-        yield from _pivot_partition(cells, cfg)
+        ordered = _key_sorted_order(files)
+        cols = ["row_key", "qualifier", "ts", "value"]
+        if ordered is None:
+            # Store not provably key-sorted (footer stats missing or row
+            # groups overlap): fall back to full materialization — correct
+            # for any layout, memory-bounded only by partition size.
+            dataset = pa_ds.dataset(files, format="parquet")
+            yield from _pivot_partition(dataset.to_table(columns=cols, filter=flt).to_pandas(), cfg)
+            return
+
+        # Streaming path (bounded memory): batches arrive key-grouped, so
+        # pivot everything up to the last (possibly incomplete) row key and
+        # carry that key's cells into the next batch.  write_cells() stores
+        # always qualify; at 100 TB an executor holds one Arrow batch plus
+        # one row key's cells, never the whole partition.
+        import pandas as pd
+
+        dataset = pa_ds.dataset(ordered, format="parquet")
+        carry = None
+        for batch in dataset.to_batches(columns=cols, filter=flt, batch_size=65536):
+            pdf = batch.to_pandas()
+            if len(pdf) == 0:
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            last_key = pdf["row_key"].iloc[-1]
+            boundary = pdf["row_key"] == last_key
+            flush, carry = pdf[~boundary], pdf[boundary]
+            if len(flush):
+                yield from _pivot_partition(flush, cfg)
+        if carry is not None and len(carry):
+            yield from _pivot_partition(carry, cfg)
+        elif carry is None:
+            # no rows at all: emit one empty batch for a stable schema
+            yield from _pivot_partition(pd.DataFrame(columns=cols), cfg)
+
+
+def _key_sorted_order(files: list[str]):
+    """Return the files ordered by key range if footer statistics PROVE the
+    whole scan streams in non-decreasing row_key order (row groups sorted
+    and non-overlapping within each file; files pairwise disjoint).
+    Returns None when that cannot be proven — callers must materialize."""
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        idx = next(
+            (i for i in range(meta.num_columns)
+             if meta.row_group(0).column(i).path_in_schema == "row_key"),
+            None,
+        )
+        if idx is None:
+            return None
+        prev_max = None
+        fmin = fmax = None
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            # equality allowed: a key may span adjacent row groups; the
+            # carry-over handles contiguous boundaries
+            if prev_max is not None and st.min < prev_max:
+                return None
+            prev_max = st.max
+            fmin = st.min if fmin is None else fmin
+            fmax = st.max
+        spans.append((fmin, fmax, f))
+    spans.sort()
+    for (_, e1, _), (s2, _, _) in zip(spans, spans[1:]):
+        if s2 < e1:  # files overlap → interleaved keys across fragments
+            return None
+    return [f for _, _, f in spans]
 
 
 def _pivot_partition(cells, cfg: BigtableTableConfig):
@@ -251,14 +310,18 @@ def _pivot_partition(cells, cfg: BigtableTableConfig):
         yield pa.RecordBatch.from_pydict({f.name: [] for f in arrow_fields}, schema=arrow_schema)
         return
 
+    # NULL-cell correctness (found in review): pandas groupby().last() and
+    # pivot_table() both SKIP NaN values, which would resurrect an older
+    # version's value under the newest timestamp and drop rows whose only
+    # cell value is NULL.  drop_duplicates + pivot are NaN-faithful and
+    # match the declarative path (latest_cells + pivot_cells) exactly.
+    cells = cells.sort_values("ts", kind="stable")
     if cfg.only_read_latest:
-        cells = cells.sort_values("ts", kind="stable").groupby(
-            ["row_key", "qualifier"], as_index=False, sort=False
-        ).last()
-
-    wide = cells.pivot_table(
-        index=["row_key", "ts"], columns="qualifier", values="value", aggfunc="first"
-    ).reset_index()
+        cells = cells.drop_duplicates(["row_key", "qualifier"], keep="last")
+    # one cell per (row_key, ts, qualifier): last write wins, like the
+    # reference's HashMap insertion (execute_plan.rs:186-212)
+    cells = cells.drop_duplicates(["row_key", "ts", "qualifier"], keep="last")
+    wide = cells.pivot(index=["row_key", "ts"], columns="qualifier", values="value").reset_index()
 
     out: dict[str, object] = {}
     keys = wide["row_key"].astype(str)

@@ -35,11 +35,15 @@ def dedup_ingest_sink(target_path: str, key_col: str = "content_hash"):
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        try:
+        # Only a genuinely-missing target means "first batch" — any other
+        # read failure (corrupt footer, permissions) must propagate, else
+        # the dedup-against-target silently turns off and the sink's
+        # at-most-once-per-key contract breaks.
+        import os
+
+        if os.path.exists(target_path):
             existing = spark.read.parquet(target_path).select(key_col)
             fresh = fresh.join(existing, key_col, "left_anti")
-        except Exception:
-            pass  # first batch: target does not exist yet
         fresh.write.mode("append").parquet(target_path)
 
     return write_batch

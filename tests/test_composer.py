@@ -129,3 +129,52 @@ def test_from_datasource_filters_reassembles_between():
     )
     assert Eq("region", "r") in preds
     assert Between("event_minute", "a", "b") in preds
+
+
+def test_overlapping_ranges_merge():
+    # A point value inside a BETWEEN must not yield two overlapping scan
+    # partitions (would duplicate rows at the data source).
+    ranges = compose([Eq("_row_key", "b"), Between("_row_key", "a", "c")], SIMPLE)
+    assert ranges == [KeyRange("a", "c")]
+
+    ranges = compose(
+        [In("_row_key", ("a", "m", "z")), Between("_row_key", "a", "n")], SIMPLE
+    )
+    assert ranges == [KeyRange("a", "n"), KeyRange("z", "z")]
+
+
+def test_merged_ranges_never_overlap_property():
+    from itertools import product
+    ranges = compose(
+        [In("region", ("r1", "r2")), Eq("balloon_id", "b"),
+         In("event_minute", ("m1", "m5")), Between("event_minute", "m0", "m3")],
+        COMPOSITE,
+    )
+    for r1, r2 in product(ranges, ranges):
+        if r1 is not r2:
+            assert r1.end < r2.start or r2.end < r1.start
+
+
+def test_config_rejects_physical_column_collisions():
+    import pytest as _pytest
+
+    from datafusion_bigtable_spark.config import BigtableTableConfig, ColumnSpec
+
+    with _pytest.raises(ValueError, match="physical"):
+        BigtableTableConfig(
+            table="t", column_family="f",
+            columns=(ColumnSpec("ts", "string"),),
+            table_partition_cols=("_row_key",),
+        )
+    with _pytest.raises(ValueError, match="reserved/key"):
+        BigtableTableConfig(
+            table="t", column_family="f",
+            columns=(ColumnSpec("_timestamp", "string"),),
+            table_partition_cols=("_row_key",),
+        )
+    # sane names still pass
+    BigtableTableConfig(
+        table="t", column_family="f",
+        columns=(ColumnSpec("pressure", "int64"),),
+        table_partition_cols=("region", "minute"),
+    )

@@ -139,3 +139,115 @@ def test_datasource_version_unnest(registered, tmp_path, spark):
     assert allv == {("k1", T0): (100, None), ("k1", T1): (101, "a")}
     latest = {(r._row_key, r._timestamp): (r.p, r.t) for r in rd("true").collect()}
     assert latest == {("k1", T1): (101, "a")}
+
+
+def test_overlapping_predicates_no_duplicate_rows(registered, cells_path):
+    """Review finding: a tail point value inside a tail BETWEEN composed
+    two overlapping ranges → duplicated rows.  Ranges now merge."""
+    df = _reader(registered, cells_path, table_partition_cols="_row_key").filter(
+        "_row_key IN ('us-west2#3698#2021-03-05-1200', 'us-west2#3698#2021-03-05-1201') "
+        "AND _row_key >= 'us-west2#3698#2021-03-05-1200' "
+        "AND _row_key <= 'us-west2#3698#2021-03-05-1204'"
+    )
+    rows = df.collect()
+    assert len(rows) == 2
+    assert len({r._row_key for r in rows}) == 2
+
+
+def test_null_cell_values_through_datasource(registered, tmp_path, spark):
+    """Review finding: pandas groupby().last()/pivot_table() skip NaN —
+    a NULL latest cell resurrected the older value under the new
+    timestamp, and an all-NULL row vanished.  Must match the declarative
+    path: NULL stays NULL, rows persist."""
+    import datetime as dt
+
+    from datafusion_bigtable_spark.sources.cells import CELLS_SCHEMA
+
+    T0, T1 = dt.datetime(2021, 1, 1), dt.datetime(2021, 1, 1, 0, 0, 1)
+    cells = [
+        ("k1", "f", "p", T0, b"old"),
+        ("k1", "f", "p", T1, None),  # latest version is NULL
+        ("k2", "f", "p", T0, None),  # only cell is NULL
+    ]
+    path = str(tmp_path / "nullcells.parquet")
+    spark.createDataFrame(cells, CELLS_SCHEMA).coalesce(1).write.parquet(path)
+    df = (
+        registered.read.format("bigtable")
+        .option("path", path)
+        .option("column_family", "f")
+        .option("columns", "p:string")
+        .option("table_partition_cols", "_row_key")
+        .load()
+    )
+    got = {(r._row_key, r._timestamp): r.p for r in df.collect()}
+    assert got == {("k1", T1): None, ("k2", T0): None}
+
+
+def _write_cells_pa(path, rows, row_group_size):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "row_key": [r[0] for r in rows],
+            "family": [r[1] for r in rows],
+            "qualifier": [r[2] for r in rows],
+            "ts": pa.array([r[3] for r in rows], type=pa.timestamp("us")),
+            "value": pa.array([r[4] for r in rows], type=pa.binary()),
+        }
+    )
+    pq.write_table(table, path, row_group_size=row_group_size)
+
+
+def _many_cells(n):
+    import datetime as dt
+
+    t0 = dt.datetime(2021, 1, 1)
+    rows = []
+    for i in range(n):
+        key = f"k{i:05d}"
+        rows.append((key, "f", "a", t0, f"a{i}".encode()))
+        rows.append((key, "f", "b", t0, f"b{i}".encode()))
+    return rows
+
+
+def test_streaming_read_multi_rowgroup_carry_over(registered, tmp_path):
+    """Sorted store with many tiny row groups: the bounded-memory streaming
+    path must flush complete row keys per batch and carry boundary keys —
+    same output as a whole-partition pivot."""
+    path = str(tmp_path / "sorted_cells.parquet")
+    _write_cells_pa(path, _many_cells(500), row_group_size=37)  # keys split across groups
+    df = (
+        registered.read.format("bigtable")
+        .option("path", path)
+        .option("column_family", "f")
+        .option("columns", "a:string,b:string")
+        .option("table_partition_cols", "_row_key")
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 500
+    got = {r._row_key: (r.a, r.b) for r in rows}
+    assert got["k00000"] == ("a0", "b0") and got["k00499"] == ("a499", "b499")
+
+
+def test_unsorted_store_falls_back_correctly(registered, tmp_path):
+    """Unsorted store (overlapping row-group stats): streaming is unsafe,
+    the reader must materialize — and still produce correct results."""
+    import random
+
+    rows = _many_cells(200)
+    random.Random(7).shuffle(rows)
+    path = str(tmp_path / "unsorted_cells.parquet")
+    _write_cells_pa(path, rows, row_group_size=31)
+    df = (
+        registered.read.format("bigtable")
+        .option("path", path)
+        .option("column_family", "f")
+        .option("columns", "a:string,b:string")
+        .option("table_partition_cols", "_row_key")
+        .load()
+    )
+    rows_out = df.collect()
+    assert len(rows_out) == 200
+    assert {r._row_key for r in rows_out} == {f"k{i:05d}" for i in range(200)}
