@@ -107,7 +107,15 @@ class BigtableTableConfig:
         """Declared output schema — field order mirrors the reference:
         partition cols, then ``_timestamp``, then qualifiers
         (reference src/datasource.rs:68-79)."""
-        fields = [T.StructField(c, T.StringType(), False) for c in self.table_partition_cols]
+        # Tail key components are nullable: a stored row key with fewer
+        # separator-delimited parts than table_partition_cols yields NULL for
+        # the missing components (both scan paths), and a non-null declaration
+        # would let Catalyst prune IsNotNull filters incorrectly.  The first
+        # component is always present (split of a non-null key has >= 1 part).
+        fields = [
+            T.StructField(c, T.StringType(), i > 0)
+            for i, c in enumerate(self.table_partition_cols)
+        ]
         fields.append(T.StructField(RESERVED_TIMESTAMP, T.TimestampNTZType(), False))
         fields.extend(T.StructField(c.name, c.spark_type(), True) for c in self.columns)
         return T.StructType(fields)

@@ -66,6 +66,12 @@ from datafusion_bigtable_spark.plans.composer import (
 FORMAT_NAME = "bigtable"
 
 
+class ScanReuseWarning(RuntimeWarning):
+    """Raised (as a warning) when a ``load()`` handle that planned a
+    key-pruned scan is reused in a way that can hit the Spark 4.1 Python-DS
+    scan cache (see module docstring) and silently return pruned rows."""
+
+
 def _config_from_options(options) -> BigtableTableConfig:
     def opt(key: str, default: str | None = None) -> str | None:
         v = options.get(key)
@@ -117,10 +123,13 @@ class BigtableReader(DataSourceReader):
         self.config = _config_from_options(options)
         self.ranges: list[KeyRange] = []
         self._filters_pushed = False
+        self._pushed_since_last_plan = False
+        self._last_plan_pruned = False
 
     # -- pushdown (A3-A8 pruning + A16 Inexact) ---------------------------
     def pushFilters(self, filters):
         self._filters_pushed = True
+        self._pushed_since_last_plan = True
         preds = from_datasource_filters(filters, self.config.table_partition_cols)
         try:
             self.ranges = compose(
@@ -169,7 +178,25 @@ class BigtableReader(DataSourceReader):
         # pushFilters when the plan HAS filters — without the reset, an
         # unfiltered query planned after a pruned one silently inherits the
         # stale ranges (wrong results, found by probing).
+        import warnings
+
         ranges, self.ranges = self.ranges, []
+        if self._last_plan_pruned and not self._pushed_since_last_plan:
+            # The JVM re-invoked planning without pushing filters after this
+            # handle planned a pruned scan.  The reset above makes THIS call
+            # correct, but the reuse pattern is exactly the one the JVM-side
+            # scan cache can short-circuit (returning stale pruned rows
+            # without ever reaching Python) — tell the user loudly.
+            warnings.warn(
+                "bigtable: load() handle reused across predicate sets; the "
+                "Spark 4.1 Python-DS scan cache can silently return "
+                "key-pruned rows for an unfiltered re-query of the same "
+                "handle. Use a fresh spark.read...load() per predicate set.",
+                ScanReuseWarning,
+                stacklevel=2,
+            )
+        self._pushed_since_last_plan = False
+        self._last_plan_pruned = bool(ranges)
         if ranges:
             # File-level pruning: a range partition only scans files whose
             # footer [min,max] row_key interval overlaps the range — with a
@@ -328,7 +355,10 @@ def _pivot_partition(cells, cfg: BigtableTableConfig):
     if len(cfg.table_partition_cols) == 1:
         out[cfg.table_partition_cols[0]] = keys
     else:
-        parts = keys.str.split(cfg.table_partition_separator, expand=True)
+        # regex=False: pandas treats multi-char patterns as regex by default,
+        # which would split wrongly for separators like '||' — the DataFrame
+        # path (pivot.split_row_key) re.escape()s; both must agree.
+        parts = keys.str.split(cfg.table_partition_separator, expand=True, regex=False)
         for i, name in enumerate(cfg.table_partition_cols):
             out[name] = parts[i] if i in parts.columns else pd.Series([None] * len(wide))
     out["_timestamp"] = wide["ts"]

@@ -251,3 +251,28 @@ def test_unsorted_store_falls_back_correctly(registered, tmp_path):
     rows_out = df.collect()
     assert len(rows_out) == 200
     assert {r._row_key for r in rows_out} == {f"k{i:05d}" for i in range(200)}
+
+
+def test_scan_reuse_warns_loudly(cells_path):
+    # ADVICE r1: convention-only mitigation of the Spark 4.1 scan-cache
+    # hazard → now also a loud ScanReuseWarning when a handle that planned a
+    # pruned scan replans without freshly-pushed filters.
+    import warnings
+
+    from datafusion_bigtable_spark.plans.composer import KeyRange
+
+    reader = bt_ds.BigtableReader(
+        None,
+        {
+            "path": cells_path,
+            "column_family": "measurements",
+            "columns": "pressure:int64,temperature:string",
+        },
+    )
+    reader.ranges = [KeyRange("a", "b")]
+    reader._pushed_since_last_plan = True
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", bt_ds.ScanReuseWarning)
+        reader.partitions()  # pruned plan, filters were pushed: fine
+    with pytest.warns(bt_ds.ScanReuseWarning):
+        reader.partitions()  # replanned with no pushFilters since: loud

@@ -121,3 +121,51 @@ def test_pivot_regex_metachar_qualifiers(spark):
     assert row["a.b"] == bytearray(b"dot") or row["a.b"] == b"dot"
     assert row["a|b"] == bytearray(b"pipe") or row["a|b"] == b"pipe"
     assert "axb" not in row
+
+
+def test_pandas_pivot_multichar_separator_parity():
+    # ADVICE r1: pandas str.split treats multi-char patterns as regex by
+    # default, so a separator like '||' (regex: two empty alternations)
+    # exploded every key char-by-char — inconsistent with split_row_key,
+    # which re.escape()s.  Both paths must split literally.
+    import pandas as pd
+
+    from datafusion_bigtable_spark.config import BigtableTableConfig, ColumnSpec
+    from datafusion_bigtable_spark.sources.datasource import _pivot_partition
+
+    cfg = BigtableTableConfig(
+        table="t",
+        column_family="f",
+        columns=(ColumnSpec("temperature", "string"),),
+        table_partition_cols=("region", "balloon_id"),
+        table_partition_separator="||",
+    )
+    cells = pd.DataFrame(
+        {
+            "row_key": ["us-west2||3698", "us-east1||0042"],
+            "qualifier": ["temperature", "temperature"],
+            "ts": [pd.Timestamp("2021-03-05 12:00:05"), pd.Timestamp("2021-03-05 12:00:06")],
+            "value": [b"9.6", b"7.1"],
+        }
+    )
+    (batch,) = list(_pivot_partition(cells, cfg))
+    got = batch.to_pandas().sort_values("region").reset_index(drop=True)
+    assert list(got["region"]) == ["us-east1", "us-west2"]
+    assert list(got["balloon_id"]) == ["0042", "3698"]
+
+
+def test_schema_tail_key_components_nullable():
+    # ADVICE r1: tail key components ARE emitted as NULL for short keys, so
+    # declaring them non-nullable could let Catalyst mis-prune IsNotNull.
+    from datafusion_bigtable_spark.config import BigtableTableConfig, ColumnSpec
+
+    cfg = BigtableTableConfig(
+        table="t",
+        column_family="f",
+        columns=(ColumnSpec("pressure", "int64"),),
+        table_partition_cols=("a", "b", "c"),
+    )
+    fields = {f.name: f.nullable for f in cfg.schema().fields}
+    assert fields["a"] is False
+    assert fields["b"] is True and fields["c"] is True
+    assert fields["_timestamp"] is False
