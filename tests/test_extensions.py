@@ -244,3 +244,44 @@ def test_streaming_dedup_ingest_idempotent(spark, sf_dir, tmp_path):
     shutil.rmtree(target + "_ckpt")
     out2 = run_dedup_ingest(spark, sf_dir, target, query_name="t_ingest2")
     assert out2.count() == n_docs
+
+
+def test_jaccard_df_cap_bounds_hot_shingle(spark):
+    # VERDICT r1 #3: a boilerplate shingle shared by every doc must not
+    # build one giant inverted list.  40 docs share the same 5-word header
+    # (hot shingles, df=40) but are otherwise unique; docs 100/101 are true
+    # near-dups.  With df_cap=10 the hot buckets are dropped entirely —
+    # header-only overlap can no longer pair docs — while the true pair
+    # (whose shared shingles are rare) still comes out.
+    from datafusion_bigtable_spark.operators.dedup import jaccard_pairs, shingles
+
+    header = "common boilerplate header appears everywhere"
+    rows = [(i, f"{header} unique body {i} alpha{i} beta{i} gamma{i}") for i in range(40)]
+    rows += [
+        (100, "spark catalyst optimizer plans declarative queries nightly"),
+        (101, "spark catalyst optimizer plans declarative queries daily"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = jaccard_pairs(docs, k=3, threshold=0.3, df_cap=10)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in got
+    assert all(a >= 100 for a, _ in got), f"header-only pairs leaked: {got}"
+
+    # the bound itself: no surviving inverted list exceeds df_cap ids
+    from pyspark.sql import functions as F2
+
+    sh = shingles(docs, 3)
+    freq_ok = sh.groupBy("shingle").agg(F2.count("*").alias("df")).filter("df <= 10")
+    max_bucket = (
+        sh.join(freq_ok.select("shingle"), "shingle")
+        .groupBy("shingle")
+        .count()
+        .agg(F2.max("count"))
+        .collect()[0][0]
+    )
+    assert max_bucket <= 10
+
+    # uncapped (df_cap=None) keeps exact semantics: hot-shingle pairs exist
+    full = {(r.id_a, r.id_b) for r in jaccard_pairs(docs, k=3, threshold=0.3, df_cap=None).collect()}
+    assert (100, 101) in full and any(a < 100 for a, _ in full)
