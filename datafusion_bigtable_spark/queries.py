@@ -1575,9 +1575,12 @@ def funnel_q(spark, sf_dir):
     """,
 )
 def tpch_q15(spark, sf_dir):
-    # View + scalar-max subquery: the revenue CTE is computed once and the
-    # max is a broadcast single-row join (Catalyst plans the reused CTE
-    # subtree twice here; a cache() would dedup it at scale).
+    # One-pass form (VERDICT r1 #5): the scalar-max subquery is a global
+    # window-max OVER the revenue aggregate, so lineitem is scanned and
+    # shuffled exactly once (the broadcast-max join form planned the whole
+    # revenue subtree — two full lineitem scans — twice).  The empty
+    # window partition funnels only the per-supplier aggregate (|suppliers|
+    # rows, not |lineitem|) through one task — the standard argmax shape.
     l = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
@@ -1586,10 +1589,9 @@ def tpch_q15(spark, sf_dir):
     revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
     )
-    mx = revenue.agg(F.max("total_rev").alias("mx"))
+    with_max = revenue.withColumn("mx", F.max("total_rev").over(W.partitionBy()))
     return (
-        revenue.join(F.broadcast(mx))
-        .filter(F.col("total_rev") == F.col("mx"))
+        with_max.filter(F.col("total_rev") == F.col("mx"))
         .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", F.round("total_rev", 4).alias("total_rev"))
     )
