@@ -42,8 +42,16 @@ from datafusion_bigtable_spark.sources.cells import read_cells
 
 
 class BigtableTable:
-    def __init__(self, config: BigtableTableConfig):
+    def __init__(self, config: BigtableTableConfig, service=None):
+        #: optional live ReadRows service (real SDK client adapter or the
+        #: in-process fake, sources/fake_bigtable.py).  When set, reads go
+        #: through grpc_transport.fetch_cells — the reference's actual
+        #: execution path (execute_plan.rs:168-212) — instead of the
+        #: parquet stand-in.  The response is materialized on the driver
+        #: (exactly like the reference collects the RPC response into
+        #: RecordBatches); for 100 TB-scale data use cells_path parquet.
         self.config = config
+        self.service = service
 
     # -- pruning ----------------------------------------------------------
     def key_ranges(self, predicates: Iterable[Predicate]) -> list[KeyRange]:
@@ -55,11 +63,24 @@ class BigtableTable:
         )
 
     # -- assembly ---------------------------------------------------------
-    def cells(self, spark: SparkSession) -> DataFrame:
+    def cells(self, spark: SparkSession, ranges: Sequence[KeyRange] = ()) -> DataFrame:
+        if self.service is not None:
+            # Live ReadRows path: ranges + filter chain are pushed INTO the
+            # request (server-side pruning), the cell stream comes back as
+            # a local DataFrame.  Mirrors execute_plan.rs:168-212.
+            from datafusion_bigtable_spark.sources.cells import CELLS_SCHEMA, _us_to_naive_datetime
+            from datafusion_bigtable_spark.sources.grpc_transport import fetch_cells
+
+            rows = [
+                (rk, fam, q, _us_to_naive_datetime(ts), val)
+                for rk, fam, q, ts, val in fetch_cells(self.config, ranges, service=self.service)
+            ]
+            return spark.createDataFrame(rows, CELLS_SCHEMA)
         if not self.config.cells_path:
             raise NotImplementedError(
-                "gRPC Bigtable transport is not available in this environment; "
-                "set cells_path to a parquet cells store (SURVEY §7 design)"
+                "no transport: set cells_path to a parquet cells store, or "
+                "pass a ReadRows service (real client or the in-process "
+                "fake, sources/fake_bigtable.py)"
             )
         df = read_cells(spark, self.config.cells_path)
         return df.filter(F.col("family") == self.config.column_family)
@@ -69,9 +90,11 @@ class BigtableTable:
         spark: SparkSession,
         predicates: Sequence[Predicate] = (),
     ) -> DataFrame:
-        cells = self.cells(spark)
-
         ranges = self.key_ranges(predicates)
+        cells = self.cells(spark, ranges)
+
+        # Inexact contract: re-apply the range predicate above the scan even
+        # when the service already pruned server-side (A16).
         pred = key_range_predicate(ranges, "row_key")
         if pred is not None:
             cells = cells.filter(pred)

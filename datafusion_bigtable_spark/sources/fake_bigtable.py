@@ -1,0 +1,133 @@
+"""In-process Bigtable ReadRows service — the emulator stand-in.
+
+The reference tests against the real Bigtable emulator (Makefile:1-15,
+.github/workflows/rust.yml:22-38) and its read path issues one
+``ReadRowsRequest`` per scan (execute_plan.rs:168-183).  The SDK is not in
+this container, so the request-shaping half of the transport was
+unit-tested but ``fetch_cells`` itself never executed.  This module closes
+that gap: it implements the SERVER side of ReadRows — RowSet selection and
+the RowFilter chain — over an in-memory cell store, consuming the exact
+request dict ``build_read_rows_request`` produces.  ``fetch_cells(...,
+service=InProcessBigtableService(cells))`` then exercises the full
+transport path end-to-end in pytest.
+
+Semantics implemented (the subset the engine emits, mirroring the
+Bigtable service contract):
+
+- RowSet: explicit ``row_keys`` plus closed ``row_ranges``
+  (``start_key_closed``/``end_key_closed``), matched on UTF-8 bytes in
+  Bigtable's lexicographic byte order.  Empty RowSet = full table.
+- ``family_name_regex_filter`` / ``column_qualifier_regex_filter``:
+  RE2-style full-string match (Bigtable anchors these implicitly).
+- ``cells_per_column_limit_filter``: keep the N most recent versions per
+  column (per row_key+family+qualifier), newest-first — exactly the
+  latest-version semantics the reference pins with limit 1
+  (composer.rs:257-263).
+- ``chain``: filters applied in order, like the reference's Chain
+  (execute_plan.rs:174-179).
+
+Rows stream back in key order; within a row, cells are ordered
+(family, qualifier, ts DESC) as the service returns them.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, Iterator, Sequence
+
+#: canonical transport cell tuple: (row_key, family, qualifier, ts_us, value)
+CellTuple = tuple[str, str, str, int, bytes]
+
+
+class InProcessBigtableService:
+    """A fake Bigtable service holding cells in memory and answering
+    ReadRows requests with real RowSet + RowFilter semantics."""
+
+    def __init__(self, cells: Iterable[CellTuple], table_name: str | None = None):
+        self.table_name = table_name
+        # key-ordered store: {row_key: [(family, qualifier, ts, value), ...]}
+        self._rows: dict[str, list[tuple[str, str, int, bytes]]] = {}
+        for row_key, family, qualifier, ts, value in cells:
+            self._rows.setdefault(row_key, []).append((family, qualifier, ts, bytes(value)))
+
+    # -- RowSet -----------------------------------------------------------
+    @staticmethod
+    def _key_selected(key_bytes: bytes, rows: dict) -> bool:
+        explicit = rows.get("row_keys") or []
+        ranges = rows.get("row_ranges") or []
+        if not explicit and not ranges:
+            return True  # empty RowSet = full table
+        if key_bytes in explicit:
+            return True
+        for r in ranges:
+            start = r.get("start_key_closed")
+            end = r.get("end_key_closed")
+            if (start is None or key_bytes >= start) and (end is None or key_bytes <= end):
+                return True
+        return False
+
+    # -- RowFilter --------------------------------------------------------
+    @staticmethod
+    def _apply_filter(flt: dict, cells: list[tuple[str, str, int, bytes]]):
+        if "chain" in flt:
+            for sub in flt["chain"]["filters"]:
+                cells = InProcessBigtableService._apply_filter(sub, cells)
+            return cells
+        if "family_name_regex_filter" in flt:
+            pat = flt["family_name_regex_filter"]
+            pat = pat.decode() if isinstance(pat, bytes) else pat
+            rx = re.compile(pat)
+            return [c for c in cells if rx.fullmatch(c[0])]
+        if "column_qualifier_regex_filter" in flt:
+            pat = flt["column_qualifier_regex_filter"]
+            pat = pat.decode() if isinstance(pat, bytes) else pat
+            rx = re.compile(pat)
+            return [c for c in cells if rx.fullmatch(c[1])]
+        if "cells_per_column_limit_filter" in flt:
+            n = int(flt["cells_per_column_limit_filter"])
+            out: list = []
+            seen: dict = {}
+            # newest-first within each column, like the service
+            for c in sorted(cells, key=lambda c: (c[0], c[1], -c[2])):
+                k = (c[0], c[1])
+                seen[k] = seen.get(k, 0) + 1
+                if seen[k] <= n:
+                    out.append(c)
+            return out
+        raise NotImplementedError(f"unsupported RowFilter: {sorted(flt)}")
+
+    # -- the RPC ----------------------------------------------------------
+    def read_rows(self, request: dict) -> Iterator[tuple[str, list[tuple[str, str, int, bytes]]]]:
+        """Yield ``(row_key, [(family, qualifier, ts_us, value), ...])`` in
+        key order for every selected, non-empty row."""
+        if self.table_name is not None and request.get("table_name") not in (None, self.table_name):
+            raise KeyError(f"unknown table {request.get('table_name')!r}")
+        rows = request.get("rows") or {}
+        flt = request.get("filter")
+        for row_key in sorted(self._rows):
+            if not self._key_selected(row_key.encode("utf-8"), rows):
+                continue
+            cells = self._rows[row_key]
+            if flt:
+                cells = self._apply_filter(flt, cells)
+            if cells:
+                yield row_key, sorted(cells, key=lambda c: (c[0], c[1], -c[2]))
+
+
+def service_from_parquet(path: str, table_name: str | None = None) -> InProcessBigtableService:
+    """Load a parquet cells store (sources/cells.py layout) into the fake
+    service — lets any existing fixture stand in for a live table."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["row_key", "family", "qualifier", "ts", "value"])
+    epoch_us = t.column("ts").cast("int64").to_pylist()
+    return InProcessBigtableService(
+        zip(
+            t.column("row_key").to_pylist(),
+            t.column("family").to_pylist(),
+            t.column("qualifier").to_pylist(),
+            epoch_us,
+            t.column("value").to_pylist(),
+        ),
+        table_name=table_name,
+    )

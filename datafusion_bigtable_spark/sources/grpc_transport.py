@@ -73,12 +73,28 @@ def build_read_rows_request(
     }
 
 
-def fetch_cells(config: BigtableTableConfig, ranges: Sequence[KeyRange]):
-    """Issue the read against real Bigtable and yield canonical cell tuples
+def fetch_cells(
+    config: BigtableTableConfig,
+    ranges: Sequence[KeyRange],
+    projected_qualifiers: Iterable[str] | None = None,
+    service=None,
+):
+    """Issue the read and yield canonical cell tuples
     (row_key, family, qualifier, ts_micros, value_bytes).
 
-    Gated: requires ``google-cloud-bigtable`` (not in this container).
+    ``service`` — any object with ``read_rows(request_dict)`` yielding
+    ``(row_key, [(family, qualifier, ts_us, value), ...])``; the in-process
+    fake (sources/fake_bigtable.py) implements the server semantics the
+    reference exercises against the emulator (execute_plan.rs:183-212).
+    Without a service this is the real transport, gated on
+    ``google-cloud-bigtable`` (not in this container).
     """
+    if service is not None:
+        request = build_read_rows_request(config, ranges, projected_qualifiers)
+        for row_key, cells in service.read_rows(request):
+            for family, qualifier, ts, value in cells:
+                yield (row_key, family, qualifier, ts, value)
+        return
     try:
         from google.cloud import bigtable  # type: ignore[import-not-found]
         from google.cloud.bigtable.row_set import RowSet  # type: ignore[import-not-found]

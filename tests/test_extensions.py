@@ -194,19 +194,13 @@ def test_replicated_skew_join_matches_plain(spark, sf_dir):
 
 
 def test_approx_aggregates_close_to_exact(spark, sf_dir):
-    from datafusion_bigtable_spark.queries import REGISTRY, load
+    # the query itself reduces each sketch estimate to a bounded-relative-
+    # error boolean against the exact value (that is what its oracle pins)
+    from datafusion_bigtable_spark.queries import REGISTRY
 
-    approx = {r.l_returnflag: (r.approx_orders, r.approx_p90) for r in REGISTRY["approx_aggregates"].fn(spark, sf_dir).collect()}
-    l = load(spark, sf_dir, "lineitem")
-    exact = {
-        r.l_returnflag: (r.n, r.p90)
-        for r in l.groupBy("l_returnflag")
-        .agg(F.countDistinct("l_orderkey").alias("n"), F.expr("percentile(l_extendedprice, 0.9)").alias("p90"))
-        .collect()
-    }
-    for k in exact:
-        assert abs(approx[k][0] - exact[k][0]) / exact[k][0] < 0.1
-        assert abs(approx[k][1] - exact[k][1]) / exact[k][1] < 0.1
+    rows = REGISTRY["approx_aggregates"].fn(spark, sf_dir).collect()
+    assert len(rows) == 3
+    assert all(r.approx_orders_ok and r.approx_p90_ok for r in rows)
 
 
 def test_hash_sample_deterministic_and_split_disjoint(spark, sf_dir):

@@ -1,0 +1,175 @@
+"""Execute the real transport path against the in-process ReadRows fake —
+the analogue of the reference's emulator-backed integration tests
+(Makefile:1-15, src/datasource.rs:177-300): ``fetch_cells`` actually runs,
+and ``BigtableTable.to_df`` over the service reproduces the golden frames.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime as dt
+
+from datafusion_bigtable_spark.plans.composer import Between, Eq, In, KeyRange
+from datafusion_bigtable_spark.sources.bigtable_table import BigtableTable
+from datafusion_bigtable_spark.sources.cells import weather_balloons_cells
+from datafusion_bigtable_spark.sources.fake_bigtable import (
+    InProcessBigtableService,
+    service_from_parquet,
+)
+from datafusion_bigtable_spark.sources.grpc_transport import fetch_cells
+
+
+def _epoch_us(ts: dt.datetime) -> int:
+    return int((ts - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+
+
+def _seed_cells():
+    return [
+        (rk, fam, q, _epoch_us(ts), val) for rk, fam, q, ts, val in weather_balloons_cells()
+    ]
+
+
+# --- pure service semantics ------------------------------------------------
+
+
+def test_rowset_row_keys_and_ranges():
+    svc = InProcessBigtableService(_seed_cells())
+    key = b"us-west2#3698#2021-03-05-1201"
+    rows = list(svc.read_rows({"rows": {"row_keys": [key], "row_ranges": []}}))
+    assert [rk for rk, _ in rows] == [key.decode()]
+
+    rows = list(
+        svc.read_rows(
+            {
+                "rows": {
+                    "row_keys": [],
+                    "row_ranges": [
+                        {
+                            "start_key_closed": b"us-west2#3698#2021-03-05-1202",
+                            "end_key_closed": b"us-west2#3698#2021-03-05-1203",
+                        }
+                    ],
+                }
+            }
+        )
+    )
+    assert [rk for rk, _ in rows] == [
+        "us-west2#3698#2021-03-05-1202",
+        "us-west2#3698#2021-03-05-1203",
+    ]
+
+    # empty RowSet = full table, key order
+    rows = list(svc.read_rows({}))
+    assert len(rows) == 5
+    assert [rk for rk, _ in rows] == sorted(rk for rk, _ in rows)
+
+
+def test_filter_chain_family_limit_qualifier():
+    cells = [
+        ("r1", "measurements", "pressure", 200, b"new"),
+        ("r1", "measurements", "pressure", 100, b"old"),
+        ("r1", "measurements", "temp.c", 100, b"9.6"),
+        ("r1", "measurements", "tempxc", 100, b"nope"),  # regex escape probe
+        ("r1", "other_family", "pressure", 300, b"wrong-family"),
+    ]
+    svc = InProcessBigtableService(cells)
+    request = {
+        "filter": {
+            "chain": {
+                "filters": [
+                    {"family_name_regex_filter": "measurements"},
+                    {"cells_per_column_limit_filter": 1},
+                    {"column_qualifier_regex_filter": rb"pressure|temp\.c"},
+                ]
+            }
+        }
+    }
+    (row,) = list(svc.read_rows(request))
+    rk, got = row
+    assert rk == "r1"
+    # latest pressure only; temp.c kept; tempxc and other family dropped
+    assert got == [
+        ("measurements", "pressure", 200, b"new"),
+        ("measurements", "temp.c", 100, b"9.6"),
+    ]
+
+
+# --- fetch_cells through the fake ------------------------------------------
+
+
+def test_fetch_cells_executes_against_service(composite_config):
+    svc = InProcessBigtableService(_seed_cells())
+    ranges = [KeyRange("us-west2#3698#2021-03-05-1200", "us-west2#3698#2021-03-05-1201")]
+    out = list(fetch_cells(composite_config, ranges, service=svc))
+    keys = {rk for rk, *_ in out}
+    assert keys == {"us-west2#3698#2021-03-05-1200", "us-west2#3698#2021-03-05-1201"}
+    # both qualifiers per key survive the chain; values are raw bytes
+    quals = sorted(q for _, _, q, _, _ in out)
+    assert quals == ["pressure", "pressure", "temperature", "temperature"]
+
+
+def test_fetch_cells_qualifier_projection(composite_config):
+    svc = InProcessBigtableService(_seed_cells())
+    out = list(
+        fetch_cells(
+            composite_config,
+            [KeyRange("us-west2#3698#2021-03-05-1200", "us-west2#3698#2021-03-05-1200")],
+            projected_qualifiers=["pressure"],
+            service=svc,
+        )
+    )
+    assert [(rk, q) for rk, _, q, _, _ in out] == [("us-west2#3698#2021-03-05-1200", "pressure")]
+
+
+# --- end-to-end: service → to_df golden frames -----------------------------
+
+
+def test_to_df_golden_composite_via_service(spark, composite_config, cells_path):
+    cfg = dataclasses.replace(composite_config, cells_path=None)
+    table = BigtableTable(cfg, service=service_from_parquet(cells_path))
+    df = table.to_df(
+        spark,
+        predicates=[
+            Eq("region", "us-west2"),
+            In("balloon_id", ("3698",)),
+            Between("event_minute", "2021-03-05-1200", "2021-03-05-1202"),
+        ],
+    ).orderBy("_timestamp")
+    rows = [tuple(r) for r in df.collect()]
+    assert rows == [
+        ("us-west2", "3698", "2021-03-05-1200", dt.datetime(2021, 3, 5, 12, 0, 5, 100000), 94558, "9.6"),
+        ("us-west2", "3698", "2021-03-05-1201", dt.datetime(2021, 3, 5, 12, 1, 5, 200000), 94122, "9.7"),
+        ("us-west2", "3698", "2021-03-05-1202", dt.datetime(2021, 3, 5, 12, 2, 5, 300000), 95992, "9.5"),
+    ]
+
+
+def test_to_df_full_scan_via_service(spark, simple_config, cells_path):
+    cfg = dataclasses.replace(simple_config, cells_path=None)
+    table = BigtableTable(cfg, service=service_from_parquet(cells_path))
+    df = table.to_df(spark)
+    assert df.count() == 5
+    assert df.columns == ["_row_key", "_timestamp", "pressure", "temperature"]
+
+
+def test_latest_version_pushed_into_request(spark, simple_config):
+    # two versions of one cell: only_read_latest pins the newest via the
+    # request's cells_per_column_limit (composer.rs:257-263)
+    cells = _seed_cells() + [
+        (
+            "us-west2#3698#2021-03-05-1200",
+            "measurements",
+            "pressure",
+            _epoch_us(dt.datetime(2021, 3, 5, 12, 0, 6)),
+            (11111).to_bytes(8, "big", signed=True),
+        )
+    ]
+    cfg = dataclasses.replace(simple_config, cells_path=None)
+    table = BigtableTable(cfg, service=InProcessBigtableService(cells))
+    df = table.to_df(spark, predicates=[Eq("_row_key", "us-west2#3698#2021-03-05-1200")])
+    rows = {(r._row_key, r._timestamp): (r.pressure, r.temperature) for r in df.collect()}
+    # 94558 (older pressure) is dropped by the request's limit filter;
+    # survivors pivot per (row_key, ts) like the reference's scan loop
+    assert rows == {
+        ("us-west2#3698#2021-03-05-1200", dt.datetime(2021, 3, 5, 12, 0, 5, 100000)): (None, "9.6"),
+        ("us-west2#3698#2021-03-05-1200", dt.datetime(2021, 3, 5, 12, 0, 6)): (11111, None),
+    }
