@@ -686,6 +686,86 @@ def bt_cell_pivot(spark, sf_dir):
     return piv.select("user_id", *[F.round(F.col(t), 4).alias(t) for t in types])
 
 
+def _bt_events_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once cells store derived from `events` for connector-path
+    queries: row_key = uid#eid (zero-padded, unique per event), qualifiers
+    `etype` (utf-8) and `cents` (int64 big-endian via long→binary cast).
+    Written with write_cells (range-partitioned + sorted) so footer stats
+    prune and the streaming reader is provably key-ordered."""
+    import os
+
+    from datafusion_bigtable_spark.sources.cells import write_cells
+
+    path = f"/tmp/dbs_bt_store_{os.path.basename(os.path.normpath(sf_dir))}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        e = load(spark, sf_dir, "events")
+        key = F.concat_ws(
+            "#",
+            F.lpad(F.col("user_id").cast("string"), 4, "0"),
+            F.lpad(F.col("event_id").cast("string"), 8, "0"),
+        )
+        base = e.select(
+            key.alias("row_key"),
+            F.lit("events").alias("family"),
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            F.col("event_type"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        cells = base.select(
+            "row_key", "family", F.lit("etype").alias("qualifier"), "ts",
+            F.col("event_type").cast("binary").alias("value"),
+        ).unionAll(
+            base.select(
+                "row_key", "family", F.lit("cents").alias("qualifier"), "ts",
+                # long → 8-byte big-endian (ANSI mode forbids the direct
+                # cast); hex() of a long is its 64-bit two's complement
+                F.unhex(F.lpad(F.hex(F.col("cents")), 16, "0")).alias("value"),
+            )
+        )
+        write_cells(cells, path, num_ranges=4)
+    return path
+
+
+@query(
+    "bt_limit_pushdown",
+    """
+    SELECT uid, eid, etype, cents FROM (
+      SELECT LPAD(CAST(user_id AS VARCHAR), 4, '0') AS uid,
+             LPAD(CAST(event_id AS VARCHAR), 8, '0') AS eid,
+             event_type AS etype,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+      WHERE user_id = 7
+      ORDER BY uid, eid
+      LIMIT 10)
+    """,
+)
+def bt_limit_pushdown_q(spark, sf_dir):
+    # Source-side limit (reference parses-then-ignores limit,
+    # src/datasource.rs:140-148; this is the unclaimed improvement): the
+    # rows_limit option caps every partition's output and stops pulling
+    # parquet batches at the cap.  The uid=/eid-BETWEEN predicates compose
+    # to ONE key range → one partition over a key-sorted store, so the
+    # capped scan deterministically yields the 10 smallest row keys —
+    # matching the oracle's ORDER BY/LIMIT.  df.limit() above keeps exact
+    # SQL semantics (the option alone is per-partition).
+    from datafusion_bigtable_spark.sources import datasource as bt_ds
+
+    path = _bt_events_store(spark, sf_dir)
+    bt_ds.register(spark)
+    df = (
+        spark.read.format("bigtable")
+        .option("path", path)
+        .option("column_family", "events")
+        .option("columns", "etype:string,cents:int64")
+        .option("table_partition_cols", "uid,eid")
+        .option("rows_limit", "10")
+        .load()
+        .filter("uid = '0007' AND eid >= '00000000' AND eid <= '99999999'")
+    )
+    return df.limit(10).select("uid", "eid", "etype", "cents")
+
+
 @query(
     "events_sessionize",
     """

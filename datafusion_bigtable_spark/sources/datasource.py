@@ -125,6 +125,16 @@ class BigtableReader(DataSourceReader):
         self._filters_pushed = False
         self._pushed_since_last_plan = False
         self._last_plan_pruned = False
+        # Source-side limit (improvement over the reference, which parses a
+        # limit but ignores it — src/datasource.rs:140-148): each partition
+        # emits at most rows_limit OUTPUT rows and stops pulling parquet
+        # batches as soon as the cap is hit, so a `LIMIT n` probe over a
+        # 100 TB store reads a handful of Arrow batches instead of the
+        # partition.  Per-partition cap: P partitions still yield >= min(n,
+        # total) rows, which is all a global LIMIT needs; callers pair the
+        # option with df.limit(n) above their filters for exact semantics.
+        raw_limit = options.get("rows_limit")
+        self.rows_limit = int(raw_limit) if raw_limit is not None else None
 
     # -- pushdown (A3-A8 pruning + A16 Inexact) ---------------------------
     def pushFilters(self, filters):
@@ -221,6 +231,21 @@ class BigtableReader(DataSourceReader):
 
     # -- scan (A1/A11/A13/A14/A15, partition-local) -----------------------
     def read(self, partition: InputPartition) -> Iterator:
+        if self.rows_limit is None:
+            yield from self._scan(partition)
+            return
+        remaining = self.rows_limit
+        for batch in self._scan(partition):
+            if batch.num_rows > remaining:
+                batch = batch.slice(0, remaining)
+            yield batch
+            remaining -= batch.num_rows
+            if remaining <= 0:
+                # closing the generator abandons the parquet batch stream:
+                # no further IO for this partition
+                return
+
+    def _scan(self, partition: InputPartition) -> Iterator:
         import pyarrow.dataset as pa_ds
 
         cfg = self.config

@@ -276,3 +276,70 @@ def test_scan_reuse_warns_loudly(cells_path):
         reader.partitions()  # pruned plan, filters were pushed: fine
     with pytest.warns(bt_ds.ScanReuseWarning):
         reader.partitions()  # replanned with no pushFilters since: loud
+
+
+# --- source-side limit (reference ignores limit, src/datasource.rs:140-148) --
+
+
+def test_rows_limit_caps_output(registered, cells_path):
+    df = _reader(registered, cells_path, rows_limit="2").filter(
+        "region = 'us-west2' AND balloon_id = '3698' "
+        "AND event_minute >= '2021-03-05-1200' AND event_minute <= '2021-03-05-1204'"
+    )
+    rows = df.collect()
+    # one composed range → one partition → the cap is global; the store is
+    # key-sorted so the 2 smallest keys survive deterministically
+    assert [(r.event_minute, r.pressure) for r in sorted(rows, key=lambda r: r.event_minute)] == [
+        ("2021-03-05-1200", 94558),
+        ("2021-03-05-1201", 94122),
+    ]
+
+
+def test_rows_limit_stops_pulling_batches(tmp_path):
+    """The cap must abandon the parquet batch stream, not just truncate the
+    result: with ~5 Arrow batches of cells in range, rows_limit=10 should
+    consume a single pivoted batch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_bigtable_spark.plans.composer import KeyRange
+    from datafusion_bigtable_spark.sources.datasource import BigtableReader, RangePartition
+
+    n = 300_000
+    keys = [f"k{i:07d}" for i in range(n)]
+    table = pa.table(
+        {
+            "row_key": keys,
+            "family": ["f"] * n,
+            "qualifier": ["v"] * n,
+            "ts": pa.array([0] * n, type=pa.timestamp("us")),
+            "value": pa.array([b"x"] * n, type=pa.binary()),
+        }
+    )
+    path = str(tmp_path / "big_cells.parquet")
+    pq.write_table(table, path)
+
+    def mk_reader(limit):
+        opts = {
+            "path": path,
+            "column_family": "f",
+            "columns": "v:string",
+            "table_partition_cols": "_row_key",
+        }
+        if limit:
+            opts["rows_limit"] = str(limit)
+        return BigtableReader(None, opts)
+
+    part = RangePartition("k0000000", "k9999999", (path,))
+
+    full_batches = list(mk_reader(None).read(part))
+    assert sum(b.num_rows for b in full_batches) == n
+    assert len(full_batches) >= 4  # the stream really is multiple batches
+
+    reader = mk_reader(10)
+    seen = []
+    gen = reader.read(part)
+    for b in gen:
+        seen.append(b)
+    assert sum(b.num_rows for b in seen) == 10
+    assert len(seen) == 1  # stopped after the first pivoted batch
