@@ -767,6 +767,44 @@ def bt_limit_pushdown_q(spark, sf_dir):
 
 
 @query(
+    "bt_ts_range_prune",
+    """
+    SELECT LPAD(CAST(user_id AS VARCHAR), 4, '0') AS uid,
+           LPAD(CAST(event_id AS VARCHAR), 8, '0') AS eid,
+           event_type AS etype,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+    """,
+)
+def bt_ts_range_q(spark, sf_dir):
+    # Timestamp-range pushdown (reference roadmap README.md:46-49, never
+    # shipped there): _timestamp bounds reach the scan as parquet ts
+    # predicates (row-group pruning) and prune whole files via the
+    # manifest's ts stats.  Version-unnest mode (only_read_latest=false) is
+    # the gate that makes cell-level ts pruning semantics-preserving; this
+    # store has unique row keys so the unnest changes nothing else.
+    from datafusion_bigtable_spark.sources import datasource as bt_ds
+
+    path = _bt_events_store(spark, sf_dir)
+    bt_ds.register(spark)
+    df = (
+        spark.read.format("bigtable")
+        .option("path", path)
+        .option("column_family", "events")
+        .option("columns", "etype:string,cents:int64")
+        .option("table_partition_cols", "uid,eid")
+        .option("only_read_latest", "false")
+        .load()
+        .filter(
+            "_timestamp >= TIMESTAMP '2024-01-10 00:00:00' "
+            "AND _timestamp < TIMESTAMP '2024-01-20 00:00:00'"
+        )
+    )
+    return df.select("uid", "eid", "etype", "cents")
+
+
+@query(
     "events_sessionize",
     """
     WITH gaps AS (

@@ -89,6 +89,83 @@ def read_cells(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(CELLS_SCHEMA).parquet(path)
 
 
+MANIFEST_REL_PATH = "_metadata/manifest.parquet"
+
+
+def write_manifest(path: str) -> str | None:
+    """Persist per-file footer statistics (row_key and ts min/max) as a
+    manifest table under ``<store>/_metadata/`` — the emulation of
+    Bigtable's tablet metadata, queryable without touching data files.
+
+    The per-query driver-side footer loop is O(files); at 100 TB with 10⁵+
+    files that loop becomes the planning bottleneck (flagged in round 1).
+    The writer pays it ONCE here; every subsequent scan plans from this one
+    small parquet.  Returns the manifest path, or None for a single-file
+    store (nothing to amortize)."""
+    import glob as _glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(path):
+        return None
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    rows = []
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        stats: dict[str, list] = {"row_key": [], "ts": []}
+        for rg in range(meta.num_row_groups):
+            for ci in range(meta.num_columns):
+                col = meta.row_group(rg).column(ci)
+                if col.path_in_schema in stats and col.statistics is not None and col.statistics.has_min_max:
+                    stats[col.path_in_schema].append((col.statistics.min, col.statistics.max))
+        rows.append(
+            {
+                "file": os.path.basename(f),
+                "min_key": min(s[0] for s in stats["row_key"]) if stats["row_key"] else None,
+                "max_key": max(s[1] for s in stats["row_key"]) if stats["row_key"] else None,
+                "min_ts": min(s[0] for s in stats["ts"]) if stats["ts"] else None,
+                "max_ts": max(s[1] for s in stats["ts"]) if stats["ts"] else None,
+            }
+        )
+    out = os.path.join(path, MANIFEST_REL_PATH)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    table = pa.table(
+        {
+            "file": [r["file"] for r in rows],
+            "min_key": [r["min_key"] for r in rows],
+            "max_key": [r["max_key"] for r in rows],
+            "min_ts": pa.array([r["min_ts"] for r in rows], type=pa.timestamp("us")),
+            "max_ts": pa.array([r["max_ts"] for r in rows], type=pa.timestamp("us")),
+        }
+    )
+    pq.write_table(table, out)
+    return out
+
+
+def read_manifest(path: str) -> list[dict] | None:
+    """Load the manifest if present AND still consistent with the store's
+    current file set (a stale manifest — files added/removed since the
+    write — is ignored, falling back to the footer loop)."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    mpath = os.path.join(path, MANIFEST_REL_PATH)
+    if not os.path.isdir(path) or not os.path.exists(mpath):
+        return None
+    t = pq.read_table(mpath)
+    rows = t.to_pylist()
+    current = sorted(os.path.basename(f) for f in _glob.glob(os.path.join(path, "*.parquet")))
+    if sorted(r["file"] for r in rows) != current:
+        return None
+    for r in rows:
+        r["file"] = os.path.join(path, r["file"])
+    return rows
+
+
 def write_cells(cells: DataFrame, path: str, num_ranges: int = 32, mode: str = "overwrite") -> None:
     """Write a cells store in the layout the composer's pruning relies on:
     range-partitioned on ``row_key`` and sorted within each file by
@@ -106,6 +183,7 @@ def write_cells(cells: DataFrame, path: str, num_ranges: int = 32, mode: str = "
         .write.mode(mode)
         .parquet(path)
     )
+    write_manifest(path)
 
 
 def cells_from_long_df(

@@ -104,11 +104,14 @@ def _config_from_options(options) -> BigtableTableConfig:
 @dataclass
 class RangePartition(InputPartition):
     """One composed KeyRange → one Spark scan task, carrying the pruned
-    list of overlapping files (empty tuple = all files)."""
+    list of overlapping files (empty tuple = all files) and optional cell
+    timestamp bounds (only set when pushdown is semantics-preserving)."""
 
     start: str
     end: str
     files: tuple = ()
+    ts_lo: object = None
+    ts_hi: object = None
 
 
 @dataclass
@@ -116,6 +119,8 @@ class FilePartition(InputPartition):
     """Full-scan path: one parquet file → one scan task."""
 
     file: str
+    ts_lo: object = None
+    ts_hi: object = None
 
 
 class BigtableReader(DataSourceReader):
@@ -135,11 +140,20 @@ class BigtableReader(DataSourceReader):
         # option with df.limit(n) above their filters for exact semantics.
         raw_limit = options.get("rows_limit")
         self.rows_limit = int(raw_limit) if raw_limit is not None else None
+        # Timestamp-range pushdown (reference roadmap README.md:46-49,
+        # never shipped there): conservative [lo, hi] bounds on the cell
+        # timestamp, harvested from _timestamp predicates.
+        self.ts_range: tuple | None = None
 
     # -- pushdown (A3-A8 pruning + A16 Inexact) ---------------------------
     def pushFilters(self, filters):
+        if os.environ.get("DBS_TRACE"):
+            # planning runs in a separate Python worker; file-based trace
+            with open("/tmp/ds_trace", "a") as fh:
+                fh.write("pushFilters: " + "; ".join(repr(f) for f in filters) + "\n")
         self._filters_pushed = True
         self._pushed_since_last_plan = True
+        self.ts_range = self._timestamp_bounds(filters)
         preds = from_datasource_filters(filters, self.config.table_partition_cols)
         try:
             self.ranges = compose(
@@ -155,6 +169,39 @@ class BigtableReader(DataSourceReader):
         # Inexact contract: claim nothing, Spark re-applies every filter.
         return iter(filters)
 
+    @staticmethod
+    def _timestamp_bounds(filters) -> tuple | None:
+        """Conservative [lo, hi] on the cell ts from `_timestamp`
+        comparisons.  Strict bounds are widened to inclusive — legal under
+        the Inexact contract (Spark re-applies the exact predicate above)."""
+        import datetime as _dt
+
+        from datafusion_bigtable_spark.config import RESERVED_TIMESTAMP
+
+        lo, hi = None, None
+        for f in filters:
+            col = getattr(f, "attribute", None)
+            col = col[0] if isinstance(col, (tuple, list)) and col else col
+            v = getattr(f, "value", None)
+            if col != RESERVED_TIMESTAMP or not isinstance(v, _dt.datetime):
+                continue
+            name = type(f).__name__
+            if name in ("GreaterThan", "GreaterThanOrEqual"):
+                lo = v if lo is None else max(lo, v)
+            elif name in ("LessThan", "LessThanOrEqual"):
+                hi = v if hi is None else min(hi, v)
+            elif name == "EqualTo":
+                lo = v if lo is None else max(lo, v)
+                hi = v if hi is None else min(hi, v)
+        return (lo, hi) if (lo is not None or hi is not None) else None
+
+    # NOTE on gating: cell-level ts pruning is only semantics-preserving in
+    # version-unnest mode (only_read_latest=False).  Under the latest-
+    # version filter, dropping a NEWER out-of-range version would promote
+    # an older in-range one into a row the un-pruned scan never produces —
+    # and that wrong row PASSES the re-applied _timestamp filter.  So ts
+    # pushdown is disabled when only_read_latest=True (see partitions()).
+
     # -- parallelism (improves on UnknownPartitioning(1)) -----------------
     def _files(self) -> list[str]:
         p = self.config.cells_path
@@ -162,25 +209,53 @@ class BigtableReader(DataSourceReader):
             return sorted(glob.glob(os.path.join(p, "*.parquet")))
         return [p]
 
-    def _file_key_bounds(self) -> list[tuple[str, str, str]]:
-        """(file, min_row_key, max_row_key) from parquet footer statistics —
-        the emulation of Bigtable's tablet key-range metadata."""
+    def _file_stats(self) -> list[dict]:
+        """Per-file ``{file, min_key, max_key, min_ts, max_ts}`` — the
+        emulation of Bigtable's tablet metadata.  Served from the store's
+        manifest table when present (one small parquet read, written once
+        by write_cells — sources/cells.py); falls back to the driver-side
+        footer loop, which is fine to ~10⁵ files but O(files) per plan."""
+        from datafusion_bigtable_spark.sources.cells import read_manifest
+
+        manifest = read_manifest(self.config.cells_path)
+        if manifest is not None:
+            return manifest
+
         import pyarrow.parquet as pq
 
         out = []
         for f in self._files():
             meta = pq.ParquetFile(f).metadata
-            lo, hi = None, None
+            stats: dict[str, tuple] = {}
             for rg in range(meta.num_row_groups):
                 for ci in range(meta.num_columns):
                     col = meta.row_group(rg).column(ci)
-                    if col.path_in_schema == "row_key" and col.statistics is not None:
+                    if col.path_in_schema in ("row_key", "ts") and col.statistics is not None:
                         s = col.statistics
                         if s.has_min_max:
-                            lo = s.min if lo is None else min(lo, s.min)
-                            hi = s.max if hi is None else max(hi, s.max)
-            out.append((f, lo, hi))
+                            prev = stats.get(col.path_in_schema)
+                            stats[col.path_in_schema] = (
+                                s.min if prev is None else min(prev[0], s.min),
+                                s.max if prev is None else max(prev[1], s.max),
+                            )
+            k, t = stats.get("row_key"), stats.get("ts")
+            out.append(
+                {
+                    "file": f,
+                    "min_key": k[0] if k else None,
+                    "max_key": k[1] if k else None,
+                    "min_ts": t[0] if t else None,
+                    "max_ts": t[1] if t else None,
+                }
+            )
         return out
+
+    @staticmethod
+    def _ts_overlaps(st: dict, lo, hi) -> bool:
+        """File-level ts pruning (files lacking stats never prune)."""
+        if st["min_ts"] is None or st["max_ts"] is None:
+            return True
+        return (hi is None or st["min_ts"] <= hi) and (lo is None or st["max_ts"] >= lo)
 
     def partitions(self) -> Sequence[InputPartition]:
         # CONSUME the pushed ranges: Spark reuses this reader instance for
@@ -191,6 +266,9 @@ class BigtableReader(DataSourceReader):
         import warnings
 
         ranges, self.ranges = self.ranges, []
+        ts_range, self.ts_range = self.ts_range, None
+        ts_push = ts_range is not None and not self.config.only_read_latest
+        ts_lo, ts_hi = ts_range if ts_push else (None, None)
         if self._last_plan_pruned and not self._pushed_since_last_plan:
             # The JVM re-invoked planning without pushing filters after this
             # handle planned a pruned scan.  The reset above makes THIS call
@@ -206,27 +284,39 @@ class BigtableReader(DataSourceReader):
                 stacklevel=2,
             )
         self._pushed_since_last_plan = False
-        self._last_plan_pruned = bool(ranges)
+        self._last_plan_pruned = bool(ranges) or ts_push
         if ranges:
             # File-level pruning: a range partition only scans files whose
             # footer [min,max] row_key interval overlaps the range — with a
             # write_cells() layout (range-partitioned, sorted) that is one
-            # or two files per range regardless of store size.
-            bounds = self._file_key_bounds()
+            # or two files per range regardless of store size.  Ts bounds
+            # prune further and travel with the partition for row-group-
+            # level pruning in the scan.
+            stats = self._file_stats()
             parts = []
             for r in ranges:
                 files = [
-                    f
-                    for f, lo, hi in bounds
-                    if lo is None or hi is None or (lo <= r.end and hi >= r.start)
+                    st["file"]
+                    for st in stats
+                    if (
+                        st["min_key"] is None
+                        or st["max_key"] is None
+                        or (st["min_key"] <= r.end and st["max_key"] >= r.start)
+                    )
+                    and self._ts_overlaps(st, ts_lo, ts_hi)
                 ]
                 if files:
-                    parts.append(RangePartition(r.start, r.end, tuple(files)))
+                    parts.append(RangePartition(r.start, r.end, tuple(files), ts_lo, ts_hi))
             # every range pruned to zero files → still need ≥1 partition so
             # the scan yields an empty result with the right schema
-            return parts or [RangePartition(ranges[0].start, ranges[0].end, (self._files()[0],))]
+            return parts or [RangePartition(ranges[0].start, ranges[0].end, (self._files()[0],), ts_lo, ts_hi)]
         if not self.config.allow_full_scan:
             raise ComposerError("table_partition_cols: filter is not provided or not supported")
+        if ts_push:
+            stats = self._file_stats()
+            files = [st["file"] for st in stats if self._ts_overlaps(st, ts_lo, ts_hi)]
+            files = files or [self._files()[0]]
+            return [FilePartition(f, ts_lo, ts_hi) for f in files]
         return [FilePartition(f) for f in self._files()]
 
     # -- scan (A1/A11/A13/A14/A15, partition-local) -----------------------
@@ -251,6 +341,11 @@ class BigtableReader(DataSourceReader):
         cfg = self.config
         flt = pa_ds.field("family") == cfg.column_family
         flt = flt & pa_ds.field("qualifier").isin(list(cfg.qualifiers))
+        # ts bounds are only ever attached when pushdown is gated-safe
+        if getattr(partition, "ts_lo", None) is not None:
+            flt = flt & (pa_ds.field("ts") >= partition.ts_lo)
+        if getattr(partition, "ts_hi", None) is not None:
+            flt = flt & (pa_ds.field("ts") <= partition.ts_hi)
         if isinstance(partition, RangePartition):
             flt = flt & (pa_ds.field("row_key") >= partition.start)
             flt = flt & (pa_ds.field("row_key") <= partition.end)

@@ -1,0 +1,163 @@
+"""Manifest-table file stats + timestamp-range pushdown.
+
+Covers VERDICT r1 #7 (manifest replaces the per-plan driver-side footer
+loop) and #8 (ts-range pruning, the reference's unshipped roadmap item
+README.md:46-49) — including the gating that keeps it correct under the
+latest-version filter."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThanOrEqual
+
+from datafusion_bigtable_spark.sources.cells import (
+    CELLS_SCHEMA,
+    MANIFEST_REL_PATH,
+    read_manifest,
+    write_manifest,
+)
+from datafusion_bigtable_spark.sources.datasource import BigtableReader, FilePartition
+
+JAN = dt.datetime(2024, 1, 5)
+FEB = dt.datetime(2024, 2, 5)
+
+
+def _write_file(path, keys, ts, values):
+    n = len(keys)
+    pq.write_table(
+        pa.table(
+            {
+                "row_key": keys,
+                "family": ["f"] * n,
+                "qualifier": ["q"] * n,
+                "ts": pa.array(ts, type=pa.timestamp("us")),
+                "value": pa.array(values, type=pa.binary()),
+            }
+        ),
+        path,
+    )
+
+
+@pytest.fixture()
+def two_file_store(tmp_path):
+    """File A: keys a*, all-January cells.  File B: keys b*, all-February."""
+    store = tmp_path / "store"
+    store.mkdir()
+    _write_file(str(store / "part-a.parquet"), ["a1", "a2"], [JAN, JAN], [b"ja1", b"ja2"])
+    _write_file(str(store / "part-b.parquet"), ["b1", "b2"], [FEB, FEB], [b"fb1", b"fb2"])
+    return str(store)
+
+
+def _reader(path, **overrides):
+    opts = {
+        "path": path,
+        "column_family": "f",
+        "columns": "q:string",
+        "table_partition_cols": "_row_key",
+        "only_read_latest": "false",
+    }
+    opts.update(overrides)
+    return BigtableReader(None, opts)
+
+
+# --- manifest --------------------------------------------------------------
+
+
+def test_manifest_matches_footer_loop(two_file_store):
+    r = _reader(two_file_store)
+    footer_stats = r._file_stats()  # no manifest yet → footer loop
+    assert read_manifest(two_file_store) is None
+    write_manifest(two_file_store)
+    manifest_stats = _reader(two_file_store)._file_stats()
+    assert manifest_stats == footer_stats
+    assert manifest_stats[0]["min_key"] == "a1"
+    assert manifest_stats[1]["max_ts"] == FEB
+
+
+def test_manifest_identical_pruning(two_file_store):
+    # the point of VERDICT #7: planning decisions must be identical
+    def plan():
+        r = _reader(two_file_store)
+        r.pushFilters([GreaterThanOrEqual(("_row_key",), "b"), LessThanOrEqual(("_row_key",), "c")])
+        return [(p.start, p.end, p.files) for p in r.partitions()]
+
+    before = plan()
+    write_manifest(two_file_store)
+    assert plan() == before
+    assert [p[2] for p in before] == [(os.path.join(two_file_store, "part-b.parquet"),)]
+
+
+def test_stale_manifest_ignored(two_file_store):
+    write_manifest(two_file_store)
+    assert read_manifest(two_file_store) is not None
+    _write_file(os.path.join(two_file_store, "part-c.parquet"), ["c1"], [JAN], [b"x"])
+    assert read_manifest(two_file_store) is None  # file set changed → fall back
+    # and the reader still plans correctly from footers
+    stats = _reader(two_file_store)._file_stats()
+    assert len(stats) == 3
+
+
+# --- ts-range pushdown -----------------------------------------------------
+
+
+def test_ts_prunes_files_in_unnest_mode(two_file_store):
+    r = _reader(two_file_store)
+    r.pushFilters([GreaterThanOrEqual(("_timestamp",), dt.datetime(2024, 2, 1))])
+    parts = r.partitions()
+    assert [type(p) for p in parts] == [FilePartition]
+    assert parts[0].file.endswith("part-b.parquet")
+    assert parts[0].ts_lo == dt.datetime(2024, 2, 1)
+    rows = [b for batch in r.read(parts[0]) for b in batch.to_pylist()]
+    assert sorted(row["_row_key"] for row in rows) == ["b1", "b2"]
+
+
+def test_ts_bounds_from_equal_to(two_file_store):
+    r = _reader(two_file_store)
+    r.pushFilters([EqualTo(("_timestamp",), JAN)])
+    parts = r.partitions()
+    assert len(parts) == 1 and parts[0].file.endswith("part-a.parquet")
+    assert (parts[0].ts_lo, parts[0].ts_hi) == (JAN, JAN)
+
+
+def test_ts_pushdown_gated_under_latest_filter(two_file_store):
+    r = _reader(two_file_store, only_read_latest="true")
+    r.pushFilters([GreaterThanOrEqual(("_timestamp",), dt.datetime(2024, 2, 1))])
+    parts = r.partitions()
+    assert len(parts) == 2  # nothing pruned
+    assert all(p.ts_lo is None and p.ts_hi is None for p in parts)
+
+
+def test_no_promotion_hazard_end_to_end(spark, tmp_path):
+    """THE reason for the gate: key k has v1@Jan and v2@Feb.  A latest-
+    version query filtered to January must return NOTHING (the latest
+    version is February) — naive ts pushdown would resurrect v1."""
+    from datafusion_bigtable_spark.sources import datasource as bt_ds
+
+    path = str(tmp_path / "vstore")
+    os.mkdir(path)
+    _write_file(os.path.join(path, "part-0.parquet"), ["k", "k"], [JAN, FEB], [b"v1", b"v2"])
+    bt_ds.register(spark)
+
+    def q(latest):
+        return (
+            spark.read.format("bigtable")
+            .option("path", path)
+            .option("column_family", "f")
+            .option("columns", "q:string")
+            .option("table_partition_cols", "_row_key")
+            .option("only_read_latest", latest)
+            .load()
+            .filter(
+                "_timestamp >= TIMESTAMP '2024-01-01 00:00:00' "
+                "AND _timestamp <= TIMESTAMP '2024-01-31 00:00:00'"
+            )
+        )
+
+    assert q("true").collect() == []  # latest is Feb → out of range → no row
+    unnest = [(r._row_key, r.q) for r in q("false").collect()]
+    assert unnest == [("k", "v1")]  # version-unnest mode sees the Jan version
