@@ -90,6 +90,65 @@ def topk_bruteforce(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def topk_ivf(
+    embeddings: DataFrame,
+    query_pred: Column,
+    n_cells: int = 16,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: coarse-quantizer cell assignment + nprobe=1 cell search —
+    the other classic ANN family next to LSH (topk_lsh).
+
+    The codebook here is the first ``n_cells`` vectors by id: a
+    deterministic stand-in for a k-means-trained quantizer that keeps the
+    operator fully oracle-checkable.  In a real 100 TB pipeline you train
+    the codebook on a driver-side sample once and broadcast it — exactly
+    the shape below (centroids are ALWAYS broadcast-small; the corpus
+    never moves except its one shuffle on cell id).
+
+    Assignment = argmax-cosine over the broadcast codebook (corpus scans
+    once; n_cells folds per row), then queries equi-join their cell:
+    scored pairs shrink by ~n_cells vs brute force, recall trades against
+    n_cells/nprobe exactly like bucket count in LSH.
+    """
+    base = embeddings.withColumn("_dv", as_double_vec(F.col(vec_col))).withColumn(
+        "_n", norm(F.col(vec_col))
+    )
+    seeds = base.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.col("_dv").alias("sv"), F.col("_n").alias("sn")
+    )
+    cs = dot_raw(F.col("_dv"), F.col("sv")) / (F.col("_n") * F.col("sn"))
+    aw = W.partitionBy(id_col).orderBy(F.desc("_cs"), F.asc("cell"))
+    assigned = (
+        # deliberate cross join: |codebook| = n_cells (tiny, broadcast)
+        base.crossJoin(F.broadcast(seeds))
+        .withColumn("_cs", cs)
+        .withColumn("_rn", F.row_number().over(aw))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "cell", "_dv", "_n")
+    )
+    q = assigned.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col("cell"), F.col("_dv").alias("qv"), F.col("_n").alias("qn")
+    )
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col("cell"), F.col("_dv").alias("cv"), F.col("_n").alias("cn")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot_raw(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
 def sign_bucket(vec: Column, dims: Sequence[int]) -> Column:
     """Axis-aligned hyperplane LSH signature: '1'/'0' per probed dimension.
     ``dims`` are 0-based; element_at is 1-based."""

@@ -689,40 +689,78 @@ def bt_cell_pivot(spark, sf_dir):
 def _bt_events_store(spark: SparkSession, sf_dir: str) -> str:
     """Build-once cells store derived from `events` for connector-path
     queries: row_key = uid#eid (zero-padded, unique per event), qualifiers
-    `etype` (utf-8) and `cents` (int64 big-endian via long→binary cast).
-    Written with write_cells (range-partitioned + sorted) so footer stats
-    prune and the streaming reader is provably key-ordered."""
+    `etype` (utf-8) and `cents` (int64 big-endian).  Same layout
+    write_cells produces (range-partitioned files, sorted by row_key, with
+    a manifest) so footer stats prune and the streaming reader is provably
+    key-ordered — built driver-side with pyarrow because this is FIXTURE
+    PREP, not a measured operator (a Spark write here cost ~8 s of every
+    cold bench run; pandas does the 2·|events| cells in well under one)."""
     import os
 
-    from datafusion_bigtable_spark.sources.cells import write_cells
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_bigtable_spark.sources.cells import write_manifest
 
     path = f"/tmp/dbs_bt_store_{os.path.basename(os.path.normpath(sf_dir))}"
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        e = load(spark, sf_dir, "events")
-        key = F.concat_ws(
-            "#",
-            F.lpad(F.col("user_id").cast("string"), 4, "0"),
-            F.lpad(F.col("event_id").cast("string"), 8, "0"),
+    done = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(done):
+        t = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+        row_key = (
+            t["user_id"].astype(str).str.zfill(4) + "#" + t["event_id"].astype(str).str.zfill(8)
         )
-        base = e.select(
-            key.alias("row_key"),
-            F.lit("events").alias("family"),
-            F.col("ts").cast("timestamp_ntz").alias("ts"),
-            F.col("event_type"),
-            F.round(F.col("value") * 100).cast("long").alias("cents"),
-        )
-        cells = base.select(
-            "row_key", "family", F.lit("etype").alias("qualifier"), "ts",
-            F.col("event_type").cast("binary").alias("value"),
-        ).unionAll(
-            base.select(
-                "row_key", "family", F.lit("cents").alias("qualifier"), "ts",
-                # long → 8-byte big-endian (ANSI mode forbids the direct
-                # cast); hex() of a long is its 64-bit two's complement
-                F.unhex(F.lpad(F.hex(F.col("cents")), 16, "0")).alias("value"),
+        ts = t["ts"].dt.floor("us")  # ns → µs, matching load_events' `div 1000`
+        # 2-dec grid values: *100 lands within fp noise of an integer, so
+        # np.round (banker's) and Spark/DuckDB ROUND agree — never at .5
+        cents = np.round(t["value"].to_numpy() * 100).astype("int64")
+        long = pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "row_key": row_key,
+                        "family": "events",
+                        "qualifier": "etype",
+                        "ts": ts,
+                        "value": t["event_type"].str.encode("utf-8"),
+                    }
+                ),
+                pd.DataFrame(
+                    {
+                        "row_key": row_key,
+                        "family": "events",
+                        "qualifier": "cents",
+                        "ts": ts,
+                        "value": [int(v).to_bytes(8, "big", signed=True) for v in cents],
+                    }
+                ),
+            ],
+            ignore_index=True,
+        ).sort_values(["row_key", "qualifier", "ts"], kind="stable")
+        os.makedirs(path, exist_ok=True)
+        bounds = [int(len(long) * i / 4) for i in range(5)]
+        # align chunk boundaries to row_key changes (disjoint file ranges)
+        keys = long["row_key"].to_numpy()
+        for i in range(1, 4):
+            b = bounds[i]
+            while 0 < b < len(keys) and keys[b] == keys[b - 1]:
+                b += 1
+            bounds[i] = b
+        for i in range(4):
+            chunk = long.iloc[bounds[i] : bounds[i + 1]]
+            table = pa.table(
+                {
+                    "row_key": pa.array(chunk["row_key"], type=pa.string()),
+                    "family": pa.array(chunk["family"], type=pa.string()),
+                    "qualifier": pa.array(chunk["qualifier"], type=pa.string()),
+                    "ts": pa.array(chunk["ts"], type=pa.timestamp("us")),
+                    "value": pa.array(chunk["value"], type=pa.binary()),
+                }
             )
-        )
-        write_cells(cells, path, num_ranges=4)
+            pq.write_table(table, os.path.join(path, f"part-{i}.parquet"))
+        write_manifest(path)
+        open(done, "w").close()
     return path
 
 
@@ -1043,6 +1081,49 @@ def sim_lsh_q(spark, sf_dir):
     return topk_lsh(e, F.col("vec_id") % 100 == 0, dims=(0, 3, 7, 11), k=3)
 
 
+@query(
+    "sim_topk_ivf_cells",
+    """
+    WITH seeds AS (
+      SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS sv
+      FROM embeddings WHERE vec_id < 16),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, s.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.sv) DESC,
+                          s.cell) AS rn
+        FROM embeddings e CROSS JOIN seeds s) t
+      WHERE rn = 1),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS score
+      FROM embeddings q
+        JOIN assign qa ON qa.vec_id = q.vec_id
+        JOIN assign ca ON ca.cell = qa.cell AND ca.vec_id <> q.vec_id
+        JOIN embeddings c ON c.vec_id = ca.vec_id
+      WHERE q.vec_id % 100 = 0)
+    SELECT query_id, neighbor_id, score, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rk
+      FROM scored) t
+    WHERE rk <= 3
+    """,
+)
+def sim_ivf_q(spark, sf_dir):
+    # IVF twin of the LSH bucketing (the two classic ANN families): argmax-
+    # cosine cell assignment against a broadcast codebook, then nprobe=1
+    # search inside the query's cell.  Deterministic seed codebook keeps it
+    # oracle-checkable; DuckDB's list_cosine_similarity on DOUBLE[] bit-
+    # matches the Catalyst zip_with/aggregate fold.
+    from datafusion_bigtable_spark.operators.similarity import topk_ivf
+
+    e = load(spark, sf_dir, "embeddings")
+    return topk_ivf(e, F.col("vec_id") % 100 == 0, n_cells=16, k=3)
+
+
 def _lang_sql_score(lang: str) -> str:
     from datafusion_bigtable_spark.functions.text import stopword_pattern
 
@@ -1272,20 +1353,24 @@ def approx_q(spark, sf_dir):
     # aggregation (VERDICT r1 #2) — the oracle asserts every group is TRUE.
     # (The exact twins here are the verification harness, not the scale
     # path; at 100 TB you ship only the approx columns.)
+    # Two aggregations joined on the (tiny) group key, NOT one mixed agg:
+    # combining countDistinct's expand with the HLL++/t-digest imperative
+    # buffers in a single aggregate planned 25-30× slower (measured 93 s
+    # vs 3.8 s at sf0.1) — the distinct-rewrite expand multiplies the
+    # sketch-buffer merge work.  rsd 0.01 keeps the 0.05 bound at 5σ.
     l = load(spark, sf_dir, "lineitem")
-    return (
-        l.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_orderkey", 0.01).alias("a_cnt"),
-            F.countDistinct("l_orderkey").alias("e_cnt"),
-            F.percentile_approx("l_extendedprice", 0.9, 10000).alias("a_p90"),
-            F.expr("percentile(l_extendedprice, 0.9)").alias("e_p90"),
-        )
-        .select(
-            "l_returnflag",
-            (F.abs(F.col("a_cnt") - F.col("e_cnt")) / F.col("e_cnt") < 0.05).alias("approx_orders_ok"),
-            (F.abs(F.col("a_p90") - F.col("e_p90")) / F.col("e_p90") < 0.05).alias("approx_p90_ok"),
-        )
+    a = l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("a_cnt"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("a_p90"),
+    )
+    e = l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("e_cnt"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("e_p90"),
+    )
+    return a.join(e, "l_returnflag").select(
+        "l_returnflag",
+        (F.abs(F.col("a_cnt") - F.col("e_cnt")) / F.col("e_cnt") < 0.05).alias("approx_orders_ok"),
+        (F.abs(F.col("a_p90") - F.col("e_p90")) / F.col("e_p90") < 0.05).alias("approx_p90_ok"),
     )
 
 
