@@ -39,10 +39,28 @@ def main() -> None:
 
     spark = get_spark("dbs-bench")
 
-    # Warm the JVM, parquet reader, codegen, and noop sink once so query
-    # timings measure steady-state execution, not first-use machinery.
+    # Warm the JVM, parquet reader, codegen, noop sink, and the Python
+    # Data Source worker pool once so query timings measure steady-state
+    # execution, not first-use machinery (DS planning/read workers cost
+    # ~5 s to spawn on first use and nothing after).
     spark.range(1).count()
     Q.load(spark, sf_dir, "lineitem").write.format("noop").mode("overwrite").save()
+    from datafusion_bigtable_spark.sources import datasource as bt_ds
+    from datafusion_bigtable_spark.sources.cells import write_weather_balloons_fixture
+
+    bt_ds.register(spark)
+    warm_path = write_weather_balloons_fixture("/tmp/dbs_bench_warm_cells.parquet")
+    (
+        spark.read.format("bigtable")
+        .option("path", warm_path)
+        .option("column_family", "measurements")
+        .option("columns", "pressure:int64,temperature:string")
+        .option("table_partition_cols", "_row_key")
+        .load()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     names = [n for n in HEADLINE if n in Q.REGISTRY]
     extra = [n for n in Q.REGISTRY if n not in names]
