@@ -48,7 +48,13 @@ import os
 from dataclasses import dataclass
 from typing import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from datafusion_bigtable_spark.config import (
     DEFAULT_SEPARATOR,
@@ -116,9 +122,14 @@ class RangePartition(InputPartition):
 
 @dataclass
 class FilePartition(InputPartition):
-    """Full-scan path: one parquet file → one scan task."""
+    """Full-scan path: one key-disjoint GROUP of parquet files → one scan
+    task.  With a write_cells layout every group is a single file; after
+    appends, files whose key ranges overlap must scan together because the
+    latest-version filter and the (row_key, ts) pivot are partition-local
+    — splitting one row key's cells across tasks would resurrect stale
+    versions / emit partial rows (caught by the writer round-trip tests)."""
 
-    file: str
+    files: tuple
     ts_lo: object = None
     ts_hi: object = None
 
@@ -312,12 +323,10 @@ class BigtableReader(DataSourceReader):
             return parts or [RangePartition(ranges[0].start, ranges[0].end, (self._files()[0],), ts_lo, ts_hi)]
         if not self.config.allow_full_scan:
             raise ComposerError("table_partition_cols: filter is not provided or not supported")
+        stats = self._file_stats()
         if ts_push:
-            stats = self._file_stats()
-            files = [st["file"] for st in stats if self._ts_overlaps(st, ts_lo, ts_hi)]
-            files = files or [self._files()[0]]
-            return [FilePartition(f, ts_lo, ts_hi) for f in files]
-        return [FilePartition(f) for f in self._files()]
+            stats = [st for st in stats if self._ts_overlaps(st, ts_lo, ts_hi)] or stats[:1]
+        return [FilePartition(tuple(g), ts_lo, ts_hi) for g in _key_disjoint_groups(stats)]
 
     # -- scan (A1/A11/A13/A14/A15, partition-local) -----------------------
     def read(self, partition: InputPartition) -> Iterator:
@@ -351,7 +360,7 @@ class BigtableReader(DataSourceReader):
             flt = flt & (pa_ds.field("row_key") <= partition.end)
             files = list(partition.files) or self._files()
         else:
-            files = [partition.file]
+            files = list(partition.files)
 
         ordered = _key_sorted_order(files)
         cols = ["row_key", "qualifier", "ts", "value"]
@@ -388,6 +397,30 @@ class BigtableReader(DataSourceReader):
         elif carry is None:
             # no rows at all: emit one empty batch for a stable schema
             yield from _pivot_partition(pd.DataFrame(columns=cols), cfg)
+
+
+def _key_disjoint_groups(stats: list[dict]) -> list[list[str]]:
+    """Partition the store's files into groups whose row_key ranges are
+    pairwise disjoint ACROSS groups (interval sweep over footer/manifest
+    [min,max]).  A file without key stats cannot be proven disjoint from
+    anything → everything collapses into one group (correct, sequential).
+    write_cells stores come out one file per group (full parallelism);
+    appended stores merge only the overlapping groups."""
+    if not stats:
+        return []
+    if any(st["min_key"] is None or st["max_key"] is None for st in stats):
+        return [[st["file"] for st in stats]]
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    cur_max: str | None = None
+    for st in sorted(stats, key=lambda s: (s["min_key"], s["max_key"])):
+        if cur and st["min_key"] > cur_max:
+            groups.append(cur)
+            cur, cur_max = [], None
+        cur.append(st["file"])
+        cur_max = st["max_key"] if cur_max is None else max(cur_max, st["max_key"])
+    groups.append(cur)
+    return groups
 
 
 def _key_sorted_order(files: list[str]):
@@ -506,12 +539,115 @@ def _pivot_partition(cells, cfg: BigtableTableConfig):
     yield pa.RecordBatch.from_pandas(pd.DataFrame(out), schema=arrow_schema, preserve_index=False)
 
 
+@dataclass
+class _CellsWriteCommit(WriterCommitMessage):
+    staged: str  # task-local staged parquet file
+
+
+class BigtableWriter(DataSourceWriter):
+    """``df.write.format("bigtable")`` — the reference's unshipped
+    roadmap item "writes to Bigtable" (README.md:46-49), expressed for the
+    cells store: each task UNPIVOTS its relational rows (key components +
+    _timestamp + qualifier columns) back into canonical cells, encodes
+    values (int64 → big-endian, string → UTF-8, binary pass-through — the
+    exact inverse of operators/decode.py), sorts by row_key and stages one
+    parquet file; commit() atomically moves staged files into the store
+    and rewrites the manifest.  NULL column values write NO cell
+    (round-tripping the NULL-hole pivot semantics).
+
+    Scale: one file per task, sorted within; cross-task key overlap is
+    legal (the reader's sorted-stream proof falls back to materialization
+    when footers overlap), and the manifest refresh keeps planning O(1).
+    For a real Bigtable backend this class is where MutateRows batching
+    would live; the parquet layout IS the stand-in service.
+    """
+
+    def __init__(self, schema, options, overwrite: bool):
+        import uuid
+
+        self.config = _config_from_options(options)
+        self.overwrite = overwrite
+        self.job_id = uuid.uuid4().hex[:12]
+        store = self.config.cells_path
+        self.staging = os.path.join(store, "_staging", self.job_id)
+
+    # -- executor side ----------------------------------------------------
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        cfg = self.config
+        sep = cfg.table_partition_separator
+        pcols = cfg.table_partition_cols
+        cells: list[tuple] = []
+        for row in iterator:
+            d = row.asDict()
+            key = sep.join(str(d[c]) for c in pcols) if len(pcols) > 1 else str(d[pcols[0]])
+            ts = d["_timestamp"]
+            for spec in cfg.columns:
+                v = d.get(spec.name)
+                if v is None:
+                    continue  # NULL hole → no cell
+                if spec.type in ("int64", "long"):
+                    enc = int(v).to_bytes(8, "big", signed=True)
+                elif spec.type == "binary":
+                    enc = bytes(v)
+                else:
+                    enc = str(v).encode("utf-8")
+                cells.append((key, cfg.column_family, spec.name, ts, enc))
+        if not cells:
+            return None
+        cells.sort(key=lambda c: (c[0], c[2], c[3]))
+        os.makedirs(self.staging, exist_ok=True)
+        out = os.path.join(self.staging, f"task-{uuid.uuid4().hex[:12]}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "row_key": [c[0] for c in cells],
+                    "family": [c[1] for c in cells],
+                    "qualifier": [c[2] for c in cells],
+                    "ts": pa.array([c[3] for c in cells], type=pa.timestamp("us")),
+                    "value": pa.array([c[4] for c in cells], type=pa.binary()),
+                }
+            ),
+            out,
+        )
+        return _CellsWriteCommit(out)
+
+    # -- driver side ------------------------------------------------------
+    def commit(self, messages):
+        import shutil
+
+        from datafusion_bigtable_spark.sources.cells import write_manifest
+
+        store = self.config.cells_path
+        os.makedirs(store, exist_ok=True)
+        if self.overwrite:
+            for f in glob.glob(os.path.join(store, "*.parquet")):
+                os.remove(f)
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            dest = os.path.join(store, f"part-{i:05d}-{self.job_id}.parquet")
+            shutil.move(m.staged, dest)
+        shutil.rmtree(os.path.dirname(self.staging), ignore_errors=True)
+        write_manifest(store)
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(os.path.dirname(self.staging), ignore_errors=True)
+
+
 class BigtableDataSource(DataSource):
-    """``spark.read.format("bigtable")`` entry point.
+    """``spark.read.format("bigtable")`` / ``df.write.format("bigtable")``
+    entry point.
 
     Options: path, column_family, columns ("name:type,..."),
     table_partition_cols ("a,b,c"), table_partition_separator,
-    only_read_latest, allow_full_scan.
+    only_read_latest, allow_full_scan, rows_limit.
     """
 
     @classmethod
@@ -523,6 +659,9 @@ class BigtableDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return BigtableReader(schema, self.options)
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return BigtableWriter(schema, self.options, overwrite)
 
 
 def register(spark) -> None:

@@ -110,7 +110,7 @@ def test_ts_prunes_files_in_unnest_mode(two_file_store):
     r.pushFilters([GreaterThanOrEqual(("_timestamp",), dt.datetime(2024, 2, 1))])
     parts = r.partitions()
     assert [type(p) for p in parts] == [FilePartition]
-    assert parts[0].file.endswith("part-b.parquet")
+    assert parts[0].files == tuple(f for f in parts[0].files if f.endswith("part-b.parquet"))
     assert parts[0].ts_lo == dt.datetime(2024, 2, 1)
     rows = [b for batch in r.read(parts[0]) for b in batch.to_pylist()]
     assert sorted(row["_row_key"] for row in rows) == ["b1", "b2"]
@@ -120,7 +120,7 @@ def test_ts_bounds_from_equal_to(two_file_store):
     r = _reader(two_file_store)
     r.pushFilters([EqualTo(("_timestamp",), JAN)])
     parts = r.partitions()
-    assert len(parts) == 1 and parts[0].file.endswith("part-a.parquet")
+    assert len(parts) == 1 and list(parts[0].files)[0].endswith("part-a.parquet")
     assert (parts[0].ts_lo, parts[0].ts_hi) == (JAN, JAN)
 
 
