@@ -843,6 +843,40 @@ def bt_ts_range_q(spark, sf_dir):
 
 
 @query(
+    "bt_value_filter_pushdown",
+    """
+    SELECT LPAD(CAST(user_id AS VARCHAR), 4, '0') AS uid,
+           LPAD(CAST(event_id AS VARCHAR), 8, '0') AS eid,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+    WHERE CAST(ROUND(value * 100) AS BIGINT) >= 2000 AND event_type = 'click'
+    """,
+)
+def bt_value_filter_q(spark, sf_dir):
+    # Value pushdown (reference roadmap's ValueRangeFilter, README.md:46-49,
+    # unshipped there): the cents>= and etype= predicates reach the cell
+    # scan as ``qualifier != col OR value <cmp> encoded-bytes`` parquet
+    # predicates — numeric order preserved across the signed big-endian
+    # encoding.  Unnest mode is the semantics gate (as with ts pushdown);
+    # Spark re-applies the exact predicates above the scan.
+    from datafusion_bigtable_spark.sources import datasource as bt_ds
+
+    path = _bt_events_store(spark, sf_dir)
+    bt_ds.register(spark)
+    df = (
+        spark.read.format("bigtable")
+        .option("path", path)
+        .option("column_family", "events")
+        .option("columns", "etype:string,cents:int64")
+        .option("table_partition_cols", "uid,eid")
+        .option("only_read_latest", "false")
+        .load()
+        .filter("cents >= 2000 AND etype = 'click'")
+    )
+    return df.select("uid", "eid", "cents")
+
+
+@query(
     "events_sessionize",
     """
     WITH gaps AS (

@@ -118,6 +118,7 @@ class RangePartition(InputPartition):
     files: tuple = ()
     ts_lo: object = None
     ts_hi: object = None
+    value_preds: tuple = ()
 
 
 @dataclass
@@ -132,6 +133,7 @@ class FilePartition(InputPartition):
     files: tuple
     ts_lo: object = None
     ts_hi: object = None
+    value_preds: tuple = ()
 
 
 class BigtableReader(DataSourceReader):
@@ -155,6 +157,10 @@ class BigtableReader(DataSourceReader):
         # never shipped there): conservative [lo, hi] bounds on the cell
         # timestamp, harvested from _timestamp predicates.
         self.ts_range: tuple | None = None
+        # Value pushdown (the roadmap's value-range filter): null-rejecting
+        # comparisons on declared qualifier columns, pushed as cell-level
+        # parquet predicates.  (col, op, python_value) tuples.
+        self.value_preds: tuple = ()
 
     # -- pushdown (A3-A8 pruning + A16 Inexact) ---------------------------
     def pushFilters(self, filters):
@@ -165,6 +171,7 @@ class BigtableReader(DataSourceReader):
         self._filters_pushed = True
         self._pushed_since_last_plan = True
         self.ts_range = self._timestamp_bounds(filters)
+        self.value_preds = self._value_predicates(filters)
         preds = from_datasource_filters(filters, self.config.table_partition_cols)
         try:
             self.ranges = compose(
@@ -212,6 +219,82 @@ class BigtableReader(DataSourceReader):
     # an older in-range one into a row the un-pruned scan never produces —
     # and that wrong row PASSES the re-applied _timestamp filter.  So ts
     # pushdown is disabled when only_read_latest=True (see partitions()).
+    # The same gate applies to value pushdown below.
+
+    def _value_predicates(self, filters) -> tuple:
+        """Value pushdown (reference roadmap's ValueRangeFilter analogue,
+        README.md:46-49 — never shipped there): null-rejecting comparisons
+        (=, <, <=, >, >=) on DECLARED qualifier columns become cell-level
+        predicates ``qualifier != col OR value <cmp> encoded``.
+
+        Why that exact shape is safe (unnest mode + Inexact re-apply):
+        dropping only the FILTER column's non-matching cells can at most
+        turn its slot NULL or remove the (key, ts) row entirely; every such
+        row would have been rejected by the re-applied null-rejecting
+        predicate anyway.  Other qualifiers' cells are never touched.
+        IS NULL / IS NOT NULL are NOT pushable — creating a NULL hole
+        would flip IS NULL from false to true (resurrection).
+        """
+        ops = {
+            "EqualTo": "eq",
+            "GreaterThan": "gt",
+            "GreaterThanOrEqual": "ge",
+            "LessThan": "lt",
+            "LessThanOrEqual": "le",
+        }
+        specs = {s.name: s.type for s in self.config.columns}
+        out = []
+        for f in filters:
+            op = ops.get(type(f).__name__)
+            col = getattr(f, "attribute", None)
+            col = col[0] if isinstance(col, (tuple, list)) and col else col
+            v = getattr(f, "value", None)
+            if op is None or col not in specs or v is None:
+                continue
+            typ = specs[col]
+            if typ in ("int64", "long") and isinstance(v, int):
+                out.append((col, op, v))
+            elif typ == "string" and isinstance(v, str):
+                # utf-8 byte order == code-point order; Spark compares by
+                # UTF-16 code UNIT, which diverges above the BMP — only
+                # push ASCII bounds (equality is order-free, always safe)
+                if op == "eq" or v.isascii():
+                    out.append((col, op, v))
+            elif typ == "binary" and isinstance(v, (bytes, bytearray)) and op == "eq":
+                out.append((col, op, bytes(v)))
+        return tuple(out)
+
+    @staticmethod
+    def _value_expr(pa_ds, typ: str, op: str, v):
+        """pyarrow predicate for ``value <op> v`` over encoded cell bytes.
+
+        int64 is stored 8-byte big-endian TWO'S COMPLEMENT: byte order is
+        numeric order within one sign, but negatives (first bit set) sort
+        ABOVE positives — so range predicates become a union of the two
+        sign intervals.
+        """
+        val = pa_ds.field("value")
+        if typ in ("int64", "long"):
+            enc = int(v).to_bytes(8, "big", signed=True)
+            neg = val >= bytes([0x80] + [0x00] * 7)  # sign bit set
+            pos = val <= bytes([0x7F] + [0xFF] * 7)
+            if op == "eq":
+                return val == enc
+            ge_like = val >= enc if op == "ge" else val > enc
+            le_like = val <= enc if op == "le" else val < enc
+            if op in ("ge", "gt"):
+                #  v>=0: positives above enc;  v<0: negatives above enc + all positives
+                return (pos & ge_like) if v >= 0 else ((neg & ge_like) | pos)
+            #  v>=0: negatives + positives below enc;  v<0: negatives below enc
+            return (neg | (pos & le_like)) if v >= 0 else (neg & le_like)
+        enc = v if isinstance(v, bytes) else str(v).encode("utf-8")
+        return {
+            "eq": val == enc,
+            "ge": val >= enc,
+            "gt": val > enc,
+            "le": val <= enc,
+            "lt": val < enc,
+        }[op]
 
     # -- parallelism (improves on UnknownPartitioning(1)) -----------------
     def _files(self) -> list[str]:
@@ -280,6 +363,9 @@ class BigtableReader(DataSourceReader):
         ts_range, self.ts_range = self.ts_range, None
         ts_push = ts_range is not None and not self.config.only_read_latest
         ts_lo, ts_hi = ts_range if ts_push else (None, None)
+        value_preds, self.value_preds = self.value_preds, ()
+        if self.config.only_read_latest:
+            value_preds = ()  # same promotion hazard as ts — gate to unnest
         if self._last_plan_pruned and not self._pushed_since_last_plan:
             # The JVM re-invoked planning without pushing filters after this
             # handle planned a pruned scan.  The reset above makes THIS call
@@ -295,7 +381,7 @@ class BigtableReader(DataSourceReader):
                 stacklevel=2,
             )
         self._pushed_since_last_plan = False
-        self._last_plan_pruned = bool(ranges) or ts_push
+        self._last_plan_pruned = bool(ranges) or ts_push or bool(value_preds)
         if ranges:
             # File-level pruning: a range partition only scans files whose
             # footer [min,max] row_key interval overlaps the range — with a
@@ -317,16 +403,16 @@ class BigtableReader(DataSourceReader):
                     and self._ts_overlaps(st, ts_lo, ts_hi)
                 ]
                 if files:
-                    parts.append(RangePartition(r.start, r.end, tuple(files), ts_lo, ts_hi))
+                    parts.append(RangePartition(r.start, r.end, tuple(files), ts_lo, ts_hi, value_preds))
             # every range pruned to zero files → still need ≥1 partition so
             # the scan yields an empty result with the right schema
-            return parts or [RangePartition(ranges[0].start, ranges[0].end, (self._files()[0],), ts_lo, ts_hi)]
+            return parts or [RangePartition(ranges[0].start, ranges[0].end, (self._files()[0],), ts_lo, ts_hi, value_preds)]
         if not self.config.allow_full_scan:
             raise ComposerError("table_partition_cols: filter is not provided or not supported")
         stats = self._file_stats()
         if ts_push:
             stats = [st for st in stats if self._ts_overlaps(st, ts_lo, ts_hi)] or stats[:1]
-        return [FilePartition(tuple(g), ts_lo, ts_hi) for g in _key_disjoint_groups(stats)]
+        return [FilePartition(tuple(g), ts_lo, ts_hi, value_preds) for g in _key_disjoint_groups(stats)]
 
     # -- scan (A1/A11/A13/A14/A15, partition-local) -----------------------
     def read(self, partition: InputPartition) -> Iterator:
@@ -355,6 +441,13 @@ class BigtableReader(DataSourceReader):
             flt = flt & (pa_ds.field("ts") >= partition.ts_lo)
         if getattr(partition, "ts_hi", None) is not None:
             flt = flt & (pa_ds.field("ts") <= partition.ts_hi)
+        specs = {s.name: s.type for s in cfg.columns}
+        for col, op, v in getattr(partition, "value_preds", ()):
+            # cells of OTHER qualifiers always pass; only the filter
+            # column's cells are constrained (see _value_predicates)
+            flt = flt & (
+                (pa_ds.field("qualifier") != col) | self._value_expr(pa_ds, specs[col], op, v)
+            )
         if isinstance(partition, RangePartition):
             flt = flt & (pa_ds.field("row_key") >= partition.start)
             flt = flt & (pa_ds.field("row_key") <= partition.end)

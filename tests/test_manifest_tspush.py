@@ -161,3 +161,97 @@ def test_no_promotion_hazard_end_to_end(spark, tmp_path):
     assert q("true").collect() == []  # latest is Feb → out of range → no row
     unnest = [(r._row_key, r.q) for r in q("false").collect()]
     assert unnest == [("k", "v1")]  # version-unnest mode sees the Jan version
+
+
+# --- value pushdown --------------------------------------------------------
+
+
+def _int_store(tmp_path, vals):
+    store = tmp_path / "istore"
+    store.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "row_key": [f"k{i}" for i in range(len(vals))],
+                "family": ["f"] * len(vals),
+                "qualifier": ["p"] * len(vals),
+                "ts": pa.array([JAN] * len(vals), type=pa.timestamp("us")),
+                "value": pa.array(
+                    [v.to_bytes(8, "big", signed=True) for v in vals], type=pa.binary()
+                ),
+            }
+        ),
+        str(store / "part-0.parquet"),
+    )
+    return str(store)
+
+
+@pytest.mark.parametrize(
+    "flt,expect",
+    [
+        ([GreaterThanOrEqual(("p",), -1)], [-1, 0, 3, 7]),
+        ([GreaterThanOrEqual(("p",), 1)], [3, 7]),
+        ([LessThanOrEqual(("p",), 0)], [-5, -1, 0]),
+        ([LessThanOrEqual(("p",), -2)], [-5]),
+        ([EqualTo(("p",), 3)], [3]),
+        ([GreaterThanOrEqual(("p",), -3), LessThanOrEqual(("p",), 3)], [-1, 0, 3]),
+    ],
+)
+def test_value_pushdown_signed_int64_order(tmp_path, flt, expect):
+    """Two's-complement BE bytes sort negatives ABOVE positives; the
+    pushed predicate must still select by NUMERIC order across signs."""
+    store = _int_store(tmp_path, [-5, -1, 0, 3, 7])
+    r = _reader(store, columns="p:int64")
+    r.pushFilters(flt)
+    (part,) = r.partitions()
+    assert part.value_preds  # actually pushed
+    rows = [row for b in r.read(part) for row in b.to_pylist()]
+    assert sorted(row["p"] for row in rows) == expect
+
+
+def test_value_pushdown_gated_under_latest(tmp_path):
+    store = _int_store(tmp_path, [1, 2])
+    r = _reader(store, columns="p:int64", only_read_latest="true")
+    r.pushFilters([GreaterThanOrEqual(("p",), 2)])
+    (part,) = r.partitions()
+    assert part.value_preds == ()  # gate: no cell-level value filter
+
+
+def test_value_pushdown_latest_no_stale_match(spark, tmp_path):
+    """Latest-mode hazard the gate prevents: cell has versions 5 (old) and
+    10 (new); WHERE p = 5 on the latest view must return NOTHING."""
+    from datafusion_bigtable_spark.sources import datasource as bt_ds
+
+    path = str(tmp_path / "vvstore")
+    os.mkdir(path)
+    pq.write_table(
+        pa.table(
+            {
+                "row_key": ["k", "k"],
+                "family": ["f", "f"],
+                "qualifier": ["p", "p"],
+                "ts": pa.array([JAN, FEB], type=pa.timestamp("us")),
+                "value": pa.array(
+                    [(5).to_bytes(8, "big", signed=True), (10).to_bytes(8, "big", signed=True)],
+                    type=pa.binary(),
+                ),
+            }
+        ),
+        os.path.join(path, "part-0.parquet"),
+    )
+    bt_ds.register(spark)
+
+    def q(latest):
+        return (
+            spark.read.format("bigtable")
+            .option("path", path)
+            .option("column_family", "f")
+            .option("columns", "p:int64")
+            .option("table_partition_cols", "_row_key")
+            .option("only_read_latest", latest)
+            .load()
+            .filter("p = 5")
+        )
+
+    assert q("true").collect() == []  # latest version is 10
+    assert [(r._row_key, r.p) for r in q("false").collect()] == [("k", 5)]
