@@ -1,0 +1,81 @@
+"""Iterative graph operators over candidate-pair edge lists.
+
+Near-dup candidate pairs (MinHash/LSH, Jaccard, SimHash buckets) form an
+undirected graph whose connected components are the duplicate CLUSTERS —
+the thing a 100 TB dedup pipeline actually keeps one representative of.
+No reference analogue (the reference stops at the scan); this is the
+§7-extension tier, and the classic example of an operator that is
+*iterative*, not single-query: a driver-side loop over fully distributed
+steps (each iteration is one shuffle), converging in O(component diameter)
+rounds.
+
+Semantics: ``component(v) = min(id over v's component)`` — the unique
+fixpoint of min-label propagation, independent of iteration order, which
+is what makes the operator oracle-checkable (DuckDB computes the same
+fixpoint via a recursive CTE transitive closure).
+
+Scale notes:
+- each round = one join (edges ⋈ labels, shuffle on vertex id) + one
+  groupBy min; AQE sizes the exchanges.  Rounds ≈ diameter; dup clusters
+  are near-cliques, so 2-4 rounds in practice (max_iter bounds ANY input).
+- ``localCheckpoint`` truncates lineage each round — without it the plan
+  doubles per iteration and the driver chokes on analysis long before the
+  executors break a sweat (the classic iterative-Spark trap).
+- labels persist round-over-round; the previous round is unpersisted once
+  the new one materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(vertex, component) for every vertex in ``pairs``; component is the
+    MIN vertex id reachable (undirected).  Deterministic fixpoint."""
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint()
+
+    labels = edges.select("src").distinct().withColumn("label", F.col("src"))
+    labels = labels.localCheckpoint()
+
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("src").alias("dst"), F.col("label").alias("dst_label")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "src", "left")
+            .select(
+                "src",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()  # truncate lineage BEFORE the convergence action
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "src")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(F.col("src").alias("id"), F.col("label").alias("component"))

@@ -1020,6 +1020,45 @@ def dedup_minhash_q(spark, sf_dir):
 
 
 @query(
+    "dedup_connected_components",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    mh AS (
+      SELECT id, s.seed, MIN(md5(CAST(s.seed AS VARCHAR) || '|' || shingle)) AS minhash
+      FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS seed) s
+      GROUP BY id, s.seed),
+    banded AS (
+      SELECT id, CAST(seed // 2 AS INT) AS band,
+             string_agg(minhash, ',' ORDER BY minhash) AS band_sig
+      FROM mh GROUP BY id, seed // 2),
+    pairs AS (
+      SELECT DISTINCT a.id AS pa, b.id AS pb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id),
+    edges AS (SELECT pa AS a, pb AS b FROM pairs UNION SELECT pb, pa FROM pairs),
+    reach AS (
+      SELECT a AS id, b AS r FROM edges
+      UNION
+      SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a)
+    SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id
+    """,
+)
+def dedup_components_q(spark, sf_dir):
+    # Duplicate CLUSTERS from the minhash candidate pairs: an ITERATIVE
+    # operator (driver loop over distributed min-label rounds) whose
+    # fixpoint is order-independent — which is why a recursive-CTE
+    # transitive closure can oracle it.  At 100 TB the loop is O(cluster
+    # diameter) shuffles; dup clusters are near-cliques so it converges in
+    # 2-4 rounds (the closure oracle, by contrast, is exponential-fanout
+    # and only viable at oracle scale).
+    from datafusion_bigtable_spark.operators.dedup import lsh_candidate_pairs
+    from datafusion_bigtable_spark.operators.graph import connected_components
+
+    pairs = lsh_candidate_pairs(load(spark, sf_dir, "documents"), bands=4, rows_per_band=2, k=3)
+    return connected_components(pairs)
+
+
+@query(
     "dedup_simhash",
     """
     WITH wds AS (

@@ -260,6 +260,16 @@ class BigtableReader(DataSourceReader):
                 # push ASCII bounds (equality is order-free, always safe)
                 if op == "eq" or v.isascii():
                     out.append((col, op, v))
+        # LIKE 'prefix%' — the pushable subset of the roadmap's value-regex
+        # filter: a prefix is a closed byte range over utf-8
+        for f in filters:
+            if type(f).__name__ != "StringStartsWith":
+                continue
+            col = getattr(f, "attribute", None)
+            col = col[0] if isinstance(col, (tuple, list)) and col else col
+            v = getattr(f, "value", None)
+            if specs.get(col) == "string" and isinstance(v, str) and v.isascii() and v:
+                out.append((col, "sw", v))
             elif typ == "binary" and isinstance(v, (bytes, bytearray)) and op == "eq":
                 out.append((col, op, bytes(v)))
         return tuple(out)
@@ -288,6 +298,11 @@ class BigtableReader(DataSourceReader):
             #  v>=0: negatives + positives below enc;  v<0: negatives below enc
             return (neg | (pos & le_like)) if v >= 0 else (neg & le_like)
         enc = v if isinstance(v, bytes) else str(v).encode("utf-8")
+        if op == "sw":
+            # starts-with: [prefix, next-prefix) — ASCII last byte < 0x7f,
+            # so incrementing never overflows
+            upper = enc[:-1] + bytes([enc[-1] + 1])
+            return (val >= enc) & (val < upper)
         return {
             "eq": val == enc,
             "ge": val >= enc,

@@ -279,3 +279,23 @@ def test_jaccard_df_cap_bounds_hot_shingle(spark):
     # uncapped (df_cap=None) keeps exact semantics: hot-shingle pairs exist
     full = {(r.id_a, r.id_b) for r in jaccard_pairs(docs, k=3, threshold=0.3, df_cap=None).collect()}
     assert (100, 101) in full and any(a < 100 for a, _ in full)
+
+
+def test_connected_components_chain_and_clique(spark):
+    from datafusion_bigtable_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4 (diameter forces multiple rounds), clique {10,11,12},
+    # isolated edge {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    got = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_empty(spark):
+    from datafusion_bigtable_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame([], "id_a LONG, id_b LONG")
+    assert connected_components(pairs).count() == 0

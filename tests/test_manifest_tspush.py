@@ -255,3 +255,30 @@ def test_value_pushdown_latest_no_stale_match(spark, tmp_path):
 
     assert q("true").collect() == []  # latest version is 10
     assert [(r._row_key, r.p) for r in q("false").collect()] == [("k", 5)]
+
+
+def test_value_prefix_pushdown(tmp_path):
+    """LIKE 'prefix%' (StringStartsWith) pushes as a closed byte range."""
+    from pyspark.sql.datasource import StringStartsWith
+
+    store = tmp_path / "sstore"
+    store.mkdir()
+    vals = [b"click", b"clack", b"cl", b"view", b"climb"]
+    pq.write_table(
+        pa.table(
+            {
+                "row_key": [f"k{i}" for i in range(len(vals))],
+                "family": ["f"] * len(vals),
+                "qualifier": ["q"] * len(vals),
+                "ts": pa.array([JAN] * len(vals), type=pa.timestamp("us")),
+                "value": pa.array(vals, type=pa.binary()),
+            }
+        ),
+        str(store / "part-0.parquet"),
+    )
+    r = _reader(str(store), columns="q:string")
+    r.pushFilters([StringStartsWith(("q",), "cli")])
+    (part,) = r.partitions()
+    assert ("q", "sw", "cli") in part.value_preds
+    rows = [row for b in r.read(part) for row in b.to_pylist()]
+    assert sorted(row["q"] for row in rows) == ["click", "climb"]
