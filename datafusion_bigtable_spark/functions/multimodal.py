@@ -43,6 +43,8 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("sha256", T.StringType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
     ]
 )
 
@@ -57,6 +59,39 @@ def assets_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_media_assets(docs: DataFrame) -> DataFrame:
+    """REAL media containers from the documents table: every doc becomes a
+    valid minimal PNG / JPEG / WAV (by doc_id mod 3) whose header metadata
+    derives ARITHMETICALLY from doc_id — so the downstream header parse is
+    genuine container decoding AND an SQL oracle can recompute the
+    expected metadata.  The text bytes ride along as the container body
+    (the part a full decoder would decompress; header parsing never reads
+    it)."""
+    from datafusion_bigtable_spark.functions.media_codecs import build_jpeg, build_png, build_wav
+
+    def op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"asset_id": [], "mime": [], "payload": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                body = (text or "").encode("utf-8")
+                kind = i % 3
+                if kind == 0:
+                    payload, mime = build_png(16 + i % 241, 16 + (i * 7) % 241, body), "image/png"
+                elif kind == 1:
+                    payload, mime = build_jpeg(16 + i % 241, 16 + (i * 7) % 241, body), "image/jpeg"
+                else:
+                    payload, mime = build_wav(8000 + (i % 8) * 1000, 1 + i % 2, body), "audio/wav"
+                rows["asset_id"].append(i)
+                rows["mime"].append(mime)
+                rows["payload"].append(payload)
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "text").mapInPandas(op, ASSET_SCHEMA)
+
+
 def _decode_dims(payload: bytes) -> tuple[int, int]:
     """STUB for a real image decode.  Deterministic fake dimensions from a
     stable digest, so tests and oracles are reproducible."""
@@ -64,36 +99,56 @@ def _decode_dims(payload: bytes) -> tuple[int, int]:
     return 16 + d[0] % 241, 16 + d[1] % 241
 
 
-def extract_features(assets: DataFrame, *, fake: bool = True) -> DataFrame:
+def extract_features(assets: DataFrame, *, fake: bool = True, mode: str | None = None) -> DataFrame:
     """Binary payload → typed metadata row per asset via mapInPandas.
+
+    Modes (``mode`` wins over the legacy ``fake`` flag):
+    - ``"headers"`` — REAL container parsing (PNG IHDR / JPEG SOF / WAV
+      fmt, functions/media_codecs.py) — pure Python, no media libs; the
+      metadata tier a curation pipeline filters on before decoding pixels.
+    - ``"fake"`` — digest-derived stub dims (for non-container payloads).
+    - ``"full"`` — pixel/sample decode; requires PIL/ffmpeg, which are not
+      in this container → NotImplementedError (the remaining honest stub).
 
     Arrow-batched: each pandas chunk is one Arrow batch (~10k rows), so an
     executor never holds more than a batch of payloads in Python memory.
     """
+    mode = mode or ("fake" if fake else "full")
 
     def op(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from datafusion_bigtable_spark.functions.media_codecs import parse_media
+
         for pdf in batches:
-            if not fake:
+            if mode == "full":
                 raise NotImplementedError(
                     "real media decode requires PIL/ffmpeg (not in this container); "
-                    "pass fake=True for the deterministic stub"
+                    "use mode='headers' for real container-header parsing"
                 )
             payloads = pdf["payload"]
-            dims = payloads.map(lambda b: _decode_dims(bytes(b)) if b is not None else (None, None))
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "mime": pdf["mime"],
-                    "byte_len": payloads.map(lambda b: len(b) if b is not None else None),
-                    "sha256": payloads.map(
-                        lambda b: hashlib.sha256(bytes(b)).hexdigest() if b is not None else None
-                    ),
-                    "width": dims.map(lambda t: t[0]),
-                    "height": dims.map(lambda t: t[1]),
-                }
-            )
+            out = {
+                "asset_id": pdf["asset_id"],
+                "mime": pdf["mime"],
+                "byte_len": payloads.map(lambda b: len(b) if b is not None else None),
+                "sha256": payloads.map(
+                    lambda b: hashlib.sha256(bytes(b)).hexdigest() if b is not None else None
+                ),
+            }
+            if mode == "headers":
+                meta = payloads.map(lambda b: parse_media(bytes(b)) if b is not None else {})
+                out["mime"] = meta.map(lambda m: m.get("mime", "application/octet-stream"))
+                for f in ("width", "height", "sample_rate", "channels"):
+                    out[f] = meta.map(lambda m, f=f: m.get(f))
+            else:
+                dims = payloads.map(
+                    lambda b: _decode_dims(bytes(b)) if b is not None else (None, None)
+                )
+                out["width"] = dims.map(lambda t: t[0])
+                out["height"] = dims.map(lambda t: t[1])
+                out["sample_rate"] = None
+                out["channels"] = None
+            yield pd.DataFrame(out)
 
     return assets.mapInPandas(op, FEATURE_SCHEMA)
 

@@ -299,3 +299,48 @@ def test_connected_components_empty(spark):
 
     pairs = spark.createDataFrame([], "id_a LONG, id_b LONG")
     assert connected_components(pairs).count() == 0
+
+
+def test_media_codecs_roundtrip():
+    from datafusion_bigtable_spark.functions.media_codecs import (
+        build_jpeg,
+        build_png,
+        build_wav,
+        parse_media,
+    )
+
+    assert parse_media(build_png(640, 480, b"body")) == {
+        "mime": "image/png", "width": 640, "height": 480,
+    }
+    assert parse_media(build_jpeg(1920, 1080, b"x" * 100)) == {
+        "mime": "image/jpeg", "width": 1920, "height": 1080,
+    }
+    assert parse_media(build_wav(44100, 2, b"pcm")) == {
+        "mime": "audio/wav", "channels": 2, "sample_rate": 44100,
+    }
+    assert parse_media(b"plain text bytes") == {"mime": "application/octet-stream"}
+    # fixed header sizes the oracle relies on
+    assert len(build_png(1, 1)) == 33
+    assert len(build_jpeg(1, 1)) == 30
+    assert len(build_wav(8000, 1)) == 44
+
+
+def test_headers_mode_parses_real_containers(spark, sf_dir):
+    from datafusion_bigtable_spark.functions.multimodal import (
+        extract_features,
+        synthesize_media_assets,
+    )
+    from datafusion_bigtable_spark.queries import load
+
+    docs = load(spark, sf_dir, "documents").limit(30)
+    rows = extract_features(synthesize_media_assets(docs), mode="headers").collect()
+    assert len(rows) == 30
+    for r in rows:
+        i = r.asset_id
+        if i % 3 == 2:
+            assert r.mime == "audio/wav" and r.sample_rate == 8000 + (i % 8) * 1000
+            assert r.width is None
+        else:
+            assert r.mime in ("image/png", "image/jpeg")
+            assert r.width == 16 + i % 241 and r.height == 16 + (i * 7) % 241
+            assert r.sample_rate is None
