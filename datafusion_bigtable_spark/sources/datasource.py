@@ -53,6 +53,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -749,6 +750,78 @@ class BigtableWriter(DataSourceWriter):
         shutil.rmtree(os.path.dirname(self.staging), ignore_errors=True)
 
 
+class BigtableStreamReader(SimpleDataSourceStreamReader):
+    """``spark.readStream.format("bigtable")`` — the cells store as a
+    streaming source.  Bigtable's actual write pattern is a continuous
+    cell stream; the parquet stand-in surfaces that as FILE ARRIVALS
+    (e.g. the DS writer's commits), so each micro-batch = the files that
+    appeared since the last offset, pivoted to relational rows.
+
+    Offsets are the set of processed file names — deterministic replay
+    (readBetweenOffsets) re-pivots exactly the files in ``end − start``,
+    which is what checkpoint recovery needs.  Requires
+    ``only_read_latest=false``: a latest-version view is not incrementally
+    computable batch-by-batch (a later file can carry a newer version of
+    an already-emitted cell); the stream emits the honest version-unnest
+    rows and a downstream stateful dedup (streaming/sinks.py) owns
+    latest-wins semantics.
+
+    SimpleDataSourceStreamReader reads on the driver — right for this
+    lightweight arrival-tailing; swap to DataSourceStreamReader partitions
+    if per-batch volume outgrows one process.
+    """
+
+    def __init__(self, schema, options):
+        self.config = _config_from_options(options)
+        if self.config.only_read_latest:
+            raise ValueError(
+                "streaming cells source requires only_read_latest=false — "
+                "latest-version semantics are not incrementally computable "
+                "per micro-batch; apply latest-wins downstream (see "
+                "streaming/sinks.py)"
+            )
+
+    def _store_files(self) -> dict[str, str]:
+        p = self.config.cells_path
+        if os.path.isdir(p):
+            return {os.path.basename(f): f for f in sorted(glob.glob(os.path.join(p, "*.parquet")))}
+        return {os.path.basename(p): p}
+
+    def initialOffset(self) -> dict:
+        return {"files": {}}
+
+    def read(self, start: dict):
+        seen = start.get("files", {})
+        current = self._store_files()
+        new = [path for name, path in current.items() if name not in seen]
+        end = {"files": {**seen, **{name: True for name in current}}}
+        # materialized list (the wrapper pickles the batch for replay), as an iterator
+        return iter(list(self._rows(new))), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        seen = start.get("files", {})
+        target = end.get("files", {})
+        current = self._store_files()
+        files = [current[name] for name in target if name not in seen and name in current]
+        return iter(list(self._rows(files)))
+
+    def _rows(self, files: list[str]):
+        import pyarrow.dataset as pa_ds
+
+        cfg = self.config
+        names = [f.name for f in cfg.schema().fields]
+        flt = (pa_ds.field("family") == cfg.column_family) & pa_ds.field("qualifier").isin(
+            list(cfg.qualifiers)
+        )
+        for f in sorted(files):
+            table = pa_ds.dataset([f], format="parquet").to_table(
+                columns=["row_key", "qualifier", "ts", "value"], filter=flt
+            )
+            for batch in _pivot_partition(table.to_pandas(), cfg):
+                for row in batch.to_pylist():
+                    yield tuple(row[n] for n in names)
+
+
 class BigtableDataSource(DataSource):
     """``spark.read.format("bigtable")`` / ``df.write.format("bigtable")``
     entry point.
@@ -770,6 +843,9 @@ class BigtableDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
         return BigtableWriter(schema, self.options, overwrite)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return BigtableStreamReader(schema, self.options)
 
 
 def register(spark) -> None:
