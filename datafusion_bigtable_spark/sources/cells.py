@@ -186,6 +186,42 @@ def write_cells(cells: DataFrame, path: str, num_ranges: int = 32, mode: str = "
     write_manifest(path)
 
 
+def compact_cells_store(
+    spark: SparkSession, path: str, num_ranges: int = 32, versions: int | None = None
+) -> None:
+    """Bigtable-compaction analogue for the parquet cells store.
+
+    Appends (the DS writer, streaming sinks) accumulate files whose key
+    ranges overlap; the reader stays CORRECT by merging overlapping files
+    into one scan task (datasource._key_disjoint_groups), but that
+    collapses parallelism and defeats range pruning.  Compaction rewrites
+    the store back to the canonical layout — range-partitioned, sorted,
+    disjoint files + fresh manifest — restoring one-file-per-task scans.
+
+    ``versions=N`` additionally garbage-collects old cell versions (keep
+    the newest N per row_key/qualifier) — Bigtable's maxVersions GC policy
+    applied at compaction time, exactly where Bigtable applies it.
+
+    Write-temp-then-swap keeps a crash from destroying the store; like the
+    writer, single-writer semantics are assumed (no concurrent compactors).
+    """
+    import os
+    import shutil
+
+    df = read_cells(spark, path)
+    if versions is not None:
+        from datafusion_bigtable_spark.operators.pivot import latest_cells
+
+        df = latest_cells(df, versions=versions)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    write_cells(df, tmp, num_ranges=num_ranges)
+    backup = path.rstrip("/") + "._compact_old"
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(path, backup)
+    os.rename(tmp, path)
+    shutil.rmtree(backup)
+
+
 def cells_from_long_df(
     df: DataFrame,
     *,

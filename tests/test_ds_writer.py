@@ -116,3 +116,45 @@ def test_key_disjoint_groups_unit():
     ) == [["1", "2", "3"]]
     # unknown bounds → single conservative group
     assert _key_disjoint_groups([st("a", None, None), st("b", "a", "b")]) == [["a", "b"]]
+
+
+def test_compaction_restores_disjoint_layout(registered, cells_path, tmp_path):
+    """Appends overlap file key ranges (reader merges them into one task);
+    compaction rewrites to disjoint sorted files and restores per-file
+    parallelism + the manifest."""
+    from datafusion_bigtable_spark.sources.cells import compact_cells_store, read_manifest
+    from datafusion_bigtable_spark.sources.datasource import BigtableReader
+
+    dest = str(tmp_path / "compact_store")
+    full = _read(registered, cells_path)
+    _opts(full.write.format("bigtable"), dest).mode("append").save()
+    # second append covers the same key range → overlapping files
+    newer = full.selectExpr(
+        "region", "balloon_id", "event_minute",
+        "_timestamp + INTERVAL 1 HOUR AS _timestamp", "pressure", "temperature",
+    )
+    _opts(newer.write.format("bigtable"), dest).mode("append").save()
+
+    def full_scan_parts():
+        r = BigtableReader(None, {
+            "path": dest, "column_family": "measurements",
+            "columns": "pressure:int64,temperature:string",
+            "table_partition_cols": "region,balloon_id,event_minute",
+            "only_read_latest": "false",
+        })
+        return r.partitions()
+
+    assert len(full_scan_parts()) == 1  # overlap → one merged task
+    before = sorted(tuple(r) for r in _read(registered, dest, latest="false").collect())
+
+    compact_cells_store(registered, dest, num_ranges=4)
+    assert len(full_scan_parts()) > 1  # disjoint again → parallel tasks
+    assert read_manifest(dest) is not None
+    after = sorted(tuple(r) for r in _read(registered, dest, latest="false").collect())
+    assert after == before  # same logical content
+
+    # versions=1 compaction garbage-collects old cell versions
+    compact_cells_store(registered, dest, num_ranges=2, versions=1)
+    rows = _read(registered, dest, latest="false").collect()
+    assert len(rows) == 5  # only the newest version of each cell survives
+    assert all(r.pressure is not None for r in rows)
