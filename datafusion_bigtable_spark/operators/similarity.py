@@ -128,6 +128,10 @@ def topk_ivf(
         .withColumn("_rn", F.row_number().over(aw))
         .filter(F.col("_rn") == 1)
         .select(id_col, "cell", "_dv", "_n")
+        # the assignment IS the IVF index: materialize it once — both the
+        # query and corpus sides of the self-join read the cached index
+        # instead of re-planning the scan+assignment subtree twice
+        .persist()
     )
     q = assigned.filter(query_pred).select(
         F.col(id_col).alias("query_id"), F.col("cell"), F.col("_dv").alias("qv"), F.col("_n").alias("qn")
