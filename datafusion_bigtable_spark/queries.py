@@ -1230,6 +1230,114 @@ def text_langid_q(spark, sf_dir):
 REGISTRY["text_langid"] = QuerySpec(text_langid_q, _langid_oracle())
 
 
+def _curation_oracle() -> str:
+    from datafusion_bigtable_spark.functions.text import LANG_ORDER
+
+    scores = {lang: _lang_sql_score(lang) for lang in LANG_ORDER}
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    und = f"({best} = 0)"
+    return f"""
+    SELECT doc_id,
+           CASE WHEN length(text) < 120 THEN 'too_short'
+                WHEN length(text) > 10000 THEN 'too_long'
+                WHEN len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) < 20
+                     THEN 'too_few_tokens'
+                WHEN CAST(len(regexp_extract_all(text, '([,.;:!?])', 1)) AS DOUBLE)
+                     / greatest(length(text), 1) >= 0.1 THEN 'punct_soup'
+                WHEN {und} THEN 'lang_unknown'
+                ELSE 'keep' END AS reason,
+           CASE WHEN length(text) >= 120 AND length(text) <= 10000
+                AND len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) >= 20
+                AND CAST(len(regexp_extract_all(text, '([,.;:!?])', 1)) AS DOUBLE)
+                    / greatest(length(text), 1) < 0.1
+                AND NOT {und}
+                THEN TRUE ELSE FALSE END AS keep
+    FROM documents
+    """
+
+
+@query("text_curation_filter", None)  # real SQL bound below
+def text_curation_q(spark, sf_dir):
+    # The curation DECISION operator: compose the text signals into a
+    # keep/drop verdict + first-failing reason — the gate every training-
+    # data pipeline runs between raw crawl and tokenizer.  All pure
+    # Catalyst expressions fused into the scan; per-doc decisions are
+    # exact integer/ratio comparisons so both engines agree bit-for-bit.
+    from datafusion_bigtable_spark.functions import text as X
+
+    d = load(spark, sf_dir, "documents")
+    chars = F.length("text")
+    tokens = X.bpe_ish_token_count(F.col("text"))
+    punct_ratio = F.size(F.regexp_extract_all("text", F.lit(r"([,.;:!?])"), 1)).cast(
+        "double"
+    ) / F.greatest(chars, F.lit(1))
+    lang = X.langid(F.col("text"))
+    reason = (
+        F.when(chars < 120, "too_short")
+        .when(chars > 10000, "too_long")
+        .when(tokens < 20, "too_few_tokens")
+        .when(punct_ratio >= 0.1, "punct_soup")
+        .when(lang == "und", "lang_unknown")
+        .otherwise("keep")
+    )
+    return d.select("doc_id", reason.alias("reason"), (reason == "keep").alias("keep"))
+
+
+REGISTRY["text_curation_filter"] = QuerySpec(text_curation_q, _curation_oracle())
+
+
+@query(
+    "sample_class_balanced",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents) t
+    WHERE rk <= 40
+    """,
+)
+def sample_balanced_q(spark, sf_dir):
+    # Class-balanced downsampling: cap each class at N docs, chosen by a
+    # deterministic content-independent hash order (md5 — the one hash
+    # both engines share) so the sample is reproducible across runs and
+    # partitionings.  One shuffle on the class key; the window stays
+    # partition-local after it.
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 40)
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "corpus_mixing_weights",
+    """
+    WITH per AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_sources FROM per)
+    SELECT source, n,
+           ROUND((CAST(total AS DOUBLE) / n_sources) / n, 6) AS weight
+    FROM per, tot
+    """,
+)
+def mixing_weights_q(spark, sf_dir):
+    # Domain-mixing weights: per-source resampling factor that equalizes
+    # source shares (weight = uniform-target share / actual share) — the
+    # knob for "mix N% web, M% code" training recipes.  Global totals come
+    # from an empty window over the SAME aggregate: one scan, one shuffle.
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.count("*").alias("n"))
+    total = F.sum("n").over(W.partitionBy())
+    n_sources = F.count("*").over(W.partitionBy())
+    return per.select(
+        "source",
+        "n",
+        F.round((total.cast("double") / n_sources) / F.col("n"), 6).alias("weight"),
+    )
+
+
 @query(
     "text_quality",
     """
