@@ -116,6 +116,13 @@ def jaccard_pairs(
     — keep it above plausible bucket sizes, it is a memory bound, not a
     tuning dial.
     """
+    # NOTE the shingle subtree is planned three times (sizes feeds both
+    # pair sides; the lists feed pair generation).  Persisting it was
+    # MEASURED SLOWER at sf0.1 (5.0 s vs 2.8 s steady-state): the cache
+    # serialization + lost stage fusion cost more than recomputing the
+    # cheap explode+window — recompute wins here, unlike topk_ivf's
+    # assignment index where the subtree carries a window over a cross
+    # join.  Revisit only if the shingle table becomes the dominant cost.
     sh = shingles(docs, k, text_col, id_col)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
 
