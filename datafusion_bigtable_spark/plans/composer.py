@@ -112,6 +112,7 @@ def compose(
 
     col_values: dict[str, list[str]] = {}
     tail_range: tuple[str, str] | None = None
+    tail_not_range: tuple[str, str] | None = None
     tail_col = partition_cols[-1]
 
     for f in filters:
@@ -124,8 +125,11 @@ def compose(
                     if isinstance(v, str):
                         col_values.setdefault(f.col, []).append(v)
         elif isinstance(f, Between):
-            if f.col == tail_col and not f.negated and isinstance(f.low, str) and isinstance(f.high, str):
-                tail_range = (f.low, f.high)
+            if f.col == tail_col and isinstance(f.low, str) and isinstance(f.high, str):
+                if f.negated:
+                    tail_not_range = (f.low, f.high)
+                else:
+                    tail_range = (f.low, f.high)
 
     if not col_values and tail_range is None:
         if allow_full_scan:
@@ -144,7 +148,7 @@ def compose(
     ] or [""]
 
     tail_values = col_values.get(tail_col, [])
-    if not tail_values and tail_range is None:
+    if not tail_values and tail_range is None and tail_not_range is None:
         raise ComposerError(f"{tail_col}: filter is required")
 
     def _join(prefix: str, tail: str) -> str:
@@ -157,6 +161,28 @@ def compose(
             ranges.append(KeyRange(key, key))
         if tail_range is not None:
             ranges.append(KeyRange(_join(prefix, tail_range[0]), _join(prefix, tail_range[1])))
+        if tail_not_range is not None and not tail_values and tail_range is None:
+            # NOT BETWEEN pruning (extension; reference roadmap item its
+            # composer ignores — composer.rs:203,234 drops all negations).
+            # The complement of [lo, hi] WITHIN one prefix is two closed
+            # ranges; boundaries are deliberately included (closed-range
+            # superset — the Inexact contract re-applies the exact
+            # predicate above the scan).  The upper range's end covers
+            # every key of the prefix: P+sep is a prefix of all of them,
+            # so they all sort below P+incr(sep).  Only prefixed keys can
+            # be bounded this way — a single-component NOT BETWEEN has a
+            # right-unbounded complement and never reaches here: with no
+            # leading components, the mandatory-filter guard above already
+            # classified the lone negation as not-supported (full scan or
+            # the reference's error, exactly like the reference treats all
+            # negations, composer.rs:203,234).
+            if ord(separator[-1]) >= 0x10FFFF:  # cannot increment — bail to full scan
+                if allow_full_scan:
+                    return []
+                raise ComposerError(f"{tail_col}: separator not incrementable")
+            prefix_end = prefix + separator[:-1] + chr(ord(separator[-1]) + 1)
+            ranges.append(KeyRange(_join(prefix, ""), _join(prefix, tail_not_range[0])))
+            ranges.append(KeyRange(_join(prefix, tail_not_range[1]), prefix_end))
 
     # Canonicalize: sort, dedup, and MERGE overlapping/contained ranges.
     # Without the merge, a tail point value lying inside a tail BETWEEN

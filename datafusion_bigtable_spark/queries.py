@@ -843,6 +843,48 @@ def bt_ts_range_q(spark, sf_dir):
 
 
 @query(
+    "bt_key_not_between_prune",
+    """
+    SELECT event_type || '#' || LPAD(CAST(event_id AS VARCHAR), 8, '0') AS row_key,
+           ROUND(value, 4) AS value
+    FROM events
+    WHERE event_type = 'click'
+      AND LPAD(CAST(event_id AS VARCHAR), 8, '0')
+          NOT BETWEEN '00002000' AND '00008000'
+    """,
+)
+def bt_not_between_q(spark, sf_dir):
+    # NOT BETWEEN pruning (extension — the reference roadmap lists it and
+    # its composer drops every negation, composer.rs:203,234): the tail
+    # complement compiles to TWO closed ranges per prefix; the exact
+    # predicate re-applies above (Inexact), excluding the closed-range
+    # boundaries.
+    from datafusion_bigtable_spark.operators.pivot import compose_row_key
+    from datafusion_bigtable_spark.plans.composer import (
+        Between as CBetween,
+        Eq as CEq,
+        compose,
+        key_range_predicate,
+    )
+
+    e = load(spark, sf_dir, "events")
+    keyed = e.select(
+        compose_row_key(
+            [F.col("event_type"), F.lpad(F.col("event_id").cast("string"), 8, "0")]
+        ).alias("row_key"),
+        F.lpad(F.col("event_id").cast("string"), 8, "0").alias("eid"),
+        "value",
+    )
+    ranges = compose(
+        [CEq("etype", "click"), CBetween("eid", "00002000", "00008000", negated=True)],
+        ("etype", "eid"),
+    )
+    pruned = keyed.filter(key_range_predicate(ranges, "row_key"))
+    exact = ~F.col("eid").between("00002000", "00008000")
+    return pruned.filter(exact).select("row_key", F.round("value", 4).alias("value"))
+
+
+@query(
     "bt_value_filter_pushdown",
     """
     SELECT LPAD(CAST(user_id AS VARCHAR), 4, '0') AS uid,

@@ -178,3 +178,36 @@ def test_config_rejects_physical_column_collisions():
         columns=(ColumnSpec("pressure", "int64"),),
         table_partition_cols=("region", "minute"),
     )
+
+
+# --- NOT BETWEEN pruning (extension; reference drops all negations) --------
+
+
+def test_not_between_tail_two_ranges():
+    ranges = compose(
+        [Eq("region", "us"), Eq("balloon", "b1"), Between("minute", "m3", "m6", negated=True)],
+        ("region", "balloon", "minute"),
+    )
+    assert ranges == [
+        KeyRange("us#b1#", "us#b1#m3"),
+        KeyRange("us#b1#m6", "us#b1$"),  # '$' = '#' incremented: end of prefix
+    ]
+
+
+def test_not_between_with_positive_tail_constraint_ignored():
+    # a positive tail constraint wins; the negation is left to re-filtering
+    ranges = compose(
+        [Eq("region", "us"), In("minute", ("m1", "m9")), Between("minute", "m3", "m6", negated=True)],
+        ("region", "minute"),
+    )
+    assert ranges == [KeyRange("us#m1", "us#m1"), KeyRange("us#m9", "us#m9")]
+
+
+def test_not_between_single_component_full_scan_or_error():
+    # a lone negation on a single-component key has a right-unbounded
+    # complement: the mandatory-filter guard treats it as not-supported
+    # (reference semantics for every negation)
+    preds = [Between("_row_key", "a", "b", negated=True)]
+    assert compose(preds, ("_row_key",), allow_full_scan=True) == []
+    with pytest.raises(ComposerError, match="not provided or not supported"):
+        compose(preds, ("_row_key",), allow_full_scan=False)

@@ -141,3 +141,24 @@ def test_composite_eq_in_between(spark, composite_config):
         ("us-west2", "3698", "2021-03-05-1200", 94558, TS["1200"]),
         ("us-west2", "3698", "2021-03-05-1201", 94122, TS["1201"]),
     ]
+
+
+def test_composite_not_between_prunes_and_reapplies(spark, composite_config):
+    # extension golden: NOT BETWEEN on the tail → two complement ranges;
+    # the re-applied WHERE gives exact semantics (boundaries excluded)
+    table = BigtableTable(composite_config)
+    table.register(
+        spark,
+        predicates=[
+            Eq("region", "us-west2"),
+            Eq("balloon_id", "3698"),
+            Between("event_minute", "2021-03-05-1201", "2021-03-05-1203", negated=True),
+        ],
+    )
+    out = spark.sql(
+        "SELECT event_minute, pressure FROM weather_balloons "
+        "WHERE region = 'us-west2' AND balloon_id = '3698' "
+        "AND event_minute NOT BETWEEN '2021-03-05-1201' AND '2021-03-05-1203' "
+        "ORDER BY event_minute"
+    )
+    assert _rows(out) == [("2021-03-05-1200", 94558), ("2021-03-05-1204", 96021)]
