@@ -843,6 +843,37 @@ def bt_ts_range_q(spark, sf_dir):
 
 
 @query(
+    "events_retention_cohorts",
+    """
+    WITH w AS (
+      SELECT user_id,
+             CAST(DATE_TRUNC('week', ts) AS DATE) AS activity_week,
+             CAST(MIN(DATE_TRUNC('week', ts)) OVER (PARTITION BY user_id) AS DATE) AS cohort_week
+      FROM events)
+    SELECT cohort_week, activity_week, COUNT(DISTINCT user_id) AS active_users
+    FROM w GROUP BY cohort_week, activity_week
+    """,
+)
+def retention_cohorts_q(spark, sf_dir):
+    # Cohort retention: users grouped by first-seen week, counted per
+    # activity week.  The cohort comes from a window-min over the SAME
+    # scan (one pass; the firstw-CTE join form scans events twice).
+    # Week truncation is Monday-start ISO in both engines, tz-independent
+    # on timestamp_ntz.
+    e = load(spark, sf_dir, "events")
+    cohort = F.min(F.date_trunc("week", F.col("ts"))).over(W.partitionBy("user_id"))
+    return (
+        e.select(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("activity_week"),
+            cohort.cast("date").alias("cohort_week"),
+        )
+        .groupBy("cohort_week", "activity_week")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@query(
     "bt_key_not_between_prune",
     """
     SELECT event_type || '#' || LPAD(CAST(event_id AS VARCHAR), 8, '0') AS row_key,
