@@ -90,50 +90,101 @@ def topk_bruteforce(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def train_ivf_codebook(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    iters: int = 3,
+    sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd-refined codebook from a deterministic sample — the "train on
+    a sample, broadcast the codebook" half of a real IVF build.
+
+    Distributed-correct by SHAPE, not by size: the sample is chosen by
+    md5 order (reproducible across runs/partitionings), pulled to the
+    driver (codebooks are always tiny), and refined with a few k-means
+    iterations in numpy.  Returns plain lists, ready to broadcast into
+    ``topk_ivf(codebook=...)``.  Not SQL-reproducible (iterative), so the
+    oracle-checked queries keep the seed codebook; pytest pins that the
+    trained codebook does not LOSE recall vs the seed one.
+    """
+    import numpy as np
+
+    rows = (
+        embeddings.select(F.md5(F.col(id_col).cast("string")).alias("_h"), vec_col)
+        .orderBy("_h", vec_col)
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = X[:n_cells].copy()
+    for _ in range(iters):
+        sims = X @ C.T
+        labels = sims.argmax(axis=1)
+        for j in range(n_cells):
+            members = X[labels == j]
+            if len(members):
+                c = members.sum(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    return [list(map(float, c)) for c in C]
+
+
 def topk_ivf(
     embeddings: DataFrame,
     query_pred: Column,
     n_cells: int = 16,
     k: int = 3,
+    nprobe: int = 1,
+    codebook: list[list[float]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF ANN: coarse-quantizer cell assignment + nprobe=1 cell search —
+    """IVF ANN: coarse-quantizer cell assignment + nprobe-cell search —
     the other classic ANN family next to LSH (topk_lsh).
 
-    The codebook here is the first ``n_cells`` vectors by id: a
-    deterministic stand-in for a k-means-trained quantizer that keeps the
-    operator fully oracle-checkable.  In a real 100 TB pipeline you train
-    the codebook on a driver-side sample once and broadcast it — exactly
-    the shape below (centroids are ALWAYS broadcast-small; the corpus
-    never moves except its one shuffle on cell id).
+    The default codebook is the first ``n_cells`` vectors by id: a
+    deterministic stand-in that keeps the operator fully oracle-checkable;
+    pass ``codebook=train_ivf_codebook(...)`` for a k-means-refined one.
+    Either way centroids are broadcast-small and the corpus never moves
+    except its one shuffle on cell id.
 
     Assignment = argmax-cosine over the broadcast codebook (corpus scans
-    once; n_cells folds per row), then queries equi-join their cell:
-    scored pairs shrink by ~n_cells vs brute force, recall trades against
-    n_cells/nprobe exactly like bucket count in LSH.
+    once; n_cells folds per row).  The corpus side lives in its top-1
+    cell; the QUERY side probes its top-``nprobe`` cells — recall rises
+    with nprobe at ~nprobe× scoring cost, the standard IVF dial (the
+    corpus/scored-pair volume still shrinks ~n_cells/nprobe× vs brute
+    force).
     """
     base = embeddings.withColumn("_dv", as_double_vec(F.col(vec_col))).withColumn(
         "_n", norm(F.col(vec_col))
     )
-    seeds = base.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell"), F.col("_dv").alias("sv"), F.col("_n").alias("sn")
-    )
+    if codebook is None:
+        seeds = base.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cell"), F.col("_dv").alias("sv"), F.col("_n").alias("sn")
+        )
+    else:
+        spark = embeddings.sparkSession
+        seeds = spark.createDataFrame(
+            [(i, list(map(float, v))) for i, v in enumerate(codebook)], "cell LONG, sv ARRAY<DOUBLE>"
+        ).withColumn("sn", norm(F.col("sv")))
     cs = dot_raw(F.col("_dv"), F.col("sv")) / (F.col("_n") * F.col("sn"))
     aw = W.partitionBy(id_col).orderBy(F.desc("_cs"), F.asc("cell"))
-    assigned = (
+    ranked = (
         # deliberate cross join: |codebook| = n_cells (tiny, broadcast)
         base.crossJoin(F.broadcast(seeds))
         .withColumn("_cs", cs)
         .withColumn("_rn", F.row_number().over(aw))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "cell", "_dv", "_n")
+        .filter(F.col("_rn") <= max(1, nprobe))
+        .select(id_col, "cell", "_rn", "_dv", "_n")
         # the assignment IS the IVF index: materialize it once — both the
         # query and corpus sides of the self-join read the cached index
         # instead of re-planning the scan+assignment subtree twice
         .persist()
     )
-    q = assigned.filter(query_pred).select(
+    assigned = ranked.filter(F.col("_rn") == 1)
+    q = ranked.filter(query_pred).select(
         F.col(id_col).alias("query_id"), F.col("cell"), F.col("_dv").alias("qv"), F.col("_n").alias("qn")
     )
     c = assigned.select(
@@ -149,6 +200,10 @@ def topk_ivf(
             F.round(dot_raw(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias("score"),
         )
     )
+    if nprobe > 1:
+        # a (query, neighbor) pair can match through several probed cells;
+        # dedup before ranking (nprobe=1 needs no extra exchange)
+        scored = scored.groupBy("query_id", "neighbor_id").agg(F.first("score").alias("score"))
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 

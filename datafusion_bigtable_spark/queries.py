@@ -1270,6 +1270,46 @@ def sim_ivf_q(spark, sf_dir):
     return topk_ivf(e, F.col("vec_id") % 100 == 0, n_cells=16, k=3)
 
 
+@query(
+    "sim_topk_ivf_nprobe",
+    """
+    WITH seeds AS (
+      SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS sv
+      FROM embeddings WHERE vec_id < 16),
+    ranked AS (
+      SELECT e.vec_id, s.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.sv) DESC,
+                        s.cell) AS rn
+      FROM embeddings e CROSS JOIN seeds s),
+    scored AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS score
+      FROM embeddings q
+        JOIN ranked qa ON qa.vec_id = q.vec_id AND qa.rn <= 4
+        JOIN ranked ca ON ca.cell = qa.cell AND ca.rn = 1 AND ca.vec_id <> q.vec_id
+        JOIN embeddings c ON c.vec_id = ca.vec_id
+      WHERE q.vec_id % 100 = 0)
+    SELECT query_id, neighbor_id, score, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rk
+      FROM scored) t
+    WHERE rk <= 3
+    """,
+)
+def sim_ivf_nprobe_q(spark, sf_dir):
+    # The IVF recall dial, driver-verified: queries probe their top-4
+    # cells (corpus stays in its top-1), recovering neighbors that
+    # nprobe=1 misses at ~4× the scoring cost of one cell — still
+    # ~n_cells/nprobe cheaper than brute force.
+    from datafusion_bigtable_spark.operators.similarity import topk_ivf
+
+    e = load(spark, sf_dir, "embeddings")
+    return topk_ivf(e, F.col("vec_id") % 100 == 0, n_cells=16, k=3, nprobe=4)
+
+
 def _lang_sql_score(lang: str) -> str:
     from datafusion_bigtable_spark.functions.text import stopword_pattern
 

@@ -344,3 +344,35 @@ def test_headers_mode_parses_real_containers(spark, sf_dir):
             assert r.mime in ("image/png", "image/jpeg")
             assert r.width == 16 + i % 241 and r.height == 16 + (i * 7) % 241
             assert r.sample_rate is None
+
+
+def test_ivf_nprobe_and_trained_codebook_recall(spark, sf_dir):
+    """nprobe widens the probe set → recall vs brute force must be
+    monotone non-decreasing; a Lloyd-trained codebook must not lose
+    recall vs the arbitrary seed codebook at the same nprobe."""
+    from datafusion_bigtable_spark.operators.similarity import (
+        topk_bruteforce,
+        topk_ivf,
+        train_ivf_codebook,
+    )
+    from datafusion_bigtable_spark.queries import load
+
+    e = load(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") % 100 == 0
+    truth = {
+        (r.query_id, r.neighbor_id) for r in topk_bruteforce(e, pred, k=3).collect()
+    }
+
+    def recall(df):
+        got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+        return len(got & truth) / len(truth)
+
+    r1 = recall(topk_ivf(e, pred, n_cells=16, k=3, nprobe=1))
+    r2 = recall(topk_ivf(e, pred, n_cells=16, k=3, nprobe=4))
+    assert r2 >= r1
+    assert r2 > 0
+
+    cb = train_ivf_codebook(e, n_cells=16, iters=3)
+    assert len(cb) == 16 and len(cb[0]) == 64
+    rt = recall(topk_ivf(e, pred, n_cells=16, k=3, nprobe=4, codebook=cb))
+    assert rt >= r2 - 0.15  # trained codebook in the same recall band
