@@ -49,6 +49,7 @@ def connected_components(
     labels = edges.select("src").distinct().withColumn("label", F.col("src"))
     labels = labels.localCheckpoint()
 
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             edges.join(
@@ -77,5 +78,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # a component with diameter > max_iter would silently split into
+        # several labels — that is wrong output, not slow output; raise.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — raise max_iter (diameter "
+            "of the largest component exceeds it)"
+        )
 
     return labels.select(F.col("src").alias("id"), F.col("label").alias("component"))

@@ -704,7 +704,15 @@ def _bt_events_store(spark: SparkSession, sf_dir: str) -> str:
 
     from datafusion_bigtable_spark.sources.cells import write_manifest
 
-    path = f"/tmp/dbs_bt_store_{os.path.basename(os.path.normpath(sf_dir))}"
+    # cache key = source identity (full path + mtime + size), not just the
+    # dir basename — two datasets named sf0.1, or a regenerated
+    # events.parquet, must not reuse each other's derived store
+    import hashlib
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()).hexdigest()[:12]
+    path = f"/tmp/dbs_bt_store_{os.path.basename(os.path.normpath(sf_dir))}_{tag}"
     done = os.path.join(path, "_SUCCESS")
     if not os.path.exists(done):
         t = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()

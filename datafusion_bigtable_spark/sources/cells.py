@@ -92,6 +92,38 @@ def read_cells(spark: SparkSession, path: str) -> DataFrame:
 MANIFEST_REL_PATH = "_metadata/manifest.parquet"
 
 
+def footer_file_stats(files: list[str]) -> list[dict]:
+    """Per-file ``{file, min_key, max_key, min_ts, max_ts}`` from parquet
+    footer statistics — THE single implementation behind both the manifest
+    writer and the reader's no-manifest fallback, so planning decisions
+    cannot diverge between the two paths."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        stats: dict[str, list] = {"row_key": [], "ts": []}
+        for rg in range(meta.num_row_groups):
+            for ci in range(meta.num_columns):
+                col = meta.row_group(rg).column(ci)
+                if (
+                    col.path_in_schema in stats
+                    and col.statistics is not None
+                    and col.statistics.has_min_max
+                ):
+                    stats[col.path_in_schema].append((col.statistics.min, col.statistics.max))
+        out.append(
+            {
+                "file": f,
+                "min_key": min(s[0] for s in stats["row_key"]) if stats["row_key"] else None,
+                "max_key": max(s[1] for s in stats["row_key"]) if stats["row_key"] else None,
+                "min_ts": min(s[0] for s in stats["ts"]) if stats["ts"] else None,
+                "max_ts": max(s[1] for s in stats["ts"]) if stats["ts"] else None,
+            }
+        )
+    return out
+
+
 def write_manifest(path: str) -> str | None:
     """Persist per-file footer statistics (row_key and ts min/max) as a
     manifest table under ``<store>/_metadata/`` — the emulation of
@@ -111,24 +143,9 @@ def write_manifest(path: str) -> str | None:
     if not os.path.isdir(path):
         return None
     files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
-    rows = []
-    for f in files:
-        meta = pq.ParquetFile(f).metadata
-        stats: dict[str, list] = {"row_key": [], "ts": []}
-        for rg in range(meta.num_row_groups):
-            for ci in range(meta.num_columns):
-                col = meta.row_group(rg).column(ci)
-                if col.path_in_schema in stats and col.statistics is not None and col.statistics.has_min_max:
-                    stats[col.path_in_schema].append((col.statistics.min, col.statistics.max))
-        rows.append(
-            {
-                "file": os.path.basename(f),
-                "min_key": min(s[0] for s in stats["row_key"]) if stats["row_key"] else None,
-                "max_key": max(s[1] for s in stats["row_key"]) if stats["row_key"] else None,
-                "min_ts": min(s[0] for s in stats["ts"]) if stats["ts"] else None,
-                "max_ts": max(s[1] for s in stats["ts"]) if stats["ts"] else None,
-            }
-        )
+    rows = [
+        {**st, "file": os.path.basename(st["file"])} for st in footer_file_stats(files)
+    ]
     out = os.path.join(path, MANIFEST_REL_PATH)
     os.makedirs(os.path.dirname(out), exist_ok=True)
     table = pa.table(
@@ -204,6 +221,13 @@ def compact_cells_store(
 
     Write-temp-then-swap keeps a crash from destroying the store; like the
     writer, single-writer semantics are assumed (no concurrent compactors).
+
+    NOT safe under a live streaming tail: the streaming source's offsets
+    are processed-FILE sets, and compaction renames every file — an
+    in-flight checkpoint replay would come back empty and the next batch
+    would re-emit the whole store as duplicates (the same property as
+    Spark's own file-stream source under file rewrites).  Stop tailing
+    queries and reset their checkpoints around a compaction.
     """
     import os
     import shutil

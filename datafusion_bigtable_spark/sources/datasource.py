@@ -261,6 +261,8 @@ class BigtableReader(DataSourceReader):
                 # push ASCII bounds (equality is order-free, always safe)
                 if op == "eq" or v.isascii():
                     out.append((col, op, v))
+            elif typ == "binary" and isinstance(v, (bytes, bytearray)) and op == "eq":
+                out.append((col, op, bytes(v)))
         # LIKE 'prefix%' — the pushable subset of the roadmap's value-regex
         # filter: a prefix is a closed byte range over utf-8
         for f in filters:
@@ -271,8 +273,6 @@ class BigtableReader(DataSourceReader):
             v = getattr(f, "value", None)
             if specs.get(col) == "string" and isinstance(v, str) and v.isascii() and v:
                 out.append((col, "sw", v))
-            elif typ == "binary" and isinstance(v, (bytes, bytearray)) and op == "eq":
-                out.append((col, op, bytes(v)))
         return tuple(out)
 
     @staticmethod
@@ -325,40 +325,12 @@ class BigtableReader(DataSourceReader):
         manifest table when present (one small parquet read, written once
         by write_cells — sources/cells.py); falls back to the driver-side
         footer loop, which is fine to ~10⁵ files but O(files) per plan."""
-        from datafusion_bigtable_spark.sources.cells import read_manifest
+        from datafusion_bigtable_spark.sources.cells import footer_file_stats, read_manifest
 
         manifest = read_manifest(self.config.cells_path)
         if manifest is not None:
             return manifest
-
-        import pyarrow.parquet as pq
-
-        out = []
-        for f in self._files():
-            meta = pq.ParquetFile(f).metadata
-            stats: dict[str, tuple] = {}
-            for rg in range(meta.num_row_groups):
-                for ci in range(meta.num_columns):
-                    col = meta.row_group(rg).column(ci)
-                    if col.path_in_schema in ("row_key", "ts") and col.statistics is not None:
-                        s = col.statistics
-                        if s.has_min_max:
-                            prev = stats.get(col.path_in_schema)
-                            stats[col.path_in_schema] = (
-                                s.min if prev is None else min(prev[0], s.min),
-                                s.max if prev is None else max(prev[1], s.max),
-                            )
-            k, t = stats.get("row_key"), stats.get("ts")
-            out.append(
-                {
-                    "file": f,
-                    "min_key": k[0] if k else None,
-                    "max_key": k[1] if k else None,
-                    "min_ts": t[0] if t else None,
-                    "max_ts": t[1] if t else None,
-                }
-            )
-        return out
+        return footer_file_stats(self._files())
 
     @staticmethod
     def _ts_overlaps(st: dict, lo, hi) -> bool:
@@ -693,7 +665,19 @@ class BigtableWriter(DataSourceWriter):
         cells: list[tuple] = []
         for row in iterator:
             d = row.asDict()
-            key = sep.join(str(d[c]) for c in pcols) if len(pcols) > 1 else str(d[pcols[0]])
+            # NULL key components: the reader emits NULLs for stored keys
+            # with fewer components than declared (tail truncation), so
+            # TRAILING NULLs round-trip by joining only the present prefix;
+            # a NULL in the middle is unrepresentable as a row key → error
+            # (silently writing the string "None" would corrupt pruning).
+            parts = [d[c] for c in pcols]
+            while parts and parts[-1] is None:
+                parts.pop()
+            if not parts or any(p is None for p in parts):
+                raise ValueError(
+                    f"bigtable write: NULL row-key component in {dict(zip(pcols, (d[c] for c in pcols)))}"
+                )
+            key = sep.join(str(p) for p in parts)
             ts = d["_timestamp"]
             for spec in cfg.columns:
                 v = d.get(spec.name)
@@ -741,13 +725,21 @@ class BigtableWriter(DataSourceWriter):
                 continue
             dest = os.path.join(store, f"part-{i:05d}-{self.job_id}.parquet")
             shutil.move(m.staged, dest)
-        shutil.rmtree(os.path.dirname(self.staging), ignore_errors=True)
+        self._drop_staging()
         write_manifest(store)
 
     def abort(self, messages):
+        self._drop_staging()
+
+    def _drop_staging(self) -> None:
+        """Remove ONLY this job's staging dir — a concurrent append job has
+        its own subdir under <store>/_staging and must survive."""
+        import contextlib
         import shutil
 
-        shutil.rmtree(os.path.dirname(self.staging), ignore_errors=True)
+        shutil.rmtree(self.staging, ignore_errors=True)
+        with contextlib.suppress(OSError):  # non-empty → another job is active
+            os.rmdir(os.path.dirname(self.staging))
 
 
 class BigtableStreamReader(SimpleDataSourceStreamReader):
@@ -759,7 +751,11 @@ class BigtableStreamReader(SimpleDataSourceStreamReader):
 
     Offsets are the set of processed file names — deterministic replay
     (readBetweenOffsets) re-pivots exactly the files in ``end − start``,
-    which is what checkpoint recovery needs.  Requires
+    which is what checkpoint recovery needs.  Corollary: renaming files
+    under a live tail (compact_cells_store, overwrite writes) invalidates
+    those offsets — replay comes back empty and the renamed store re-emits
+    as duplicates; stop the stream and reset its checkpoint around
+    compaction (documented there too).  Requires
     ``only_read_latest=false``: a latest-version view is not incrementally
     computable batch-by-batch (a later file can carry a newer version of
     an already-emitted cell); the stream emits the honest version-unnest

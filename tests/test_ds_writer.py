@@ -158,3 +158,31 @@ def test_compaction_restores_disjoint_layout(registered, cells_path, tmp_path):
     rows = _read(registered, dest, latest="false").collect()
     assert len(rows) == 5  # only the newest version of each cell survives
     assert all(r.pressure is not None for r in rows)
+
+
+def test_write_null_key_components(registered, cells_path, tmp_path):
+    """Trailing-NULL key components round-trip as shorter keys; a NULL in
+    the middle is unrepresentable and must error, not write 'None'."""
+    import pyspark
+
+    dest = str(tmp_path / "nullkey_store")
+    src = _read(registered, cells_path).filter("event_minute = '2021-03-05-1200'")
+    short = src.selectExpr(
+        "region", "balloon_id", "CAST(NULL AS STRING) AS event_minute",
+        "_timestamp", "pressure", "temperature",
+    )
+    _opts(short.write.format("bigtable"), dest).mode("append").save()
+    import glob as g
+    import pyarrow.parquet as pq
+
+    keys = {c["row_key"] for c in pq.read_table(g.glob(os.path.join(dest, "*.parquet"))).to_pylist()}
+    assert keys == {"us-west2#3698"}  # truncated, no "None"
+    row = _read(registered, dest).collect()[0]
+    assert (row.region, row.balloon_id, row.event_minute) == ("us-west2", "3698", None)
+
+    bad = src.selectExpr(
+        "region", "CAST(NULL AS STRING) AS balloon_id", "event_minute",
+        "_timestamp", "pressure", "temperature",
+    )
+    with pytest.raises(Exception, match="NULL row-key component"):
+        _opts(bad.write.format("bigtable"), str(tmp_path / "bad")).mode("append").save()

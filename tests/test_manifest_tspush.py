@@ -282,3 +282,15 @@ def test_value_prefix_pushdown(tmp_path):
     assert ("q", "sw", "cli") in part.value_preds
     rows = [row for b in r.read(part) for row in b.to_pylist()]
     assert sorted(row["q"] for row in rows) == ["click", "climb"]
+
+
+def test_like_prefix_on_undeclared_column_is_ignored(tmp_path):
+    """Regression: a LIKE prefix on a non-declared (e.g. key) column must
+    be skipped cleanly, not crash planning (stale-variable bug)."""
+    from pyspark.sql.datasource import StringStartsWith
+
+    store = _int_store(tmp_path, [1, 2])
+    r = _reader(store, columns="p:int64")
+    r.pushFilters([StringStartsWith(("_row_key",), "k"), StringStartsWith(("p",), "x")])
+    (part,) = r.partitions()
+    assert part.value_preds == ()  # neither pushed: key col / non-string col
