@@ -83,6 +83,14 @@ class InProcessBigtableService:
             pat = pat.decode() if isinstance(pat, bytes) else pat
             rx = re.compile(pat)
             return [c for c in cells if rx.fullmatch(c[1])]
+        if "value_range_filter" in flt:
+            vr = flt["value_range_filter"]
+            lo, hi = vr.get("start_value_closed"), vr.get("end_value_closed")
+            return [
+                c
+                for c in cells
+                if (lo is None or c[3] >= lo) and (hi is None or c[3] <= hi)
+            ]
         if "cells_per_column_limit_filter" in flt:
             n = int(flt["cells_per_column_limit_filter"])
             out: list = []

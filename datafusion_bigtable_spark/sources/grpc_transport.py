@@ -44,10 +44,20 @@ def build_row_set(ranges: Sequence[KeyRange]) -> dict:
 
 
 def build_filter_chain(
-    config: BigtableTableConfig, projected_qualifiers: Iterable[str] | None = None
+    config: BigtableTableConfig,
+    projected_qualifiers: Iterable[str] | None = None,
+    value_range: tuple[bytes | None, bytes | None] | None = None,
 ) -> list[dict]:
     """The reference's RowFilter chain (composer.rs:249-284):
-    family pin → optional cells-per-column limit → qualifier regex."""
+    family pin → optional cells-per-column limit → qualifier regex
+    → optional value range (the roadmap item README.md:46-49, here as the
+    service's real ``value_range_filter`` — closed encoded-byte bounds).
+
+    Value-range caveat mirrors the DS pushdown gating: a value filter
+    BEFORE the cells-per-column limit would change which version is
+    "latest", so it is appended AFTER the limit — cell-level semantics,
+    use only in version-unnest reads or when the caller re-filters.
+    """
     chain: list[dict] = [{"family_name_regex_filter": config.column_family}]
     if config.only_read_latest:
         chain.append({"cells_per_column_limit_filter": 1})
@@ -55,6 +65,14 @@ def build_filter_chain(
     if quals:  # empty projection → no filter, NOT match-everything regex
         pattern = "|".join(re.escape(q) for q in quals)
         chain.append({"column_qualifier_regex_filter": pattern.encode("utf-8")})
+    if value_range is not None:
+        lo, hi = value_range
+        f: dict = {}
+        if lo is not None:
+            f["start_value_closed"] = lo
+        if hi is not None:
+            f["end_value_closed"] = hi
+        chain.append({"value_range_filter": f})
     return chain
 
 

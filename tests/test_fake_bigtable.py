@@ -19,6 +19,14 @@ from datafusion_bigtable_spark.sources.fake_bigtable import (
 from datafusion_bigtable_spark.sources.grpc_transport import fetch_cells
 
 
+from datafusion_bigtable_spark.config import BigtableTableConfig, ColumnSpec
+
+_CFG_VR = BigtableTableConfig(
+    table="t", column_family="f", columns=(ColumnSpec("a", "int64"),),
+    table_partition_cols=("_row_key",),
+)
+
+
 def _epoch_us(ts: dt.datetime) -> int:
     return int((ts - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
 
@@ -173,3 +181,29 @@ def test_latest_version_pushed_into_request(spark, simple_config):
         ("us-west2#3698#2021-03-05-1200", dt.datetime(2021, 3, 5, 12, 0, 5, 100000)): (None, "9.6"),
         ("us-west2#3698#2021-03-05-1200", dt.datetime(2021, 3, 5, 12, 0, 6)): (11111, None),
     }
+
+
+def test_value_range_filter_in_chain():
+    """value_range_filter (the roadmap item) as a real chain member: cells
+    outside the closed byte range are dropped server-side."""
+    from datafusion_bigtable_spark.sources.grpc_transport import build_filter_chain
+
+    cells = [
+        ("r1", "f", "a", 100, (5).to_bytes(8, "big", signed=True)),
+        ("r1", "f", "b", 100, (50).to_bytes(8, "big", signed=True)),
+        ("r1", "f", "c", 100, (500).to_bytes(8, "big", signed=True)),
+    ]
+    svc = InProcessBigtableService(cells)
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        _CFG_VR, columns=(), table_partition_cols=("_row_key",), only_read_latest=False
+    )
+    chain = build_filter_chain(
+        cfg,
+        projected_qualifiers=[],
+        value_range=((10).to_bytes(8, "big", signed=True), (100).to_bytes(8, "big", signed=True)),
+    )
+    request = {"filter": {"chain": {"filters": chain}}}
+    (row,) = list(svc.read_rows(request))
+    assert [q for _, q, *_ in [(c[0], c[1], c[2]) for c in row[1]]] == ["b"]
