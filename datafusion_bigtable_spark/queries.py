@@ -1014,16 +1014,99 @@ def asof_join(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Driver-window scheduling.  The correctness driver hash-checks only the
+# FIRST 50 entries of queries() iteration order per round, while the registry
+# is larger — so iteration order IS the verification schedule.  Policy
+# (documented in COVERAGE.md): order by the round each query's record last
+# went driver-green, oldest first; never-checked / stale-record / touched-
+# this-round queries carry 0 and therefore always land inside the window.
+# Registry (file) order breaks ties, keeping the schedule deterministic.
+# After each round, fold CORRECTNESS_r{N}.json back into _LAST_GREEN and
+# reset any query whose implementation changed to 0.
+# ---------------------------------------------------------------------------
+
+_R1_GREEN = (
+    "streaming_window_counts",
+    "union_all_entities",
+    "skew_salted_aggregation",
+    "grouping_sets_mixed",
+    "streaming_session_windows",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+)
+_R2_GREEN = (
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_revenue_change",
+    "tpch_q10_returned_items",
+    "agg_distinct_stats",
+    "rollup_lineitem_qty",
+    "cube_orders_revenue",
+    "window_topk_per_group",
+    "window_running_sum",
+    "window_lag_delta",
+    "topk_orders_global",
+    "set_ops_nation_overlap",
+    "set_ops_nation_except",
+    "semi_join_active_customers",
+    "anti_join_idle_customers",
+    "outer_join_nation_customer_counts",
+    "scalar_functions_part",
+    "json_extract_props",
+    "cte_above_nation_avg",
+    "having_repeat_customers",
+    "median_quantiles",
+    "bt_key_compose_range_prune",
+    "bt_key_split",
+    "bt_latest_version",
+    "bt_cell_pivot",
+    "bt_key_not_between_prune",
+    "events_retention_cohorts",
+    "events_sessionize",
+    "asof_join_latest_event",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_connected_components",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh_bucketed",
+    "text_langid",
+    "text_curation_filter",
+    "sample_class_balanced",
+    "corpus_mixing_weights",
+    "text_quality",
+    "text_token_counts",
+    "text_fingerprint",
+)
+# r2-green names NOT listed above (bt_limit_pushdown, bt_ts_range_prune,
+# bt_value_filter_pushdown, sim_topk_ivf_*, dedup_ngram_jaccard,
+# approx_aggregates …) had their implementation or scan path touched in
+# round 3 → implicit 0, back inside the window.  Every name absent from
+# both tuples is 0: the 19 never-driver-checked queries, the 4 whose r1
+# rows-only record predates their r2 oracles, and all round-3 additions.
+_LAST_GREEN: dict[str, int] = {**{n: 1 for n in _R1_GREEN}, **{n: 2 for n in _R2_GREEN}}
+
+
+def _schedule() -> list[str]:
+    ordered = list(REGISTRY)
+    return sorted(ordered, key=lambda n: (_LAST_GREEN.get(n, 0), ordered.index(n)))
+
+
 def names() -> list[str]:
-    return list(REGISTRY)
+    return _schedule()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _schedule()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec.sql for name, spec in REGISTRY.items() if spec.sql is not None}
+    return {
+        name: REGISTRY[name].sql for name in _schedule() if REGISTRY[name].sql is not None
+    }
 
 
 # =========================================================================
