@@ -84,7 +84,7 @@ def jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    df_cap: int | None = 1000,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Candidate pairs by shared shingle, then exact Jaccard ≥ threshold.
 
@@ -101,20 +101,24 @@ def jaccard_pairs(
     ``collect_list`` in one task and emit ~10¹² pairs.  Shingles whose
     document frequency exceeds ``df_cap`` are dropped BEFORE the list is
     collected, bounding every bucket to ≤ df_cap ids (≤ df_cap² pairs).
-    Such shingles carry no discriminative signal — with the default cap
-    (1000; measured max df is 25 at sf0.1) the output is bit-identical on
-    real corpora, and the pre-filter is what makes the inverted-list form
-    safe at scale.  The count is a window over ``shingle``: WindowExec
-    buffers each bucket in a SPILLING external buffer (unlike the
-    collect_list array it guards), and its hash partitioning is exactly
-    what the list aggregation needs, so the cap adds ZERO extra shuffles
-    (measured at sf0.1: window-cap 2.0 s ≈ uncapped 2.3 s; a
-    count-join-filter form cost an un-reused Exchange, 3.0 s).
-    ``df_cap=None`` disables the guard (exact semantics for any corpus,
-    original memory hazard).  Note a dropped shingle also leaves the
-    n_inter count, so a cap BELOW real frequencies changes jaccard values
-    — keep it above plausible bucket sizes, it is a memory bound, not a
-    tuning dial.
+    The count is a window over ``shingle``: WindowExec buffers each bucket
+    in a SPILLING external buffer (unlike the collect_list array it
+    guards), and its hash partitioning is exactly what the list
+    aggregation needs, so the cap adds ZERO extra shuffles (measured at
+    sf0.1: window-cap 2.0 s ≈ uncapped 2.3 s; a count-join-filter form
+    cost an un-reused Exchange, 3.0 s).
+
+    The default is ``df_cap=None`` — exact Jaccard, the original memory
+    hazard — so the function never silently changes semantics.  With a cap
+    set, BOTH per-doc shingle sizes and intersections come from the same
+    capped table, so the result is the well-defined Jaccard over the
+    ≤-df_cap-frequency shingle universe ("discriminative shingles"), not a
+    silent underestimate mixing capped intersections with uncapped sizes.
+    On corpora whose max document frequency stays under the cap (measured
+    max df is 25 at sf0.1) the capped result is bit-identical to exact;
+    above it, hot boilerplate shingles stop contributing to either side of
+    the ratio.  Pick a cap above plausible real bucket sizes: it is a
+    memory bound for hostile corpora, not a tuning dial.
     """
     # NOTE the shingle subtree is planned three times (sizes feeds both
     # pair sides; the lists feed pair generation).  Persisting it was
@@ -124,7 +128,6 @@ def jaccard_pairs(
     # assignment index where the subtree carries a window over a cross
     # join.  Revisit only if the shingle table becomes the dominant cost.
     sh = shingles(docs, k, text_col, id_col)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
 
     if df_cap is not None:
         wsh = W.partitionBy("shingle")
@@ -135,6 +138,10 @@ def jaccard_pairs(
         )
     else:
         paired_sh = sh
+
+    # sizes from the SAME (possibly capped) shingle universe as the
+    # intersections — keeps the ratio self-consistent when the cap engages
+    sizes = paired_sh.groupBy("id").agg(F.count("*").alias("n_sh"))
 
     lists = (
         paired_sh.groupBy("shingle")

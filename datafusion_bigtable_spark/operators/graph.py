@@ -21,13 +21,35 @@ Scale notes:
 - ``localCheckpoint`` truncates lineage each round — without it the plan
   doubles per iteration and the driver chokes on analysis long before the
   executors break a sweat (the classic iterative-Spark trap).
-- labels persist round-over-round; the previous round is unpersisted once
-  the new one materializes.
+- labels persist round-over-round; the previous round's checkpoint blocks
+  are freed eagerly (``_free_local_checkpoint``) once the new one
+  materializes, and the edge blocks at return — an operator pitched for
+  iterative 100 TB use must not rely on ContextCleaner GC to bound its
+  executor storage.  Only the final round's blocks remain: they back the
+  returned DataFrame.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Eagerly release a ``localCheckpoint()``'s storage blocks.
+
+    ``DataFrame.unpersist()`` cannot reach them (the persist lives on the
+    internal RDD behind the LogicalRDD plan, not in the cache manager), so
+    go through the JVM plan.  Callers must be done with EVERY DataFrame
+    derived from this checkpoint — the lineage is truncated, so freed
+    blocks are unrecoverable.  Best-effort: on any failure the
+    ContextCleaner's GC path still reclaims the blocks eventually.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def connected_components(
@@ -75,9 +97,13 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # the count above was the last reader of the previous round's
+        # checkpoint — free its blocks now instead of waiting for GC
+        _free_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
+    _free_local_checkpoint(edges)
     if changed != 0:
         # a component with diameter > max_iter would silently split into
         # several labels — that is wrong output, not slow output; raise.

@@ -748,10 +748,14 @@ def _bt_events_store(spark: SparkSession, sf_dir: str) -> str:
         ).sort_values(["row_key", "qualifier", "ts"], kind="stable")
         os.makedirs(path, exist_ok=True)
         bounds = [int(len(long) * i / 4) for i in range(5)]
-        # align chunk boundaries to row_key changes (disjoint file ranges)
+        # align chunk boundaries to row_key changes (disjoint file ranges);
+        # start each alignment at the PREVIOUS aligned bound so a key
+        # spanning more than a quartile cannot push bounds[i] past
+        # bounds[i+1] (which would slice an empty chunk and duplicate its
+        # rows into the neighbors)
         keys = long["row_key"].to_numpy()
         for i in range(1, 4):
-            b = bounds[i]
+            b = max(bounds[i], bounds[i - 1])
             while 0 < b < len(keys) and keys[b] == keys[b - 1]:
                 b += 1
             bounds[i] = b
@@ -1157,7 +1161,11 @@ def dedup_exact_q(spark, sf_dir):
 def dedup_jaccard_q(spark, sf_dir):
     from datafusion_bigtable_spark.operators.dedup import jaccard_pairs
 
-    return jaccard_pairs(load(spark, sf_dir, "documents"), k=3, threshold=0.5)
+    # df_cap is opted into EXPLICITLY (the library default is exact): the
+    # at-scale posture keeps hot-shingle buckets bounded; measured max df
+    # is 25 at sf0.1, so the capped result is bit-identical to the exact
+    # oracle at every test SF.
+    return jaccard_pairs(load(spark, sf_dir, "documents"), k=3, threshold=0.5, df_cap=1000)
 
 
 @query(

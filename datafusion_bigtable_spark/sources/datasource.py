@@ -120,6 +120,7 @@ class RangePartition(InputPartition):
     ts_lo: object = None
     ts_hi: object = None
     value_preds: tuple = ()
+    rows_cap: object = None
 
 
 @dataclass
@@ -135,6 +136,7 @@ class FilePartition(InputPartition):
     ts_lo: object = None
     ts_hi: object = None
     value_preds: tuple = ()
+    rows_cap: object = None
 
 
 class BigtableReader(DataSourceReader):
@@ -152,8 +154,24 @@ class BigtableReader(DataSourceReader):
         # partition.  Per-partition cap: P partitions still yield >= min(n,
         # total) rows, which is all a global LIMIT needs; callers pair the
         # option with df.limit(n) above their filters for exact semantics.
+        #
+        # SAFETY GATE: capping raw scan output is only sound when every
+        # emitted row survives Spark's re-applied filters (the Inexact
+        # contract) — otherwise the cap is consumed by rows that are then
+        # dropped above, silently returning fewer than n MATCHING rows
+        # while real matches were abandoned.  The cap is therefore honored
+        # only when the plan's pushed filters are exactly enforced
+        # in-scan: key-component predicates fully absorbed into composed
+        # ranges (the bt_limit_pushdown case) or no filters at all.  Any
+        # residual — widened strict _timestamp bounds, value pushdown
+        # gated off under only_read_latest, a predicate the composer could
+        # not absorb — disables the cap for that plan (with a warning).
+        # Filters Spark never offers to the source (UDFs, unsupported
+        # expressions) are invisible here and still unsafe with rows_limit
+        # when pushFilters also is not invoked; the option doc says so.
         raw_limit = options.get("rows_limit")
         self.rows_limit = int(raw_limit) if raw_limit is not None else None
+        self._limit_safe = True
         # Timestamp-range pushdown (reference roadmap README.md:46-49,
         # never shipped there): conservative [lo, hi] bounds on the cell
         # timestamp, harvested from _timestamp predicates.
@@ -185,8 +203,62 @@ class BigtableReader(DataSourceReader):
             if not self.config.allow_full_scan:
                 raise
             self.ranges = []
+        # rows_limit safety (see __init__): the cap survives this plan only
+        # if the scan enforces every pushed filter exactly — i.e. all
+        # filters are key predicates the composer absorbed into ranges.
+        filters = list(filters)
+        self._limit_safe = not filters or (
+            bool(self.ranges)
+            and self._filters_exactly_absorbed(filters, self.config.table_partition_cols)
+        )
         # Inexact contract: claim nothing, Spark re-applies every filter.
         return iter(filters)
+
+    @staticmethod
+    def _filters_exactly_absorbed(filters, pcols) -> bool:
+        """True iff every pushed filter is a key-component predicate the
+        composer absorbs exactly (``=``/``IN`` with string literals on key
+        components; a single ``>=``/``<=`` pair on the tail forming a
+        BETWEEN).  Exactness assumes stored keys carry exactly the declared
+        component count — the same assumption split_row_key round-trips on.
+        ts/value predicates are NEVER exact in-scan (strict bounds widen;
+        cell-level drops leave NULL holes the re-applied filter removes).
+        The IsNotNull filters Catalyst pushes alongside comparisons are
+        exact only for columns that ALSO carry an absorbed constraint
+        (every row a composed range emits has that component non-null)."""
+        tail = pcols[-1]
+        lowers, uppers = 0, 0
+        constrained: set = set()
+        not_null: set = set()
+        for f in filters:
+            name = type(f).__name__
+            col = getattr(f, "attribute", None)
+            col = col[0] if isinstance(col, (tuple, list)) and col else col
+            v = getattr(f, "value", None)
+            if name == "IsNotNull" and col in pcols:
+                not_null.add(col)
+                continue
+            if name == "EqualTo" and col in pcols and isinstance(v, str):
+                constrained.add(col)
+                continue
+            if name == "In" and col in pcols:
+                raw = v or getattr(f, "values", ())
+                if raw and all(isinstance(x, str) for x in raw):
+                    constrained.add(col)
+                    continue
+                return False
+            if name == "GreaterThanOrEqual" and col == tail and isinstance(v, str):
+                lowers += 1
+                continue
+            if name == "LessThanOrEqual" and col == tail and isinstance(v, str):
+                uppers += 1
+                continue
+            return False
+        if lowers == uppers == 1:
+            constrained.add(tail)
+        # a lone >= / <= on the tail is NOT recombined into a Between by
+        # from_datasource_filters → residual → unsafe
+        return lowers == uppers and lowers <= 1 and not_null <= constrained
 
     @staticmethod
     def _timestamp_bounds(filters) -> tuple | None:
@@ -354,6 +426,16 @@ class BigtableReader(DataSourceReader):
         value_preds, self.value_preds = self.value_preds, ()
         if self.config.only_read_latest:
             value_preds = ()  # same promotion hazard as ts — gate to unnest
+        limit_safe, self._limit_safe = self._limit_safe, True
+        rows_cap = self.rows_limit if limit_safe else None
+        if self.rows_limit is not None and not limit_safe:
+            warnings.warn(
+                "bigtable: rows_limit disabled for this plan — its filters "
+                "are not exactly enforced in-scan, so capping raw scan "
+                "output could return fewer than the requested matching "
+                "rows (see the rows_limit option doc)",
+                stacklevel=2,
+            )
         if self._last_plan_pruned and not self._pushed_since_last_plan:
             # The JVM re-invoked planning without pushing filters after this
             # handle planned a pruned scan.  The reset above makes THIS call
@@ -391,23 +473,32 @@ class BigtableReader(DataSourceReader):
                     and self._ts_overlaps(st, ts_lo, ts_hi)
                 ]
                 if files:
-                    parts.append(RangePartition(r.start, r.end, tuple(files), ts_lo, ts_hi, value_preds))
+                    parts.append(
+                        RangePartition(r.start, r.end, tuple(files), ts_lo, ts_hi, value_preds, rows_cap)
+                    )
             # every range pruned to zero files → still need ≥1 partition so
             # the scan yields an empty result with the right schema
-            return parts or [RangePartition(ranges[0].start, ranges[0].end, (self._files()[0],), ts_lo, ts_hi, value_preds)]
+            return parts or [
+                RangePartition(ranges[0].start, ranges[0].end, (self._files()[0],), ts_lo, ts_hi, value_preds, rows_cap)
+            ]
         if not self.config.allow_full_scan:
             raise ComposerError("table_partition_cols: filter is not provided or not supported")
         stats = self._file_stats()
         if ts_push:
             stats = [st for st in stats if self._ts_overlaps(st, ts_lo, ts_hi)] or stats[:1]
-        return [FilePartition(tuple(g), ts_lo, ts_hi, value_preds) for g in _key_disjoint_groups(stats)]
+        return [
+            FilePartition(tuple(g), ts_lo, ts_hi, value_preds, rows_cap)
+            for g in _key_disjoint_groups(stats)
+        ]
 
     # -- scan (A1/A11/A13/A14/A15, partition-local) -----------------------
     def read(self, partition: InputPartition) -> Iterator:
-        if self.rows_limit is None:
+        # the cap travels on the partition: it was validated against THIS
+        # plan's filters at planning time (see partitions())
+        remaining = getattr(partition, "rows_cap", None)
+        if remaining is None:
             yield from self._scan(partition)
             return
-        remaining = self.rows_limit
         for batch in self._scan(partition):
             if batch.num_rows > remaining:
                 batch = batch.slice(0, remaining)
@@ -825,6 +916,14 @@ class BigtableDataSource(DataSource):
     Options: path, column_family, columns ("name:type,..."),
     table_partition_cols ("a,b,c"), table_partition_separator,
     only_read_latest, allow_full_scan, rows_limit.
+
+    rows_limit caps each partition's scan output and abandons the parquet
+    batch stream early; pair it with ``df.limit(n)``.  It is honored ONLY
+    for plans whose pushed filters are exactly enforced in-scan (key
+    ``=``/``IN``/tail-BETWEEN predicates fully absorbed into ranges, or no
+    filters); any residual predicate disables the cap for that plan with a
+    warning.  Filters Spark cannot push (UDFs, unsupported expressions)
+    are invisible to the source — do not combine them with rows_limit.
     """
 
     @classmethod

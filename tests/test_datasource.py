@@ -336,10 +336,83 @@ def test_rows_limit_stops_pulling_batches(tmp_path):
     assert sum(b.num_rows for b in full_batches) == n
     assert len(full_batches) >= 4  # the stream really is multiple batches
 
+    # the cap travels on the partition (validated per-plan, see
+    # partitions()): a planner-attached rows_cap stops the stream
     reader = mk_reader(10)
+    capped_part = RangePartition("k0000000", "k9999999", (path,), rows_cap=10)
     seen = []
-    gen = reader.read(part)
+    gen = reader.read(capped_part)
     for b in gen:
         seen.append(b)
     assert sum(b.num_rows for b in seen) == 10
     assert len(seen) == 1  # stopped after the first pivoted batch
+
+
+def test_rows_limit_disabled_for_residual_filters(registered, cells_path):
+    """rows_limit + a predicate not exactly enforced in-scan (strict
+    _timestamp bound, widened to inclusive under the Inexact contract)
+    must NOT cap the scan — otherwise rows consumed by the cap get dropped
+    above and matching rows are silently abandoned."""
+    df = _reader(
+        registered, cells_path, rows_limit="1", only_read_latest="false"
+    ).filter(
+        "region = 'us-west2' AND balloon_id = '3698' "
+        "AND event_minute >= '2021-03-05-1200' AND event_minute <= '2021-03-05-1204' "
+        "AND _timestamp > TIMESTAMP '2021-03-05 12:00:06'"
+    )
+    rows = df.collect()
+    # every event minute after 12:00:06 must be present: the unsafe cap
+    # would have kept only the first raw row (ts 12:00:05, then dropped)
+    assert sorted(r.event_minute for r in rows) == [
+        "2021-03-05-1201",
+        "2021-03-05-1202",
+        "2021-03-05-1203",
+        "2021-03-05-1204",
+    ]
+
+
+def test_filters_exactly_absorbed_rules():
+    from dataclasses import dataclass as dc
+
+    from datafusion_bigtable_spark.sources.datasource import BigtableReader
+
+    @dc
+    class EqualTo:
+        attribute: tuple
+        value: object
+
+    @dc
+    class GreaterThanOrEqual:
+        attribute: tuple
+        value: object
+
+    @dc
+    class LessThanOrEqual:
+        attribute: tuple
+        value: object
+
+    @dc
+    class IsNull:
+        attribute: tuple
+
+    @dc
+    class IsNotNull:
+        attribute: tuple
+
+    ok = BigtableReader._filters_exactly_absorbed
+    pcols = ("a", "b")
+    assert ok([EqualTo(("a",), "x")], pcols)
+    assert ok([EqualTo(("a",), "x"), GreaterThanOrEqual(("b",), "1"), LessThanOrEqual(("b",), "9")], pcols)
+    # Catalyst's companion IsNotNull on a constrained key component is exact
+    assert ok([IsNotNull(("a",)), EqualTo(("a",), "x")], pcols)
+    # … but IsNotNull on an UNconstrained component is a real residual
+    # (truncated stored keys split to NULL tails)
+    assert not ok([IsNotNull(("b",)), EqualTo(("a",), "x")], pcols)
+    # lone bound on the tail is never recombined into BETWEEN → residual
+    assert not ok([EqualTo(("a",), "x"), GreaterThanOrEqual(("b",), "1")], pcols)
+    # range on a NON-tail component is residual
+    assert not ok([GreaterThanOrEqual(("a",), "1"), LessThanOrEqual(("a",), "9")], pcols)
+    # non-string literal → composer ignores it → residual
+    assert not ok([EqualTo(("a",), 7)], pcols)
+    # non-key predicate → residual
+    assert not ok([EqualTo(("a",), "x"), IsNull(("v",))], pcols)
