@@ -71,6 +71,14 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Session hygiene (VERDICT r2): an 80-query session must not let
+        # one query's persisted state (e.g. an IVF assignment index built
+        # without an owning handle) sit in executor storage distorting
+        # later measurements — r2 recorded a 45 s reading for a query that
+        # runs in ~4 s in a clean session.  Clearing is a no-op for the
+        # (majority of) queries that cache nothing, so it costs nothing
+        # and every query starts from the same session state.
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

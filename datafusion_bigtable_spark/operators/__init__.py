@@ -6,9 +6,17 @@ from datafusion_bigtable_spark.operators.pivot import (
     pivot_cells,
     split_row_key,
 )
-from datafusion_bigtable_spark.operators.similarity import topk_bruteforce, topk_ivf, topk_lsh
+from datafusion_bigtable_spark.operators.similarity import (
+    IvfIndex,
+    build_ivf_index,
+    topk_bruteforce,
+    topk_ivf,
+    topk_lsh,
+)
 
 __all__ = [
+    "IvfIndex",
+    "build_ivf_index",
     "connected_components",
     "decode_int64_be",
     "decode_utf8",

@@ -131,31 +131,49 @@ def train_ivf_codebook(
     return [list(map(float, c)) for c in C]
 
 
-def topk_ivf(
+class IvfIndex:
+    """Handle over a built IVF assignment index — the persisted
+    (id, cell, probe-rank, vector, norm) table both sides of the cell
+    self-join read.
+
+    Explicit lifecycle (VERDICT r2): build once per corpus with
+    :func:`build_ivf_index`, run any number of ``topk_ivf(...,
+    index=idx)`` searches against it, then ``idx.unpersist()`` when done —
+    long sessions (the 80-query bench, a notebook looping corpora) must
+    not accumulate executor storage waiting for ContextCleaner GC.
+    Context-manager form (``with build_ivf_index(...) as idx:``) unpersists
+    on exit.
+    """
+
+    def __init__(self, assignments: DataFrame):
+        self.assignments = assignments
+
+    def unpersist(self, blocking: bool = False) -> None:
+        self.assignments.unpersist(blocking)
+
+    def __enter__(self) -> "IvfIndex":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.unpersist()
+
+
+def build_ivf_index(
     embeddings: DataFrame,
-    query_pred: Column,
     n_cells: int = 16,
-    k: int = 3,
     nprobe: int = 1,
     codebook: list[list[float]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF ANN: coarse-quantizer cell assignment + nprobe-cell search —
-    the other classic ANN family next to LSH (topk_lsh).
-
-    The default codebook is the first ``n_cells`` vectors by id: a
-    deterministic stand-in that keeps the operator fully oracle-checkable;
-    pass ``codebook=train_ivf_codebook(...)`` for a k-means-refined one.
-    Either way centroids are broadcast-small and the corpus never moves
-    except its one shuffle on cell id.
+) -> IvfIndex:
+    """Assign every vector its top-``nprobe`` codebook cells and persist
+    the result — the build half of IVF, separated from search so the
+    cache has an owner (see :class:`IvfIndex`).
 
     Assignment = argmax-cosine over the broadcast codebook (corpus scans
-    once; n_cells folds per row).  The corpus side lives in its top-1
-    cell; the QUERY side probes its top-``nprobe`` cells — recall rises
-    with nprobe at ~nprobe× scoring cost, the standard IVF dial (the
-    corpus/scored-pair volume still shrinks ~n_cells/nprobe× vs brute
-    force).
+    once; n_cells folds per row).  The persist is what makes the search's
+    self-join read the scan+assignment subtree once instead of planning it
+    twice (measured 2× at sf0.1).
     """
     base = embeddings.withColumn("_dv", as_double_vec(F.col(vec_col))).withColumn(
         "_n", norm(F.col(vec_col))
@@ -178,18 +196,51 @@ def topk_ivf(
         .withColumn("_rn", F.row_number().over(aw))
         .filter(F.col("_rn") <= max(1, nprobe))
         .select(id_col, "cell", "_rn", "_dv", "_n")
-        # the assignment IS the IVF index: materialize it once — both the
-        # query and corpus sides of the self-join read the cached index
-        # instead of re-planning the scan+assignment subtree twice
-        # (measured 2x at sf0.1).  Not explicitly unpersisted: the handle
-        # is inside the returned plan, and Spark's ContextCleaner
-        # unpersists it when the DataFrame is garbage-collected — callers
-        # looping over many corpora should hold one index per corpus, not
-        # re-call this per query.
         .persist()
     )
+    return IvfIndex(ranked)
+
+
+def topk_ivf(
+    embeddings: DataFrame,
+    query_pred: Column,
+    n_cells: int = 16,
+    k: int = 3,
+    nprobe: int = 1,
+    codebook: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: IvfIndex | None = None,
+) -> DataFrame:
+    """IVF ANN: coarse-quantizer cell assignment + nprobe-cell search —
+    the other classic ANN family next to LSH (topk_lsh).
+
+    The default codebook is the first ``n_cells`` vectors by id: a
+    deterministic stand-in that keeps the operator fully oracle-checkable;
+    pass ``codebook=train_ivf_codebook(...)`` for a k-means-refined one.
+    Either way centroids are broadcast-small and the corpus never moves
+    except its one shuffle on cell id.
+
+    The corpus side lives in its top-1 cell; the QUERY side probes its
+    top-``nprobe`` cells — recall rises with nprobe at ~nprobe× scoring
+    cost, the standard IVF dial (the corpus/scored-pair volume still
+    shrinks ~n_cells/nprobe× vs brute force).
+
+    Cache lifecycle: pass ``index=build_ivf_index(...)`` to own the
+    persisted assignment (and ``unpersist()`` it when done).  Without one,
+    a throwaway index is built here and its storage is reclaimed by
+    Spark's ContextCleaner when the result DataFrame is garbage-collected
+    — fine for one-shot queries, wasteful in loops; sessions running many
+    queries should hold one index per corpus or clear caches between
+    queries (bench.py does the latter).
+    """
+    if index is None:
+        index = build_ivf_index(embeddings, n_cells, nprobe, codebook, id_col, vec_col)
+    ranked = index.assignments
     assigned = ranked.filter(F.col("_rn") == 1)
-    q = ranked.filter(query_pred).select(
+    # an index built with a larger nprobe serves narrower searches: the
+    # probe set re-filters to THIS call's nprobe
+    q = ranked.filter(F.col("_rn") <= max(1, nprobe)).filter(query_pred).select(
         F.col(id_col).alias("query_id"), F.col("cell"), F.col("_dv").alias("qv"), F.col("_n").alias("qn")
     )
     c = assigned.select(

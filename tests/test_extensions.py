@@ -376,3 +376,31 @@ def test_ivf_nprobe_and_trained_codebook_recall(spark, sf_dir):
     assert len(cb) == 16 and len(cb[0]) == 64
     rt = recall(topk_ivf(e, pred, n_cells=16, k=3, nprobe=4, codebook=cb))
     assert rt >= r2 - 0.15  # trained codebook in the same recall band
+
+
+def test_ivf_index_handle_lifecycle(spark, sf_dir):
+    """The owned-index path: one build serves repeated searches (incl. a
+    narrower nprobe than it was built with) bit-identically to the
+    build-per-call path, and unpersist() actually releases the storage."""
+    from datafusion_bigtable_spark.operators.similarity import build_ivf_index, topk_ivf
+    from datafusion_bigtable_spark.queries import load
+
+    def storage_count():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    spark.catalog.clearCache()
+    base = storage_count()
+    e = load(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") % 100 == 0
+
+    with build_ivf_index(e, n_cells=16, nprobe=4) as idx:
+        wide = topk_ivf(e, pred, n_cells=16, k=3, nprobe=4, index=idx)
+        narrow = topk_ivf(e, pred, n_cells=16, k=3, nprobe=1, index=idx)
+        expect_wide = {(r.query_id, r.neighbor_id, r.score, r.rk) for r in
+                       topk_ivf(e, pred, n_cells=16, k=3, nprobe=4).collect()}
+        expect_narrow = {(r.query_id, r.neighbor_id, r.score, r.rk) for r in
+                         topk_ivf(e, pred, n_cells=16, k=3, nprobe=1).collect()}
+        assert {(r.query_id, r.neighbor_id, r.score, r.rk) for r in wide.collect()} == expect_wide
+        assert {(r.query_id, r.neighbor_id, r.score, r.rk) for r in narrow.collect()} == expect_narrow
+    spark.catalog.clearCache()  # reclaim the two throwaway expect_* indexes
+    assert storage_count() <= base
