@@ -115,6 +115,40 @@ class BigtableTable:
             cols.append(decode_value(F.col(spec.name), spec.spark_type()).alias(spec.name))
         return wide.select(*cols)
 
+    def mutate(self, df: DataFrame, max_mutations: int = 100_000) -> int:
+        """Write a relational DataFrame through the MutateRows transport —
+        the live-service counterpart of ``df.write.format("bigtable")``
+        (the reference's unshipped "writes to Bigtable", README.md:46-49).
+
+        Rows unpivot through the SAME encoder as the parquet staging
+        writer (sources/cells.py::encode_relational_row), so wire
+        mutations and staged files cannot drift; requests batch at most
+        ``max_mutations`` SetCell mutations, split on row boundaries
+        (per-row atomicity, the service's actual unit).  Returns the
+        number of rows applied.  Driver-side iteration, exactly like the
+        read path materializes the RPC response — for 100 TB-scale writes
+        use the parquet store.
+        """
+        if self.service is None:
+            raise NotImplementedError(
+                "no transport: MutateRows needs a service (real client or "
+                "the in-process fake); for parquet stores use "
+                "df.write.format('bigtable')"
+            )
+        from datafusion_bigtable_spark.sources.cells import (
+            _naive_datetime_to_us,
+            encode_relational_row,
+        )
+        from datafusion_bigtable_spark.sources.grpc_transport import push_cells
+
+        cells = []
+        for row in df.toLocalIterator():
+            for key, fam, qual, ts, val in encode_relational_row(self.config, row.asDict()):
+                cells.append((key, fam, qual, _naive_datetime_to_us(ts), val))
+        return push_cells(
+            self.config, cells, service=self.service, max_mutations=max_mutations
+        )
+
     def register(self, spark: SparkSession, name: str | None = None, **kw) -> DataFrame:
         """``ctx.register_table`` equivalent (reference src/datasource.rs:196-197)."""
         df = self.to_df(spark, **kw)

@@ -53,6 +53,48 @@ def _us_to_naive_datetime(us: int) -> _dt.datetime:
     return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
 
 
+def _naive_datetime_to_us(ts: _dt.datetime) -> int:
+    return int((ts - _dt.datetime(1970, 1, 1)) / _dt.timedelta(microseconds=1))
+
+
+def encode_relational_row(cfg, d: dict) -> list[tuple]:
+    """Unpivot ONE relational row (key components + ``_timestamp`` +
+    qualifier columns) into canonical cells ``(row_key, family, qualifier,
+    ts, value_bytes)`` — the exact inverse of operators/decode.py, shared
+    by the DS batch writer (parquet staging) and the MutateRows transport
+    (wire mutations) so both write paths pin identical encoding semantics.
+
+    NULL column values write NO cell (round-tripping the NULL-hole pivot);
+    TRAILING NULL key components round-trip stored keys that carry fewer
+    components than declared; a NULL in the *middle* of the key is
+    unrepresentable as a row key → error (silently writing the string
+    "None" would corrupt pruning)."""
+    sep = cfg.table_partition_separator
+    pcols = cfg.table_partition_cols
+    parts = [d[c] for c in pcols]
+    while parts and parts[-1] is None:
+        parts.pop()
+    if not parts or any(p is None for p in parts):
+        raise ValueError(
+            f"bigtable write: NULL row-key component in {dict(zip(pcols, (d[c] for c in pcols)))}"
+        )
+    key = sep.join(str(p) for p in parts)
+    ts = d["_timestamp"]
+    cells: list[tuple] = []
+    for spec in cfg.columns:
+        v = d.get(spec.name)
+        if v is None:
+            continue  # NULL hole → no cell
+        if spec.type in ("int64", "long"):
+            enc = int(v).to_bytes(8, "big", signed=True)
+        elif spec.type == "binary":
+            enc = bytes(v)
+        else:
+            enc = str(v).encode("utf-8")
+        cells.append((key, cfg.column_family, spec.name, ts, enc))
+    return cells
+
+
 def weather_balloons_cells() -> list[tuple]:
     """The 10 seed cells as python tuples matching CELLS_SCHEMA."""
     out = []

@@ -51,9 +51,9 @@ from typing import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
-    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -750,37 +750,15 @@ class BigtableWriter(DataSourceWriter):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        from datafusion_bigtable_spark.sources.cells import encode_relational_row
+
         cfg = self.config
-        sep = cfg.table_partition_separator
-        pcols = cfg.table_partition_cols
         cells: list[tuple] = []
         for row in iterator:
-            d = row.asDict()
-            # NULL key components: the reader emits NULLs for stored keys
-            # with fewer components than declared (tail truncation), so
-            # TRAILING NULLs round-trip by joining only the present prefix;
-            # a NULL in the middle is unrepresentable as a row key → error
-            # (silently writing the string "None" would corrupt pruning).
-            parts = [d[c] for c in pcols]
-            while parts and parts[-1] is None:
-                parts.pop()
-            if not parts or any(p is None for p in parts):
-                raise ValueError(
-                    f"bigtable write: NULL row-key component in {dict(zip(pcols, (d[c] for c in pcols)))}"
-                )
-            key = sep.join(str(p) for p in parts)
-            ts = d["_timestamp"]
-            for spec in cfg.columns:
-                v = d.get(spec.name)
-                if v is None:
-                    continue  # NULL hole → no cell
-                if spec.type in ("int64", "long"):
-                    enc = int(v).to_bytes(8, "big", signed=True)
-                elif spec.type == "binary":
-                    enc = bytes(v)
-                else:
-                    enc = str(v).encode("utf-8")
-                cells.append((key, cfg.column_family, spec.name, ts, enc))
+            # shared row→cells encoder (sources/cells.py) — the MutateRows
+            # wire path uses the same one, so parquet staging and wire
+            # mutations cannot drift
+            cells.extend(encode_relational_row(cfg, row.asDict()))
         if not cells:
             return None
         cells.sort(key=lambda c: (c[0], c[2], c[3]))
@@ -833,16 +811,27 @@ class BigtableWriter(DataSourceWriter):
             os.rmdir(os.path.dirname(self.staging))
 
 
-class BigtableStreamReader(SimpleDataSourceStreamReader):
+@dataclass
+class StreamFilesPartition(InputPartition):
+    """One scan task of a streaming micro-batch: a key-disjoint GROUP of
+    newly-arrived files (same invariant as the batch FilePartition — the
+    pivot is partition-local, so files whose key ranges overlap must scan
+    together or a (row_key, ts) whose cells landed in two files within one
+    batch would emit two partial rows with NULL holes)."""
+
+    files: tuple
+
+
+class BigtableStreamReader(DataSourceStreamReader):
     """``spark.readStream.format("bigtable")`` — the cells store as a
     streaming source.  Bigtable's actual write pattern is a continuous
     cell stream; the parquet stand-in surfaces that as FILE ARRIVALS
     (e.g. the DS writer's commits), so each micro-batch = the files that
     appeared since the last offset, pivoted to relational rows.
 
-    Offsets are the set of processed file names — deterministic replay
-    (readBetweenOffsets) re-pivots exactly the files in ``end − start``,
-    which is what checkpoint recovery needs.  Corollary: renaming files
+    Offsets are the set of processed file names — ``partitions(start,
+    end)`` re-derives exactly the files in ``end − start``, which is what
+    deterministic checkpoint replay needs.  Corollary: renaming files
     under a live tail (compact_cells_store, overwrite writes) invalidates
     those offsets — replay comes back empty and the renamed store re-emits
     as duplicates; stop the stream and reset its checkpoint around
@@ -853,9 +842,12 @@ class BigtableStreamReader(SimpleDataSourceStreamReader):
     rows and a downstream stateful dedup (streaming/sinks.py) owns
     latest-wins semantics.
 
-    SimpleDataSourceStreamReader reads on the driver — right for this
-    lightweight arrival-tailing; swap to DataSourceStreamReader partitions
-    if per-batch volume outgrows one process.
+    Partitioned reader (upgraded from SimpleDataSourceStreamReader,
+    VERDICT r2 #7): each micro-batch's new files group by key-range
+    overlap (footer/manifest stats, same sweep as the batch full-scan
+    path) and every group scans as its own task on an executor — a large
+    arrival fans out like a batch read instead of bottlenecking one
+    process, and key-overlapping files pivot together (no partial rows).
     """
 
     def __init__(self, schema, options):
@@ -877,36 +869,44 @@ class BigtableStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"files": {}}
 
-    def read(self, start: dict):
-        seen = start.get("files", {})
-        current = self._store_files()
-        new = [path for name, path in current.items() if name not in seen]
-        end = {"files": {**seen, **{name: True for name in current}}}
-        # materialized list (the wrapper pickles the batch for replay), as an iterator
-        return iter(list(self._rows(new))), end
+    def latestOffset(self) -> dict:
+        return {"files": {name: True for name in self._store_files()}}
 
-    def readBetweenOffsets(self, start: dict, end: dict):
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        from datafusion_bigtable_spark.sources.cells import footer_file_stats
+
         seen = start.get("files", {})
         target = end.get("files", {})
         current = self._store_files()
-        files = [current[name] for name in target if name not in seen and name in current]
-        return iter(list(self._rows(files)))
+        files = sorted(current[n] for n in target if n not in seen and n in current)
+        if not files:
+            # empty micro-batch still needs one partition for a stable,
+            # correctly-typed empty result
+            return [StreamFilesPartition(())]
+        groups = _key_disjoint_groups(footer_file_stats(files))
+        return [StreamFilesPartition(tuple(g)) for g in groups]
 
-    def _rows(self, files: list[str]):
+    def read(self, partition: StreamFilesPartition) -> Iterator:
+        import pandas as pd
         import pyarrow.dataset as pa_ds
 
         cfg = self.config
-        names = [f.name for f in cfg.schema().fields]
+        cols = ["row_key", "qualifier", "ts", "value"]
+        if not partition.files:
+            yield from _pivot_partition(pd.DataFrame(columns=cols), cfg)
+            return
         flt = (pa_ds.field("family") == cfg.column_family) & pa_ds.field("qualifier").isin(
             list(cfg.qualifiers)
         )
-        for f in sorted(files):
-            table = pa_ds.dataset([f], format="parquet").to_table(
-                columns=["row_key", "qualifier", "ts", "value"], filter=flt
-            )
-            for batch in _pivot_partition(table.to_pandas(), cfg):
-                for row in batch.to_pylist():
-                    yield tuple(row[n] for n in names)
+        # ONE pivot over the whole group's cells: a (row_key, ts) split
+        # across the group's files merges into one relational row
+        table = pa_ds.dataset(list(partition.files), format="parquet").to_table(
+            columns=cols, filter=flt
+        )
+        yield from _pivot_partition(table.to_pandas(), cfg)
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 class BigtableDataSource(DataSource):
@@ -939,7 +939,7 @@ class BigtableDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
         return BigtableWriter(schema, self.options, overwrite)
 
-    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+    def streamReader(self, schema) -> DataSourceStreamReader:
         return BigtableStreamReader(schema, self.options)
 
 

@@ -28,6 +28,11 @@ Bigtable service contract):
 
 Rows stream back in key order; within a row, cells are ordered
 (family, qualifier, ts DESC) as the service returns them.
+
+The write side mirrors it: ``mutate_rows`` applies MutateRows requests
+(SetCell mutations, per-row atomic, same-version replace) so the engine's
+write-path encoding is pinned at the wire level exactly like ReadRows pins
+the read path.
 """
 
 from __future__ import annotations
@@ -104,7 +109,36 @@ class InProcessBigtableService:
             return out
         raise NotImplementedError(f"unsupported RowFilter: {sorted(flt)}")
 
-    # -- the RPC ----------------------------------------------------------
+    # -- the write RPC ----------------------------------------------------
+    def mutate_rows(self, request: dict) -> Iterator[dict]:
+        """Apply a MutateRowsRequest (SetCell mutations only — the subset
+        the engine's write path emits); yield one ``{"index", "status":
+        {"code": 0}}`` per entry, in order, like the streaming response.
+
+        Service semantics pinned here: each entry's mutations apply
+        atomically per row (Bigtable's atomicity unit), and a SetCell at
+        an existing ``(family, qualifier, timestamp)`` REPLACES that cell
+        — the store never holds two values for one version coordinate.
+        """
+        if self.table_name is not None and request.get("table_name") not in (None, self.table_name):
+            raise KeyError(f"unknown table {request.get('table_name')!r}")
+        for i, entry in enumerate(request.get("entries", ())):
+            row_key = entry["row_key"]
+            row_key = row_key.decode("utf-8") if isinstance(row_key, bytes) else row_key
+            staged = list(self._rows.get(row_key, ()))
+            for m in entry.get("mutations", ()):
+                if "set_cell" not in m:
+                    raise NotImplementedError(f"unsupported mutation: {sorted(m)}")
+                sc = m["set_cell"]
+                qualifier = sc["column_qualifier"]
+                qualifier = qualifier.decode("utf-8") if isinstance(qualifier, bytes) else qualifier
+                cell = (sc["family_name"], qualifier, int(sc["timestamp_micros"]), bytes(sc["value"]))
+                staged = [c for c in staged if (c[0], c[1], c[2]) != (cell[0], cell[1], cell[2])]
+                staged.append(cell)
+            self._rows[row_key] = staged  # all-or-nothing per entry
+            yield {"index": i, "status": {"code": 0}}
+
+    # -- the read RPC -----------------------------------------------------
     def read_rows(self, request: dict) -> Iterator[tuple[str, list[tuple[str, str, int, bytes]]]]:
         """Yield ``(row_key, [(family, qualifier, ts_us, value), ...])`` in
         key order for every selected, non-empty row."""

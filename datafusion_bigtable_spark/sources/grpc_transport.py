@@ -91,6 +91,101 @@ def build_read_rows_request(
     }
 
 
+def _table_name(config: BigtableTableConfig) -> str:
+    return f"projects/{config.project}/instances/{config.instance}/tables/{config.table}"
+
+
+def build_mutate_rows_request(
+    config: BigtableTableConfig,
+    row_cells: Sequence[tuple[str, list[tuple[str, str, int, bytes]]]],
+) -> dict:
+    """MutateRowsRequest shape — the write-side mirror of
+    ``build_read_rows_request`` (the reference's unshipped "writes to
+    Bigtable" roadmap item, README.md:46-49): one entry per row, one
+    SetCell mutation per cell, timestamps in microseconds, qualifiers and
+    values as bytes.
+
+    ``row_cells``: ``[(row_key, [(family, qualifier, ts_us, value), ...]),
+    ...]`` — the same canonical tuples ``fetch_cells`` yields, grouped per
+    row (the service applies each entry's mutations atomically per row,
+    which is Bigtable's actual atomicity unit).
+    """
+    return {
+        "table_name": _table_name(config),
+        "entries": [
+            {
+                "row_key": row_key.encode("utf-8"),
+                "mutations": [
+                    {
+                        "set_cell": {
+                            "family_name": family,
+                            "column_qualifier": qualifier.encode("utf-8"),
+                            "timestamp_micros": int(ts_us),
+                            "value": bytes(value),
+                        }
+                    }
+                    for family, qualifier, ts_us, value in cells
+                ],
+            }
+            for row_key, cells in row_cells
+        ],
+    }
+
+
+def push_cells(
+    config: BigtableTableConfig,
+    cells: Iterable[tuple[str, str, str, int, bytes]],
+    service=None,
+    max_mutations: int = 100_000,
+) -> int:
+    """Write canonical cell tuples through MutateRows; returns the number
+    of entries (rows) applied.
+
+    Batching mirrors the real service limit: one request carries at most
+    ``max_mutations`` SetCell mutations (the documented 100k cap), split
+    on ROW boundaries so per-row atomicity is preserved.  Any non-OK entry
+    status raises — the engine's writes are all-or-error, like the staged
+    parquet commit.  ``service`` — any object with
+    ``mutate_rows(request_dict)`` yielding per-entry ``{"index", "status":
+    {"code"}}``; the in-process fake implements the server side.  Without
+    a service this would be the real SDK transport (not in this
+    container — same gate as fetch_cells).
+    """
+    if service is None:
+        raise NotImplementedError(
+            "google-cloud-bigtable is not installed in this environment; "
+            "write through the parquet cells store (df.write.format('bigtable')) "
+            "or pass an in-process service"
+        )
+    # group into per-row entries, preserving input order within a row
+    grouped: dict[str, list] = {}
+    for row_key, family, qualifier, ts, value in cells:
+        grouped.setdefault(row_key, []).append((family, qualifier, int(ts), bytes(value)))
+
+    applied = 0
+    batch: list = []
+    batch_mutations = 0
+    def _flush():
+        nonlocal applied, batch, batch_mutations
+        if not batch:
+            return
+        request = build_mutate_rows_request(config, batch)
+        for resp in service.mutate_rows(request):
+            code = resp.get("status", {}).get("code", 0)
+            if code != 0:
+                raise RuntimeError(f"MutateRows entry {resp.get('index')} failed: {resp}")
+            applied += 1
+        batch, batch_mutations = [], 0
+
+    for row_key, row_cells in grouped.items():
+        if batch and batch_mutations + len(row_cells) > max_mutations:
+            _flush()
+        batch.append((row_key, row_cells))
+        batch_mutations += len(row_cells)
+    _flush()
+    return applied
+
+
 def fetch_cells(
     config: BigtableTableConfig,
     ranges: Sequence[KeyRange],

@@ -207,3 +207,57 @@ def test_value_range_filter_in_chain():
     request = {"filter": {"chain": {"filters": chain}}}
     (row,) = list(svc.read_rows(request))
     assert [q for _, q, *_ in [(c[0], c[1], c[2]) for c in row[1]]] == ["b"]
+
+
+# --- MutateRows write path -------------------------------------------------
+
+
+def test_mutate_rows_roundtrip_golden(spark, composite_config, cells_path):
+    """Full wire round-trip: relational frame → shared row→cells encoder →
+    MutateRows entries → fake service store → ReadRows → to_df reproduces
+    the frame bit-for-bit (the write-side analogue of the golden read)."""
+    cfg = dataclasses.replace(composite_config, cells_path=None)
+    golden = BigtableTable(cfg, service=service_from_parquet(cells_path)).to_df(spark)
+
+    dest_svc = InProcessBigtableService([])
+    dest = BigtableTable(cfg, service=dest_svc)
+    assert dest.mutate(golden) == 5  # 5 logical rows applied
+    back = dest.to_df(spark)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, golden.collect()))
+
+
+def test_mutate_rows_same_version_replaces():
+    svc = InProcessBigtableService([])
+
+    def set_cell(value):
+        return {
+            "entries": [
+                {
+                    "row_key": b"k",
+                    "mutations": [
+                        {
+                            "set_cell": {
+                                "family_name": "f",
+                                "column_qualifier": b"q",
+                                "timestamp_micros": 5,
+                                "value": value,
+                            }
+                        }
+                    ],
+                }
+            ]
+        }
+
+    assert [r["status"]["code"] for r in svc.mutate_rows(set_cell(b"v1"))] == [0]
+    assert [r["status"]["code"] for r in svc.mutate_rows(set_cell(b"v2"))] == [0]
+    # same (family, qualifier, ts) coordinate → REPLACED, not duplicated
+    assert list(svc.read_rows({})) == [("k", [("f", "q", 5, b"v2")])]
+
+
+def test_mutate_rows_unsupported_mutation_gated():
+    svc = InProcessBigtableService([])
+    req = {"entries": [{"row_key": b"k", "mutations": [{"delete_from_row": {}}]}]}
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="delete_from_row"):
+        list(svc.mutate_rows(req))

@@ -55,19 +55,75 @@ def test_stream_tails_file_arrivals(registered, cells_path, tmp_path):
         q.stop()
 
 
+def _collect(reader, parts):
+    out = []
+    for p in parts:
+        for batch in reader.read(p):
+            out.extend(tuple(d.values()) for d in batch.to_pylist())
+    return out
+
+
 def test_stream_replay_between_offsets(registered, cells_path, tmp_path):
     dest = str(tmp_path / "replay_store")
     _write_initial(registered, cells_path, dest)
     r = BigtableStreamReader(None, {"path": dest, **OPTS})
     start = r.initialOffset()
-    rows, end = r.read(start)
-    rows = list(rows)
+    end = r.latestOffset()
+    rows = _collect(r, r.partitions(start, end))
     assert len(rows) == 5
     # deterministic replay of the same batch (checkpoint recovery path)
-    assert sorted(list(r.readBetweenOffsets(start, end))) == sorted(rows)
-    # nothing new → empty batch, stable offset
-    rows2, end2 = r.read(end)
-    assert list(rows2) == [] and end2 == end
+    assert sorted(_collect(r, r.partitions(start, end))) == sorted(rows)
+    # nothing new → one empty partition, schema-stable empty batch
+    parts2 = r.partitions(end, r.latestOffset())
+    assert _collect(r, parts2) == []
+
+
+def _write_cells_file(path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "row_key": pa.array([r[0] for r in rows], pa.string()),
+                "family": pa.array([r[1] for r in rows], pa.string()),
+                "qualifier": pa.array([r[2] for r in rows], pa.string()),
+                "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+                "value": pa.array([r[4] for r in rows], pa.binary()),
+            }
+        ),
+        path,
+    )
+
+
+def test_stream_batch_fans_out_and_merges_overlaps(tmp_path):
+    """Partitioned micro-batch planning: key-DISJOINT new files scan as
+    separate tasks; key-OVERLAPPING files (one (row_key, ts)'s cells split
+    across two appends in the same batch) merge into ONE task so the pivot
+    emits one complete row, not two partial rows with NULL holes."""
+    import datetime as dt
+
+    store = tmp_path / "fanout_store"
+    store.mkdir()
+    ts = dt.datetime(2021, 3, 5, 12, 0, 5)
+    enc = (94558).to_bytes(8, "big", signed=True)
+    # two files SPLITTING one row's cells (same key, same ts)…
+    _write_cells_file(str(store / "a0.parquet"), [("k1", "measurements", "pressure", ts, enc)])
+    _write_cells_file(str(store / "a1.parquet"), [("k1", "measurements", "temperature", ts, b"9.6")])
+    # …and one key-disjoint file
+    _write_cells_file(str(store / "b.parquet"), [("z9", "measurements", "temperature", ts, b"4.2")])
+
+    r = BigtableStreamReader(None, {"path": str(store), **{**OPTS, "table_partition_cols": "_row_key"}})
+    parts = r.partitions(r.initialOffset(), r.latestOffset())
+    groups = sorted(tuple(sorted(p.files)) for p in parts)
+    assert len(parts) == 2, f"expected overlap-merged fan-out, got {groups}"
+    assert any(len(g) == 2 for g in groups)  # the split row's files grouped
+
+    rows = _collect(r, parts)
+    # (_row_key, _timestamp, pressure, temperature) — schema field order
+    by_key = {t[0]: t for t in rows}
+    assert len(rows) == 2 and by_key["k1"][2] == 94558 and by_key["k1"][3] == "9.6"
+    assert by_key["z9"][2] is None and by_key["z9"][3] == "4.2"
 
 
 def test_stream_requires_unnest_mode(tmp_path):
