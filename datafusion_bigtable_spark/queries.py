@@ -961,6 +961,42 @@ def bt_value_filter_q(spark, sf_dir):
     return df.select("uid", "eid", "cents")
 
 
+@query(
+    "bt_value_regex_pushdown",
+    """
+    SELECT LPAD(CAST(user_id AS VARCHAR), 4, '0') AS uid,
+           LPAD(CAST(event_id AS VARCHAR), 8, '0') AS eid,
+           event_type AS etype
+    FROM events
+    WHERE event_type LIKE '%ick%'
+    """,
+)
+def bt_value_regex_q(spark, sf_dir):
+    # Value-regex pushdown, the subset Catalyst actually offers a source
+    # (reference roadmap README.md:46-49; its prefix-only gap closed in
+    # r2): LIKE '%infix%' / '%suffix' arrive as StringContains /
+    # StringEndsWith and reach the cell scan as byte substring/suffix
+    # predicates — safe for any unicode pattern (UTF-8 is
+    # self-synchronizing: byte match ⇔ code-point match), unlike prefix
+    # RANGES which stay ASCII-gated.  Unnest mode gates semantics as with
+    # every value filter; Spark re-applies the exact predicate above.
+    from datafusion_bigtable_spark.sources import datasource as bt_ds
+
+    path = _bt_events_store(spark, sf_dir)
+    bt_ds.register(spark)
+    df = (
+        spark.read.format("bigtable")
+        .option("path", path)
+        .option("column_family", "events")
+        .option("columns", "etype:string,cents:int64")
+        .option("table_partition_cols", "uid,eid")
+        .option("only_read_latest", "false")
+        .load()
+        .filter("etype LIKE '%ick%'")
+    )
+    return df.select("uid", "eid", "etype")
+
+
 #: one fake ReadRows service per cells store — the store is immutable once
 #: its _SUCCESS marker exists (content-addressed path), so reuse is safe
 #: and the bench/driver don't rebuild the in-memory cell map per query.

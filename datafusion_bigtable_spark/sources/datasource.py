@@ -335,16 +335,31 @@ class BigtableReader(DataSourceReader):
                     out.append((col, op, v))
             elif typ == "binary" and isinstance(v, (bytes, bytearray)) and op == "eq":
                 out.append((col, op, bytes(v)))
-        # LIKE 'prefix%' — the pushable subset of the roadmap's value-regex
-        # filter: a prefix is a closed byte range over utf-8
+        # The pushable subset of the roadmap's value-regex filter (these
+        # are what Catalyst translates LIKE patterns into — it never
+        # offers full regexes to a source):
+        # - LIKE 'prefix%'  → closed byte RANGE; byte order == UTF-16
+        #   order only within ASCII, so prefix bounds stay ASCII-gated.
+        # - LIKE '%infix%' / LIKE '%suffix' → byte substring/suffix match.
+        #   Equality-like (no ordering), and UTF-8 is self-synchronizing —
+        #   a valid-UTF-8 pattern cannot begin with a continuation byte,
+        #   so a byte-level match IS a code-point-level match: safe for
+        #   ANY unicode pattern, not just ASCII.
         for f in filters:
-            if type(f).__name__ != "StringStartsWith":
+            name = type(f).__name__
+            if name not in ("StringStartsWith", "StringContains", "StringEndsWith"):
                 continue
             col = getattr(f, "attribute", None)
             col = col[0] if isinstance(col, (tuple, list)) and col else col
             v = getattr(f, "value", None)
-            if specs.get(col) == "string" and isinstance(v, str) and v.isascii() and v:
+            if specs.get(col) != "string" or not isinstance(v, str) or not v:
+                continue
+            if name == "StringStartsWith" and v.isascii():
                 out.append((col, "sw", v))
+            elif name == "StringContains":
+                out.append((col, "ct", v))
+            elif name == "StringEndsWith":
+                out.append((col, "ew", v))
         return tuple(out)
 
     @staticmethod
@@ -376,6 +391,11 @@ class BigtableReader(DataSourceReader):
             # so incrementing never overflows
             upper = enc[:-1] + bytes([enc[-1] + 1])
             return (val >= enc) & (val < upper)
+        if op in ("ct", "ew"):
+            import pyarrow.compute as pc
+
+            fn = pc.match_substring if op == "ct" else pc.ends_with
+            return fn(val, enc.decode("utf-8"))
         return {
             "eq": val == enc,
             "ge": val >= enc,

@@ -88,6 +88,13 @@ class InProcessBigtableService:
             pat = pat.decode() if isinstance(pat, bytes) else pat
             rx = re.compile(pat)
             return [c for c in cells if rx.fullmatch(c[1])]
+        if "value_regex_filter" in flt:
+            # RE2 semantics on the value BYTES, unanchored (Bigtable's
+            # ValueRegexFilter contract — unlike the family/qualifier
+            # regexes, which the service implicitly anchors)
+            pat = flt["value_regex_filter"]
+            rx = re.compile(pat if isinstance(pat, bytes) else pat.encode("utf-8"))
+            return [c for c in cells if rx.search(c[3])]
         if "value_range_filter" in flt:
             vr = flt["value_range_filter"]
             lo, hi = vr.get("start_value_closed"), vr.get("end_value_closed")

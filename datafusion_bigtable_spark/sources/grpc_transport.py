@@ -47,16 +47,20 @@ def build_filter_chain(
     config: BigtableTableConfig,
     projected_qualifiers: Iterable[str] | None = None,
     value_range: tuple[bytes | None, bytes | None] | None = None,
+    value_regex: bytes | None = None,
 ) -> list[dict]:
     """The reference's RowFilter chain (composer.rs:249-284):
     family pin → optional cells-per-column limit → qualifier regex
-    → optional value range (the roadmap item README.md:46-49, here as the
-    service's real ``value_range_filter`` — closed encoded-byte bounds).
+    → optional value range / value regex (the roadmap items README.md:46-49,
+    here as the service's real ``value_range_filter`` — closed
+    encoded-byte bounds — and ``value_regex_filter`` — RE2 over value
+    bytes, unanchored).
 
-    Value-range caveat mirrors the DS pushdown gating: a value filter
+    Value-filter caveat mirrors the DS pushdown gating: a value filter
     BEFORE the cells-per-column limit would change which version is
-    "latest", so it is appended AFTER the limit — cell-level semantics,
-    use only in version-unnest reads or when the caller re-filters.
+    "latest", so both are appended AFTER the limit — cell-level
+    semantics, use only in version-unnest reads or when the caller
+    re-filters.
     """
     chain: list[dict] = [{"family_name_regex_filter": config.column_family}]
     if config.only_read_latest:
@@ -73,6 +77,8 @@ def build_filter_chain(
         if hi is not None:
             f["end_value_closed"] = hi
         chain.append({"value_range_filter": f})
+    if value_regex is not None:
+        chain.append({"value_regex_filter": value_regex})
     return chain
 
 

@@ -416,3 +416,62 @@ def test_filters_exactly_absorbed_rules():
     assert not ok([EqualTo(("a",), 7)], pcols)
     # non-key predicate → residual
     assert not ok([EqualTo(("a",), "x"), IsNull(("v",))], pcols)
+
+
+def test_value_contains_and_endswith_pushdown(registered, cells_path):
+    """LIKE '%infix%' / '%suffix' reach the scan as byte substring/suffix
+    cell predicates (unnest-gated like every value filter) and return
+    exactly the re-filtered rows."""
+    df = _reader(registered, cells_path, only_read_latest="false").filter(
+        "temperature LIKE '%.6'"
+    )
+    assert sorted(r.event_minute for r in df.collect()) == [
+        "2021-03-05-1200",
+        "2021-03-05-1204",
+    ]
+    df2 = _reader(registered, cells_path, only_read_latest="false").filter(
+        "temperature LIKE '%9.%'"
+    )
+    assert df2.count() == 5
+
+
+def test_value_predicate_translation_rules():
+    from dataclasses import dataclass as dc
+
+    from datafusion_bigtable_spark.sources.datasource import BigtableReader
+
+    @dc
+    class StringStartsWith:
+        attribute: tuple
+        value: str
+
+    @dc
+    class StringContains:
+        attribute: tuple
+        value: str
+
+    @dc
+    class StringEndsWith:
+        attribute: tuple
+        value: str
+
+    reader = BigtableReader(
+        None,
+        {
+            "path": "/nonexistent",
+            "column_family": "f",
+            "columns": "s:string,n:int64",
+            "table_partition_cols": "_row_key",
+        },
+    )
+    preds = reader._value_predicates(
+        [
+            StringStartsWith(("s",), "a"),
+            StringContains(("s",), "héllo"),   # non-ASCII contains: SAFE
+            StringEndsWith(("s",), "fin"),
+            StringStartsWith(("s",), "é"),     # non-ASCII prefix: byte order
+                                               # != UTF-16 order → NOT pushed
+            StringContains(("n",), "x"),       # non-string column → not pushed
+        ]
+    )
+    assert preds == (("s", "sw", "a"), ("s", "ct", "héllo"), ("s", "ew", "fin"))

@@ -261,3 +261,12 @@ def test_mutate_rows_unsupported_mutation_gated():
 
     with pytest.raises(NotImplementedError, match="delete_from_row"):
         list(svc.mutate_rows(req))
+
+
+def test_value_regex_filter_in_service():
+    svc = InProcessBigtableService(
+        [("k1", "f", "q", 1, b"click"), ("k2", "f", "q", 1, b"view"), ("k3", "f", "q", 1, b"\xffclicker")]
+    )
+    req = {"filter": {"value_regex_filter": b"cl.ck"}}
+    got = {rk for rk, _ in svc.read_rows(req)}
+    assert got == {"k1", "k3"}  # unanchored byte-level RE2, non-UTF8 safe
