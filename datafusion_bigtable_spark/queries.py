@@ -1495,6 +1495,117 @@ def sim_ivf_nprobe_q(spark, sf_dir):
     return topk_ivf(e, F.col("vec_id") % 100 == 0, n_cells=16, k=3, nprobe=4)
 
 
+@query(
+    "embedding_quantize_int8",
+    """
+    WITH dv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127.0 AS scale
+          FROM dv)
+    SELECT vec_id, ROUND(scale, 6) AS scale,
+           CAST(list_sum(list_transform(v, x -> ROUND(x / scale))) AS BIGINT) AS q_sum
+    FROM s
+    """,
+)
+def embedding_quantize_q(spark, sf_dir):
+    # Symmetric per-vector int8 quantization — the standard storage/compute
+    # shrink before ANN at scale (4× smaller vectors, SIMD-int dot
+    # products).  scale = max|v|/127; codes = round(v/scale).  Pure
+    # Catalyst array expressions: zero shuffles, zero UDFs — the whole op
+    # fuses into the scan projection.  The oracle reduces the code vector
+    # to its sum (the driver hash compares scalars); scale is checked
+    # directly.  NOTE Catalyst inlines the max-fold wherever `scale` is
+    # referenced inside the transform lambda (CollapseProject) — a 64×
+    # redundant fold per row, still narrow per-row compute that beats the
+    # explode+window form's two shuffles at any scale.
+    e = load(spark, sf_dir, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(dv, lambda x: F.abs(x)))
+    scale = F.greatest(mx, F.lit(1e-12)) / F.lit(127.0)
+    q_sum = F.aggregate(
+        dv, F.lit(0).cast("long"), lambda acc, x: acc + F.round(x / scale).cast("long")
+    )
+    return e.select(
+        "vec_id", F.round(scale, 6).alias("scale"), q_sum.alias("q_sum")
+    )
+
+
+@query(
+    "dedup_keep_canonical",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    mh AS (
+      SELECT id, s.seed, MIN(md5(CAST(s.seed AS VARCHAR) || '|' || shingle)) AS minhash
+      FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS seed) s
+      GROUP BY id, s.seed),
+    banded AS (
+      SELECT id, CAST(seed // 2 AS INT) AS band,
+             string_agg(minhash, ',' ORDER BY minhash) AS band_sig
+      FROM mh GROUP BY id, seed // 2),
+    pairs AS (
+      SELECT DISTINCT a.id AS pa, b.id AS pb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id),
+    edges AS (SELECT pa AS a, pb AS b FROM pairs UNION SELECT pb, pa FROM pairs),
+    reach AS (
+      SELECT a AS id, b AS r FROM edges
+      UNION
+      SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a)
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (
+      SELECT id FROM (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id)
+      WHERE id != component)
+    """,
+)
+def dedup_keep_canonical_q(spark, sf_dir):
+    # The dedup pipeline's actual OUTPUT: the corpus with every duplicate
+    # cluster reduced to its canonical (min-id) member.  Composition of
+    # the shipped operators — LSH candidate pairs → connected components →
+    # anti-join the non-canonical members — exactly the keep-list a 100 TB
+    # curation run materializes.  The anti-join broadcasts the (tiny)
+    # dup-member list; the corpus never reshuffles.
+    from datafusion_bigtable_spark.operators.dedup import lsh_candidate_pairs
+    from datafusion_bigtable_spark.operators.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, bands=4, rows_per_band=2, k=3)
+    comp = connected_components(pairs)
+    dups = comp.filter(F.col("id") != F.col("component")).select(F.col("id").alias("doc_id"))
+    return docs.join(F.broadcast(dups), "doc_id", "left_anti").select("doc_id")
+
+
+@query(
+    "events_moving_window_range",
+    """
+    SELECT user_id, event_id,
+           ROUND(SUM(value) OVER w, 2) AS moving_sum,
+           COUNT(*) OVER w AS n_window
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_moving_range_q(spark, sf_dir):
+    # RANGE frame keyed by TIME (not row count) — the window-frame shape
+    # rows-based frames cannot express: "all events within the trailing
+    # day".  SQL form because DataFrame rangeBetween only takes numeric
+    # offsets.  SUM+COUNT instead of AVG keeps the compared values on the
+    # exact cent grid (a cross-engine AVG would divide on doubles and
+    # round off-grid).  One shuffle on user_id; WindowExec's range-bound
+    # sliding frame is O(n) per partition.
+    load(spark, sf_dir, "events").createOrReplaceTempView("dbs_events_mr")
+    return spark.sql(
+        """
+        SELECT user_id, event_id,
+               ROUND(SUM(value) OVER w, 2) AS moving_sum,
+               COUNT(*) OVER w AS n_window
+        FROM dbs_events_mr
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW)
+        """
+    )
+
+
 def _lang_sql_score(lang: str) -> str:
     from datafusion_bigtable_spark.functions.text import stopword_pattern
 
