@@ -962,6 +962,39 @@ def bt_value_filter_q(spark, sf_dir):
 
 
 @query(
+    "bt_asof_snapshot",
+    """
+    SELECT user_id, event_type, ROUND(value, 4) AS asof_value FROM (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts <= TIMESTAMP '2024-01-15 12:00:00') t
+    WHERE rn = 1
+    """,
+)
+def bt_asof_snapshot_q(spark, sf_dir):
+    # Time-travel read: the state of every (row=user, qualifier=event_type)
+    # cell AS OF a past instant — the ts bound applies BEFORE the
+    # latest-version filter (bound-then-latest), which is exactly the
+    # ordering the generic ts-pushdown gate refuses to produce by accident
+    # under only_read_latest.  BigtableTable.to_df(as_of=...) exposes the
+    # same contract over a cells store (scan-level ts bound, then latest);
+    # the wire chain places timestamp_range_filter before the
+    # cells-per-column limit for the identical reason
+    # (tests/test_fake_bigtable.py pins it).  One window shuffle;
+    # WindowGroupLimit turns the rank-1 filter into a partial top-1.
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts") <= F.lit("2024-01-15 12:00:00").cast("timestamp_ntz")
+    )
+    w = W.partitionBy("user_id", "event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.round("value", 4).alias("asof_value"))
+    )
+
+
+@query(
     "bt_value_regex_pushdown",
     """
     SELECT LPAD(CAST(user_id AS VARCHAR), 4, '0') AS uid,

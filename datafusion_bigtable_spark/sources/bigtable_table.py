@@ -63,17 +63,26 @@ class BigtableTable:
         )
 
     # -- assembly ---------------------------------------------------------
-    def cells(self, spark: SparkSession, ranges: Sequence[KeyRange] = ()) -> DataFrame:
+    def cells(
+        self, spark: SparkSession, ranges: Sequence[KeyRange] = (), as_of=None
+    ) -> DataFrame:
         if self.service is not None:
             # Live ReadRows path: ranges + filter chain are pushed INTO the
             # request (server-side pruning), the cell stream comes back as
             # a local DataFrame.  Mirrors execute_plan.rs:168-212.
-            from datafusion_bigtable_spark.sources.cells import CELLS_SCHEMA, _us_to_naive_datetime
+            from datafusion_bigtable_spark.sources.cells import (
+                CELLS_SCHEMA,
+                _naive_datetime_to_us,
+                _us_to_naive_datetime,
+            )
             from datafusion_bigtable_spark.sources.grpc_transport import fetch_cells
 
+            as_of_us = _naive_datetime_to_us(as_of) if as_of is not None else None
             rows = [
                 (rk, fam, q, _us_to_naive_datetime(ts), val)
-                for rk, fam, q, ts, val in fetch_cells(self.config, ranges, service=self.service)
+                for rk, fam, q, ts, val in fetch_cells(
+                    self.config, ranges, service=self.service, as_of_us=as_of_us
+                )
             ]
             return spark.createDataFrame(rows, CELLS_SCHEMA)
         if not self.config.cells_path:
@@ -83,15 +92,32 @@ class BigtableTable:
                 "fake, sources/fake_bigtable.py)"
             )
         df = read_cells(spark, self.config.cells_path)
+        if as_of is not None:
+            # bound BEFORE the latest filter — Catalyst pushes this to the
+            # parquet scan (row-group ts pruning for free)
+            df = df.filter(F.col("ts") <= F.lit(as_of))
         return df.filter(F.col("family") == self.config.column_family)
 
     def to_df(
         self,
         spark: SparkSession,
         predicates: Sequence[Predicate] = (),
+        as_of=None,
     ) -> DataFrame:
+        """Assemble the relational view; ``as_of`` (naive datetime) gives a
+        TIME-TRAVEL read: the latest version of each cell among versions
+        with ``ts <= as_of`` — Bigtable's timestamp-bounded read.
+
+        Note the ordering contract: the bound applies BEFORE the
+        latest-version filter.  This is exactly the semantics the generic
+        ts-pushdown gate protects against producing by accident (a ts
+        bound pushed under a latest-filtered read silently turns "latest,
+        then filter" into "filter, then latest" — the as-of snapshot); the
+        ``as_of`` parameter is the user ASKING for bound-then-latest, so
+        here the scan-level bound is the correct plan, not a hazard.
+        """
         ranges = self.key_ranges(predicates)
-        cells = self.cells(spark, ranges)
+        cells = self.cells(spark, ranges, as_of=as_of)
 
         # Inexact contract: re-apply the range predicate above the scan even
         # when the service already pruned server-side (A16).

@@ -88,6 +88,15 @@ class InProcessBigtableService:
             pat = pat.decode() if isinstance(pat, bytes) else pat
             rx = re.compile(pat)
             return [c for c in cells if rx.fullmatch(c[1])]
+        if "timestamp_range_filter" in flt:
+            tr = flt["timestamp_range_filter"]
+            lo = tr.get("start_timestamp_micros")
+            hi = tr.get("end_timestamp_micros")  # EXCLUSIVE, like the service
+            return [
+                c
+                for c in cells
+                if (lo is None or c[2] >= lo) and (hi is None or c[2] < hi)
+            ]
         if "value_regex_filter" in flt:
             # RE2 semantics on the value BYTES, unanchored (Bigtable's
             # ValueRegexFilter contract — unlike the family/qualifier

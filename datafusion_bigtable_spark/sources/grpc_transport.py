@@ -48,21 +48,26 @@ def build_filter_chain(
     projected_qualifiers: Iterable[str] | None = None,
     value_range: tuple[bytes | None, bytes | None] | None = None,
     value_regex: bytes | None = None,
+    as_of_us: int | None = None,
 ) -> list[dict]:
     """The reference's RowFilter chain (composer.rs:249-284):
-    family pin → optional cells-per-column limit → qualifier regex
-    → optional value range / value regex (the roadmap items README.md:46-49,
-    here as the service's real ``value_range_filter`` — closed
-    encoded-byte bounds — and ``value_regex_filter`` — RE2 over value
-    bytes, unanchored).
+    family pin → optional as-of timestamp bound → optional cells-per-column
+    limit → qualifier regex → optional value range / value regex (the
+    roadmap items README.md:46-49, here as the service's real
+    ``value_range_filter`` — closed encoded-byte bounds — and
+    ``value_regex_filter`` — RE2 over value bytes, unanchored).
 
-    Value-filter caveat mirrors the DS pushdown gating: a value filter
-    BEFORE the cells-per-column limit would change which version is
-    "latest", so both are appended AFTER the limit — cell-level
-    semantics, use only in version-unnest reads or when the caller
-    re-filters.
+    Chain ORDER carries the semantics: the as-of ``timestamp_range_filter``
+    sits BEFORE the cells-per-column limit (bound-then-latest = the
+    time-travel snapshot), while value filters are appended AFTER the
+    limit — a value filter before it would change which version is
+    "latest" (cell-level semantics, use only in version-unnest reads or
+    when the caller re-filters).
     """
     chain: list[dict] = [{"family_name_regex_filter": config.column_family}]
+    if as_of_us is not None:
+        # Bigtable's end bound is EXCLUSIVE; +1 makes `ts <= as_of` inclusive
+        chain.append({"timestamp_range_filter": {"end_timestamp_micros": as_of_us + 1}})
     if config.only_read_latest:
         chain.append({"cells_per_column_limit_filter": 1})
     quals = list(projected_qualifiers) if projected_qualifiers is not None else list(config.qualifiers)
@@ -86,14 +91,19 @@ def build_read_rows_request(
     config: BigtableTableConfig,
     ranges: Sequence[KeyRange],
     projected_qualifiers: Iterable[str] | None = None,
+    as_of_us: int | None = None,
 ) -> dict:
     """Full ReadRowsRequest shape (execute_plan.rs:168-181)."""
     return {
-        "table_name": (
-            f"projects/{config.project}/instances/{config.instance}/tables/{config.table}"
-        ),
+        "table_name": _table_name(config),
         "rows": build_row_set(ranges),
-        "filter": {"chain": {"filters": build_filter_chain(config, projected_qualifiers)}},
+        "filter": {
+            "chain": {
+                "filters": build_filter_chain(
+                    config, projected_qualifiers, as_of_us=as_of_us
+                )
+            }
+        },
     }
 
 
@@ -197,6 +207,7 @@ def fetch_cells(
     ranges: Sequence[KeyRange],
     projected_qualifiers: Iterable[str] | None = None,
     service=None,
+    as_of_us: int | None = None,
 ):
     """Issue the read and yield canonical cell tuples
     (row_key, family, qualifier, ts_micros, value_bytes).
@@ -209,7 +220,7 @@ def fetch_cells(
     ``google-cloud-bigtable`` (not in this container).
     """
     if service is not None:
-        request = build_read_rows_request(config, ranges, projected_qualifiers)
+        request = build_read_rows_request(config, ranges, projected_qualifiers, as_of_us)
         for row_key, cells in service.read_rows(request):
             for family, qualifier, ts, value in cells:
                 yield (row_key, family, qualifier, ts, value)

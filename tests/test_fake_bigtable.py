@@ -270,3 +270,79 @@ def test_value_regex_filter_in_service():
     req = {"filter": {"value_regex_filter": b"cl.ck"}}
     got = {rk for rk, _ in svc.read_rows(req)}
     assert got == {"k1", "k3"}  # unanchored byte-level RE2, non-UTF8 safe
+
+
+def test_asof_time_travel_parquet_and_service(spark, tmp_path):
+    """to_df(as_of=T) returns the latest version at-or-before T — via the
+    parquet path (scan-level ts bound) AND the service path (chain's
+    timestamp_range_filter BEFORE the cells-per-column limit), identically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    T0 = dt.datetime(2021, 1, 1, 0, 0, 0)
+    T1 = dt.datetime(2021, 1, 1, 0, 0, 10)
+    T2 = dt.datetime(2021, 1, 1, 0, 0, 20)
+    rows = [
+        ("k1", "f", "p", T0, (100).to_bytes(8, "big", signed=True)),
+        ("k1", "f", "p", T2, (102).to_bytes(8, "big", signed=True)),
+        ("k1", "f", "t", T1, b"warm"),
+    ]
+    path = str(tmp_path / "asof_cells.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "row_key": [r[0] for r in rows],
+                "family": [r[1] for r in rows],
+                "qualifier": [r[2] for r in rows],
+                "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+                "value": pa.array([r[4] for r in rows], pa.binary()),
+            }
+        ),
+        path,
+    )
+    cfg = BigtableTableConfig(
+        table="t",
+        column_family="f",
+        columns=(ColumnSpec("p", "int64"), ColumnSpec("t", "string")),
+        table_partition_cols=("_row_key",),
+        cells_path=path,
+        allow_full_scan=True,
+    )
+
+    def snap(table, as_of):
+        return {
+            (r._row_key, r._timestamp): (r.p, r.t)
+            for r in table.to_df(spark, as_of=as_of).collect()
+        }
+
+    parquet_table = BigtableTable(cfg)
+    svc_table = BigtableTable(
+        dataclasses.replace(cfg, cells_path=None), service=service_from_parquet(path)
+    )
+    for table in (parquet_table, svc_table):
+        # one row per (row_key, version-ts), like the golden model: as-of
+        # T1 hides p@T2, so latest p is the T0 version and t keeps T1
+        assert snap(table, T1) == {("k1", T0): (100, None), ("k1", T1): (None, "warm")}
+        # as-of just below T1: only p@T0 exists
+        assert snap(table, dt.datetime(2021, 1, 1, 0, 0, 9)) == {("k1", T0): (100, None)}
+        # as-of >= T2: current state (p promoted to its T2 version)
+        assert snap(table, T2) == {("k1", T2): (102, None), ("k1", T1): (None, "warm")}
+    # inclusive bound at exactly T0
+    assert snap(parquet_table, T0) == {("k1", T0): (100, None)}
+
+
+def test_asof_chain_order_in_request():
+    """The as-of bound must precede the cells-per-column limit in the
+    chain — after it, the filter would apply to an already-'latest' cell
+    and resurrect nothing (wrong as-of semantics)."""
+    from datafusion_bigtable_spark.sources.grpc_transport import build_filter_chain
+
+    cfg = BigtableTableConfig(
+        table="t", column_family="f", columns=(ColumnSpec("p", "int64"),),
+        table_partition_cols=("_row_key",),
+    )
+    chain = build_filter_chain(cfg, as_of_us=123)
+    kinds = [next(iter(f)) for f in chain]
+    assert kinds.index("timestamp_range_filter") < kinds.index("cells_per_column_limit_filter")
+    tr = chain[kinds.index("timestamp_range_filter")]["timestamp_range_filter"]
+    assert tr == {"end_timestamp_micros": 124}  # exclusive end, +1 for <=
