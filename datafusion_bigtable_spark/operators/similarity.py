@@ -264,6 +264,141 @@ def topk_ivf(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    k_c: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Seed product-quantization codebooks: centroid ``c`` of subspace
+    ``j`` is subvector ``j`` of the vector with id ``c`` — deterministic,
+    so the whole PQ pipeline stays oracle-checkable (swap in k-means-
+    refined subspace codebooks the same way train_ivf_codebook refines the
+    IVF seed).  Returns ``[m][k_c][sub_dim]`` floats; codebooks are tiny
+    by construction (m·k_c·sub_dim doubles), so the driver collect is the
+    right plan — same documented stance as train_ivf_codebook.
+    """
+    rows = (
+        embeddings.filter(F.col(id_col) < k_c)
+        .select(id_col, as_double_vec(F.col(vec_col)).alias("_dv"))
+        .orderBy(id_col)
+        .collect()
+    )
+    dim = len(rows[0]["_dv"])
+    sub = dim // m
+    return [
+        [list(rows[c]["_dv"][j * sub : (j + 1) * sub]) for c in range(len(rows))]
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — each vector compressed to ``m`` subspace
+    centroid ids (64 floats → 8 bytes at m=8/k_c≤256: the storage shrink
+    that makes billion-vector indexes fit).
+
+    Encoding is a PURE Catalyst expression: the codebooks inline as array
+    literals (broadcast-by-construction), argmin-L2 per subspace runs
+    inside whole-stage codegen — zero joins, zero shuffles, zero UDFs.
+    The constant-in-``c`` term ‖sub‖² drops from the argmin, so each
+    centroid costs one fold: d²(sub, cent) ∝ ‖cent‖² − 2·dot(sub, cent).
+    Ties (exact duplicate centroids) break to the LOWEST code via
+    array_position's first-match.
+    """
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    dv = as_double_vec(F.col(vec_col))
+
+    def sub_slice(j: int) -> Column:
+        return F.slice(dv, j * sub_dim + 1, sub_dim)
+
+    def code_for(j: int) -> Column:
+        s = sub_slice(j)
+        dists = []
+        for cent in codebooks[j]:
+            cc = float(sum(x * x for x in cent))
+            lit = F.array(*[F.lit(float(x)) for x in cent])
+            dists.append(F.lit(cc) - 2.0 * dot_raw(s, lit))
+        darr = F.array(*dists)
+        return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+    return embeddings.select(
+        F.col(id_col).alias("id"), F.array(*[code_for(j) for j in range(m)]).alias("codes")
+    )
+
+
+def topk_pq(
+    embeddings: DataFrame,
+    query_pred: Column,
+    m: int = 8,
+    k_c: int = 16,
+    k: int = 3,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation — the
+    third classic ANN family next to LSH (topk_lsh) and IVF (topk_ivf).
+
+    The corpus is seen ONLY through its codes: score(q, v) ≈ dot(q, v̂) =
+    Σⱼ dot(qⱼ, centroid[j][codesⱼ(v)]) — m inner products against a tiny
+    codebook instead of d multiplies against the raw vector, and the raw
+    corpus vectors never ship to the scorer.  Plan: corpus encodes
+    map-only (pq_encode), codes explode to (id, j, code) and join the
+    BROADCAST (j, code, centroid) table and the BROADCAST per-subspace
+    query slices; one shuffle aggregates the m partial dots per (query,
+    neighbor).  At 100 TB you'd compose this with IVF cells (probe, then
+    ADC-score inside the cell) — the operators chain because both key by
+    the same id.
+
+    Output matches topk_bruteforce: (query_id, neighbor_id, score, rk),
+    score = approximate dot rounded to 6, ties on neighbor id.
+    """
+    if codebooks is None:
+        codebooks = pq_codebooks(embeddings, m, k_c, id_col, vec_col)
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    spark = embeddings.sparkSession
+
+    cents = spark.createDataFrame(
+        [
+            (j, c, list(map(float, cent)))
+            for j, book in enumerate(codebooks)
+            for c, cent in enumerate(book)
+        ],
+        "j INT, code INT, cent ARRAY<DOUBLE>",
+    )
+
+    codes = pq_encode(embeddings, codebooks, id_col, vec_col)
+    corpus = codes.select(
+        F.col("id").alias("neighbor_id"), F.posexplode("codes").alias("j", "code")
+    )
+
+    dv = as_double_vec(F.col(vec_col))
+    q = embeddings.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(
+            F.array(*[F.slice(dv, j * sub_dim + 1, sub_dim) for j in range(m)])
+        ).alias("j", "qs"),
+    )
+
+    scored = (
+        corpus.join(F.broadcast(cents), ["j", "code"])
+        .join(F.broadcast(q), "j")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum(dot_raw(F.col("qs"), F.col("cent"))), 6).alias("score"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
 def sign_bucket(vec: Column, dims: Sequence[int]) -> Column:
     """Axis-aligned hyperplane LSH signature: '1'/'0' per probed dimension.
     ``dims`` are 0-based; element_at is 1-based."""

@@ -1639,6 +1639,51 @@ def events_moving_range_q(spark, sf_dir):
     )
 
 
+@query(
+    "sim_topk_pq_adc",
+    """
+    WITH dv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sub AS (
+      SELECT vec_id, j, v[j*8+1 : j*8+8] AS s
+      FROM dv, (SELECT unnest(generate_series(0, 7)) AS j) jj),
+    cents AS (
+      SELECT j, vec_id AS code, s AS cent, list_inner_product(s, s) AS cc
+      FROM sub WHERE vec_id < 16),
+    codes AS (
+      SELECT vec_id, j, code FROM (
+        SELECT d.vec_id, d.j, c.code,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.j
+                                  ORDER BY c.cc - 2 * list_inner_product(d.s, c.cent), c.code) AS rn
+        FROM sub d JOIN cents c ON c.j = d.j) t
+      WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, j, s AS qs FROM sub WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.query_id, d.vec_id AS neighbor_id,
+             ROUND(SUM(list_inner_product(q.qs, c.cent)), 6) AS score
+      FROM codes d JOIN cents c ON c.j = d.j AND c.code = d.code
+      JOIN q ON q.j = d.j
+      WHERE q.query_id != d.vec_id
+      GROUP BY q.query_id, d.vec_id)
+    SELECT query_id, neighbor_id, score, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rk
+      FROM scored) t
+    WHERE rk <= 3
+    """,
+)
+def sim_topk_pq_q(spark, sf_dir):
+    # Product-quantization ANN (asymmetric distance computation) — the
+    # third classic ANN family beside LSH and IVF: the corpus is scored
+    # through 8 centroid ids per vector (64 floats → 8 codes), so the
+    # scorer touches m tiny inner products per pair and the raw corpus
+    # never moves.  Both engines compute the argmin with the identical
+    # ‖c‖² − 2·dot(s, c) fold, so code assignment is bit-deterministic.
+    from datafusion_bigtable_spark.operators.similarity import topk_pq
+
+    e = load(spark, sf_dir, "embeddings")
+    return topk_pq(e, F.col("vec_id") % 100 == 0, m=8, k_c=16, k=3)
+
+
 def _lang_sql_score(lang: str) -> str:
     from datafusion_bigtable_spark.functions.text import stopword_pattern
 

@@ -404,3 +404,31 @@ def test_ivf_index_handle_lifecycle(spark, sf_dir):
         assert {(r.query_id, r.neighbor_id, r.score, r.rk) for r in narrow.collect()} == expect_narrow
     spark.catalog.clearCache()  # reclaim the two throwaway expect_* indexes
     assert storage_count() <= base
+
+
+def test_pq_encode_identity_and_recall(spark, sf_dir):
+    """PQ invariants: a codebook seed vector encodes to its own code in
+    every subspace (its distance is the unique minimum -|s|²); all codes
+    in range; ADC ranking overlaps brute-force cosine enough to be a real
+    approximation, not noise."""
+    from datafusion_bigtable_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        topk_bruteforce,
+        topk_pq,
+    )
+    from datafusion_bigtable_spark.queries import load
+
+    e = load(spark, sf_dir, "embeddings")
+    books = pq_codebooks(e, m=8, k_c=16)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+
+    codes = {r.id: r.codes for r in pq_encode(e, books).collect()}
+    for c in range(16):
+        assert codes[c] == [c] * 8, f"seed {c} must self-encode, got {codes[c]}"
+    assert all(0 <= cd < 16 for cs in codes.values() for cd in cs)
+
+    pred = F.col("vec_id") % 100 == 0
+    truth = {(r.query_id, r.neighbor_id) for r in topk_bruteforce(e, pred, k=3).collect()}
+    got = {(r.query_id, r.neighbor_id) for r in topk_pq(e, pred, m=8, k_c=16, k=3).collect()}
+    assert len(got & truth) / len(truth) > 0.1  # seed codebooks: coarse but real
