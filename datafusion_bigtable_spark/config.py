@@ -72,6 +72,14 @@ class BigtableTableConfig:
     instance: str = "local"
     cells_path: str | None = None
     allow_full_scan: bool = True
+    #: optional logical type per key component ("string" | "int64").  The
+    #: reference deliberately restricts key literals to strings
+    #: (composer.rs:175); "int64" is the extension: the component is stored
+    #: inside the row key as the ORDER-PRESERVING fixed-width encoding
+    #: (plans/keycodec.py — offset-to-unsigned, 20 decimal digits), so the
+    #: lexicographic composer/pruning machinery works unchanged, while the
+    #: relational schema exposes a BIGINT and predicates take ints.
+    key_types: tuple[str, ...] | None = None
 
     # Physical columns of the cells store (sources/cells.py CELLS_SCHEMA):
     # a qualifier with one of these names would collide inside the pivot.
@@ -80,6 +88,15 @@ class BigtableTableConfig:
     def __post_init__(self) -> None:
         if not self.table_partition_cols:
             raise ValueError("table_partition_cols must be non-empty")
+        if self.key_types is not None:
+            if len(self.key_types) != len(self.table_partition_cols):
+                raise ValueError(
+                    "key_types must match table_partition_cols length "
+                    f"({len(self.key_types)} != {len(self.table_partition_cols)})"
+                )
+            bad = [t for t in self.key_types if t not in ("string", "int64")]
+            if bad:
+                raise ValueError(f"unsupported key component type(s) {bad!r}")
         for c in self.columns:
             if not self.is_qualifier(c.name):
                 raise ValueError(f"qualifier column {c.name!r} collides with a reserved/key column")
@@ -112,9 +129,10 @@ class BigtableTableConfig:
         # the missing components (both scan paths), and a non-null declaration
         # would let Catalyst prune IsNotNull filters incorrectly.  The first
         # component is always present (split of a non-null key has >= 1 part).
+        ktypes = self.key_types or ("string",) * len(self.table_partition_cols)
         fields = [
-            T.StructField(c, T.StringType(), i > 0)
-            for i, c in enumerate(self.table_partition_cols)
+            T.StructField(c, T.LongType() if t == "int64" else T.StringType(), i > 0)
+            for i, (c, t) in enumerate(zip(self.table_partition_cols, ktypes))
         ]
         fields.append(T.StructField(RESERVED_TIMESTAMP, T.TimestampNTZType(), False))
         fields.extend(T.StructField(c.name, c.spark_type(), True) for c in self.columns)

@@ -218,7 +218,11 @@ def key_range_predicate(ranges: Sequence[KeyRange], key_col: str = "row_key"):
     return pred
 
 
-def from_datasource_filters(filters: Iterable[object], partition_cols: Sequence[str]) -> list[Predicate]:
+def from_datasource_filters(
+    filters: Iterable[object],
+    partition_cols: Sequence[str],
+    key_types: Sequence[str] | None = None,
+) -> list[Predicate]:
     """Adapt ``pyspark.sql.datasource`` Filter objects (EqualTo, In,
     GreaterThanOrEqual, LessThanOrEqual) into composer predicates.
 
@@ -226,11 +230,37 @@ def from_datasource_filters(filters: Iterable[object], partition_cols: Sequence[
     into :class:`Between`, matching how the reference receives sqlparser's
     BETWEEN as a single Expr (composer.rs:50-62); Catalyst splits BETWEEN
     into two comparisons before pushdown, so we reassemble it here.
+
+    ``key_types`` (the int-key extension, plans/keycodec.py): int literals
+    on an int64-typed component encode to their order-preserving string
+    form before reaching the (string-only) composer; strict int bounds
+    even tighten exactly (``> v`` ⇔ ``>= v+1``) — something string keys
+    can never do.
     """
+    from datafusion_bigtable_spark.plans.keycodec import encode_int_key
+
+    int_cols = (
+        {c for c, t in zip(partition_cols, key_types) if t == "int64"}
+        if key_types is not None
+        else set()
+    )
+
+    def norm(col: str, v):
+        """Translate a literal for ``col`` to key-string space, or None."""
+        if isinstance(v, str):
+            return v if col not in int_cols else None  # type mismatch → residual
+        if col in int_cols and isinstance(v, int) and not isinstance(v, bool):
+            try:
+                return encode_int_key(v)
+            except ValueError:
+                return None
+        return None
+
     preds: list[Predicate] = []
     lowers: dict[str, str] = {}
     uppers: dict[str, str] = {}
     tail_col = partition_cols[-1]
+    _INT64_MAX, _INT64_MIN = 2**63 - 1, -(2**63)
 
     for f in filters:
         name = type(f).__name__
@@ -238,18 +268,33 @@ def from_datasource_filters(filters: Iterable[object], partition_cols: Sequence[
         col = col[0] if isinstance(col, (tuple, list)) and col else col
         if not isinstance(col, str):
             continue
-        if name == "EqualTo" and isinstance(getattr(f, "value", None), str):
-            preds.append(Eq(col, f.value))
+        v = getattr(f, "value", None)
+        if name == "EqualTo":
+            nv = norm(col, v)
+            if nv is not None:
+                preds.append(Eq(col, nv))
         elif name == "In":
             # pyspark.sql.datasource.In stores its tuple in field `value`.
             raw = getattr(f, "value", None) or getattr(f, "values", ())
-            vals = tuple(v for v in raw if isinstance(v, str))
+            vals = tuple(nv for nv in (norm(col, x) for x in raw) if nv is not None)
             if vals:
                 preds.append(In(col, vals))
-        elif name == "GreaterThanOrEqual" and isinstance(getattr(f, "value", None), str):
-            lowers[col] = f.value
-        elif name == "LessThanOrEqual" and isinstance(getattr(f, "value", None), str):
-            uppers[col] = f.value
+        elif name == "GreaterThanOrEqual":
+            nv = norm(col, v)
+            if nv is not None:
+                lowers[col] = nv
+        elif name == "LessThanOrEqual":
+            nv = norm(col, v)
+            if nv is not None:
+                uppers[col] = nv
+        elif name == "GreaterThan" and col in int_cols and isinstance(v, int) and v < _INT64_MAX:
+            nv = norm(col, v + 1)
+            if nv is not None:
+                lowers[col] = nv
+        elif name == "LessThan" and col in int_cols and isinstance(v, int) and v > _INT64_MIN:
+            nv = norm(col, v - 1)
+            if nv is not None:
+                uppers[col] = nv
 
     if tail_col in lowers and tail_col in uppers:
         preds.append(Between(tail_col, lowers[tail_col], uppers[tail_col]))

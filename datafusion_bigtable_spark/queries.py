@@ -1030,6 +1030,114 @@ def bt_value_regex_q(spark, sf_dir):
     return df.select("uid", "eid", "etype")
 
 
+def _bt_events_int_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once cells store with INT64 key components: row_key =
+    enc(user_id)#enc(event_id) via the order-preserving offset-decimal
+    codec (plans/keycodec.py), qualifiers `etype`/`cents` as in
+    _bt_events_store.  Same pyarrow fixture-prep stance (driver-side, not
+    a measured operator)."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_bigtable_spark.plans.keycodec import encode_int_key
+    from datafusion_bigtable_spark.sources.cells import write_manifest
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"int|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/dbs_bt_int_store_{os.path.basename(os.path.normpath(sf_dir))}_{tag}"
+    done = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(done):
+        t = pq.read_table(src).to_pandas()
+        row_key = (
+            t["user_id"].map(encode_int_key) + "#" + t["event_id"].map(encode_int_key)
+        )
+        ts = t["ts"].dt.floor("us")
+        cents = np.round(t["value"].to_numpy() * 100).astype("int64")
+        long = pd.concat(
+            [
+                pd.DataFrame(
+                    {"row_key": row_key, "family": "events", "qualifier": "etype",
+                     "ts": ts, "value": t["event_type"].str.encode("utf-8")}
+                ),
+                pd.DataFrame(
+                    {"row_key": row_key, "family": "events", "qualifier": "cents",
+                     "ts": ts,
+                     "value": [int(v).to_bytes(8, "big", signed=True) for v in cents]}
+                ),
+            ],
+            ignore_index=True,
+        ).sort_values(["row_key", "qualifier", "ts"], kind="stable")
+        os.makedirs(path, exist_ok=True)
+        bounds = [int(len(long) * i / 4) for i in range(5)]
+        keys = long["row_key"].to_numpy()
+        for i in range(1, 4):
+            b = max(bounds[i], bounds[i - 1])
+            while 0 < b < len(keys) and keys[b] == keys[b - 1]:
+                b += 1
+            bounds[i] = b
+        for i in range(4):
+            chunk = long.iloc[bounds[i] : bounds[i + 1]]
+            pq.write_table(
+                pa.table(
+                    {
+                        "row_key": pa.array(chunk["row_key"], type=pa.string()),
+                        "family": pa.array(chunk["family"], type=pa.string()),
+                        "qualifier": pa.array(chunk["qualifier"], type=pa.string()),
+                        "ts": pa.array(chunk["ts"], type=pa.timestamp("us")),
+                        "value": pa.array(chunk["value"], type=pa.binary()),
+                    }
+                ),
+                os.path.join(path, f"part-{i}.parquet"),
+            )
+        write_manifest(path)
+        open(done, "w").close()
+    return path
+
+
+@query(
+    "bt_int_key_prune",
+    """
+    SELECT user_id, event_id, event_type AS etype,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+    WHERE user_id = 7 AND event_id > 1000 AND event_id < 2000000
+    """,
+)
+def bt_int_key_prune_q(spark, sf_dir):
+    # Non-string key literals — the restriction the reference bakes in
+    # (composer.rs:175 accepts only string literals) lifted by the
+    # order-preserving int64 key codec (plans/keycodec.py): the schema
+    # exposes BIGINT components, predicates arrive as ints, encode to
+    # fixed-width offset-decimal strings for the (unchanged) lexicographic
+    # composer, and STRICT int bounds tighten exactly (> v ⇔ >= v+1 —
+    # impossible for string keys).  The composed range prunes files via
+    # the manifest like any string-keyed scan; components decode back to
+    # BIGINT after the split.
+    from datafusion_bigtable_spark.sources import datasource as bt_ds
+
+    path = _bt_events_int_store(spark, sf_dir)
+    bt_ds.register(spark)
+    df = (
+        spark.read.format("bigtable")
+        .option("path", path)
+        .option("column_family", "events")
+        .option("columns", "etype:string,cents:int64")
+        .option("table_partition_cols", "user_id,event_id")
+        .option("key_types", "int64,int64")
+        .load()
+        .filter("user_id = 7 AND event_id > 1000 AND event_id < 2000000")
+    )
+    return df.select("user_id", "event_id", "etype", "cents")
+
+
 #: one fake ReadRows service per cells store — the store is immutable once
 #: its _SUCCESS marker exists (content-addressed path), so reuse is safe
 #: and the bench/driver don't rebuild the in-memory cell map per query.

@@ -55,8 +55,12 @@ class BigtableTable:
 
     # -- pruning ----------------------------------------------------------
     def key_ranges(self, predicates: Iterable[Predicate]) -> list[KeyRange]:
+        from datafusion_bigtable_spark.plans.keycodec import encode_predicates
+
         return compose(
-            predicates,
+            encode_predicates(
+                predicates, self.config.table_partition_cols, self.config.key_types
+            ),
             self.config.table_partition_cols,
             self.config.table_partition_separator,
             allow_full_scan=self.config.allow_full_scan,
@@ -135,7 +139,15 @@ class BigtableTable:
             self.config.table_partition_separator,
         )
 
-        cols = [F.col(c) for c in self.config.table_partition_cols]
+        ktypes = self.config.key_types or ("string",) * len(self.config.table_partition_cols)
+        cols = []
+        for c, t in zip(self.config.table_partition_cols, ktypes):
+            if t == "int64":
+                from datafusion_bigtable_spark.plans.keycodec import decode_int_key_column
+
+                cols.append(decode_int_key_column(F.col(c)).alias(c))
+            else:
+                cols.append(F.col(c))
         cols.append(F.col("_timestamp").cast("timestamp_ntz").alias(RESERVED_TIMESTAMP))
         for spec in self.config.columns:
             cols.append(decode_value(F.col(spec.name), spec.spark_type()).alias(spec.name))

@@ -78,7 +78,16 @@ def encode_relational_row(cfg, d: dict) -> list[tuple]:
         raise ValueError(
             f"bigtable write: NULL row-key component in {dict(zip(pcols, (d[c] for c in pcols)))}"
         )
-    key = sep.join(str(p) for p in parts)
+    ktypes = (cfg.key_types or ("string",) * len(pcols))[: len(parts)]
+
+    def enc_part(p, t):
+        if t == "int64":
+            from datafusion_bigtable_spark.plans.keycodec import encode_int_key
+
+            return encode_int_key(p)
+        return str(p)
+
+    key = sep.join(enc_part(p, t) for p, t in zip(parts, ktypes))
     ts = d["_timestamp"]
     cells: list[tuple] = []
     for spec in cfg.columns:

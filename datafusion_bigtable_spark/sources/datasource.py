@@ -96,6 +96,10 @@ def _config_from_options(options) -> BigtableTableConfig:
     if not columns:
         raise ValueError("bigtable data source requires .option('columns', 'name:type,...')")
     pcols = tuple(c.strip() for c in (opt("table_partition_cols") or RESERVED_ROWKEY).split(",") if c.strip())
+    raw_kt = opt("key_types")
+    key_types = (
+        tuple(t.strip().lower() for t in raw_kt.split(",") if t.strip()) if raw_kt else None
+    )
     return BigtableTableConfig(
         table=opt("table", "bigtable"),
         column_family=opt("column_family", "default"),
@@ -105,6 +109,7 @@ def _config_from_options(options) -> BigtableTableConfig:
         only_read_latest=(opt("only_read_latest", "true").lower() == "true"),
         cells_path=path,
         allow_full_scan=(opt("allow_full_scan", "true").lower() == "true"),
+        key_types=key_types,
     )
 
 
@@ -191,7 +196,9 @@ class BigtableReader(DataSourceReader):
         self._pushed_since_last_plan = True
         self.ts_range = self._timestamp_bounds(filters)
         self.value_preds = self._value_predicates(filters)
-        preds = from_datasource_filters(filters, self.config.table_partition_cols)
+        preds = from_datasource_filters(
+            filters, self.config.table_partition_cols, self.config.key_types
+        )
         try:
             self.ranges = compose(
                 preds,
@@ -209,24 +216,42 @@ class BigtableReader(DataSourceReader):
         filters = list(filters)
         self._limit_safe = not filters or (
             bool(self.ranges)
-            and self._filters_exactly_absorbed(filters, self.config.table_partition_cols)
+            and self._filters_exactly_absorbed(
+                filters, self.config.table_partition_cols, self.config.key_types
+            )
         )
         # Inexact contract: claim nothing, Spark re-applies every filter.
         return iter(filters)
 
     @staticmethod
-    def _filters_exactly_absorbed(filters, pcols) -> bool:
+    def _filters_exactly_absorbed(filters, pcols, key_types=None) -> bool:
         """True iff every pushed filter is a key-component predicate the
-        composer absorbs exactly (``=``/``IN`` with string literals on key
-        components; a single ``>=``/``<=`` pair on the tail forming a
-        BETWEEN).  Exactness assumes stored keys carry exactly the declared
-        component count — the same assumption split_row_key round-trips on.
-        ts/value predicates are NEVER exact in-scan (strict bounds widen;
-        cell-level drops leave NULL holes the re-applied filter removes).
-        The IsNotNull filters Catalyst pushes alongside comparisons are
-        exact only for columns that ALSO carry an absorbed constraint
-        (every row a composed range emits has that component non-null)."""
+        composer absorbs exactly (``=``/``IN`` with literals of the
+        component's declared type on key components; a single bound pair
+        on the tail forming a BETWEEN — strict int bounds count, they
+        tighten exactly).  Exactness assumes stored keys carry exactly the
+        declared component count — the same assumption split_row_key
+        round-trips on.  ts/value predicates are NEVER exact in-scan
+        (strict bounds widen; cell-level drops leave NULL holes the
+        re-applied filter removes).  The IsNotNull filters Catalyst pushes
+        alongside comparisons are exact only for columns that ALSO carry
+        an absorbed constraint (every row a composed range emits has that
+        component non-null)."""
         tail = pcols[-1]
+        int_cols = (
+            {c for c, t in zip(pcols, key_types) if t == "int64"}
+            if key_types is not None
+            else set()
+        )
+
+        def absorbable(col, v):
+            if isinstance(v, str):
+                return col not in int_cols
+            return (
+                col in int_cols and isinstance(v, int) and not isinstance(v, bool)
+                and -(2**63) <= v < 2**63
+            )
+
         lowers, uppers = 0, 0
         constrained: set = set()
         not_null: set = set()
@@ -238,25 +263,33 @@ class BigtableReader(DataSourceReader):
             if name == "IsNotNull" and col in pcols:
                 not_null.add(col)
                 continue
-            if name == "EqualTo" and col in pcols and isinstance(v, str):
+            if name == "EqualTo" and col in pcols and absorbable(col, v):
                 constrained.add(col)
                 continue
             if name == "In" and col in pcols:
                 raw = v or getattr(f, "values", ())
-                if raw and all(isinstance(x, str) for x in raw):
+                if raw and all(absorbable(col, x) for x in raw):
                     constrained.add(col)
                     continue
                 return False
-            if name == "GreaterThanOrEqual" and col == tail and isinstance(v, str):
+            if name == "GreaterThanOrEqual" and col == tail and absorbable(col, v):
                 lowers += 1
                 continue
-            if name == "LessThanOrEqual" and col == tail and isinstance(v, str):
+            if name == "LessThanOrEqual" and col == tail and absorbable(col, v):
+                uppers += 1
+                continue
+            # strict int bounds translate exactly (v±1); strict string
+            # bounds never reach the composer → residual
+            if name == "GreaterThan" and col == tail and col in int_cols and absorbable(col, v) and v < 2**63 - 1:
+                lowers += 1
+                continue
+            if name == "LessThan" and col == tail and col in int_cols and absorbable(col, v) and v > -(2**63):
                 uppers += 1
                 continue
             return False
         if lowers == uppers == 1:
             constrained.add(tail)
-        # a lone >= / <= on the tail is NOT recombined into a Between by
+        # a lone bound on the tail is NOT recombined into a Between by
         # from_datasource_filters → residual → unsafe
         return lowers == uppers and lowers <= 1 and not_null <= constrained
 
@@ -697,15 +730,25 @@ def _pivot_partition(cells, cfg: BigtableTableConfig):
 
     out: dict[str, object] = {}
     keys = wide["row_key"].astype(str)
+    ktypes = cfg.key_types or ("string",) * len(cfg.table_partition_cols)
+
+    def _component(series, i):
+        if ktypes[i] != "int64":
+            return series
+        from datafusion_bigtable_spark.plans.keycodec import decode_int_key_pandas
+
+        return decode_int_key_pandas(series)
+
     if len(cfg.table_partition_cols) == 1:
-        out[cfg.table_partition_cols[0]] = keys
+        out[cfg.table_partition_cols[0]] = _component(keys, 0)
     else:
         # regex=False: pandas treats multi-char patterns as regex by default,
         # which would split wrongly for separators like '||' — the DataFrame
         # path (pivot.split_row_key) re.escape()s; both must agree.
         parts = keys.str.split(cfg.table_partition_separator, expand=True, regex=False)
         for i, name in enumerate(cfg.table_partition_cols):
-            out[name] = parts[i] if i in parts.columns else pd.Series([None] * len(wide))
+            col = parts[i] if i in parts.columns else pd.Series([None] * len(wide))
+            out[name] = _component(col, i)
     out["_timestamp"] = wide["ts"]
 
     for spec in cfg.columns:
