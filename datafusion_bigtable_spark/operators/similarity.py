@@ -408,6 +408,78 @@ def topk_pq(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def topk_ivfpq(
+    embeddings: DataFrame,
+    query_pred: Column,
+    n_cells: int = 16,
+    m: int = 8,
+    k_c: int = 16,
+    k: int = 3,
+    codebooks: list[list[list[float]]] | None = None,
+    index: IvfIndex | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF × PQ — the composition a billion-vector index actually runs:
+    the IVF cell restricts WHICH candidates are scored (≈n_cells× fewer
+    pairs), PQ codes decide HOW each one is scored (m centroid lookups,
+    raw vectors never move).  The two operators compose on nothing more
+    than the shared vector id — the cell column narrows the scoring join,
+    everything else is topk_pq's ADC plan unchanged.
+
+    Pass ``index=build_ivf_index(...)`` / ``codebooks=...`` to reuse a
+    built index across queries (and own its unpersist); defaults build
+    throwaways with the same GC-cleanup stance as topk_ivf.
+    """
+    if index is None:
+        index = build_ivf_index(embeddings, n_cells, 1, None, id_col, vec_col)
+    assigned = index.assignments.filter(F.col("_rn") == 1).select(
+        F.col(id_col).alias("id"), "cell"
+    )
+    if codebooks is None:
+        codebooks = pq_codebooks(embeddings, m, k_c, id_col, vec_col)
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    spark = embeddings.sparkSession
+
+    cents = spark.createDataFrame(
+        [
+            (j, c, list(map(float, cent)))
+            for j, book in enumerate(codebooks)
+            for c, cent in enumerate(book)
+        ],
+        "j INT, code INT, cent ARRAY<DOUBLE>",
+    )
+    corpus = (
+        pq_encode(embeddings, codebooks, id_col, vec_col)
+        .join(assigned, "id")
+        .select(
+            F.col("id").alias("neighbor_id"), "cell", F.posexplode("codes").alias("j", "code")
+        )
+    )
+    dv = as_double_vec(F.col(vec_col))
+    q = (
+        embeddings.filter(query_pred)
+        .join(assigned, F.col(id_col) == F.col("id"))
+        .select(
+            F.col(id_col).alias("query_id"),
+            "cell",
+            F.posexplode(
+                F.array(*[F.slice(dv, j * sub_dim + 1, sub_dim) for j in range(m)])
+            ).alias("j", "qs"),
+        )
+    )
+    scored = (
+        corpus.join(F.broadcast(cents), ["j", "code"])
+        .join(F.broadcast(q), ["cell", "j"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum(dot_raw(F.col("qs"), F.col("cent"))), 6).alias("score"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
 def sign_bucket(vec: Column, dims: Sequence[int]) -> Column:
     """Axis-aligned hyperplane LSH signature: '1'/'0' per probed dimension.
     ``dims`` are 0-based; element_at is 1-based."""

@@ -1792,6 +1792,64 @@ def sim_topk_pq_q(spark, sf_dir):
     return topk_pq(e, F.col("vec_id") % 100 == 0, m=8, k_c=16, k=3)
 
 
+@query(
+    "sim_topk_ivfpq",
+    """
+    WITH seeds AS (
+      SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS sv
+      FROM embeddings WHERE vec_id < 16),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, s.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.sv) DESC,
+                          s.cell) AS rn
+        FROM embeddings e CROSS JOIN seeds s) t
+      WHERE rn = 1),
+    dv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sub AS (
+      SELECT vec_id, j, v[j*8+1 : j*8+8] AS s
+      FROM dv, (SELECT unnest(generate_series(0, 7)) AS j) jj),
+    cents AS (
+      SELECT j, vec_id AS code, s AS cent, list_inner_product(s, s) AS cc
+      FROM sub WHERE vec_id < 16),
+    codes AS (
+      SELECT vec_id, j, code FROM (
+        SELECT d.vec_id, d.j, c.code,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.j
+                                  ORDER BY c.cc - 2 * list_inner_product(d.s, c.cent), c.code) AS rn
+        FROM sub d JOIN cents c ON c.j = d.j) t
+      WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, j, s AS qs FROM sub WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.query_id, d.vec_id AS neighbor_id,
+             ROUND(SUM(list_inner_product(q.qs, c.cent)), 6) AS score
+      FROM codes d
+      JOIN assign ca ON ca.vec_id = d.vec_id
+      JOIN q ON q.j = d.j AND q.query_id <> d.vec_id
+      JOIN assign qa ON qa.vec_id = q.query_id AND qa.cell = ca.cell
+      JOIN cents c ON c.j = d.j AND c.code = d.code
+      GROUP BY q.query_id, d.vec_id)
+    SELECT query_id, neighbor_id, score, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rk
+      FROM scored) t
+    WHERE rk <= 3
+    """,
+)
+def sim_ivfpq_q(spark, sf_dir):
+    # The composed billion-vector shape: IVF cells restrict WHICH pairs
+    # score (~n_cells× fewer), PQ codes decide HOW (m centroid lookups per
+    # pair, raw vectors never reach the scorer).  Composition is by vector
+    # id only — the strongest evidence the ANN operators are genuinely
+    # modular.
+    from datafusion_bigtable_spark.operators.similarity import topk_ivfpq
+
+    e = load(spark, sf_dir, "embeddings")
+    return topk_ivfpq(e, F.col("vec_id") % 100 == 0, n_cells=16, m=8, k_c=16, k=3)
+
+
 def _lang_sql_score(lang: str) -> str:
     from datafusion_bigtable_spark.functions.text import stopword_pattern
 
