@@ -1939,6 +1939,93 @@ def text_curation_q(spark, sf_dir):
 REGISTRY["text_curation_filter"] = QuerySpec(text_curation_q, _curation_oracle())
 
 
+def _pipeline_oracle() -> str:
+    from datafusion_bigtable_spark.functions.text import LANG_ORDER
+
+    scores = {lang: _lang_sql_score(lang) for lang in LANG_ORDER}
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    kept_shingles = _SHINGLES_CTE.replace("FROM documents", "FROM kept")
+    return f"""
+    WITH RECURSIVE kept AS (
+      SELECT doc_id, text, source FROM documents
+      WHERE length(text) >= 120 AND length(text) <= 10000
+        AND len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) >= 20
+        AND CAST(len(regexp_extract_all(text, '([,.;:!?])', 1)) AS DOUBLE)
+            / greatest(length(text), 1) < 0.1
+        AND NOT ({best} = 0)),
+    {kept_shingles},
+    mh AS (
+      SELECT id, s.seed, MIN(md5(CAST(s.seed AS VARCHAR) || '|' || shingle)) AS minhash
+      FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS seed) s
+      GROUP BY id, s.seed),
+    banded AS (
+      SELECT id, CAST(seed // 2 AS INT) AS band,
+             string_agg(minhash, ',' ORDER BY minhash) AS band_sig
+      FROM mh GROUP BY id, seed // 2),
+    pairs AS (
+      SELECT DISTINCT a.id AS pa, b.id AS pb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id),
+    edges AS (SELECT pa AS a, pb AS b FROM pairs UNION SELECT pb, pa FROM pairs),
+    reach AS (
+      SELECT a AS id, b AS r FROM edges
+      UNION
+      SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+    dups AS (
+      SELECT id FROM (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id)
+      WHERE id != component)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))) AS BIGINT)
+             AS total_ws_tokens
+    FROM kept WHERE doc_id NOT IN (SELECT id FROM dups)
+    GROUP BY source
+    """
+
+
+@query("pipeline_curated_corpus", None)  # real SQL bound below
+def pipeline_curated_q(spark, sf_dir):
+    # The capstone composition — the actual pre-training data flow, end to
+    # end in ONE declarative plan: raw docs → curation gate (quality/
+    # langid signals, fused into the scan) → near-dup removal (LSH
+    # blocking → connected components → broadcast anti-join of
+    # non-canonical members, computed on the KEPT subset only) → per-
+    # source corpus accounting (docs + whitespace tokens, the numbers a
+    # mixing recipe consumes).  Every stage is a shipped operator; they
+    # chain on doc_id alone.  At 100 TB: the gate prunes before any
+    # shuffle, dedup touches only survivors, the final agg is one shuffle
+    # on source.
+    from datafusion_bigtable_spark.functions import text as X
+    from datafusion_bigtable_spark.operators.dedup import lsh_candidate_pairs
+    from datafusion_bigtable_spark.operators.graph import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    chars = F.length("text")
+    tokens = X.bpe_ish_token_count(F.col("text"))
+    punct_ratio = F.size(F.regexp_extract_all("text", F.lit(r"([,.;:!?])"), 1)).cast(
+        "double"
+    ) / F.greatest(chars, F.lit(1))
+    keep = (
+        (chars >= 120)
+        & (chars <= 10000)
+        & (tokens >= 20)
+        & (punct_ratio < 0.1)
+        & (X.langid(F.col("text")) != "und")
+    )
+    kept = d.filter(keep).select("doc_id", "text", "source")
+
+    pairs = lsh_candidate_pairs(kept, bands=4, rows_per_band=2, k=3)
+    comp = connected_components(pairs)
+    dups = comp.filter(F.col("id") != F.col("component")).select(F.col("id").alias("doc_id"))
+    final = kept.join(F.broadcast(dups), "doc_id", "left_anti")
+    return final.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(X.whitespace_token_count(F.col("text"))).cast("bigint").alias("total_ws_tokens"),
+    )
+
+
+REGISTRY["pipeline_curated_corpus"] = QuerySpec(pipeline_curated_q, _pipeline_oracle())
+
+
 @query(
     "sample_class_balanced",
     """
