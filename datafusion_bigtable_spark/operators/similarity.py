@@ -293,6 +293,52 @@ def pq_codebooks(
     ]
 
 
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    k_c: int = 16,
+    iters: int = 3,
+    sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Lloyd-refined PER-SUBSPACE codebooks from a deterministic sample —
+    the real PQ training step, mirroring ``train_ivf_codebook``'s stance:
+    sample by md5 order (reproducible across partitionings), refine with
+    k-means in numpy on the driver (codebooks are tiny by definition),
+    return plain lists ready for ``pq_encode``/``topk_pq(codebooks=...)``.
+    Each subspace trains independently on its slice — that independence is
+    what makes PQ's m·k_c cells behave like k_c^m virtual centroids.
+    Iterative → not SQL-reproducible, so the oracle-checked queries keep
+    the seed codebooks; pytest pins that trained books do not lose
+    reconstruction quality vs the seed ones.
+    """
+    import numpy as np
+
+    rows = (
+        embeddings.select(F.md5(F.col(id_col).cast("string")).alias("_h"), vec_col)
+        .orderBy("_h", vec_col)
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub]
+        C = S[:k_c].copy()
+        for _ in range(iters):
+            d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            labels = d.argmin(axis=1)
+            for c in range(k_c):
+                members = S[labels == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append([list(map(float, c)) for c in C])
+    return books
+
+
 def pq_encode(
     embeddings: DataFrame,
     codebooks: list[list[list[float]]],

@@ -432,3 +432,41 @@ def test_pq_encode_identity_and_recall(spark, sf_dir):
     truth = {(r.query_id, r.neighbor_id) for r in topk_bruteforce(e, pred, k=3).collect()}
     got = {(r.query_id, r.neighbor_id) for r in topk_pq(e, pred, m=8, k_c=16, k=3).collect()}
     assert len(got & truth) / len(truth) > 0.1  # seed codebooks: coarse but real
+
+
+def test_pq_trained_codebooks_reduce_quantization_error(spark, sf_dir):
+    """Lloyd-refined subspace codebooks must not RAISE reconstruction
+    error vs the arbitrary seed codebooks (k-means monotonicity), and the
+    trained books drop into the same encode/search path."""
+    import numpy as np
+
+    from datafusion_bigtable_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        topk_pq,
+        train_pq_codebooks,
+    )
+    from datafusion_bigtable_spark.queries import load
+
+    e = load(spark, sf_dir, "embeddings")
+    seed = pq_codebooks(e, m=8, k_c=16)
+    trained = train_pq_codebooks(e, m=8, k_c=16, iters=3)
+    assert len(trained) == 8 and len(trained[0]) == 16 and len(trained[0][0]) == 8
+
+    X = np.array([r.embedding for r in e.select("embedding").collect()], dtype=np.float64)
+
+    def recon_err(books):
+        err = 0.0
+        for j, book in enumerate(books):
+            S = X[:, j * 8 : (j + 1) * 8]
+            C = np.array(book)
+            d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            err += d.min(axis=1).sum()
+        return err
+
+    assert recon_err(trained) <= recon_err(seed)
+
+    got = topk_pq(e, F.col("vec_id") % 100 == 0, k=3, codebooks=trained).collect()
+    assert len(got) > 0 and all(0 <= r.rk <= 3 for r in got)
+    codes = pq_encode(e, trained).collect()
+    assert all(0 <= c < 16 for r in codes for c in r.codes)
