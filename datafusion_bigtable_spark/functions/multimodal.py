@@ -153,6 +153,77 @@ def extract_features(assets: DataFrame, *, fake: bool = True, mode: str | None =
     return assets.mapInPandas(op, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("src_width", T.IntegerType(), True),
+        T.StructField("src_height", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("scale_x", T.DoubleType(), True),
+        T.StructField("scale_y", T.DoubleType(), True),
+        T.StructField("resized", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    assets: DataFrame, width: int = 64, height: int = 64, mode: str = "fake"
+) -> DataFrame:
+    """Image resize over binary asset columns — the standard normalization
+    step before a vision encoder.
+
+    The Spark-side plumbing is REAL and tested: Arrow-batched mapInPandas
+    (an executor holds one batch of payloads, never the column), typed
+    output schema, source dimensions from the REAL container-header parse
+    (media_codecs.py) with the scale factors a resampler would use.  The
+    PIXEL resample itself is the honest stub, exactly like
+    extract_features' decode tier:
+    - ``mode="fake"`` — deterministic digest-expanded payload of exactly
+      width·height·3 bytes (a stand-in RGB buffer; reproducible, so tests
+      can pin batch shapes and sizes).
+    - ``mode="full"`` — requires PIL, not in this container →
+      NotImplementedError.
+    """
+    if width <= 0 or height <= 0:
+        raise ValueError("target width/height must be positive")
+
+    def op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from datafusion_bigtable_spark.functions.media_codecs import parse_media
+
+        n_bytes = width * height * 3
+        for pdf in batches:
+            if mode == "full":
+                raise NotImplementedError(
+                    "real pixel resample requires PIL (not in this container); "
+                    "use mode='fake' — header parsing and scale math stay real"
+                )
+            rows = {k: [] for k in ("asset_id", "src_width", "src_height",
+                                    "width", "height", "scale_x", "scale_y", "resized")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                meta = parse_media(bytes(payload)) if payload is not None else {}
+                sw, sh = meta.get("width"), meta.get("height")
+                rows["asset_id"].append(aid)
+                rows["src_width"].append(sw)
+                rows["src_height"].append(sh)
+                rows["width"].append(width)
+                rows["height"].append(height)
+                rows["scale_x"].append(width / sw if sw else None)
+                rows["scale_y"].append(height / sh if sh else None)
+                if payload is None:
+                    rows["resized"].append(None)
+                else:
+                    # digest-expanded deterministic stand-in pixel buffer
+                    seed = hashlib.sha256(bytes(payload)).digest()
+                    reps = (n_bytes + len(seed) - 1) // len(seed)
+                    rows["resized"].append((seed * reps)[:n_bytes])
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(op, RESIZE_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType(), False),

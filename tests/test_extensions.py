@@ -470,3 +470,30 @@ def test_pq_trained_codebooks_reduce_quantization_error(spark, sf_dir):
     assert len(got) > 0 and all(0 <= r.rk <= 3 for r in got)
     codes = pq_encode(e, trained).collect()
     assert all(0 <= c < 16 for r in codes for c in r.codes)
+
+
+def test_resize_images_plumbing(spark, sf_dir):
+    """Resize: real header-derived source dims + scale factors, exact
+    target-size deterministic stand-in buffers, honest full-decode gate."""
+    import pytest as _pytest
+
+    from datafusion_bigtable_spark.functions.multimodal import (
+        resize_images,
+        synthesize_media_assets,
+    )
+    from datafusion_bigtable_spark.queries import load
+
+    assets = synthesize_media_assets(load(spark, sf_dir, "documents").limit(12))
+    out = resize_images(assets, width=32, height=24).collect()
+    assert len(out) == 12
+    for r in out:
+        assert (r.width, r.height) == (32, 24)
+        assert len(r.resized) == 32 * 24 * 3
+        if r.src_width:  # parseable container → real scale math
+            assert abs(r.scale_x - 32 / r.src_width) < 1e-12
+    # determinism: same payloads → same buffers
+    again = resize_images(assets, width=32, height=24).collect()
+    assert {r.asset_id: r.resized for r in out} == {r.asset_id: r.resized for r in again}
+
+    with _pytest.raises(Exception, match="NotImplementedError|PIL"):
+        resize_images(assets, width=8, height=8, mode="full").collect()
