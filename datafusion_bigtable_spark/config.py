@@ -129,9 +129,16 @@ class BigtableTableConfig:
         # the missing components (both scan paths), and a non-null declaration
         # would let Catalyst prune IsNotNull filters incorrectly.  The first
         # component is always present (split of a non-null key has >= 1 part).
+        # int64 components are nullable even in FIRST position: the split
+        # part is always present, but a malformed encoding decodes to NULL
+        # (the documented NULL-for-malformed stance, plans/keycodec.py).
         ktypes = self.key_types or ("string",) * len(self.table_partition_cols)
         fields = [
-            T.StructField(c, T.LongType() if t == "int64" else T.StringType(), i > 0)
+            T.StructField(
+                c,
+                T.LongType() if t == "int64" else T.StringType(),
+                i > 0 or t == "int64",
+            )
             for i, (c, t) in enumerate(zip(self.table_partition_cols, ktypes))
         ]
         fields.append(T.StructField(RESERVED_TIMESTAMP, T.TimestampNTZType(), False))

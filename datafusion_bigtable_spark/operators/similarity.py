@@ -145,8 +145,13 @@ class IvfIndex:
     on exit.
     """
 
-    def __init__(self, assignments: DataFrame):
+    def __init__(self, assignments: DataFrame, nprobe: int = 1):
         self.assignments = assignments
+        #: the nprobe this index was BUILT with — searches may probe
+        #: narrower, never wider (the rows simply don't exist); recorded so
+        #: a widening request fails loudly instead of silently degrading
+        #: recall (review finding).
+        self.nprobe = nprobe
 
     def unpersist(self, blocking: bool = False) -> None:
         self.assignments.unpersist(blocking)
@@ -198,7 +203,7 @@ def build_ivf_index(
         .select(id_col, "cell", "_rn", "_dv", "_n")
         .persist()
     )
-    return IvfIndex(ranked)
+    return IvfIndex(ranked, nprobe=max(1, nprobe))
 
 
 def topk_ivf(
@@ -236,6 +241,12 @@ def topk_ivf(
     """
     if index is None:
         index = build_ivf_index(embeddings, n_cells, nprobe, codebook, id_col, vec_col)
+    if max(1, nprobe) > index.nprobe:
+        raise ValueError(
+            f"topk_ivf(nprobe={nprobe}) exceeds the supplied index's build "
+            f"nprobe={index.nprobe}: the probe rows do not exist in the "
+            "assignment — rebuild the index with the wider nprobe"
+        )
     ranked = index.assignments
     assigned = ranked.filter(F.col("_rn") == 1)
     # an index built with a larger nprobe serves narrower searches: the
@@ -388,6 +399,48 @@ def pq_encode(
     return embeddings.select(id_col, vec_col).mapInPandas(enc_batches, "id long, codes array<int>")
 
 
+def _pq_cents_df(spark, codebooks) -> DataFrame:
+    """Broadcast-size (j, code, centroid) table from nested codebooks."""
+    return spark.createDataFrame(
+        [
+            (j, c, list(map(float, cent)))
+            for j, book in enumerate(codebooks)
+            for c, cent in enumerate(book)
+        ],
+        "j INT, code INT, cent ARRAY<DOUBLE>",
+    )
+
+
+def _pq_query_slices(embeddings, query_pred, m, sub_dim, id_col, vec_col) -> DataFrame:
+    """(query_id, j, qs): each query vector exploded into its m subspace
+    slices — the per-query half of the ADC lookup."""
+    dv = as_double_vec(F.col(vec_col))
+    return embeddings.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(
+            F.array(*[F.slice(dv, j * sub_dim + 1, sub_dim) for j in range(m)])
+        ).alias("j", "qs"),
+    )
+
+
+def _adc_score_topk(corpus: DataFrame, cents: DataFrame, q: DataFrame, q_join_cols: list, k: int) -> DataFrame:
+    """Shared ADC scoring tail for the PQ family: per-subspace centroid
+    lookup (broadcast cents on (j, code)), broadcast query slices joined on
+    ``q_join_cols`` (["j"] for plain PQ; ["cell", "j"] when an IVF cell
+    restricts candidates), one aggregation of the m partial dots per
+    (query, neighbor), rank-k window.  Single place for the rounding grid
+    and tie-break so topk_pq and topk_ivfpq can never diverge."""
+    scored = (
+        corpus.join(F.broadcast(cents), ["j", "code"])
+        .join(F.broadcast(q), q_join_cols)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum(dot_raw(F.col("qs"), F.col("cent"))), 6).alias("score"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
 def topk_pq(
     embeddings: DataFrame,
     query_pred: Column,
@@ -419,39 +472,13 @@ def topk_pq(
         codebooks = pq_codebooks(embeddings, m, k_c, id_col, vec_col)
     m = len(codebooks)
     sub_dim = len(codebooks[0][0])
-    spark = embeddings.sparkSession
 
-    cents = spark.createDataFrame(
-        [
-            (j, c, list(map(float, cent)))
-            for j, book in enumerate(codebooks)
-            for c, cent in enumerate(book)
-        ],
-        "j INT, code INT, cent ARRAY<DOUBLE>",
-    )
-
-    codes = pq_encode(embeddings, codebooks, id_col, vec_col)
-    corpus = codes.select(
+    corpus = pq_encode(embeddings, codebooks, id_col, vec_col).select(
         F.col("id").alias("neighbor_id"), F.posexplode("codes").alias("j", "code")
     )
-
-    dv = as_double_vec(F.col(vec_col))
-    q = embeddings.filter(query_pred).select(
-        F.col(id_col).alias("query_id"),
-        F.posexplode(
-            F.array(*[F.slice(dv, j * sub_dim + 1, sub_dim) for j in range(m)])
-        ).alias("j", "qs"),
-    )
-
-    scored = (
-        corpus.join(F.broadcast(cents), ["j", "code"])
-        .join(F.broadcast(q), "j")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.round(F.sum(dot_raw(F.col("qs"), F.col("cent"))), 6).alias("score"))
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    q = _pq_query_slices(embeddings, query_pred, m, sub_dim, id_col, vec_col)
+    cents = _pq_cents_df(embeddings.sparkSession, codebooks)
+    return _adc_score_topk(corpus, cents, q, ["j"], k)
 
 
 def topk_ivfpq(
@@ -486,16 +513,7 @@ def topk_ivfpq(
         codebooks = pq_codebooks(embeddings, m, k_c, id_col, vec_col)
     m = len(codebooks)
     sub_dim = len(codebooks[0][0])
-    spark = embeddings.sparkSession
 
-    cents = spark.createDataFrame(
-        [
-            (j, c, list(map(float, cent)))
-            for j, book in enumerate(codebooks)
-            for c, cent in enumerate(book)
-        ],
-        "j INT, code INT, cent ARRAY<DOUBLE>",
-    )
     corpus = (
         pq_encode(embeddings, codebooks, id_col, vec_col)
         .join(assigned, "id")
@@ -503,27 +521,15 @@ def topk_ivfpq(
             F.col("id").alias("neighbor_id"), "cell", F.posexplode("codes").alias("j", "code")
         )
     )
-    dv = as_double_vec(F.col(vec_col))
-    q = (
-        embeddings.filter(query_pred)
-        .join(assigned, F.col(id_col) == F.col("id"))
-        .select(
-            F.col(id_col).alias("query_id"),
-            "cell",
-            F.posexplode(
-                F.array(*[F.slice(dv, j * sub_dim + 1, sub_dim) for j in range(m)])
-            ).alias("j", "qs"),
-        )
+    # query slices carry the query's IVF cell so the ADC join is
+    # cell-restricted — the only difference from topk_pq's plan.  No
+    # broadcast hint here: `assigned` is corpus-sized; the tiny query side
+    # is what AQE broadcasts.
+    q = _pq_query_slices(embeddings, query_pred, m, sub_dim, id_col, vec_col).join(
+        assigned.withColumnRenamed("id", "query_id"), "query_id"
     )
-    scored = (
-        corpus.join(F.broadcast(cents), ["j", "code"])
-        .join(F.broadcast(q), ["cell", "j"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.round(F.sum(dot_raw(F.col("qs"), F.col("cent"))), 6).alias("score"))
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    cents = _pq_cents_df(embeddings.sparkSession, codebooks)
+    return _adc_score_topk(corpus, cents, q, ["cell", "j"], k)
 
 
 def sign_bucket(vec: Column, dims: Sequence[int]) -> Column:

@@ -53,7 +53,10 @@ def decode_int_key_pandas(parts):
     def one(s):
         if s is None or (isinstance(s, float) and np.isnan(s)):
             return None
-        return int(s) - _OFFSET
+        try:
+            return int(s) - _OFFSET
+        except (TypeError, ValueError):
+            return None  # malformed component → NULL, like operators/decode.py
 
     return pd.Series([one(s) for s in parts], index=parts.index, dtype="object")
 
@@ -70,9 +73,11 @@ def decode_int_key_column(col):
     from pyspark.sql import functions as F
 
     # NOTE F.lit(2**63) would overflow the Java long literal; route the
-    # offset through a string→decimal cast instead.
+    # offset through a string→decimal cast instead.  try_cast, not cast:
+    # under default ANSI mode a plain cast of a malformed component THROWS
+    # mid-scan instead of yielding the documented NULL (review finding).
     offset = F.expr(f"CAST('{_OFFSET}' AS DECIMAL(21,0))")
-    return (col.cast("decimal(21,0)") - offset).cast("bigint")
+    return (col.try_cast("decimal(21,0)") - offset).cast("bigint")
 
 
 def encode_predicates(preds, partition_cols, key_types):

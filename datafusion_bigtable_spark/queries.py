@@ -686,15 +686,20 @@ def bt_cell_pivot(spark, sf_dir):
     return piv.select("user_id", *[F.round(F.col(t), 4).alias(t) for t in types])
 
 
-def _bt_events_store(spark: SparkSession, sf_dir: str) -> str:
-    """Build-once cells store derived from `events` for connector-path
-    queries: row_key = uid#eid (zero-padded, unique per event), qualifiers
-    `etype` (utf-8) and `cents` (int64 big-endian).  Same layout
+def _build_events_cells_store(sf_dir: str, tag_prefix: str, key_fn) -> str:
+    """Shared build-once cells-store fixture derived from `events`:
+    qualifiers `etype` (utf-8) and `cents` (int64 big-endian), row_key
+    produced by ``key_fn(events_pandas) -> Series``.  Same layout
     write_cells produces (range-partitioned files, sorted by row_key, with
     a manifest) so footer stats prune and the streaming reader is provably
     key-ordered — built driver-side with pyarrow because this is FIXTURE
     PREP, not a measured operator (a Spark write here cost ~8 s of every
-    cold bench run; pandas does the 2·|events| cells in well under one)."""
+    cold bench run; pandas does the 2·|events| cells in well under one).
+
+    Cache key = source identity (full path + mtime + size) + tag_prefix,
+    not just the dir basename — two datasets named sf0.1, or a regenerated
+    events.parquet, must not reuse each other's derived store."""
+    import hashlib
     import os
 
     import numpy as np
@@ -704,21 +709,16 @@ def _bt_events_store(spark: SparkSession, sf_dir: str) -> str:
 
     from datafusion_bigtable_spark.sources.cells import write_manifest
 
-    # cache key = source identity (full path + mtime + size), not just the
-    # dir basename — two datasets named sf0.1, or a regenerated
-    # events.parquet, must not reuse each other's derived store
-    import hashlib
-
     src = os.path.join(sf_dir, "events.parquet")
     st = os.stat(src)
-    tag = hashlib.md5(f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()).hexdigest()[:12]
-    path = f"/tmp/dbs_bt_store_{os.path.basename(os.path.normpath(sf_dir))}_{tag}"
+    tag = hashlib.md5(
+        f"{tag_prefix}|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/dbs_bt_{tag_prefix}store_{os.path.basename(os.path.normpath(sf_dir))}_{tag}"
     done = os.path.join(path, "_SUCCESS")
     if not os.path.exists(done):
-        t = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
-        row_key = (
-            t["user_id"].astype(str).str.zfill(4) + "#" + t["event_id"].astype(str).str.zfill(8)
-        )
+        t = pq.read_table(src).to_pandas()
+        row_key = key_fn(t)
         ts = t["ts"].dt.floor("us")  # ns → µs, matching load_events' `div 1000`
         # 2-dec grid values: *100 lands within fp noise of an integer, so
         # np.round (banker's) and Spark/DuckDB ROUND agree — never at .5
@@ -761,19 +761,35 @@ def _bt_events_store(spark: SparkSession, sf_dir: str) -> str:
             bounds[i] = b
         for i in range(4):
             chunk = long.iloc[bounds[i] : bounds[i + 1]]
-            table = pa.table(
-                {
-                    "row_key": pa.array(chunk["row_key"], type=pa.string()),
-                    "family": pa.array(chunk["family"], type=pa.string()),
-                    "qualifier": pa.array(chunk["qualifier"], type=pa.string()),
-                    "ts": pa.array(chunk["ts"], type=pa.timestamp("us")),
-                    "value": pa.array(chunk["value"], type=pa.binary()),
-                }
+            pq.write_table(
+                pa.table(
+                    {
+                        "row_key": pa.array(chunk["row_key"], type=pa.string()),
+                        "family": pa.array(chunk["family"], type=pa.string()),
+                        "qualifier": pa.array(chunk["qualifier"], type=pa.string()),
+                        "ts": pa.array(chunk["ts"], type=pa.timestamp("us")),
+                        "value": pa.array(chunk["value"], type=pa.binary()),
+                    }
+                ),
+                os.path.join(path, f"part-{i}.parquet"),
             )
-            pq.write_table(table, os.path.join(path, f"part-{i}.parquet"))
         write_manifest(path)
         open(done, "w").close()
     return path
+
+
+def _bt_events_store(spark: SparkSession, sf_dir: str) -> str:
+    """String-keyed connector fixture: row_key = uid#eid (zero-padded,
+    unique per event)."""
+
+    def key_fn(t):
+        return (
+            t["user_id"].astype(str).str.zfill(4)
+            + "#"
+            + t["event_id"].astype(str).str.zfill(8)
+        )
+
+    return _build_events_cells_store(sf_dir, "", key_fn)
 
 
 @query(
@@ -1031,75 +1047,15 @@ def bt_value_regex_q(spark, sf_dir):
 
 
 def _bt_events_int_store(spark: SparkSession, sf_dir: str) -> str:
-    """Build-once cells store with INT64 key components: row_key =
-    enc(user_id)#enc(event_id) via the order-preserving offset-decimal
-    codec (plans/keycodec.py), qualifiers `etype`/`cents` as in
-    _bt_events_store.  Same pyarrow fixture-prep stance (driver-side, not
-    a measured operator)."""
-    import hashlib
-    import os
+    """INT64-keyed connector fixture: row_key = enc(user_id)#enc(event_id)
+    via the order-preserving offset-decimal codec (plans/keycodec.py)."""
 
-    import numpy as np
-    import pandas as pd
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    def key_fn(t):
+        from datafusion_bigtable_spark.plans.keycodec import encode_int_key
 
-    from datafusion_bigtable_spark.plans.keycodec import encode_int_key
-    from datafusion_bigtable_spark.sources.cells import write_manifest
+        return t["user_id"].map(encode_int_key) + "#" + t["event_id"].map(encode_int_key)
 
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    tag = hashlib.md5(
-        f"int|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
-    ).hexdigest()[:12]
-    path = f"/tmp/dbs_bt_int_store_{os.path.basename(os.path.normpath(sf_dir))}_{tag}"
-    done = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(done):
-        t = pq.read_table(src).to_pandas()
-        row_key = (
-            t["user_id"].map(encode_int_key) + "#" + t["event_id"].map(encode_int_key)
-        )
-        ts = t["ts"].dt.floor("us")
-        cents = np.round(t["value"].to_numpy() * 100).astype("int64")
-        long = pd.concat(
-            [
-                pd.DataFrame(
-                    {"row_key": row_key, "family": "events", "qualifier": "etype",
-                     "ts": ts, "value": t["event_type"].str.encode("utf-8")}
-                ),
-                pd.DataFrame(
-                    {"row_key": row_key, "family": "events", "qualifier": "cents",
-                     "ts": ts,
-                     "value": [int(v).to_bytes(8, "big", signed=True) for v in cents]}
-                ),
-            ],
-            ignore_index=True,
-        ).sort_values(["row_key", "qualifier", "ts"], kind="stable")
-        os.makedirs(path, exist_ok=True)
-        bounds = [int(len(long) * i / 4) for i in range(5)]
-        keys = long["row_key"].to_numpy()
-        for i in range(1, 4):
-            b = max(bounds[i], bounds[i - 1])
-            while 0 < b < len(keys) and keys[b] == keys[b - 1]:
-                b += 1
-            bounds[i] = b
-        for i in range(4):
-            chunk = long.iloc[bounds[i] : bounds[i + 1]]
-            pq.write_table(
-                pa.table(
-                    {
-                        "row_key": pa.array(chunk["row_key"], type=pa.string()),
-                        "family": pa.array(chunk["family"], type=pa.string()),
-                        "qualifier": pa.array(chunk["qualifier"], type=pa.string()),
-                        "ts": pa.array(chunk["ts"], type=pa.timestamp("us")),
-                        "value": pa.array(chunk["value"], type=pa.binary()),
-                    }
-                ),
-                os.path.join(path, f"part-{i}.parquet"),
-            )
-        write_manifest(path)
-        open(done, "w").close()
-    return path
+    return _build_events_cells_store(sf_dir, "int_", key_fn)
 
 
 @query(

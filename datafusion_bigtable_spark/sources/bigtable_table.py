@@ -98,8 +98,15 @@ class BigtableTable:
         df = read_cells(spark, self.config.cells_path)
         if as_of is not None:
             # bound BEFORE the latest filter — Catalyst pushes this to the
-            # parquet scan (row-group ts pruning for free)
-            df = df.filter(F.col("ts") <= F.lit(as_of))
+            # parquet scan (row-group ts pruning for free).  The literal
+            # must be TIMESTAMP_NTZ: F.lit(datetime) builds an LTZ literal
+            # through the SYSTEM timezone while the NTZ comparison coerces
+            # through the SESSION timezone, silently shifting the snapshot
+            # whenever the two differ (review finding, reproduced).
+            ntz = F.lit(as_of.isoformat(sep=" ", timespec="microseconds")).cast(
+                "timestamp_ntz"
+            )
+            df = df.filter(F.col("ts") <= ntz)
         return df.filter(F.col("family") == self.config.column_family)
 
     def to_df(

@@ -255,6 +255,7 @@ class BigtableReader(DataSourceReader):
         lowers, uppers = 0, 0
         constrained: set = set()
         not_null: set = set()
+        tail_points = False
         for f in filters:
             name = type(f).__name__
             col = getattr(f, "attribute", None)
@@ -265,11 +266,13 @@ class BigtableReader(DataSourceReader):
                 continue
             if name == "EqualTo" and col in pcols and absorbable(col, v):
                 constrained.add(col)
+                tail_points = tail_points or col == tail
                 continue
             if name == "In" and col in pcols:
                 raw = v or getattr(f, "values", ())
                 if raw and all(absorbable(col, x) for x in raw):
                     constrained.add(col)
+                    tail_points = tail_points or col == tail
                     continue
                 return False
             if name == "GreaterThanOrEqual" and col == tail and absorbable(col, v):
@@ -290,8 +293,17 @@ class BigtableReader(DataSourceReader):
         if lowers == uppers == 1:
             constrained.add(tail)
         # a lone bound on the tail is NOT recombined into a Between by
-        # from_datasource_filters → residual → unsafe
-        return lowers == uppers and lowers <= 1 and not_null <= constrained
+        # from_datasource_filters → residual → unsafe.  Tail POINTS
+        # combined with a bound pair are also unsafe: compose() UNIONS the
+        # point values with the BETWEEN range (its documented deviation 2),
+        # so the scanned range is a superset of the predicates' CONJUNCTION
+        # and capped rows can be non-matching (review finding, reproduced).
+        return (
+            lowers == uppers
+            and lowers <= 1
+            and not_null <= constrained
+            and not (tail_points and lowers == 1)
+        )
 
     @staticmethod
     def _timestamp_bounds(filters) -> tuple | None:

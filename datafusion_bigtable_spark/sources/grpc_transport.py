@@ -194,6 +194,16 @@ def push_cells(
         batch, batch_mutations = [], 0
 
     for row_key, row_cells in grouped.items():
+        if len(row_cells) > max_mutations:
+            # a row can only split across requests by breaking per-row
+            # atomicity; the real service rejects oversized requests, so
+            # fail loudly instead of shipping one that works only against
+            # the in-process fake (review finding)
+            raise ValueError(
+                f"row {row_key!r} carries {len(row_cells)} mutations, over the "
+                f"per-request cap ({max_mutations}); split the row's cells "
+                "across timestamps/qualifiers or raise max_mutations"
+            )
         if batch and batch_mutations + len(row_cells) > max_mutations:
             _flush()
         batch.append((row_key, row_cells))

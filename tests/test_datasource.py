@@ -475,3 +475,22 @@ def test_value_predicate_translation_rules():
         ]
     )
     assert preds == (("s", "sw", "a"), ("s", "ct", "héllo"), ("s", "ew", "fin"))
+
+
+def test_rows_limit_disabled_for_tail_points_with_bounds(registered, cells_path):
+    """Review finding (reproduced pre-fix): tail IN points + a bound pair
+    are UNIONED by compose (deviation 2), so the scanned range is a
+    superset of the conjunction — the cap must disable itself or it gets
+    consumed by non-matching rows and real matches vanish."""
+    df = _reader(registered, cells_path, table_partition_cols="_row_key", rows_limit="1").filter(
+        "_row_key IN ('us-west2#3698#2021-03-05-1202', 'us-west2#3698#2021-03-05-1203') "
+        "AND _row_key >= 'us-west2#3698#2021-03-05-1200' "
+        "AND _row_key <= 'us-west2#3698#2021-03-05-1204'"
+    )
+    rows = df.collect()
+    # the unsafe cap kept only the first raw row (…1200), which the
+    # re-applied IN dropped → []; the gate must return both real matches
+    assert sorted(r._row_key for r in rows) == [
+        "us-west2#3698#2021-03-05-1202",
+        "us-west2#3698#2021-03-05-1203",
+    ]

@@ -346,3 +346,46 @@ def test_asof_chain_order_in_request():
     assert kinds.index("timestamp_range_filter") < kinds.index("cells_per_column_limit_filter")
     tr = chain[kinds.index("timestamp_range_filter")]["timestamp_range_filter"]
     assert tr == {"end_timestamp_micros": 124}  # exclusive end, +1 for <=
+
+
+def test_asof_snapshot_is_session_timezone_independent(spark, tmp_path):
+    """Review finding (reproduced pre-fix): the parquet as_of bound built
+    an LTZ literal via the SYSTEM timezone while NTZ coercion used the
+    SESSION timezone — under a non-UTC session the snapshot shifted or
+    emptied.  The bound must be a TIMESTAMP_NTZ literal."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    T0 = dt.datetime(2021, 1, 1, 0, 0, 0)
+    T2 = dt.datetime(2021, 1, 1, 0, 0, 20)
+    rows = [
+        ("k1", "f", "p", T0, (100).to_bytes(8, "big", signed=True)),
+        ("k1", "f", "p", T2, (102).to_bytes(8, "big", signed=True)),
+    ]
+    path = str(tmp_path / "asof_tz_cells.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "row_key": [r[0] for r in rows],
+                "family": [r[1] for r in rows],
+                "qualifier": [r[2] for r in rows],
+                "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+                "value": pa.array([r[4] for r in rows], pa.binary()),
+            }
+        ),
+        path,
+    )
+    cfg = BigtableTableConfig(
+        table="t", column_family="f", columns=(ColumnSpec("p", "int64"),),
+        table_partition_cols=("_row_key",), cells_path=path, allow_full_scan=True,
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        got = {
+            (r._row_key, r._timestamp): r.p
+            for r in BigtableTable(cfg).to_df(spark, as_of=dt.datetime(2021, 1, 1, 0, 0, 10)).collect()
+        }
+        assert got == {("k1", T0): 100}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

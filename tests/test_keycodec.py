@@ -137,3 +137,55 @@ def test_int_keyed_bigtable_table_path(spark, tmp_path):
         (2, 2, "2:2"),
         (2, 3, "2:3"),
     ]
+
+
+def test_malformed_int_key_component_yields_null(spark, tmp_path):
+    """Review finding (reproduced pre-fix): under default ANSI mode the
+    decode cast THREW on a malformed component instead of the documented
+    NULL (operators/decode.py stance).  Both scan paths must yield NULL."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_bigtable_spark.plans.keycodec import encode_int_key
+    from datafusion_bigtable_spark.sources import datasource as bt_ds
+
+    bt_ds.register(spark)
+    T = dt.datetime(2024, 1, 1)
+    rows = [
+        (encode_int_key(7), "f", "v", T, b"ok"),
+        ("notdigits", "f", "v", T, b"bad"),
+    ]
+    path = str(tmp_path / "badkey_cells.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "row_key": [r[0] for r in sorted(rows)],
+                "family": [r[1] for r in rows],
+                "qualifier": [r[2] for r in rows],
+                "ts": pa.array([T, T], pa.timestamp("us")),
+                "value": pa.array([r[4] for r in sorted(rows)], pa.binary()),
+            }
+        ),
+        path,
+    )
+    df = (
+        spark.read.format("bigtable")
+        .option("path", path)
+        .option("column_family", "f")
+        .option("columns", "v:string")
+        .option("table_partition_cols", "seq")
+        .option("key_types", "int64")
+        .load()
+    )
+    got = {r.v: r.seq for r in df.collect()}
+    assert got == {"ok": 7, "bad": None}
+
+    # DataFrame decode path too
+    from pyspark.sql import functions as F
+
+    from datafusion_bigtable_spark.plans.keycodec import decode_int_key_column
+
+    bad = spark.createDataFrame([("nope",)], "e string")
+    assert bad.select(decode_int_key_column(F.col("e")).alias("d")).collect()[0].d is None
