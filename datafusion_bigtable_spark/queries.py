@@ -526,6 +526,75 @@ def json_extract(spark, sf_dir):
 
 
 @query(
+    "set_ops_multiset",
+    """
+    WITH l AS (SELECT event_type FROM events WHERE user_id % 2 = 0),
+         r AS (SELECT event_type FROM events WHERE value >= 20)
+    SELECT 'inter' AS op, event_type, COUNT(*) AS n
+    FROM (SELECT event_type FROM l INTERSECT ALL SELECT event_type FROM r) GROUP BY event_type
+    UNION ALL
+    SELECT 'except' AS op, event_type, COUNT(*) AS n
+    FROM (SELECT event_type FROM l EXCEPT ALL SELECT event_type FROM r) GROUP BY event_type
+    """,
+)
+def set_ops_multiset_q(spark, sf_dir):
+    # MULTISET set ops — INTERSECT ALL / EXCEPT ALL keep duplicate
+    # cardinality (min / truncated difference of multiplicities), a
+    # different operator from the DISTINCT forms already covered:
+    # intersectAll/exceptAll plan a count-aggregate + generate instead of
+    # a dedup join.  Counted output keeps the oracle rowset small while
+    # pinning the multiplicity arithmetic exactly.
+    e = load(spark, sf_dir, "events")
+    l = e.filter(F.col("user_id") % 2 == 0).select("event_type")
+    r = e.filter(F.col("value") >= 20).select("event_type")
+    inter = (
+        l.intersectAll(r)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("inter").alias("op"), "event_type", "n")
+    )
+    diff = (
+        l.exceptAll(r)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except").alias("op"), "event_type", "n")
+    )
+    return inter.unionAll(diff)
+
+
+@query(
+    "unpivot_cell_metrics",
+    """
+    WITH piv AS (
+      SELECT user_id,
+             ROUND(SUM(CASE WHEN event_type = 'click'    THEN value ELSE 0 END), 2) AS click,
+             ROUND(SUM(CASE WHEN event_type = 'view'     THEN value ELSE 0 END), 2) AS view,
+             ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase
+      FROM events GROUP BY user_id)
+    SELECT user_id, metric, amount
+    FROM piv UNPIVOT (amount FOR metric IN (click, view, purchase))
+    """,
+)
+def unpivot_q(spark, sf_dir):
+    # UNPIVOT — the inverse relational operator of the connector's
+    # cell→row pivot (A13) and the same wide→long reshape the DS WRITER
+    # performs before encoding cells.  Spark's native unpivot/melt plans
+    # an Expand (one pass, rows×metrics), not a union of per-column scans.
+    # SUM(… ELSE 0) keeps every metric non-NULL so both engines emit the
+    # same long rows (UNPIVOT drops NULL measures by default).
+    e = load(spark, sf_dir, "events")
+    piv = e.groupBy("user_id").agg(
+        *[
+            F.round(
+                F.sum(F.when(F.col("event_type") == t, F.col("value")).otherwise(0.0)), 2
+            ).alias(t)
+            for t in ("click", "view", "purchase")
+        ]
+    )
+    return piv.unpivot("user_id", ["click", "view", "purchase"], "metric", "amount")
+
+
+@query(
     "cte_above_nation_avg",
     """
     WITH nation_avg AS (
