@@ -26,7 +26,12 @@ partition count, and nothing collects to the driver.
 
 from __future__ import annotations
 
+import ast as _ast
+import functools
+import inspect
+import textwrap
 from dataclasses import dataclass
+from pathlib import Path
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
@@ -1337,18 +1342,205 @@ _R2_GREEN = (
     "text_token_counts",
     "text_fingerprint",
 )
-# r2-green names NOT listed above (bt_limit_pushdown, bt_ts_range_prune,
-# bt_value_filter_pushdown, sim_topk_ivf_*, dedup_ngram_jaccard,
-# approx_aggregates …) had their implementation or scan path touched in
-# round 3 → implicit 0, back inside the window.  Every name absent from
-# both tuples is 0: the 19 never-driver-checked queries, the 4 whose r1
-# rows-only record predates their r2 oracles, and all round-3 additions.
-_LAST_GREEN: dict[str, int] = {**{n: 1 for n in _R1_GREEN}, **{n: 2 for n in _R2_GREEN}}
+# CORRECTNESS_r03.json — all 50 window entries green; folded here so the
+# round-4 window rotates the 42 r2-green names back in.
+_R3_GREEN = (
+    "set_ops_multiset",
+    "unpivot_cell_metrics",
+    "bt_limit_pushdown",
+    "bt_ts_range_prune",
+    "bt_value_filter_pushdown",
+    "bt_asof_snapshot",
+    "bt_value_regex_pushdown",
+    "bt_int_key_prune",
+    "bt_read_rows_service",
+    "dedup_ngram_jaccard",
+    "sim_topk_ivf_cells",
+    "sim_topk_ivf_nprobe",
+    "embedding_quantize_int8",
+    "dedup_keep_canonical",
+    "events_moving_window_range",
+    "sim_topk_pq_adc",
+    "sim_topk_ivfpq",
+    "pipeline_curated_corpus",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "streaming_stateful_user_totals",
+    "approx_aggregates",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "deterministic_hash_sample",
+    "tpch_q8_market_share",
+    "tpch_q22_idle_rich_customers",
+    "dedup_multi_signal",
+    "text_top_bigrams",
+    "events_funnel_analysis",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_excess_suppliers",
+    "streaming_window_counts",
+    "union_all_entities",
+    "skew_salted_aggregation",
+    "grouping_sets_mixed",
+    "streaming_session_windows",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+)
+# Later rounds override earlier ones; every name absent from all three
+# tuples carries 0 (nothing currently — all 92 registered queries have a
+# driver-green record after the r3 fold).
+_LAST_GREEN: dict[str, int] = {
+    **{n: 1 for n in _R1_GREEN},
+    **{n: 2 for n in _R2_GREEN},
+    **{n: 3 for n in _R3_GREEN},
+}
+
+# ---------------------------------------------------------------------------
+# Module-dependency resets (VERDICT r3 "what's wrong #3"): a query resets to
+# slot 0 when any module its implementation *imports* — directly, through a
+# queries.py helper it calls, or transitively through package-module imports
+# (e.g. operators.dedup → operators.graph) — changed this round.  The
+# dependency set is COMPUTED from the AST rather than hand-maintained, which
+# is exactly what went stale in round 3 (graph.py / bigtable_table.py changed
+# without their dependents resetting).  `_TOUCHED_MODULES` below is the only
+# hand-kept input: the dotted names of package modules whose implementation
+# changed in the CURRENT round, updated alongside every code change (verified
+# against `git diff` before each correctness fold — see tests/test_schedule.py
+# for the dependency-engine pins).
+# ---------------------------------------------------------------------------
+
+_PKG = __package__  # "datafusion_bigtable_spark"
+_PKG_DIR = Path(__file__).resolve().parent
+
+
+def _module_path(dotted: str) -> Optional[Path]:
+    parts = dotted.split(".")
+    if parts[0] != _PKG:
+        return None
+    p = _PKG_DIR.joinpath(*parts[1:])
+    if p.with_suffix(".py").is_file():
+        return p.with_suffix(".py")
+    if (p / "__init__.py").is_file():
+        return p / "__init__.py"
+    return None
+
+
+def _imports_in(tree: _ast.AST, current_pkg: str) -> set[str]:
+    """Dotted package-module names imported anywhere under *tree*.
+
+    ``current_pkg`` anchors relative imports (the package containing the
+    module being parsed).  ``from pkg.sources import datasource`` credits the
+    *module* ``pkg.sources.datasource``; ``from pkg.plans.composer import
+    compose`` credits ``pkg.plans.composer``.
+    """
+    out: set[str] = set()
+
+    def _add(dotted: str, names: tuple[str, ...] = ()) -> None:
+        hit = False
+        for n in names:
+            cand = f"{dotted}.{n}"
+            if _module_path(cand) is not None:
+                out.add(cand)
+                hit = True
+        if not hit and dotted != _PKG and _module_path(dotted) is not None:
+            out.add(dotted)
+
+    for node in _ast.walk(tree):
+        if isinstance(node, _ast.Import):
+            for a in node.names:
+                if a.name.split(".")[0] == _PKG:
+                    _add(a.name)
+        elif isinstance(node, _ast.ImportFrom):
+            if node.level:
+                base = current_pkg.split(".")
+                if node.level > 1:
+                    base = base[: len(base) - (node.level - 1)]
+                mod = ".".join(base + (node.module.split(".") if node.module else []))
+            else:
+                mod = node.module or ""
+            if mod.split(".")[0] == _PKG:
+                _add(mod, tuple(a.name for a in node.names))
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _module_direct_imports(dotted: str) -> frozenset[str]:
+    path = _module_path(dotted)
+    if path is None:
+        return frozenset()
+    pkg = dotted if path.name == "__init__.py" else dotted.rsplit(".", 1)[0]
+    return frozenset(_imports_in(_ast.parse(path.read_text()), pkg))
+
+
+def _module_closure(roots: set[str]) -> frozenset[str]:
+    """Roots plus everything they transitively import (cycle-safe)."""
+    seen: set[str] = set()
+    stack = list(roots)
+    while stack:
+        m = stack.pop()
+        if m in seen:
+            continue
+        seen.add(m)
+        stack.extend(_module_direct_imports(m))
+    return frozenset(seen)
+
+
+def _callable_direct_deps(fn, seen_fns: set) -> set[str]:
+    """Package modules referenced by *fn*: its own import statements plus,
+    recursively, those of same-file helpers it calls (``load``,
+    ``_bt_events_store``, …), resolved through ``fn.__globals__``."""
+    try:
+        tree = _ast.parse(textwrap.dedent(inspect.getsource(fn)))
+    except (OSError, SyntaxError, TypeError):
+        return set()
+    deps = _imports_in(tree, _PKG)
+    g = getattr(fn, "__globals__", {})
+    for node in _ast.walk(tree):
+        if not isinstance(node, _ast.Name):
+            continue
+        obj = g.get(node.id)
+        if inspect.isfunction(obj) and obj.__module__ == __name__ and obj not in seen_fns:
+            seen_fns.add(obj)
+            deps |= _callable_direct_deps(obj, seen_fns)
+        elif inspect.ismodule(obj) and (obj.__name__ or "").split(".")[0] == _PKG:
+            deps.add(obj.__name__)
+    return deps
+
+
+@functools.lru_cache(maxsize=None)
+def query_deps(name: str) -> frozenset[str]:
+    """Every package module `name`'s implementation transitively depends on."""
+    fn = REGISTRY[name].fn
+    return _module_closure(_callable_direct_deps(fn, {fn}))
+
+
+# Round 4: package modules whose implementation changed this round (their
+# dependents reset to 0) and query functions edited in this file this round.
+_TOUCHED_MODULES: frozenset[str] = frozenset()
+_TOUCHED_QUERIES: frozenset[str] = frozenset()
+
+
+def _last_green(name: str) -> int:
+    if name in _TOUCHED_QUERIES:
+        return 0
+    if _TOUCHED_MODULES and (query_deps(name) & _TOUCHED_MODULES):
+        return 0
+    return _LAST_GREEN.get(name, 0)
 
 
 def _schedule() -> list[str]:
     ordered = list(REGISTRY)
-    return sorted(ordered, key=lambda n: (_LAST_GREEN.get(n, 0), ordered.index(n)))
+    return sorted(ordered, key=lambda n: (_last_green(n), ordered.index(n)))
 
 
 def names() -> list[str]:
