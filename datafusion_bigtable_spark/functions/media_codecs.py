@@ -1,22 +1,34 @@
-"""Pure-Python media container codecs — header-level, dependency-free.
+"""Pure-Python media container codecs — dependency-free.
 
-PIL/ffmpeg are not in this container, so full pixel/sample decode stays
-gated (functions/multimodal.py).  But container METADATA — the part a
-100 TB curation pipeline filters on before ever decoding pixels — lives in
-fixed, documented header layouts that plain Python parses fine:
+Two tiers, mirroring what a 100 TB curation pipeline actually does:
+
+**Header tier** (all containers): container METADATA — the part the
+pipeline filters on before ever decoding pixels — lives in fixed,
+documented header layouts that plain Python parses fine:
 
 - PNG:  8-byte signature + IHDR chunk (width/height big-endian at 16/20).
 - JPEG: marker segments; SOF0/1/2 carries height/width big-endian.
 - WAV:  RIFF/WAVE + ``fmt `` chunk (channels/sample-rate little-endian).
+- BMP:  BITMAPFILEHEADER + BITMAPINFOHEADER (width/height LE at 18/22).
+- PPM:  ``P6`` ASCII header (width height maxval).
 
-``build_*`` constructs real minimal containers (valid signatures + header
-chunks, arbitrary body bytes) so synthetic corpora exercise the REAL
-parse path; ``parse_media`` sniffs by magic and extracts metadata.
+**Pixel tier** (uncompressed containers only): BMP, PPM and WAV PCM store
+their samples raw, so numpy decodes REAL pixels/samples with no PIL or
+ffmpeg — ``decode_pixels`` returns an (h, w, 3) uint8 array,
+``decode_wav_samples`` an (n, channels) int16 array, and
+``resample_nearest`` is a real nearest-neighbor image resampler.
+Compressed containers (PNG deflate, JPEG DCT) stay behind the honest
+``NotImplementedError`` gate in functions/multimodal.py.
+
+``build_*`` constructs real, spec-valid containers so synthetic corpora
+exercise the genuine parse/decode path; ``parse_media`` sniffs by magic.
 """
 
 from __future__ import annotations
 
 import struct
+
+import numpy as np
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -44,6 +56,35 @@ def build_wav(sample_rate: int, channels: int, body: bytes = b"") -> bytes:
     )
     chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(body)) + body
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def build_bmp(width: int, height: int, pixels: np.ndarray | bytes) -> bytes:
+    """Real uncompressed 24-bit BMP.  ``pixels`` is (h, w, 3) RGB top-down;
+    the file stores BGR bottom-up with rows padded to 4 bytes — exactly the
+    layout decode_bmp_pixels undoes."""
+    arr = np.asarray(pixels, dtype=np.uint8).reshape(height, width, 3)
+    row_len = (width * 3 + 3) & ~3
+    rows = np.zeros((height, row_len), dtype=np.uint8)
+    rows[:, : width * 3] = arr[::-1, :, ::-1].reshape(height, width * 3)  # flip rows, RGB→BGR
+    data = rows.tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    return header + info + data
+
+
+def build_ppm(width: int, height: int, pixels: np.ndarray | bytes) -> bytes:
+    """Binary PPM (P6): ASCII header then raw RGB, exactly w·h·3 bytes."""
+    arr = np.asarray(pixels, dtype=np.uint8).reshape(height, width, 3)
+    return f"P6\n{width} {height}\n255\n".encode() + arr.tobytes()
+
+
+def build_pcm_sine(sample_rate: int, channels: int, n: int, freq: float = 440.0) -> bytes:
+    """Deterministic 16-bit PCM body: per-channel sine at freq·(c+1)."""
+    t = np.arange(n, dtype=np.float64) / sample_rate
+    chans = [np.sin(2 * np.pi * freq * (c + 1) * t) for c in range(channels)]
+    interleaved = np.stack(chans, axis=1) * 32000
+    return interleaved.astype("<i2").tobytes()
 
 
 # --- parsers ---------------------------------------------------------------
@@ -92,11 +133,134 @@ def parse_wav(b: bytes) -> dict | None:
     return None
 
 
+def parse_bmp(b: bytes) -> dict | None:
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    width, height = struct.unpack("<ii", b[18:26])
+    return {"mime": "image/bmp", "width": width, "height": abs(height)}
+
+
+def _ppm_header(b: bytes) -> tuple[int, int, int, int] | None:
+    """(width, height, maxval, data_offset) of a P6 header, or None."""
+    if not b.startswith(b"P6"):
+        return None
+    fields, i = [], 2
+    while len(fields) < 3 and i < len(b):
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":  # comment to end-of-line
+            while i < len(b) and b[i] not in (10, 13):
+                i += 1
+            continue
+        j = i
+        while j < len(b) and b[j : j + 1].isdigit():
+            j += 1
+        if j == i:
+            return None
+        fields.append(int(b[i:j]))
+        i = j
+    if len(fields) < 3 or i >= len(b):
+        return None
+    return fields[0], fields[1], fields[2], i + 1  # single whitespace after maxval
+
+
+def parse_ppm(b: bytes) -> dict | None:
+    hdr = _ppm_header(b)
+    if hdr is None:
+        return None
+    w, h, _, _ = hdr
+    return {"mime": "image/x-portable-pixmap", "width": w, "height": h}
+
+
 def parse_media(b: bytes) -> dict:
     """Sniff-by-magic header parse; unknown containers come back as
     octet-stream with no typed metadata."""
-    for parser in (parse_png, parse_jpeg, parse_wav):
+    for parser in (parse_png, parse_jpeg, parse_wav, parse_bmp, parse_ppm):
         meta = parser(b)
         if meta is not None:
             return meta
     return {"mime": "application/octet-stream"}
+
+
+# --- pixel/sample decoders (uncompressed containers; pure numpy) -----------
+
+
+def decode_bmp_pixels(b: bytes) -> np.ndarray | None:
+    """(h, w, 3) uint8 RGB top-down from an uncompressed 24-bit BMP."""
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    data_off = struct.unpack("<I", b[10:14])[0]
+    width, height = struct.unpack("<ii", b[18:26])
+    planes, bpp = struct.unpack("<HH", b[26:30])
+    compression = struct.unpack("<I", b[30:34])[0]
+    if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        return None  # only the uncompressed 24-bit profile decodes here
+    top_down = height < 0
+    h = abs(height)
+    row_len = (width * 3 + 3) & ~3
+    need = data_off + row_len * h
+    if len(b) < need:
+        return None
+    rows = np.frombuffer(b, dtype=np.uint8, count=row_len * h, offset=data_off)
+    rows = rows.reshape(h, row_len)[:, : width * 3].reshape(h, width, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def decode_ppm_pixels(b: bytes) -> np.ndarray | None:
+    """(h, w, 3) uint8 RGB from a binary P6 PPM (maxval ≤ 255)."""
+    hdr = _ppm_header(b)
+    if hdr is None:
+        return None
+    w, h, maxval, off = hdr
+    if maxval > 255 or len(b) < off + w * h * 3:
+        return None
+    return np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=off).reshape(h, w, 3).copy()
+
+
+def decode_pixels(b: bytes) -> np.ndarray | None:
+    """Dispatch: real pixels for the uncompressed profiles, None for
+    compressed containers (PNG/JPEG — the PIL-gated tier) and non-images."""
+    if b[:2] == b"BM":
+        return decode_bmp_pixels(b)
+    if b[:2] == b"P6":
+        return decode_ppm_pixels(b)
+    return None
+
+
+def decode_wav_samples(b: bytes) -> tuple[np.ndarray, int] | None:
+    """((n, channels) int16 array, sample_rate) from a 16-bit PCM WAV."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    channels = rate = bits = None
+    data = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        clen = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 24 <= len(b):
+            fmt_code, channels, rate = struct.unpack("<HHI", b[i + 8 : i + 16])
+            bits = struct.unpack("<H", b[i + 22 : i + 24])[0]
+            if fmt_code != 1:
+                return None  # PCM only
+        elif cid == b"data":
+            data = b[i + 8 : i + 8 + clen]
+        i += 8 + clen + (clen % 2)
+    if data is None or channels in (None, 0) or bits != 16:
+        return None
+    n = len(data) // (2 * channels)
+    if n == 0:
+        return np.zeros((0, channels), dtype=np.int16), rate
+    arr = np.frombuffer(data, dtype="<i2", count=n * channels).reshape(n, channels)
+    return arr.copy(), rate
+
+
+def resample_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Real nearest-neighbor resample: output pixel (y, x) takes the source
+    pixel at the center of its back-projected footprint (the standard
+    half-pixel-center mapping, matching PIL's NEAREST)."""
+    sh, sw = arr.shape[:2]
+    ys = np.minimum(((np.arange(height) + 0.5) * sh / height).astype(np.int64), sh - 1)
+    xs = np.minimum(((np.arange(width) + 0.5) * sw / width).astype(np.int64), sw - 1)
+    return arr[ys][:, xs]

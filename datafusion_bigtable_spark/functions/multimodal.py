@@ -12,11 +12,12 @@ needs on Spark:
   ``mapInPandas`` stages: executors stream Arrow batches through pandas,
   so memory is bounded by batch size, not partition size, and the ops
   parallelize per input split like any scan,
-- real codecs STUBBED: PIL/ffmpeg/torchaudio are not in this container,
-  so decode raises ``NotImplementedError`` unless ``fake=True``
-  (deterministic metadata derived from the bytes) — the Spark-side
-  plumbing (schema, partitioning, UDF signature, batch shape) is real
-  and tested either way.
+- REAL decode for uncompressed containers: BMP/PPM pixels and WAV PCM
+  samples decode with pure numpy (functions/media_codecs.py) —
+  ``mode="full"`` emits genuine pixel/sample statistics and
+  ``resize_images`` does genuine nearest-neighbor resampling.  Only the
+  compressed profiles (PNG deflate, JPEG DCT) stay behind an honest
+  ``NotImplementedError`` gate — they need PIL/ffmpeg, absent here.
 """
 
 from __future__ import annotations
@@ -45,6 +46,10 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType(), True),
         T.StructField("sample_rate", T.IntegerType(), True),
         T.StructField("channels", T.IntegerType(), True),
+        # mode="full" only: mean/std of the decoded content — uint8 RGB
+        # pixels for images, int16 PCM samples for audio.  Null otherwise.
+        T.StructField("content_mean", T.DoubleType(), True),
+        T.StructField("content_std", T.DoubleType(), True),
     ]
 )
 
@@ -92,6 +97,80 @@ def synthesize_media_assets(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(op, ASSET_SCHEMA)
 
 
+def synthesize_decodable_assets(docs: DataFrame) -> DataFrame:
+    """Natively-DECODABLE containers from the documents table: every doc
+    becomes an uncompressed 8×6 24-bit BMP / binary PPM / 16-bit PCM WAV
+    (by doc_id mod 3) whose CONTENT derives arithmetically from doc_id —
+    so the downstream pixel/sample decode is genuine AND an SQL oracle can
+    recompute the statistics exactly.
+
+    The float-grid discipline that makes mean/std bit-identical across
+    numpy and DuckDB: pixels are CONSECUTIVE integers base..base+143
+    (base ≤ 107, so no mod-256 wrap) and PCM samples base..base+99.  Sums
+    of consecutive integers, their half-integer means, and quarter-integer
+    squared deviations are all exactly representable in float64, so both
+    engines compute the same rational and round it identically:
+    mean = base + (N-1)/2, std = sqrt((N²-1)/12) (population)."""
+    import numpy as np
+
+    from datafusion_bigtable_spark.functions.media_codecs import build_bmp, build_ppm, build_wav
+
+    def op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"asset_id": [], "mime": [], "payload": []}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                kind = i % 3
+                if kind < 2:
+                    base = (i * 7) % 100 + 8
+                    px = (np.arange(144, dtype=np.int64) + base).astype(np.uint8)
+                    if kind == 0:
+                        payload, mime = build_bmp(8, 6, px), "image/bmp"
+                    else:
+                        payload, mime = build_ppm(8, 6, px), "image/x-portable-pixmap"
+                else:
+                    base = (i * 11) % 500 - 250
+                    samples = (np.arange(100, dtype=np.int64) + base).astype("<i2")
+                    payload = build_wav(8000 + (i % 8) * 1000, 1, samples.tobytes())
+                    mime = "audio/wav"
+                rows["asset_id"].append(i)
+                rows["mime"].append(mime)
+                rows["payload"].append(payload)
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(op, ASSET_SCHEMA)
+
+
+def synthesize_video_assets(docs: DataFrame) -> DataFrame:
+    """Concatenated-P6 "video" streams (the ffmpeg image2pipe wire format):
+    every doc becomes 2 + doc_id%5 constant-color 4×4 frames, frame f's
+    pixel value = (doc_id·31 + f·17) % 256 — constant per frame, so a
+    decoded frame's mean is that integer exactly and SQL recomputes it."""
+    import numpy as np
+
+    from datafusion_bigtable_spark.functions.media_codecs import build_ppm
+
+    def op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"asset_id": [], "mime": [], "payload": []}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                frames = []
+                for f in range(2 + i % 5):
+                    color = (i * 31 + f * 17) % 256
+                    frames.append(build_ppm(4, 4, np.full(48, color, dtype=np.uint8)))
+                rows["asset_id"].append(i)
+                rows["mime"].append("video/x-ppm-stream")
+                rows["payload"].append(b"".join(frames))
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(op, ASSET_SCHEMA)
+
+
 def _decode_dims(payload: bytes) -> tuple[int, int]:
     """STUB for a real image decode.  Deterministic fake dimensions from a
     stable digest, so tests and oracles are reproducible."""
@@ -104,28 +183,47 @@ def extract_features(assets: DataFrame, *, fake: bool = True, mode: str | None =
 
     Modes (``mode`` wins over the legacy ``fake`` flag):
     - ``"headers"`` — REAL container parsing (PNG IHDR / JPEG SOF / WAV
-      fmt, functions/media_codecs.py) — pure Python, no media libs; the
-      metadata tier a curation pipeline filters on before decoding pixels.
+      fmt / BMP info / PPM, functions/media_codecs.py) — pure Python, no
+      media libs; the metadata tier a curation pipeline filters on before
+      decoding pixels.
     - ``"fake"`` — digest-derived stub dims (for non-container payloads).
-    - ``"full"`` — pixel/sample decode; requires PIL/ffmpeg, which are not
-      in this container → NotImplementedError (the remaining honest stub).
+    - ``"full"`` — headers PLUS real content decode for the uncompressed
+      profiles: BMP/PPM pixels and 16-bit PCM WAV samples decode with
+      numpy, emitting ``content_mean``/``content_std``.  A compressed
+      container (PNG/JPEG) in full mode raises NotImplementedError — that
+      decode genuinely needs PIL, absent here.
 
     Arrow-batched: each pandas chunk is one Arrow batch (~10k rows), so an
     executor never holds more than a batch of payloads in Python memory.
     """
     mode = mode or ("fake" if fake else "full")
+    if mode not in ("headers", "fake", "full"):
+        raise ValueError(f"extract_features: unknown mode {mode!r} (headers|fake|full)")
 
     def op(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        from datafusion_bigtable_spark.functions.media_codecs import parse_media
+        from datafusion_bigtable_spark.functions import media_codecs as mc
+
+        def content_stats(b: bytes) -> tuple[float | None, float | None]:
+            px = mc.decode_pixels(b)
+            if px is not None:
+                return float(px.mean()), float(px.std())
+            wav = mc.decode_wav_samples(b)
+            if wav is not None:
+                samples, _ = wav
+                if samples.size == 0:
+                    return None, None
+                arr = samples.astype("float64")
+                return float(arr.mean()), float(arr.std())
+            raise NotImplementedError(
+                "real media decode of compressed/unknown containers requires "
+                "PIL/ffmpeg, not in this container; uncompressed BMP/PPM/"
+                "WAV-PCM decode natively — or use mode='headers' for the "
+                "metadata tier"
+            )
 
         for pdf in batches:
-            if mode == "full":
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg (not in this container); "
-                    "use mode='headers' for real container-header parsing"
-                )
             payloads = pdf["payload"]
             out = {
                 "asset_id": pdf["asset_id"],
@@ -135,8 +233,8 @@ def extract_features(assets: DataFrame, *, fake: bool = True, mode: str | None =
                     lambda b: hashlib.sha256(bytes(b)).hexdigest() if b is not None else None
                 ),
             }
-            if mode == "headers":
-                meta = payloads.map(lambda b: parse_media(bytes(b)) if b is not None else {})
+            if mode in ("headers", "full"):
+                meta = payloads.map(lambda b: mc.parse_media(bytes(b)) if b is not None else {})
                 out["mime"] = meta.map(lambda m: m.get("mime", "application/octet-stream"))
                 for f in ("width", "height", "sample_rate", "channels"):
                     out[f] = meta.map(lambda m, f=f: m.get(f))
@@ -148,6 +246,15 @@ def extract_features(assets: DataFrame, *, fake: bool = True, mode: str | None =
                 out["height"] = dims.map(lambda t: t[1])
                 out["sample_rate"] = None
                 out["channels"] = None
+            if mode == "full":
+                stats = payloads.map(
+                    lambda b: content_stats(bytes(b)) if b is not None else (None, None)
+                )
+                out["content_mean"] = stats.map(lambda t: t[0])
+                out["content_std"] = stats.map(lambda t: t[1])
+            else:
+                out["content_mean"] = None
+                out["content_std"] = None
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(op, FEATURE_SCHEMA)
@@ -173,37 +280,37 @@ def resize_images(
     """Image resize over binary asset columns — the standard normalization
     step before a vision encoder.
 
-    The Spark-side plumbing is REAL and tested: Arrow-batched mapInPandas
-    (an executor holds one batch of payloads, never the column), typed
-    output schema, source dimensions from the REAL container-header parse
-    (media_codecs.py) with the scale factors a resampler would use.  The
-    PIXEL resample itself is the honest stub, exactly like
-    extract_features' decode tier:
+    The Spark-side plumbing is Arrow-batched mapInPandas (an executor
+    holds one batch of payloads, never the column), typed output schema,
+    source dimensions from the REAL container-header parse
+    (media_codecs.py).  Pixel tiers:
+    - ``mode="full"`` — REAL nearest-neighbor resample (numpy,
+      media_codecs.resample_nearest) for the natively-decodable profiles
+      (uncompressed 24-bit BMP, binary PPM); ``resized`` is the raw RGB
+      buffer of exactly width·height·3 bytes.  A compressed container
+      (PNG/JPEG) raises NotImplementedError — that decode needs PIL.
     - ``mode="fake"`` — deterministic digest-expanded payload of exactly
-      width·height·3 bytes (a stand-in RGB buffer; reproducible, so tests
-      can pin batch shapes and sizes).
-    - ``mode="full"`` — requires PIL, not in this container →
-      NotImplementedError.
+      width·height·3 bytes (a stand-in RGB buffer for payloads that are
+      not real containers; reproducible, so tests can pin batch shapes).
     """
     if width <= 0 or height <= 0:
         raise ValueError("target width/height must be positive")
+    # Validated eagerly (driver-side): a typo'd mode must fail the plan,
+    # not silently fall back to stub buffers at executor time.
+    if mode not in ("fake", "full"):
+        raise ValueError(f"resize_images: unknown mode {mode!r} (fake|full)")
 
     def op(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        from datafusion_bigtable_spark.functions.media_codecs import parse_media
+        from datafusion_bigtable_spark.functions import media_codecs as mc
 
         n_bytes = width * height * 3
         for pdf in batches:
-            if mode == "full":
-                raise NotImplementedError(
-                    "real pixel resample requires PIL (not in this container); "
-                    "use mode='fake' — header parsing and scale math stay real"
-                )
             rows = {k: [] for k in ("asset_id", "src_width", "src_height",
                                     "width", "height", "scale_x", "scale_y", "resized")}
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                meta = parse_media(bytes(payload)) if payload is not None else {}
+                meta = mc.parse_media(bytes(payload)) if payload is not None else {}
                 sw, sh = meta.get("width"), meta.get("height")
                 rows["asset_id"].append(aid)
                 rows["src_width"].append(sw)
@@ -214,6 +321,15 @@ def resize_images(
                 rows["scale_y"].append(height / sh if sh else None)
                 if payload is None:
                     rows["resized"].append(None)
+                elif mode == "full":
+                    px = mc.decode_pixels(bytes(payload))
+                    if px is None:
+                        raise NotImplementedError(
+                            "full resize of a compressed container (PNG/JPEG) "
+                            "requires PIL, not in this container; BMP/PPM "
+                            "resample natively"
+                        )
+                    rows["resized"].append(mc.resample_nearest(px, width, height).tobytes())
                 else:
                     # digest-expanded deterministic stand-in pixel buffer
                     seed = hashlib.sha256(bytes(payload)).digest()
@@ -233,14 +349,48 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-def sample_frames(assets: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
-    """Video-style frame sampling STUB: chunk the payload every N bytes
-    (standing in for ffmpeg keyframe extraction), capped at max_frames.
-    One input row → up to max_frames output rows; mapInPandas keeps the
-    fan-out executor-side and Arrow-batched."""
+def sample_frames(
+    assets: DataFrame,
+    every_n_bytes: int = 64,
+    max_frames: int = 8,
+    mode: str = "bytes",
+    frame_stride: int = 1,
+) -> DataFrame:
+    """Video-style frame sampling.  One input row → up to max_frames output
+    rows; mapInPandas keeps the fan-out executor-side and Arrow-batched.
+
+    - ``mode="ppm"`` — REAL container framing: the payload is a
+      concatenated-P6 stream (the ``ffmpeg -f image2pipe -vcodec ppm``
+      wire format); successive frame headers are parsed and every
+      ``frame_stride``-th frame is emitted as its own valid PPM
+      (``frame_idx`` = source frame index), capped at max_frames.  This is
+      keyframe-style sampling with genuine parsing, no ffmpeg needed.
+    - ``mode="bytes"`` — chunking stub for opaque payloads: every N bytes
+      becomes a "frame" (standing in for codecs this container lacks).
+    """
+    if mode not in ("bytes", "ppm"):
+        raise ValueError(f"sample_frames: unknown mode {mode!r} (bytes|ppm)")
+    if frame_stride <= 0:
+        raise ValueError("frame_stride must be positive")
 
     def op(batches: Iterator) -> Iterator:
         import pandas as pd
+
+        from datafusion_bigtable_spark.functions.media_codecs import _ppm_header
+
+        def ppm_frames(b: bytes):
+            """Split a concatenated-P6 stream at real header boundaries."""
+            off = 0
+            while off < len(b):
+                hdr = _ppm_header(b[off:])
+                if hdr is None:
+                    return
+                w, h, _, data_off = hdr
+                end = off + data_off + w * h * 3
+                if end > len(b):
+                    return
+                yield b[off:end]
+                off = end
 
         for pdf in batches:
             out = {"asset_id": [], "frame_idx": [], "frame": []}
@@ -248,10 +398,22 @@ def sample_frames(assets: DataFrame, every_n_bytes: int = 64, max_frames: int = 
                 if payload is None:
                     continue
                 b = bytes(payload)
-                for i in range(min(max_frames, max(1, len(b) // every_n_bytes))):
-                    out["asset_id"].append(aid)
-                    out["frame_idx"].append(i)
-                    out["frame"].append(b[i * every_n_bytes : (i + 1) * every_n_bytes])
+                if mode == "ppm":
+                    taken = 0
+                    for idx, frame in enumerate(ppm_frames(b)):
+                        if idx % frame_stride:
+                            continue
+                        if taken >= max_frames:
+                            break
+                        out["asset_id"].append(aid)
+                        out["frame_idx"].append(idx)
+                        out["frame"].append(frame)
+                        taken += 1
+                else:
+                    for i in range(min(max_frames, max(1, len(b) // every_n_bytes))):
+                        out["asset_id"].append(aid)
+                        out["frame_idx"].append(i)
+                        out["frame"].append(b[i * every_n_bytes : (i + 1) * every_n_bytes])
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(op, FRAME_SCHEMA)

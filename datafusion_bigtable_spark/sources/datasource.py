@@ -515,6 +515,12 @@ class BigtableReader(DataSourceReader):
                 ScanReuseWarning,
                 stacklevel=2,
             )
+            # On this replan path the handle cannot know whether the new
+            # query carries filters (they were never pushed here): a
+            # rows_cap would be consumed by raw rows the re-applied filters
+            # then discard — returning fewer matching rows than requested.
+            # Drop the cap; the conservative replan scans uncapped.
+            rows_cap = None
         self._pushed_since_last_plan = False
         self._last_plan_pruned = bool(ranges) or ts_push or bool(value_preds)
         if ranges:

@@ -92,6 +92,7 @@ def streaming_user_totals_stateful(events: DataFrame) -> DataFrame:
     partitioned by key); each micro-batch delivers that key's new rows as
     pandas frames.  Timeouts would evict idle keys at scale.
     """
+    import pandas as pd
     from pyspark.sql.streaming.state import GroupState
 
     out_schema = T.StructType(
@@ -114,8 +115,6 @@ def streaming_user_totals_stateful(events: DataFrame) -> DataFrame:
             n += len(pdf)
             s += float(pdf["value"].sum())
         state.update((n, s))
-        import pandas as pd
-
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "value_sum": [round(s, 4)]})
 
     return events.groupBy("user_id").applyInPandasWithState(

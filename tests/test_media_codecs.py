@@ -1,0 +1,180 @@
+"""Pins for the pure-numpy media codec tier (functions/media_codecs.py):
+container round-trips, decode exactness, resample math, and the honest
+gates for what genuinely cannot decode without PIL/ffmpeg.
+
+Reference parity note: the reference engine has no media tier at all —
+this is the SURVEY §7 training-data extension; the contract under test is
+our own (real decode for uncompressed profiles, loud NotImplementedError
+for compressed ones).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from datafusion_bigtable_spark.functions import media_codecs as mc
+
+
+def _px(n=144, base=0):
+    return (np.arange(n, dtype=np.int64) + base).astype(np.uint8)
+
+
+class TestRoundTrips:
+    def test_bmp_pixel_round_trip(self):
+        px = _px().reshape(6, 8, 3)
+        b = mc.build_bmp(8, 6, px)
+        assert mc.parse_media(b) == {"mime": "image/bmp", "width": 8, "height": 6}
+        assert (mc.decode_bmp_pixels(b) == px).all()
+        assert (mc.decode_pixels(b) == px).all()
+
+    def test_bmp_row_padding(self):
+        # width 3 → 9-byte rows pad to 12; decode must strip the pad.
+        px = _px(3 * 3 * 3).reshape(3, 3, 3)
+        b = mc.build_bmp(3, 3, px)
+        assert (mc.decode_bmp_pixels(b) == px).all()
+
+    def test_ppm_pixel_round_trip(self):
+        px = _px().reshape(6, 8, 3)
+        p = mc.build_ppm(8, 6, px)
+        assert mc.parse_ppm(p) == {
+            "mime": "image/x-portable-pixmap",
+            "width": 8,
+            "height": 6,
+        }
+        assert (mc.decode_ppm_pixels(p) == px).all()
+
+    def test_ppm_comment_header(self):
+        px = _px(12).reshape(2, 2, 3)
+        raw = mc.build_ppm(2, 2, px)
+        commented = b"P6\n# made by a test\n2 2\n255\n" + raw.split(b"255\n", 1)[1]
+        assert (mc.decode_ppm_pixels(commented) == px).all()
+
+    def test_wav_pcm_round_trip(self):
+        body = mc.build_pcm_sine(16000, 2, 256)
+        w = mc.build_wav(16000, 2, body)
+        samples, rate = mc.decode_wav_samples(w)
+        assert rate == 16000 and samples.shape == (256, 2)
+        assert (samples == np.frombuffer(body, dtype="<i2").reshape(256, 2)).all()
+
+    def test_truncated_containers_refuse(self):
+        px = _px().reshape(6, 8, 3)
+        assert mc.decode_bmp_pixels(mc.build_bmp(8, 6, px)[:-10]) is None
+        assert mc.decode_ppm_pixels(mc.build_ppm(8, 6, px)[:-10]) is None
+
+    def test_compressed_containers_return_none(self):
+        # PNG/JPEG carry compressed pixels — decode_pixels must not guess.
+        assert mc.decode_pixels(mc.build_png(8, 6, b"x" * 20)) is None
+        assert mc.decode_pixels(mc.build_jpeg(8, 6, b"x" * 20)) is None
+
+
+class TestStatsGrid:
+    """The consecutive-integer fixture discipline: numpy statistics land
+    exactly on the closed forms the SQL oracle computes."""
+
+    def test_pixel_mean_std_closed_form(self):
+        for base in (8, 57, 107):
+            d = mc.decode_bmp_pixels(mc.build_bmp(8, 6, _px(base=base))).astype(np.float64)
+            assert d.mean() == base + 143 / 2
+            assert d.std() == math.sqrt((144**2 - 1) / 12)
+
+    def test_pcm_mean_std_closed_form(self):
+        samples = (np.arange(100, dtype=np.int64) - 37).astype("<i2")
+        w = mc.build_wav(8000, 1, samples.tobytes())
+        arr, _ = mc.decode_wav_samples(w)
+        arr = arr.astype(np.float64)
+        assert arr.mean() == -37 + 99 / 2
+        assert arr.std() == math.sqrt((100**2 - 1) / 12)
+
+
+class TestResample:
+    def test_identity(self):
+        px = _px().reshape(6, 8, 3)
+        assert (mc.resample_nearest(px, 8, 6) == px).all()
+
+    def test_half_pixel_center_mapping(self):
+        # 2× downscale: output (y, x) back-projects to source center
+        # ((y+.5)·sh/h, (x+.5)·sw/w) — the PIL-NEAREST convention.
+        px = _px().reshape(6, 8, 3)
+        out = mc.resample_nearest(px, 4, 3)
+        assert out.shape == (3, 4, 3)
+        for y in range(3):
+            for x in range(4):
+                sy = min(int((y + 0.5) * 6 / 3), 5)
+                sx = min(int((x + 0.5) * 8 / 4), 7)
+                assert (out[y, x] == px[sy, sx]).all()
+
+    def test_upscale_replicates(self):
+        px = np.array([[[1, 2, 3], [4, 5, 6]]], dtype=np.uint8)  # 1×2
+        out = mc.resample_nearest(px, 4, 2)
+        assert out.shape == (2, 4, 3)
+        assert (out[:, :2] == px[0, 0]).all() and (out[:, 2:] == px[0, 1]).all()
+
+
+class TestSparkOps:
+    def test_full_mode_real_stats(self, spark, sf_dir):
+        from datafusion_bigtable_spark.functions.multimodal import (
+            extract_features,
+            synthesize_decodable_assets,
+        )
+        from datafusion_bigtable_spark.queries import load
+
+        docs = load(spark, sf_dir, "documents").limit(30)
+        rows = extract_features(synthesize_decodable_assets(docs), mode="full").collect()
+        assert rows
+        for r in rows:
+            i = r.asset_id
+            if i % 3 < 2:
+                base = (i * 7) % 100 + 8
+                assert r.content_mean == base + 71.5
+                assert r.content_std == pytest.approx(math.sqrt(20735 / 12), abs=0)
+                assert (r.width, r.height) == (8, 6)
+            else:
+                base = (i * 11) % 500 - 250
+                assert r.content_mean == base + 49.5
+                assert r.channels == 1
+
+    def test_resize_full_mode_real_pixels(self, spark, sf_dir):
+        from datafusion_bigtable_spark.functions.multimodal import (
+            resize_images,
+            synthesize_decodable_assets,
+        )
+        from datafusion_bigtable_spark.queries import load
+
+        docs = load(spark, sf_dir, "documents").filter("doc_id % 3 < 2").limit(10)
+        assets = synthesize_decodable_assets(docs)
+        rows = resize_images(assets, width=4, height=3, mode="full").collect()
+        assert rows
+        for r in rows:
+            assert len(r.resized) == 4 * 3 * 3
+            base = (r.asset_id * 7) % 100 + 8
+            src = (np.arange(144, dtype=np.int64) + base).astype(np.uint8).reshape(6, 8, 3)
+            expect = mc.resample_nearest(src, 4, 3)
+            assert r.resized == expect.tobytes()
+
+    def test_resize_mode_validated_eagerly(self, spark, sf_dir):
+        from datafusion_bigtable_spark.functions.multimodal import resize_images
+        from datafusion_bigtable_spark.queries import load
+
+        docs = load(spark, sf_dir, "documents").limit(1)
+        with pytest.raises(ValueError, match="unknown mode"):
+            resize_images(docs.selectExpr("doc_id AS asset_id", "'x' AS mime", "encode(text, 'UTF-8') AS payload"), mode="pil")
+
+    def test_ppm_stream_framing(self, spark, sf_dir):
+        from datafusion_bigtable_spark.functions.multimodal import (
+            sample_frames,
+            synthesize_video_assets,
+        )
+        from datafusion_bigtable_spark.queries import load
+
+        docs = load(spark, sf_dir, "documents").limit(20)
+        frames = sample_frames(
+            synthesize_video_assets(docs), mode="ppm", frame_stride=2, max_frames=3
+        ).collect()
+        assert frames
+        for r in frames:
+            assert r.frame_idx % 2 == 0
+            px = mc.decode_ppm_pixels(bytes(r.frame))
+            assert px is not None and px.shape == (4, 4, 3)
+            color = (r.asset_id * 31 + r.frame_idx * 17) % 256
+            assert (px == color).all()
