@@ -1,0 +1,85 @@
+"""Absolute ANN quality gate: recall@10 of each approximate index against
+brute-force ground truth at sf0.1 (2000 × 64-dim vectors, 21 queries).
+
+The synthetic embeddings are near-uniform (no planted cluster structure),
+which is the HARD regime for ANN — cosine scores concentrate, so pruning
+candidates costs real recall.  Floors below are set ~0.05 under the
+measured values (deterministic fixtures + deterministic training seeds →
+stable numbers); the trade-off table lives in COVERAGE.md §ANN.
+
+Measured (2026-08-13): IVF(16 cells, trained) nprobe 1/2/4/8 =
+.219/.352/.533/.767; PQ(trained, 16 cents) m 8/16/32 = .148/.357/.605;
+IVF×PQ defaults = .119; LSH defaults = .119.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_bigtable_spark.operators import similarity as S
+
+SF01 = "/root/testdata/sf0.1"
+K = 10
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF01}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def pred():
+    return F.col("vec_id") % 97 == 0
+
+
+@pytest.fixture(scope="module")
+def truth(emb, pred):
+    out: dict[int, set[int]] = {}
+    for r in S.topk_bruteforce(emb, pred, k=K).collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert len(out) >= 20
+    return out
+
+
+def _recall(df, truth) -> float:
+    got: dict[int, set[int]] = {}
+    for r in df.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return sum(len(got.get(q, set()) & t) / len(t) for q, t in truth.items()) / len(truth)
+
+
+def test_ivf_recall_floor_and_nprobe_dial(emb, pred, truth):
+    cb = S.train_ivf_codebook(emb, n_cells=16, iters=3)
+    with S.build_ivf_index(emb, n_cells=16, nprobe=8, codebook=cb) as idx:
+        r1 = _recall(S.topk_ivf(emb, pred, n_cells=16, k=K, nprobe=1, index=idx), truth)
+        r4 = _recall(S.topk_ivf(emb, pred, n_cells=16, k=K, nprobe=4, index=idx), truth)
+        r8 = _recall(S.topk_ivf(emb, pred, n_cells=16, k=K, nprobe=8, index=idx), truth)
+    assert r1 >= 0.15, f"ivf nprobe=1 recall@10 {r1:.3f}"
+    assert r4 >= 0.45, f"ivf nprobe=4 recall@10 {r4:.3f}"
+    assert r8 >= 0.70, f"ivf nprobe=8 recall@10 {r8:.3f}"
+    # the dial must actually dial: probing more cells buys recall
+    assert r1 < r4 < r8
+
+
+def test_pq_recall_floor_and_m_dial(emb, pred, truth):
+    r8 = _recall(
+        S.topk_pq(emb, pred, k=K, m=8, codebooks=S.train_pq_codebooks(emb, m=8, iters=3)),
+        truth,
+    )
+    r32 = _recall(
+        S.topk_pq(emb, pred, k=K, m=32, codebooks=S.train_pq_codebooks(emb, m=32, iters=3)),
+        truth,
+    )
+    assert r8 >= 0.10, f"pq m=8 recall@10 {r8:.3f}"
+    assert r32 >= 0.50, f"pq m=32 recall@10 {r32:.3f}"
+    # finer subspaces (shorter sub-vectors) must improve ADC fidelity
+    assert r32 > r8
+
+
+def test_ivfpq_composes_without_collapse(emb, pred, truth):
+    # Both approximations multiply on this clusterless corpus, so the floor
+    # is intentionally modest — the gate catches a BROKEN composition
+    # (recall ~1/corpus → ~0.005), not a weak one.
+    r = _recall(S.topk_ivfpq(emb, pred, k=K), truth)
+    assert r >= 0.08, f"ivfpq recall@10 {r:.3f}"
