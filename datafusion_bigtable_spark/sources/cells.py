@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import datetime as _dt
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql import types as T
 
 CELLS_SCHEMA = T.StructType(
@@ -284,17 +284,63 @@ def compact_cells_store(
     import shutil
 
     df = read_cells(spark, path)
+    gc_watermark_us = read_gc_watermark_us(path)
     if versions is not None:
         from datafusion_bigtable_spark.operators.pivot import latest_cells
 
+        # GC watermark: the newest timestamp among DROPPED versions.  An
+        # as-of read bounded at or before this instant can no longer see
+        # the version that was live then — time travel past it is
+        # best-effort, and to_df(as_of=...) warns (Bigtable itself has the
+        # same property: GC'd cells are unreadable at any timestamp).  The
+        # ranking pass is the same window latest_cells runs; one extra max.
+        w = Window.partitionBy("row_key", "qualifier").orderBy(F.desc("ts"))
+        ranked = df.withColumn("_rn", F.row_number().over(w))
+        dropped_max = (
+            ranked.filter(F.col("_rn") > versions).agg(F.max("ts").alias("m")).collect()[0]["m"]
+        )
+        if dropped_max is not None:
+            dropped_us = _naive_datetime_to_us(dropped_max)
+            gc_watermark_us = max(gc_watermark_us or 0, dropped_us)
         df = latest_cells(df, versions=versions)
     tmp = path.rstrip("/") + "._compact_tmp"
     write_cells(df, tmp, num_ranges=num_ranges)
+    if gc_watermark_us is not None:
+        _write_gc_watermark_us(tmp, gc_watermark_us)
     backup = path.rstrip("/") + "._compact_old"
     shutil.rmtree(backup, ignore_errors=True)
     os.rename(path, backup)
     os.rename(tmp, path)
     shutil.rmtree(backup)
+
+
+_GC_SIDECAR = "_gc_watermark.json"
+
+
+def _write_gc_watermark_us(path: str, watermark_us: int) -> None:
+    import json
+    import os
+
+    with open(os.path.join(path, _GC_SIDECAR), "w") as fh:
+        json.dump({"gc_watermark_us": int(watermark_us)}, fh)
+
+
+def read_gc_watermark_us(path: str) -> int | None:
+    """Newest µs timestamp among versions ever GC'd from this store, or
+    None if no version GC has run.  Carried across compactions (the
+    watermark never moves backward)."""
+    import json
+    import os
+
+    p = os.path.join(path, _GC_SIDECAR)
+    if not os.path.isdir(path) or not os.path.isfile(p):
+        return None
+    try:
+        with open(p) as fh:
+            v = json.load(fh).get("gc_watermark_us")
+        return int(v) if v is not None else None
+    except (OSError, ValueError):
+        return None
 
 
 def cells_from_long_df(
