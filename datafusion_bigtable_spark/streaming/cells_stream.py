@@ -15,21 +15,50 @@ sink a Delta/parquet table with checkpointing.
 
 from __future__ import annotations
 
+import glob
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
-# events.parquet stores ts as TIMESTAMP(NANOS); the streaming reader needs a
-# declared schema, so declare ts as long (with nanosAsLong) and rebuild µs.
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", ts_type, True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+
+
+def _events_ts_unit(sf_dir: str, glob_pat: str = "events.parquet") -> str:
+    """Read the parquet logical type of ``ts`` from one file footer.
+
+    Driver-side, O(1): one footer, no data pages.  The streaming source
+    needs a *declared* schema, so we must know up front whether the writer
+    stored TIMESTAMP(MICROS) (Spark/pandas default), TIMESTAMP(NANOS)
+    (pandas with ns-preserving writers), or a raw int64 — guessing wrong
+    silently shifts every event time by 1000x (the r4 regression: µs read
+    as ns put a month of events on 1970-01-20).
+    """
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(sf_dir, glob_pat)))
+    if not files:
+        raise FileNotFoundError(f"no {glob_pat} under {sf_dir}")
+    t = pq.ParquetFile(files[0]).schema_arrow.field("ts").type
+    s = str(t)
+    if s.startswith("timestamp[ns"):
+        return "ns"
+    if s.startswith("timestamp["):
+        return "us"  # us/ms both surface as Spark TimestampType natively
+    if s in ("int64", "long"):
+        return "long_us"
+    raise TypeError(f"unsupported events.ts parquet type: {t}")
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -37,14 +66,26 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table with a glob filter.  UTC pin: window starts are formatted to
     # strings and must not shift with the caller session's timezone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    unit = _events_ts_unit(sf_dir)
+    if unit == "ns":
+        # Spark can't declare TIMESTAMP(NANOS); read as long + rebuild µs.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema, decode = _events_schema(T.LongType()), lambda c: F.timestamp_micros(
+            F.expr(f"{c} div 1000")
+        )
+    elif unit == "long_us":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+        schema, decode = _events_schema(T.LongType()), F.timestamp_micros
+    else:  # native timestamp — passthrough
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+        schema, decode = _events_schema(T.TimestampType()), F.col
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", decode("ts"))
 
 
 def streaming_hourly_agg(events: DataFrame) -> DataFrame:
