@@ -1396,13 +1396,66 @@ _R3_GREEN = (
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
 )
-# Later rounds override earlier ones; every name absent from all three
-# tuples carries 0 (nothing currently — all 92 registered queries have a
-# driver-green record after the r3 fold).
+# CORRECTNESS_r04.json — 48/50 window entries green (the two event-time
+# streaming queries failed on the ts-decode bug fixed this round; they reset
+# to slot 0 via _TOUCHED_MODULES below, so they re-verify first in r5).
+_R4_GREEN = (
+    "bt_limit_pushdown",
+    "bt_ts_range_prune",
+    "bt_value_filter_pushdown",
+    "bt_value_regex_pushdown",
+    "bt_int_key_prune",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_pixel_stats",
+    "multimodal_video_frames",
+    "streaming_stateful_user_totals",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_revenue_change",
+    "tpch_q10_returned_items",
+    "agg_distinct_stats",
+    "rollup_lineitem_qty",
+    "cube_orders_revenue",
+    "window_topk_per_group",
+    "window_running_sum",
+    "window_lag_delta",
+    "topk_orders_global",
+    "set_ops_nation_overlap",
+    "set_ops_nation_except",
+    "semi_join_active_customers",
+    "anti_join_idle_customers",
+    "outer_join_nation_customer_counts",
+    "scalar_functions_part",
+    "json_extract_props",
+    "cte_above_nation_avg",
+    "having_repeat_customers",
+    "median_quantiles",
+    "bt_key_compose_range_prune",
+    "bt_key_split",
+    "bt_latest_version",
+    "bt_cell_pivot",
+    "events_retention_cohorts",
+    "bt_key_not_between_prune",
+    "events_sessionize",
+    "asof_join_latest_event",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_connected_components",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh_bucketed",
+    "text_langid",
+    "text_curation_filter",
+    "sample_class_balanced",
+)
+# Later rounds override earlier ones; every name absent from all four
+# tuples carries 0.
 _LAST_GREEN: dict[str, int] = {
     **{n: 1 for n in _R1_GREEN},
     **{n: 2 for n in _R2_GREEN},
     **{n: 3 for n in _R3_GREEN},
+    **{n: 4 for n in _R4_GREEN},
 }
 
 # ---------------------------------------------------------------------------
@@ -1524,15 +1577,12 @@ def query_deps(name: str) -> frozenset[str]:
     return _module_closure(_callable_direct_deps(fn, {fn}))
 
 
-# Round 4: package modules whose implementation changed this round (their
+# Round 5: package modules whose implementation changed this round (their
 # dependents reset to 0) and query functions edited in this file this round.
-# Verified against `git diff r3-tag..HEAD --name-only` before the fold.
+# Verified against `git diff` before the fold.
 _TOUCHED_MODULES: frozenset[str] = frozenset(
     {
-        f"{_PKG}.sources.datasource",  # rows_cap dropped on conservative replan
-        f"{_PKG}.functions.multimodal",  # real pixel tier (mode='full')
-        f"{_PKG}.functions.media_codecs",  # BMP/PPM/PCM decode + resample
-        f"{_PKG}.streaming.cells_stream",  # pandas import hoist in stateful op
+        f"{_PKG}.streaming.cells_stream",  # ts-unit footer sniff (r4 fix)
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset()
