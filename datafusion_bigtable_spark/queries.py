@@ -1275,6 +1275,58 @@ def asof_join(spark, sf_dir):
     )
 
 
+@query(
+    "interval_join_order_events",
+    """
+    WITH iv AS (
+      SELECT o_orderkey,
+             o_custkey AS user_id,
+             TIMESTAMP '2024-01-01 00:00:00'
+               + INTERVAL 1 DAY * CAST(o_orderkey % 28 AS INT) AS ws
+      FROM orders WHERE o_custkey <= 150)
+    SELECT iv.o_orderkey, COUNT(*) AS n_events, ROUND(SUM(e.value), 4) AS value_sum
+    FROM iv JOIN events e
+      ON e.user_id = iv.user_id
+     AND iv.ws <= e.ts AND e.ts < iv.ws + INTERVAL 3 DAY
+    GROUP BY iv.o_orderkey
+    """,
+)
+def interval_join_order_events_q(spark, sf_dir):
+    # Interval join via time bucketing (operators/rangejoin.py): the naive
+    # equi-join-on-key + range-filter plan materializes a per-key cartesian
+    # (hot user × many intervals = task that never finishes at 100 TB);
+    # bucketing quantizes time, explodes each interval over the ~4 buckets
+    # it overlaps, and equi-joins on (user, bucket) — ONE ordinary shuffle
+    # join whose task size follows bucket occupancy, with the exact range
+    # predicate as a residual filter.  Flink's interval join runs the same
+    # decomposition.  Demo intervals: 3-day window per order, start spread
+    # deterministically over January 2024 (the events table's span).
+    from datafusion_bigtable_spark.operators.rangejoin import interval_join_bucketed
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "value"
+    )
+    iv = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 150)
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").alias("user_id"),
+            F.expr(
+                "TIMESTAMP_NTZ'2024-01-01 00:00:00'"
+                " + make_interval(0, 0, 0, CAST(o_orderkey % 28 AS INT), 0, 0, 0)"
+            ).alias("ws"),
+        )
+        .withColumn("we", F.expr("ws + INTERVAL 3 DAY"))
+    )
+    j = interval_join_bucketed(
+        ev, iv, key="user_id", ts="ts", start="ws", end="we", bucket="1 day"
+    )
+    return j.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("value_sum")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window scheduling.  The correctness driver hash-checks only the
 # FIRST 50 entries of queries() iteration order per round, while the registry
@@ -2447,6 +2499,42 @@ def streaming_window_q(spark, sf_dir):
 
     name = "dbs_stream_hourly_" + str(abs(hash(sf_dir)) % 10**8)
     return run_events_stream_to_memory(spark, sf_dir, agg="hourly", query_name=name)
+
+
+@query(
+    "streaming_dedup_pairs",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup_q(spark, sf_dir):
+    # Streaming exact dedup (dropDuplicates keeps per-key state across
+    # micro-batches; append mode emits each key once) — the incremental
+    # twin of dedup_exact.  Projecting only the key columns makes the
+    # streamed output equal batch SELECT DISTINCT regardless of which
+    # representative row arrived first.
+    from datafusion_bigtable_spark.streaming import run_events_stream_to_memory
+
+    name = "dbs_stream_dedup_" + str(abs(hash(sf_dir)) % 10**8)
+    return run_events_stream_to_memory(spark, sf_dir, agg="dedup", query_name=name)
+
+
+@query(
+    "streaming_enriched_counts",
+    """
+    SELECT event_type, c_mktsegment, COUNT(*) AS n, ROUND(SUM(value), 4) AS value_sum
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY event_type, c_mktsegment
+    """,
+)
+def streaming_enrich_q(spark, sf_dir):
+    # Stream-static enrichment: each micro-batch broadcast-joins the static
+    # customer dimension (no stream-side shuffle for the join), feeding a
+    # running global aggregate — facts stream, dimensions broadcast, the
+    # canonical 100 TB/day enrichment shape.  Complete-mode memory sink
+    # equals the batch join+agg oracle.
+    from datafusion_bigtable_spark.streaming import run_events_stream_to_memory
+
+    name = "dbs_stream_enrich_" + str(abs(hash(sf_dir)) % 10**8)
+    return run_events_stream_to_memory(spark, sf_dir, agg="enrich", query_name=name)
 
 
 @query(

@@ -41,6 +41,15 @@ from datafusion_bigtable_spark.plans.composer import (
 from datafusion_bigtable_spark.sources.cells import read_cells
 
 
+class GCWatermarkWarning(UserWarning):
+    """An as-of read bounded at or before the store's GC watermark — the
+    requested snapshot may be missing garbage-collected versions."""
+
+
+class GCWatermarkError(RuntimeError):
+    """Strict-mode twin of GCWatermarkWarning (to_df(strict_as_of=True))."""
+
+
 class BigtableTable:
     def __init__(self, config: BigtableTableConfig, service=None):
         #: optional live ReadRows service (real SDK client adapter or the
@@ -68,7 +77,11 @@ class BigtableTable:
 
     # -- assembly ---------------------------------------------------------
     def cells(
-        self, spark: SparkSession, ranges: Sequence[KeyRange] = (), as_of=None
+        self,
+        spark: SparkSession,
+        ranges: Sequence[KeyRange] = (),
+        as_of=None,
+        strict_as_of: bool = False,
     ) -> DataFrame:
         if self.service is not None:
             # Live ReadRows path: ranges + filter chain are pushed INTO the
@@ -97,6 +110,36 @@ class BigtableTable:
             )
         df = read_cells(spark, self.config.cells_path)
         if as_of is not None:
+            # Time travel vs GC: a version-GC compaction drops cell
+            # versions and records the newest dropped ts in the store's
+            # watermark sidecar.  An as-of read bounded at or before that
+            # instant can no longer reconstruct the snapshot that was live
+            # then (Bigtable has the same property: GC'd cells are
+            # unreadable at any timestamp) — silent plausible-but-wrong
+            # history is the worst outcome, so be loud: warn by default,
+            # raise under strict_as_of.
+            from datafusion_bigtable_spark.sources.cells import (
+                _naive_datetime_to_us,
+                _us_to_naive_datetime,
+                read_gc_watermark_us,
+            )
+
+            wm = read_gc_watermark_us(self.config.cells_path)
+            if wm is not None and _naive_datetime_to_us(as_of) <= wm:
+                import warnings
+
+                msg = (
+                    f"as_of={as_of.isoformat(sep=' ')} is at or before this "
+                    f"store's GC watermark "
+                    f"{_us_to_naive_datetime(wm).isoformat(sep=' ')}"
+                    " — versions live at that instant may have been "
+                    "garbage-collected; the snapshot is best-effort, not "
+                    "exact"
+                )
+                if strict_as_of:
+                    raise GCWatermarkError(msg)
+                warnings.warn(msg, GCWatermarkWarning, stacklevel=3)
+        if as_of is not None:
             # bound BEFORE the latest filter — Catalyst pushes this to the
             # parquet scan (row-group ts pruning for free).  The literal
             # must be TIMESTAMP_NTZ: F.lit(datetime) builds an LTZ literal
@@ -114,10 +157,17 @@ class BigtableTable:
         spark: SparkSession,
         predicates: Sequence[Predicate] = (),
         as_of=None,
+        strict_as_of: bool = False,
     ) -> DataFrame:
         """Assemble the relational view; ``as_of`` (naive datetime) gives a
         TIME-TRAVEL read: the latest version of each cell among versions
         with ``ts <= as_of`` — Bigtable's timestamp-bounded read.
+
+        ``strict_as_of=True`` raises :class:`GCWatermarkError` when the
+        bound is at or before the store's GC watermark (a version-GC
+        compaction may have dropped versions the snapshot needs); the
+        default warns (:class:`GCWatermarkWarning`) and returns the
+        best-effort snapshot.
 
         Note the ordering contract: the bound applies BEFORE the
         latest-version filter.  This is exactly the semantics the generic
@@ -128,7 +178,7 @@ class BigtableTable:
         here the scan-level bound is the correct plan, not a hazard.
         """
         ranges = self.key_ranges(predicates)
-        cells = self.cells(spark, ranges, as_of=as_of)
+        cells = self.cells(spark, ranges, as_of=as_of, strict_as_of=strict_as_of)
 
         # Inexact contract: re-apply the range predicate above the scan even
         # when the service already pruned server-side (A16).

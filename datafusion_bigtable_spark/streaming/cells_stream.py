@@ -123,6 +123,38 @@ def streaming_session_window(events: DataFrame, gap: str = "30 minutes") -> Data
     )
 
 
+def streaming_distinct_pairs(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup — the incremental twin of the batch
+    ``dedup_exact`` surface: ``dropDuplicates`` keeps per-key state so each
+    (user_id, event_type) pair is emitted exactly once across all
+    micro-batches.  Projecting ONLY the key columns makes the result
+    order-independent (any representative row collapses to the same
+    tuple), so the streamed output equals batch SELECT DISTINCT.
+
+    Without a watermark the dedup state grows with key cardinality — fine
+    for bounded keyspaces (this one is |users|×|types|); unbounded keys at
+    100 TB use ``withWatermark`` + ``dropDuplicatesWithinWatermark`` so
+    state ages out with event time.
+    """
+    return events.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
+
+
+def streaming_enriched_counts(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    static dimension (Spark plans it as a broadcast hash join per batch —
+    no stream-side shuffle), then a global aggregate maintains running
+    counts.  The canonical 100 TB/day enrichment shape: facts stream,
+    dimensions broadcast."""
+    joined = events.join(
+        F.broadcast(dim.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")),
+        "user_id",
+    )
+    return (
+        joined.groupBy("event_type", "c_mktsegment")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("value_sum"))
+    )
+
+
 def streaming_user_totals_stateful(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user running
     totals maintained across micro-batches.
@@ -176,6 +208,13 @@ def run_events_stream_to_memory(
         plan, mode = streaming_hourly_agg(events), "complete"
     elif agg == "stateful":
         plan, mode = streaming_user_totals_stateful(events), "update"
+    elif agg == "dedup":
+        plan, mode = streaming_distinct_pairs(events), "append"
+    elif agg == "enrich":
+        import os
+
+        dim = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        plan, mode = streaming_enriched_counts(events, dim), "complete"
     else:
         plan, mode = streaming_session_window(events), "complete"
     # Streaming state-store cost scales with the shuffle-partition count

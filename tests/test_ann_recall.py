@@ -55,9 +55,9 @@ def test_ivf_recall_floor_and_nprobe_dial(emb, pred, truth):
         r1 = _recall(S.topk_ivf(emb, pred, n_cells=16, k=K, nprobe=1, index=idx), truth)
         r4 = _recall(S.topk_ivf(emb, pred, n_cells=16, k=K, nprobe=4, index=idx), truth)
         r8 = _recall(S.topk_ivf(emb, pred, n_cells=16, k=K, nprobe=8, index=idx), truth)
-    assert r1 >= 0.15, f"ivf nprobe=1 recall@10 {r1:.3f}"
-    assert r4 >= 0.45, f"ivf nprobe=4 recall@10 {r4:.3f}"
-    assert r8 >= 0.70, f"ivf nprobe=8 recall@10 {r8:.3f}"
+    assert r1 >= 0.15, f"ivf nprobe=1 recall@10 {r1:.3f} — raise nprobe (or retrain codebook: more iters/cells)"
+    assert r4 >= 0.45, f"ivf nprobe=4 recall@10 {r4:.3f} — raise nprobe (or retrain codebook: more iters/cells)"
+    assert r8 >= 0.70, f"ivf nprobe=8 recall@10 {r8:.3f} — raise nprobe (or retrain codebook: more iters/cells)"
     # the dial must actually dial: probing more cells buys recall
     assert r1 < r4 < r8
 
@@ -71,8 +71,8 @@ def test_pq_recall_floor_and_m_dial(emb, pred, truth):
         S.topk_pq(emb, pred, k=K, m=32, codebooks=S.train_pq_codebooks(emb, m=32, iters=3)),
         truth,
     )
-    assert r8 >= 0.10, f"pq m=8 recall@10 {r8:.3f}"
-    assert r32 >= 0.50, f"pq m=32 recall@10 {r32:.3f}"
+    assert r8 >= 0.10, f"pq m=8 recall@10 {r8:.3f} — raise m (more subspaces) or training iters"
+    assert r32 >= 0.50, f"pq m=32 recall@10 {r32:.3f} — raise m (more subspaces) or training iters"
     # finer subspaces (shorter sub-vectors) must improve ADC fidelity
     assert r32 > r8
 
@@ -82,4 +82,4 @@ def test_ivfpq_composes_without_collapse(emb, pred, truth):
     # is intentionally modest — the gate catches a BROKEN composition
     # (recall ~1/corpus → ~0.005), not a weak one.
     r = _recall(S.topk_ivfpq(emb, pred, k=K), truth)
-    assert r >= 0.08, f"ivfpq recall@10 {r:.3f}"
+    assert r >= 0.08, f"ivfpq recall@10 {r:.3f} — raise nprobe/m; compounding approximations, see COVERAGE.md §ANN"

@@ -186,3 +186,60 @@ def test_write_null_key_components(registered, cells_path, tmp_path):
     )
     with pytest.raises(Exception, match="NULL row-key component"):
         _opts(bad.write.format("bigtable"), str(tmp_path / "bad")).mode("append").save()
+
+
+def test_as_of_past_gc_watermark_warns_or_raises(registered, cells_path, tmp_path):
+    """Version-GC leaves a watermark; an as-of read bounded at or before it
+    is best-effort (warns) or, under strict_as_of, refuses (raises) — the
+    loud-failure stance for time travel into garbage-collected history."""
+    import warnings
+
+    from datafusion_bigtable_spark.config import BigtableTableConfig, ColumnSpec
+    from datafusion_bigtable_spark.sources.bigtable_table import (
+        BigtableTable,
+        GCWatermarkError,
+        GCWatermarkWarning,
+    )
+    from datafusion_bigtable_spark.sources.cells import (
+        compact_cells_store,
+        read_gc_watermark_us,
+    )
+
+    dest = str(tmp_path / "gc_strict_store")
+    full = _read(registered, cells_path)
+    _opts(full.write.format("bigtable"), dest).mode("append").save()
+    newer = full.selectExpr(
+        "region", "balloon_id", "event_minute",
+        "_timestamp + INTERVAL 1 HOUR AS _timestamp", "pressure", "temperature",
+    )
+    _opts(newer.write.format("bigtable"), dest).mode("append").save()
+    compact_cells_store(registered, dest, num_ranges=2, versions=1)
+    wm = read_gc_watermark_us(dest)
+    assert wm is not None
+
+    cfg = BigtableTableConfig(
+        table="gc_strict",
+        column_family="measurements",
+        columns=(ColumnSpec("pressure", "int64"), ColumnSpec("temperature", "string")),
+        table_partition_cols=("region", "balloon_id", "event_minute"),
+        only_read_latest=True,
+        cells_path=dest,
+        allow_full_scan=True,
+    )
+    table = BigtableTable(cfg)
+    past = dt.datetime(2021, 3, 5, 12, 2, 0)  # before the GC'd versions' max ts
+
+    # default: warn, return best-effort snapshot
+    with pytest.warns(GCWatermarkWarning, match="GC watermark"):
+        df = table.to_df(registered, as_of=past)
+    df.collect()  # still executable
+
+    # strict: refuse
+    with pytest.raises(GCWatermarkError, match="GC watermark"):
+        table.to_df(registered, as_of=past, strict_as_of=True)
+
+    # a bound safely after the watermark is silent in both modes
+    future = dt.datetime(2022, 1, 1)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", GCWatermarkWarning)
+        table.to_df(registered, as_of=future, strict_as_of=True).collect()
