@@ -139,6 +139,25 @@ def streaming_distinct_pairs(events: DataFrame) -> DataFrame:
     return events.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
 
 
+def streaming_distinct_pairs_watermarked(
+    events: DataFrame, delay: str = "40 days"
+) -> DataFrame:
+    """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``
+    ages dedup state out once the watermark passes a key's last-seen event
+    time — the variant an UNBOUNDED keyspace needs at 100 TB (plain
+    dropDuplicates state grows forever).  The trade: a duplicate arriving
+    after its key's state expired is re-emitted, so the guarantee is
+    at-least-once-distinct within the delay, not global exactness.  With
+    ``delay`` covering the data span (tests), output equals SELECT
+    DISTINCT exactly."""
+    return (
+        events.withWatermark("ts", delay)
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
 def streaming_enriched_counts(events: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream-static enrichment join: each micro-batch joins against the
     static dimension (Spark plans it as a broadcast hash join per batch —
@@ -210,6 +229,8 @@ def run_events_stream_to_memory(
         plan, mode = streaming_user_totals_stateful(events), "update"
     elif agg == "dedup":
         plan, mode = streaming_distinct_pairs(events), "append"
+    elif agg == "dedup_watermarked":
+        plan, mode = streaming_distinct_pairs_watermarked(events), "append"
     elif agg == "enrich":
         import os
 

@@ -497,3 +497,22 @@ def test_resize_images_plumbing(spark, sf_dir):
 
     with _pytest.raises(Exception, match="NotImplementedError|PIL"):
         resize_images(assets, width=8, height=8, mode="full").collect()
+
+
+def test_streaming_dedup_watermarked_equals_distinct(spark, sf_dir):
+    """dropDuplicatesWithinWatermark with a delay covering the data span
+    must equal batch SELECT DISTINCT (state never expires mid-run); the
+    bounded-state contract itself — duplicates beyond the delay re-emit —
+    is Spark's, we pin our wiring of it."""
+    from datafusion_bigtable_spark.queries import load_events
+    from datafusion_bigtable_spark.streaming import run_events_stream_to_memory
+
+    out = run_events_stream_to_memory(
+        spark, sf_dir, agg="dedup_watermarked", query_name="t_dedup_wm"
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(
+        tuple(r)
+        for r in load_events(spark, sf_dir).select("user_id", "event_type").distinct().collect()
+    )
+    assert got == want

@@ -1,0 +1,102 @@
+"""Physical-plan contracts for the perf-critical queries.
+
+The oracle gate proves results are RIGHT; these prove the plans stay the
+SHAPE that survives 100 TB — filters reaching the parquet scan, scans
+pruned to the referenced columns, aggregates combining map-side before
+the shuffle, and join decompositions that never fall back to a cartesian.
+Each contract is exactly the property a scale-up depends on; a refactor
+that silently loses one now fails here instead of in a 1000-executor
+post-mortem.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_bigtable_spark import queries as Q
+
+
+def _plan(spark, df, mode="simple") -> str:
+    jvm = spark.sparkContext._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def _q(spark, sf_dir, name):
+    return Q.REGISTRY[name].fn(spark, sf_dir)
+
+
+def test_q6_filter_pushdown_and_column_pruning(spark, sf_dir):
+    plan = _plan(spark, _q(spark, sf_dir, "tpch_q6_revenue_change"), "formatted")
+    # the selective predicates must reach the parquet scan...
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan or "In(l_discount" in plan
+    # ...and the scan must read ONLY the referenced columns
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_shipdate" in read and "l_discount" in read
+    for col in ("l_orderkey", "l_returnflag", "l_tax", "l_partkey"):
+        assert col not in read, f"unpruned column {col} in {read}"
+
+
+def test_q1_partial_aggregation_before_shuffle(spark, sf_dir):
+    plan = _plan(spark, _q(spark, sf_dir, "tpch_q1_pricing_summary"))
+    # map-side combine: partial aggregate BELOW the exchange (later in the
+    # bottom-up physical string), final above it
+    assert "partial_sum" in plan
+    ex = plan.index("Exchange")
+    assert plan.index("partial_sum") > ex, "partial aggregate not below the shuffle"
+    # pruning: q1 never touches the join keys
+    read = next(l for l in _plan(spark, _q(spark, sf_dir, "tpch_q1_pricing_summary"), "formatted").splitlines() if "ReadSchema" in l)
+    assert "l_partkey" not in read and "l_suppkey" not in read
+
+
+# Join-bearing queries whose decomposition must NEVER degrade to an
+# unbounded pairing (the similarity queries' broadcast-seeded crossJoins
+# are deliberate and excluded — see VERDICT r4 anti-pattern audit).
+NO_CARTESIAN = [
+    "interval_join_order_events",
+    "asof_join_latest_event",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_keep_canonical",
+    "pipeline_curated_corpus",
+    "semi_join_active_customers",
+    "anti_join_idle_customers",
+]
+
+
+@pytest.mark.parametrize("name", NO_CARTESIAN)
+def test_no_cartesian_or_nested_loop(spark, sf_dir, name):
+    plan = _plan(spark, _q(spark, sf_dir, name))
+    assert "CartesianProduct" not in plan, f"{name} degraded to a cartesian"
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name} degraded to a nested loop"
+
+
+def test_interval_join_is_equi_join_on_key_and_bucket(spark, sf_dir):
+    # the bucketing decomposition's whole point: Catalyst must see an
+    # EQUI-join (hash/broadcast-hash/sort-merge on (key, bucket)) with the
+    # range predicate as a residual, never a pure-range join
+    plan = _plan(spark, _q(spark, sf_dir, "interval_join_order_events"))
+    assert any(j in plan for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+    assert "_bkt" in plan and "_ibkt" in plan
+
+
+def test_dim_joins_broadcast_small_side(spark, sf_dir):
+    # star joins against nation/region/customer dims must broadcast the
+    # dim side (no shuffle of the fact table for the join) at test SF —
+    # the same decision AQE re-makes from runtime stats at 100 TB
+    for name in ("tpch_q5_local_supplier_volume", "outer_join_nation_customer_counts"):
+        plan = _plan(spark, _q(spark, sf_dir, name))
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, name
+
+
+def test_curation_gate_fused_into_scan(spark, sf_dir):
+    # pipeline_curated_corpus's 100 TB property: the keep/drop gate is a
+    # scan-level Filter (fused, no materialization barrier between the
+    # documents scan and the gate)
+    plan = _plan(spark, _q(spark, sf_dir, "pipeline_curated_corpus"), "formatted")
+    assert "Filter" in plan and "documents.parquet" in plan
