@@ -1635,6 +1635,7 @@ def query_deps(name: str) -> frozenset[str]:
 _TOUCHED_MODULES: frozenset[str] = frozenset(
     {
         f"{_PKG}.streaming.cells_stream",  # ts-unit footer sniff (r4 fix)
+        f"{_PKG}.sources.bigtable_table",  # single-shuffle pivot assembly
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset()

@@ -187,6 +187,17 @@ class BigtableTable:
             cells = cells.filter(pred)
 
         if self.config.only_read_latest:
+            # ONE shuffle serves the whole assembly: hash-clustering the
+            # cells by row_key satisfies the latest-window's
+            # ClusteredDistribution(row_key, qualifier) AND the pivot's
+            # (row_key, ts), so both run shuffle-free above this exchange.
+            # Without it Catalyst plans two back-to-back exchanges on the
+            # two different key sets (measured; the plan contract
+            # test_bt_pivot_partial_final_around_one_exchange pins the
+            # single-shuffle shape).  Per-partition volume follows row-key
+            # cardinality — a single row key's cells are bounded by
+            # #qualifiers × #versions, so no skew hazard.
+            cells = cells.repartition("row_key")
             cells = latest_cells(cells)
 
         wide = pivot_cells(cells, self.config.qualifiers)

@@ -100,3 +100,30 @@ def test_curation_gate_fused_into_scan(spark, sf_dir):
     # documents scan and the gate)
     plan = _plan(spark, _q(spark, sf_dir, "pipeline_curated_corpus"), "formatted")
     assert "Filter" in plan and "documents.parquet" in plan
+
+
+def test_bt_pivot_partial_final_around_one_exchange(spark, composite_config):
+    # the connector's assembly contract (bigtable_table.py module doc):
+    # cells → latest filter → pivot is ONE shuffle, with the pivot's
+    # aggregate combining partially below the exchange — at 100 TB the
+    # cells never move twice
+    from datafusion_bigtable_spark.plans.composer import Between, Eq, In
+    from datafusion_bigtable_spark.sources.bigtable_table import BigtableTable
+
+    df = BigtableTable(composite_config).to_df(
+        spark,
+        predicates=[
+            Eq("region", "us-west2"),
+            In("balloon_id", ("3698",)),
+            Between("event_minute", "2021-03-05-1200", "2021-03-05-1202"),
+        ],
+    )
+    plan = _plan(spark, df)
+    assert plan.count("Exchange") == 1, f"pivot should shuffle once:\n{plan}"
+    # both window and pivot sit ABOVE the single row_key exchange (earlier
+    # in the top-down plan string); the pivot still pre-merges partially
+    assert "partial_" in plan and plan.index("partial_") < plan.index("Exchange")
+    assert "Window" in plan and plan.index("Window") < plan.index("Exchange")
+    # the qualifier projection reaches the parquet scan
+    fmt = _plan(spark, df, "formatted")
+    assert "PushedFilters" in fmt and "In(qualifier" in fmt
