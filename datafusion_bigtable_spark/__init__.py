@@ -37,7 +37,11 @@ from datafusion_bigtable_spark.plans.composer import (
     KeyRange,
     compose,
 )
-from datafusion_bigtable_spark.sources.bigtable_table import BigtableTable
+from datafusion_bigtable_spark.sources.bigtable_table import (
+    BigtableTable,
+    GCWatermarkError,
+    GCWatermarkWarning,
+)
 
 __all__ = [
     "BigtableTable",
@@ -46,6 +50,8 @@ __all__ = [
     "Between",
     "ComposerError",
     "Eq",
+    "GCWatermarkError",
+    "GCWatermarkWarning",
     "In",
     "KeyRange",
     "compose",
