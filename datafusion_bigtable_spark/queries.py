@@ -1636,6 +1636,7 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
     {
         f"{_PKG}.streaming.cells_stream",  # ts-unit footer sniff (r4 fix)
         f"{_PKG}.sources.bigtable_table",  # single-shuffle pivot assembly
+        f"{_PKG}.sources.datasource",  # streaming sink (streamWriter) added
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset()

@@ -52,6 +52,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -892,6 +893,58 @@ class BigtableWriter(DataSourceWriter):
             os.rmdir(os.path.dirname(self.staging))
 
 
+class BigtableStreamWriter(DataSourceStreamWriter):
+    """``df.writeStream.format("bigtable")`` — the streaming SINK side of
+    the cells store, completing the format quad (batch read, batch write,
+    stream read, stream write): a continuous relational stream lands as
+    cell files the stream READER on the same store tails, so
+    stream→store→stream pipelines compose.
+
+    Per micro-batch each task unpivots its rows through the same
+    row→cells encoder as the batch writer (staged parquet, sorted by
+    row_key); ``commit`` moves staged files to DETERMINISTIC
+    ``stream-b<batchId>-<i>`` names and refreshes the manifest.  The
+    deterministic names make replays idempotent: after a checkpoint
+    recovery the re-committed batch OVERWRITES its own files instead of
+    duplicating cells (same single-writer-per-store assumption as the
+    batch writer and compaction).
+    """
+
+    def __init__(self, schema, options):
+        import uuid
+
+        self.config = _config_from_options(options)
+        self.job_id = uuid.uuid4().hex[:12]
+        self.staging = os.path.join(self.config.cells_path, "_staging", f"stream-{self.job_id}")
+
+    # executor side — identical unpivot+stage as the batch writer
+    write = BigtableWriter.write
+
+    # driver side, once per micro-batch
+    def commit(self, messages, batchId: int) -> None:
+        import shutil
+
+        from datafusion_bigtable_spark.sources.cells import write_manifest
+
+        store = self.config.cells_path
+        os.makedirs(store, exist_ok=True)
+        # drop any files a previously-failed attempt of THIS batch left
+        for stale in glob.glob(os.path.join(store, f"stream-b{batchId:08d}-*.parquet")):
+            os.remove(stale)
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            dest = os.path.join(store, f"stream-b{batchId:08d}-{i:05d}.parquet")
+            shutil.move(m.staged, dest)
+        shutil.rmtree(self.staging, ignore_errors=True)
+        write_manifest(store)
+
+    def abort(self, messages, batchId: int) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
 @dataclass
 class StreamFilesPartition(InputPartition):
     """One scan task of a streaming micro-batch: a key-disjoint GROUP of
@@ -1022,6 +1075,16 @@ class BigtableDataSource(DataSource):
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return BigtableStreamReader(schema, self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
+        # streaming appends; overwrite (complete-mode) is refused because a
+        # replayed complete batch could not distinguish its own files from
+        # history (the deterministic-name idempotency only covers appends)
+        if overwrite:
+            raise ValueError(
+                "bigtable streaming sink supports append output mode only"
+            )
+        return BigtableStreamWriter(schema, self.options)
 
 
 def register(spark) -> None:
