@@ -53,6 +53,12 @@ def interval_join_bucketed(
 
     Column-name collisions between the two inputs are the caller's to
     resolve (select/alias before the call), same as any DataFrame join.
+
+    Timestamps bucket through ``unix_timestamp`` under the SESSION
+    timezone; with TIMESTAMP_NTZ inputs, run under a fixed-offset session
+    zone (the query layer pins UTC) — a DST-variable zone's fold hour can
+    collapse two NTZ instants onto one epoch second and mis-bucket a
+    boundary event.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
