@@ -345,3 +345,54 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# -------------------------------------------------------- decontamination --
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-set decontamination: per corpus doc, the fraction of its
+    word ``k``-gram shingles that appear ANYWHERE in the benchmark/eval
+    set, plus a ``contaminated`` flag at ``threshold``.
+
+    The asymmetric twin of pairwise near-dup: eval sets are tiny next to
+    a training corpus, so the benchmark's distinct shingles BROADCAST and
+    the corpus-side cost is one shuffle on doc id (which the shingle
+    window already established — the groupBys below reuse its clustering,
+    no further exchange).  Overlap-vs-benchmark (not pairwise Jaccard) is
+    the standard contamination metric: a 100-token eval question fully
+    contained in a 10k-token document is contamination even though the
+    pair's Jaccard is tiny.
+
+    Output: (id, n_shingles, overlap rounded 4, contaminated).  Docs with
+    fewer than ``k`` words carry no shingles and are absent — they cannot
+    meaningfully overlap.
+    """
+    c_sh = shingles(corpus, k=k, text_col=text_col, id_col=id_col)
+    b_sh = (
+        shingles(benchmark, k=k, text_col=text_col, id_col=id_col)
+        .select("shingle")
+        .distinct()
+    )
+    scored = (
+        c_sh.join(F.broadcast(b_sh.withColumn("_hit", F.lit(1))), "shingle", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_hit").alias("_n_hit"),
+        )
+    )
+    frac = F.col("_n_hit") / F.col("n_shingles")
+    return scored.select(
+        "id",
+        "n_shingles",
+        F.round(frac, 4).alias("overlap"),
+        (frac >= F.lit(threshold)).alias("contaminated"),
+    )

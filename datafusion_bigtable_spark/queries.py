@@ -2480,6 +2480,114 @@ def text_fingerprint_q(spark, sf_dir):
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+@query(
+    "decontaminate_vs_benchmark",
+    f"""
+    WITH {_SHINGLES_CTE},
+    b AS (SELECT DISTINCT shingle FROM sh WHERE id % 97 = 0),
+    c AS (SELECT * FROM sh WHERE id % 97 != 0),
+    scored AS (
+      SELECT c.id, COUNT(*) AS n_shingles,
+             COUNT(b.shingle) AS n_hit
+      FROM c LEFT JOIN b ON c.shingle = b.shingle
+      GROUP BY c.id)
+    SELECT id AS doc_id, n_shingles,
+           ROUND(n_hit * 1.0 / n_shingles, 4) AS overlap,
+           n_hit * 1.0 / n_shingles >= 0.5 AS contaminated
+    FROM scored
+    """,
+)
+def decontaminate_q(spark, sf_dir):
+    # Training-set decontamination (operators/dedup.py::decontaminate):
+    # benchmark = the doc_id % 97 == 0 slice standing in for an eval set;
+    # its distinct shingles broadcast, the corpus shuffles once on doc id.
+    # Overlap-vs-benchmark (not pairwise Jaccard) is the contamination
+    # metric — an eval question contained in a long doc must flag even
+    # though the pair's Jaccard is tiny.
+    from datafusion_bigtable_spark.operators.dedup import decontaminate
+
+    d = load(spark, sf_dir, "documents")
+    out = decontaminate(
+        d.filter(F.col("doc_id") % 97 != 0),
+        d.filter(F.col("doc_id") % 97 == 0),
+        k=3,
+        threshold=0.5,
+    )
+    return out.select(F.col("id").alias("doc_id"), "n_shingles", "overlap", "contaminated")
+
+
+@query(
+    "text_chunk_documents",
+    """
+    SELECT doc_id,
+           CAST(i // 80 AS BIGINT) AS chunk_idx,
+           CAST(LEAST(120, length(text) - i) AS BIGINT) AS chunk_len,
+           md5(substring(text, i + 1, 120)) AS chunk_md5
+    FROM documents, LATERAL (
+      SELECT unnest(generate_series(0, length(text) - 1, 80)) AS i) t
+    WHERE length(text) > 0
+    """,
+)
+def text_chunk_documents_q(spark, sf_dir):
+    # Document chunking for context-window-bounded training: fixed 120-char
+    # chunks on an 80-char stride (40 overlap), generated as a pure
+    # Catalyst sequence+posexplode — per-doc fan-out is length/stride, no
+    # shuffle at all (narrow transform of the scan), which is the shape
+    # that matters when chunking 100 TB into training windows.  chunk_md5
+    # hash-verifies the actual chunk CONTENT against the oracle, not just
+    # the offsets.
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    offs = F.sequence(F.lit(0), F.length("text") - 1, F.lit(80))
+    return d.select(
+        "doc_id", F.explode(offs).alias("i"), F.col("text")
+    ).select(
+        "doc_id",
+        (F.col("i") / 80).cast("long").alias("chunk_idx"),
+        F.least(F.lit(120), F.length("text") - F.col("i")).cast("long").alias("chunk_len"),
+        F.md5(F.expr("substring(text, i + 1, 120)")).alias("chunk_md5"),
+    )
+
+
+@query(
+    "corpus_pack_sequences",
+    """
+    WITH t AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS tokens
+      FROM documents),
+    c AS (
+      SELECT source, doc_id, tokens,
+             SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      FROM t)
+    SELECT source, CAST(FLOOR((cum - tokens) / 256.0) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS pack_tokens
+    FROM c GROUP BY source, pack_id
+    """,
+)
+def corpus_pack_sequences_q(spark, sf_dir):
+    # Sequence packing for training batches: assign docs (in deterministic
+    # doc_id order per source) to 256-token packs by cumulative token
+    # count — the streaming-friendly packing approximation (greedy
+    # first-fit needs sequential state; cumsum-div-cap packs within ~1 doc
+    # of it and is ONE window shuffle on source, exactly parallelizable).
+    from datafusion_bigtable_spark.functions.text import whitespace_token_count
+
+    d = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", whitespace_token_count(F.col("text")).alias("tokens")
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    c = d.withColumn("cum", F.sum("tokens").over(w))
+    return (
+        c.select(
+            "source",
+            F.floor((F.col("cum") - F.col("tokens")) / 256.0).cast("long").alias("pack_id"),
+            "tokens",
+        )
+        .groupBy("source", "pack_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("tokens").cast("long").alias("pack_tokens"))
+    )
+
+
 # =========================================================================
 # Streaming + multimodal (SURVEY §7 extensions)
 # =========================================================================
