@@ -2628,6 +2628,28 @@ def streaming_dedup_q(spark, sf_dir):
 
 
 @query(
+    "streaming_attribution_join",
+    """
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def streaming_attribution_q(spark, sf_dir):
+    # Watermarked stream-stream join (two independent sources): purchases
+    # join same-user clicks within the preceding 30 min.  The time-range
+    # condition + watermarks bound both sides' join state to
+    # O(events per window) — without them stream-stream state grows
+    # forever.  Append-mode output equals the batch self-join.
+    from datafusion_bigtable_spark.streaming import run_events_stream_to_memory
+
+    name = "dbs_stream_attr_" + str(abs(hash(sf_dir)) % 10**8)
+    return run_events_stream_to_memory(spark, sf_dir, agg="attribution", query_name=name)
+
+
+@query(
     "streaming_enriched_counts",
     """
     SELECT event_type, c_mktsegment, COUNT(*) AS n, ROUND(SUM(value), 4) AS value_sum

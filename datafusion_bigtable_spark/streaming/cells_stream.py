@@ -174,6 +174,40 @@ def streaming_enriched_counts(events: DataFrame, dim: DataFrame) -> DataFrame:
     )
 
 
+def streaming_attribution_join(
+    clicks: DataFrame, purchases: DataFrame, window: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked stream-stream join — the attribution shape: each
+    purchase joins the same user's clicks from the preceding ``window``.
+
+    The hardest streaming operator Spark offers: BOTH sides buffer state,
+    and the watermark + time-range condition are what let the engine
+    eventually DROP it — a click older than (watermark − window) can never
+    match a future purchase, so its state evicts.  Without the time bound
+    the join state grows with the stream; with it, state is
+    O(events per window), independent of stream length.  Output in append
+    mode equals the batch self-join exactly.
+    """
+    c = clicks.withWatermark("ts", "2 hours").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.withWatermark("ts", "2 hours").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return c.join(
+        p,
+        F.expr(
+            "c_user = p_user AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + INTERVAL {window}"
+        ),
+        "inner",
+    ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
+
+
 def streaming_user_totals_stateful(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user running
     totals maintained across micro-batches.
@@ -231,6 +265,14 @@ def run_events_stream_to_memory(
         plan, mode = streaming_distinct_pairs(events), "append"
     elif agg == "dedup_watermarked":
         plan, mode = streaming_distinct_pairs_watermarked(events), "append"
+    elif agg == "attribution":
+        # stream-stream: each side is its OWN source (independent offsets,
+        # as a real click/purchase topic pair would be)
+        clicks = events.filter(F.col("event_type") == "click")
+        purchases = read_events_stream(spark, sf_dir).filter(
+            F.col("event_type") == "purchase"
+        )
+        plan, mode = streaming_attribution_join(clicks, purchases), "append"
     elif agg == "enrich":
         import os
 
