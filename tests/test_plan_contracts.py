@@ -127,3 +127,21 @@ def test_bt_pivot_partial_final_around_one_exchange(spark, composite_config):
     # the qualifier projection reaches the parquet scan
     fmt = _plan(spark, df, "formatted")
     assert "PushedFilters" in fmt and "In(qualifier" in fmt
+
+
+def test_decontaminate_broadcasts_benchmark_shingles(spark, sf_dir):
+    # the benchmark/eval shingle set must broadcast (it is tiny next to
+    # the corpus) — a shuffle join here would reshuffle the whole corpus
+    # shingle table against a few-doc eval set
+    plan = _plan(spark, _q(spark, sf_dir, "decontaminate_vs_benchmark"))
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    # chunking is a narrow transform of the scan (sequence+explode):
+    # ANY exchange in this plan means the fan-out stopped being
+    # partition-local — the property that lets it chunk 100 TB in place
+    plan = _plan(spark, _q(spark, sf_dir, "text_chunk_documents"))
+    assert "Exchange" not in plan, f"chunking should not shuffle:\n{plan}"
+    assert "Generate explode" in plan or "Generate" in plan
