@@ -1501,13 +1501,70 @@ _R4_GREEN = (
     "text_curation_filter",
     "sample_class_balanced",
 )
-# Later rounds override earlier ones; every name absent from all four
+# CORRECTNESS_r05.json — 50/50 window entries green (the r4 streaming fix
+# verified, plus the four r4 window-overflow text/corpus queries and all of
+# round 5's new interval-join / decontamination / chunking / packing /
+# streaming-dedup surface).
+_R5_GREEN = (
+    "bt_limit_pushdown",
+    "bt_ts_range_prune",
+    "bt_value_filter_pushdown",
+    "bt_value_regex_pushdown",
+    "bt_int_key_prune",
+    "bt_read_rows_service",
+    "interval_join_order_events",
+    "decontaminate_vs_benchmark",
+    "text_chunk_documents",
+    "corpus_pack_sequences",
+    "streaming_window_counts",
+    "streaming_dedup_pairs",
+    "streaming_attribution_join",
+    "streaming_enriched_counts",
+    "streaming_stateful_user_totals",
+    "streaming_session_windows",
+    "corpus_mixing_weights",
+    "text_quality",
+    "text_token_counts",
+    "text_fingerprint",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "set_ops_multiset",
+    "unpivot_cell_metrics",
+    "bt_asof_snapshot",
+    "dedup_ngram_jaccard",
+    "sim_topk_ivf_cells",
+    "sim_topk_ivf_nprobe",
+    "embedding_quantize_int8",
+    "dedup_keep_canonical",
+    "events_moving_window_range",
+    "sim_topk_pq_adc",
+    "sim_topk_ivfpq",
+    "pipeline_curated_corpus",
+    "union_all_entities",
+    "skew_salted_aggregation",
+    "approx_aggregates",
+    "grouping_sets_mixed",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "deterministic_hash_sample",
+    "tpch_q8_market_share",
+    "tpch_q22_idle_rich_customers",
+    "dedup_multi_signal",
+    "text_top_bigrams",
+    "events_funnel_analysis",
+    "tpch_q15_top_supplier",
+)
+# Later rounds override earlier ones; every name absent from all five
 # tuples carries 0.
 _LAST_GREEN: dict[str, int] = {
     **{n: 1 for n in _R1_GREEN},
     **{n: 2 for n in _R2_GREEN},
     **{n: 3 for n in _R3_GREEN},
     **{n: 4 for n in _R4_GREEN},
+    **{n: 5 for n in _R5_GREEN},
 }
 
 # ---------------------------------------------------------------------------
@@ -1629,14 +1686,17 @@ def query_deps(name: str) -> frozenset[str]:
     return _module_closure(_callable_direct_deps(fn, {fn}))
 
 
-# Round 5: package modules whose implementation changed this round (their
+# Round 6: package modules with BEHAVIOR-CHANGING edits this round (their
 # dependents reset to 0) and query functions edited in this file this round.
-# Verified against `git diff` before the fold.
+# Policy (amended per ADVICE r5): purely ADDITIVE module changes — a new
+# function no existing query calls — do not reset dependents; any edit to
+# code an existing query executes does.  Verified against `git diff` before
+# the fold.
 _TOUCHED_MODULES: frozenset[str] = frozenset(
     {
-        f"{_PKG}.streaming.cells_stream",  # ts-unit footer sniff (r4 fix)
-        f"{_PKG}.sources.bigtable_table",  # single-shuffle pivot assembly
-        f"{_PKG}.sources.datasource",  # streaming sink (streamWriter) added
+        f"{_PKG}.operators.rangejoin",  # µs-exact bucketing (ADVICE r5 high+medium)
+        f"{_PKG}.streaming.cells_stream",  # per-read conf scoping (ADVICE r5 low)
+        f"{_PKG}.sources.datasource",  # stream staging-dir GC (ADVICE r5 low)
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset()

@@ -910,12 +910,40 @@ class BigtableStreamWriter(DataSourceStreamWriter):
     batch writer and compaction).
     """
 
+    # Orphan stream-staging dirs older than this are GC'd at commit time.
+    # Construction-time sweeping is NOT safe: Spark re-constructs the writer
+    # (commit runs through a fresh instance), so an unconditional sweep races
+    # the live write-side instance's staged-but-uncommitted files.  A
+    # micro-batch stages and commits within seconds; an hour-old stream-*
+    # dir belongs to a dead driver.
+    STAGING_ORPHAN_TTL_S = 3600
+
     def __init__(self, schema, options):
         import uuid
 
         self.config = _config_from_options(options)
         self.job_id = uuid.uuid4().hex[:12]
         self.staging = os.path.join(self.config.cells_path, "_staging", f"stream-{self.job_id}")
+
+    def _gc_orphan_staging(self) -> None:
+        """Remove stream-* staging dirs from crashed drivers (ADVICE r5):
+        commit/abort only clean the live instance's dir, so a kill between
+        micro-batches would otherwise leak <store>/_staging/stream-<uuid>
+        forever.  Age-gated so a concurrent batch's fresh staging (and any
+        not-yet-committed files of this very stream) is never touched;
+        batch-append jobs stage under different names and are skipped."""
+        import shutil
+        import time
+
+        cutoff = time.time() - self.STAGING_ORPHAN_TTL_S
+        for d in glob.glob(os.path.join(self.config.cells_path, "_staging", "stream-*")):
+            if d == self.staging:
+                continue
+            try:
+                if os.path.getmtime(d) < cutoff:
+                    shutil.rmtree(d, ignore_errors=True)
+            except OSError:
+                continue
 
     # executor side — identical unpivot+stage as the batch writer
     write = BigtableWriter.write
@@ -937,6 +965,7 @@ class BigtableStreamWriter(DataSourceStreamWriter):
             dest = os.path.join(store, f"stream-b{batchId:08d}-{i:05d}.parquet")
             shutil.move(m.staged, dest)
         shutil.rmtree(self.staging, ignore_errors=True)
+        self._gc_orphan_staging()
         write_manifest(store)
 
     def abort(self, messages, batchId: int) -> None:

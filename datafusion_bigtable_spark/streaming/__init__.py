@@ -1,5 +1,6 @@
 from datafusion_bigtable_spark.streaming.cells_stream import (
     run_events_stream_to_memory,
+    scoped_stream_confs,
     streaming_attribution_join,
     streaming_distinct_pairs,
     streaming_distinct_pairs_watermarked,
@@ -11,6 +12,7 @@ from datafusion_bigtable_spark.streaming.cells_stream import (
 
 __all__ = [
     "run_events_stream_to_memory",
+    "scoped_stream_confs",
     "streaming_attribution_join",
     "streaming_distinct_pairs",
     "streaming_distinct_pairs_watermarked",

@@ -15,11 +15,46 @@ sink a Delta/parquet table with checkpointing.
 
 from __future__ import annotations
 
+import contextlib
 import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
+
+# Session confs the stream-building path may override.  Structured Streaming
+# CLONES the session state when a query starts (MicroBatchExecution runs on
+# spark.cloneSession()), so values are snapshotted at .start() — restoring
+# them afterwards cannot mis-decode a running stream, and two streams over
+# stores with different ts flavors each keep the snapshot they started with.
+_STREAM_CONF_KEYS = (
+    "spark.sql.session.timeZone",
+    "spark.sql.legacy.parquet.nanosAsLong",
+    "spark.sql.shuffle.partitions",
+)
+
+
+@contextlib.contextmanager
+def scoped_stream_confs(spark: SparkSession):
+    """Restore stream-related session confs on exit (ADVICE r5: building a
+    stream must not permanently change the caller's session).  Wrap the
+    build-plan → .start() sequence; the started query keeps its cloned
+    snapshot regardless of the restore."""
+    prior = {}
+    for k in _STREAM_CONF_KEYS:
+        try:
+            prior[k] = spark.conf.get(k)
+        except Exception:
+            prior[k] = None
+    try:
+        yield
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                with contextlib.suppress(Exception):
+                    spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def _events_schema(ts_type: T.DataType) -> T.StructType:
@@ -65,6 +100,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The file stream source requires a *directory*; select just the events
     # table with a glob filter.  UTC pin: window starts are formatted to
     # strings and must not shift with the caller session's timezone.
+    #
+    # This sets session confs the stream must see at .start() (the query
+    # clones them then).  Callers composing their own stream should wrap
+    # build→start in ``scoped_stream_confs(spark)`` so their session is
+    # restored afterwards — ``run_events_stream_to_memory`` does.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     unit = _events_ts_unit(sf_dir)
     if unit == "ns":
@@ -255,38 +295,42 @@ def run_events_stream_to_memory(
     query_name: str = "dbs_stream_out",
 ) -> DataFrame:
     """Drive the streaming plan over the parquet events to completion and
-    return the materialized result table (synchronous; test/driver path)."""
-    events = read_events_stream(spark, sf_dir)
-    if agg == "hourly":
-        plan, mode = streaming_hourly_agg(events), "complete"
-    elif agg == "stateful":
-        plan, mode = streaming_user_totals_stateful(events), "update"
-    elif agg == "dedup":
-        plan, mode = streaming_distinct_pairs(events), "append"
-    elif agg == "dedup_watermarked":
-        plan, mode = streaming_distinct_pairs_watermarked(events), "append"
-    elif agg == "attribution":
-        # stream-stream: each side is its OWN source (independent offsets,
-        # as a real click/purchase topic pair would be)
-        clicks = events.filter(F.col("event_type") == "click")
-        purchases = read_events_stream(spark, sf_dir).filter(
-            F.col("event_type") == "purchase"
-        )
-        plan, mode = streaming_attribution_join(clicks, purchases), "append"
-    elif agg == "enrich":
-        import os
+    return the materialized result table (synchronous; test/driver path).
 
-        dim = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
-        plan, mode = streaming_enriched_counts(events, dim), "complete"
-    else:
-        plan, mode = streaming_session_window(events), "complete"
-    # Streaming state-store cost scales with the shuffle-partition count
-    # fixed at query start (one store per partition per micro-batch) — for
-    # a small keyspace, 8 partitions cut stateful-query wall time ~2.5×
-    # vs 32.  A real deployment sizes this to key cardinality once.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(prev_parts), 8)))
-    try:
+    The whole build→start sequence runs under ``scoped_stream_confs``: the
+    started query keeps its conf snapshot, the caller's session comes back
+    exactly as it was (timezone, nanosAsLong, shuffle partitions)."""
+    with scoped_stream_confs(spark):
+        events = read_events_stream(spark, sf_dir)
+        if agg == "hourly":
+            plan, mode = streaming_hourly_agg(events), "complete"
+        elif agg == "stateful":
+            plan, mode = streaming_user_totals_stateful(events), "update"
+        elif agg == "dedup":
+            plan, mode = streaming_distinct_pairs(events), "append"
+        elif agg == "dedup_watermarked":
+            plan, mode = streaming_distinct_pairs_watermarked(events), "append"
+        elif agg == "attribution":
+            # stream-stream: each side is its OWN source (independent offsets,
+            # as a real click/purchase topic pair would be)
+            clicks = events.filter(F.col("event_type") == "click")
+            purchases = read_events_stream(spark, sf_dir).filter(
+                F.col("event_type") == "purchase"
+            )
+            plan, mode = streaming_attribution_join(clicks, purchases), "append"
+        elif agg == "enrich":
+            import os
+
+            dim = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+            plan, mode = streaming_enriched_counts(events, dim), "complete"
+        else:
+            plan, mode = streaming_session_window(events), "complete"
+        # Streaming state-store cost scales with the shuffle-partition count
+        # fixed at query start (one store per partition per micro-batch) — for
+        # a small keyspace, 8 partitions cut stateful-query wall time ~2.5×
+        # vs 32.  A real deployment sizes this to key cardinality once.
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(min(int(prev_parts), 8)))
         q = (
             plan.writeStream.outputMode(mode)
             .format("memory")
@@ -297,6 +341,4 @@ def run_events_stream_to_memory(
             q.processAllAvailable()
         finally:
             q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(query_name)

@@ -516,3 +516,28 @@ def test_streaming_dedup_watermarked_equals_distinct(spark, sf_dir):
         for r in load_events(spark, sf_dir).select("user_id", "event_type").distinct().collect()
     )
     assert got == want
+
+
+def test_stream_run_restores_session_confs(spark, sf_dir):
+    """ADVICE r5: building/running a stream must not permanently change the
+    caller's session (timezone, nanosAsLong, shuffle partitions).  The
+    started query snapshots its confs at .start(); the session gets its
+    prior values back — verified against deliberately non-default ones."""
+    from datafusion_bigtable_spark.streaming import run_events_stream_to_memory
+
+    keys = {
+        "spark.sql.session.timeZone": "America/New_York",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.shuffle.partitions": "17",
+    }
+    prior = {k: spark.conf.get(k) for k in keys}
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        out = run_events_stream_to_memory(spark, sf_dir, agg="hourly", query_name="t_conf_scope")
+        assert out.count() > 0  # stream itself ran under its own UTC snapshot
+        for k, v in keys.items():
+            assert spark.conf.get(k) == v, f"{k} clobbered by stream run"
+    finally:
+        for k, v in prior.items():
+            spark.conf.set(k, v)

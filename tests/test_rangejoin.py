@@ -87,3 +87,77 @@ def test_rejects_unknown_join_type(frames):
         interval_join_bucketed(
             events, intervals, key="user_id", ts="ts", start="ws", end="we", how="outer"
         )
+
+
+@pytest.fixture(scope="module")
+def subsecond_frames(spark):
+    """Sub-second interval bounds — ADVICE r5 high: second-granularity
+    bucketing truncated the top bucket and silently dropped events landing
+    in the interval's final fractional-second stretch."""
+    us = dt.timedelta(microseconds=1)
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    events = spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(seconds=2, microseconds=499_999), "in_tail"),
+            (1, base + dt.timedelta(seconds=2, microseconds=500_000), "at_end"),
+            (1, base + dt.timedelta(microseconds=1), "early"),
+            (1, base + dt.timedelta(seconds=2, microseconds=500_001), "late"),
+        ],
+        "user_id long, ts timestamp_ntz, tag string",
+    )
+    intervals = spark.createDataFrame(
+        # [00:00:00.000001, 00:00:02.500000) — both bounds sub-second
+        [(1, 10, base + us, base + dt.timedelta(seconds=2, microseconds=500_000))],
+        "user_id long, iv_id long, ws timestamp_ntz, we timestamp_ntz",
+    )
+    return events, intervals
+
+
+def test_subsecond_bounds_lose_no_matches(subsecond_frames):
+    events, intervals = subsecond_frames
+    out = interval_join_bucketed(
+        events, intervals, key="user_id", ts="ts", start="ws", end="we",
+        bucket="1 second",
+    )
+    # in_tail sits past the last whole-second boundary but before end —
+    # the µs-exact top bucket must still cover it; end stays exclusive.
+    assert _pairs(out) == [("early", 10), ("in_tail", 10)]
+
+
+def test_session_timezone_does_not_change_results(spark, frames):
+    """ADVICE r5 medium: bucket width and NTZ µs must both be computed
+    timezone-independently — a fixed non-UTC offset used to shrink the
+    width (empty join in the worst case)."""
+    events, intervals = frames
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        shifted = _pairs(
+            interval_join_bucketed(
+                events, intervals, key="user_id", ts="ts", start="ws", end="we",
+                bucket="1 hour",
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert shifted == [("a", 10), ("b", 10), ("b", 11), ("c", 11)]
+
+
+def test_rejects_mixed_timestamp_flavors(spark, frames):
+    events, intervals = frames
+    from pyspark.sql import functions as F
+
+    tz_events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(TypeError, match="mixed timestamp flavors"):
+        interval_join_bucketed(
+            tz_events, intervals, key="user_id", ts="ts", start="ws", end="we"
+        )
+
+
+def test_rejects_nonpositive_bucket(frames):
+    events, intervals = frames
+    with pytest.raises(ValueError, match="positive"):
+        interval_join_bucketed(
+            events, intervals, key="user_id", ts="ts", start="ws", end="we",
+            bucket="-1 hour",
+        )

@@ -199,3 +199,42 @@ def test_stream_write_replay_is_idempotent(tmp_path):
     ]
     files = [os.path.join(dest, f) for f in os.listdir(dest) if f.endswith(".parquet")]
     assert sum(pq.read_table(f).num_rows for f in files) == 1  # no duplicated cells
+
+
+def test_stream_writer_gc_orphan_staging(tmp_path):
+    """ADVICE r5: staging dirs of crashed stream drivers (commit/abort never
+    ran) must not accumulate.  Commit sweeps stream-* dirs older than the
+    TTL; fresh stream staging (a live writer mid-batch) and batch-job
+    staging dirs survive.  Construction-time sweeping would race the live
+    write-side instance (Spark re-constructs the writer for commit), which
+    is why the GC is commit-time + age-gated."""
+    import datetime as dt
+    import os
+
+    from datafusion_bigtable_spark.sources.datasource import (
+        BigtableStreamWriter,
+        _CellsWriteCommit,
+    )
+
+    dest = str(tmp_path / "gc_dest")
+    old_orphan = os.path.join(dest, "_staging", "stream-deadbeef0000")
+    fresh_stream = os.path.join(dest, "_staging", "stream-cafecafe0000")
+    batch_staging = os.path.join(dest, "_staging", "job-aaaa00001111")
+    for d in (old_orphan, fresh_stream, batch_staging):
+        os.makedirs(d)
+    open(os.path.join(old_orphan, "x.parquet"), "wb").close()
+    stale = 1  # epoch — far past any TTL
+    os.utime(old_orphan, (stale, stale))
+
+    w = BigtableStreamWriter(None, {"path": dest, **OPTS})
+    os.makedirs(w.staging, exist_ok=True)
+    staged = os.path.join(w.staging, "task-x.parquet")
+    _write_cells_file(
+        staged,
+        [("k1", "measurements", "pressure", dt.datetime(2021, 3, 5), (1).to_bytes(8, "big", signed=True))],
+    )
+    w.commit([_CellsWriteCommit(staged)], batchId=0)
+
+    assert not os.path.exists(old_orphan)
+    assert os.path.isdir(fresh_stream)  # age-gate: live writers untouched
+    assert os.path.isdir(batch_staging)  # batch jobs never swept
