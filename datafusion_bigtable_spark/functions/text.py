@@ -109,3 +109,48 @@ def normalized_text(col: Column) -> Column:
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text."""
     return F.md5(normalized_text(col))
+
+
+# -- repetition signals (Gopher-style quality rules) ------------------------
+# Excessively repetitive documents (boilerplate, keyword stuffing, broken
+# scrapes) are the canonical pre-training junk class; the standard filters
+# threshold on repetition RATIOS.  All three signals below are pure array
+# expressions over the document's own word list — they run inside the scan's
+# codegen stage with ZERO shuffle, the only shape that matters when scoring
+# 100 TB.  The per-distinct-word count is O(n_distinct × n_words) per doc —
+# fine for natural documents (n ≲ 10⁴); pathological single-doc gigabytes
+# would use the explode+groupBy variant instead.
+
+
+def distinct_word_ratio(col: Column) -> Column:
+    """|distinct words| / |words|; 1.0 for empty docs (nothing repeats)."""
+    w = words(col)
+    return F.when(
+        F.size(w) > 0, F.size(F.array_distinct(w)) / F.size(w)
+    ).otherwise(F.lit(1.0))
+
+
+def top_word_share(col: Column) -> Column:
+    """Share of the document occupied by its most frequent word; 0.0 for
+    empty docs."""
+    w = words(col)
+    counts = F.transform(
+        F.array_distinct(w), lambda d: F.size(F.filter(w, lambda x: x == d))
+    )
+    return F.when(F.size(w) > 0, F.array_max(counts) / F.size(w)).otherwise(F.lit(0.0))
+
+
+def duplicate_bigram_ratio(col: Column) -> Column:
+    """Fraction of word bigrams that are duplicates of an earlier bigram —
+    the n-gram-level repetition signal (catches looping phrases that
+    word-level ratios miss); 0.0 for docs with <2 words."""
+    w = words(col)
+    grams = F.zip_with(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return F.when(
+        F.size(grams) > 0,
+        (F.size(grams) - F.size(F.array_distinct(grams))) / F.size(grams),
+    ).otherwise(F.lit(0.0))

@@ -3806,3 +3806,180 @@ def tpch_q20(spark, sf_dir):
         .join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
         .select("s_name", "s_acctbal")
     )
+
+
+# =========================================================================
+# Round 6: repetition filtering, TF-IDF, SCD2 temporal compaction, shard
+# assignment (operators/temporal.py, operators/tfidf.py, functions/text.py)
+# =========================================================================
+
+
+@query(
+    "text_repetition_signals",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x != '') AS ws
+      FROM documents),
+    g AS (
+      SELECT doc_id, ws,
+             CASE WHEN len(ws) >= 2
+                  THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+                  ELSE [] END AS grams
+      FROM w),
+    m AS (
+      SELECT doc_id,
+        ROUND(CASE WHEN len(ws)>0
+              THEN len(list_distinct(ws))::DOUBLE/len(ws) ELSE 1.0 END, 4) AS distinct_ratio,
+        ROUND(CASE WHEN len(ws)>0
+              THEN list_max(list_transform(list_distinct(ws),
+                     d -> len(list_filter(ws, x -> x = d))))::DOUBLE/len(ws)
+              ELSE 0.0 END, 4) AS top_word_share,
+        ROUND(CASE WHEN len(grams)>0
+              THEN (len(grams)-len(list_distinct(grams)))::DOUBLE/len(grams)
+              ELSE 0.0 END, 4) AS dup_bigram_ratio
+      FROM g)
+    SELECT doc_id, distinct_ratio, top_word_share, dup_bigram_ratio,
+           (distinct_ratio >= 0.35 AND top_word_share <= 0.12
+            AND dup_bigram_ratio <= 0.05) AS keep
+    FROM m
+    """,
+)
+def text_repetition_signals_q(spark, sf_dir):
+    # Gopher-style repetition quality rules (functions/text.py): duplicate-
+    # word ratio, most-frequent-word share, duplicate-bigram ratio — the
+    # standard boilerplate/keyword-stuffing/broken-scrape detectors.  All
+    # three are array expressions over the doc's own word list: ZERO
+    # shuffle, they run inside the scan's codegen stage, which is the only
+    # shape that matters when gating 100 TB before any expensive stage
+    # (thresholds chosen to split this corpus non-trivially).
+    from datafusion_bigtable_spark.functions.text import (
+        distinct_word_ratio,
+        duplicate_bigram_ratio,
+        top_word_share,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        F.round(distinct_word_ratio(F.col("text")), 4).alias("distinct_ratio"),
+        F.round(top_word_share(F.col("text")), 4).alias("top_word_share"),
+        F.round(duplicate_bigram_ratio(F.col("text")), 4).alias("dup_bigram_ratio"),
+    )
+    return m.withColumn(
+        "keep",
+        (F.col("distinct_ratio") >= 0.35)
+        & (F.col("top_word_share") <= 0.12)
+        & (F.col("dup_bigram_ratio") <= 0.05),
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x != '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    sc AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             ROUND(tf.tf * ln(n.n_docs::DOUBLE / dfq.df), 4) AS score,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC) AS rank
+      FROM tf JOIN dfq USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank
+    FROM sc WHERE rank <= 3
+    """,
+)
+def text_tfidf_top_terms_q(spark, sf_dir):
+    # Corpus TF-IDF, top-3 terms per doc (operators/tfidf.py).  The 100 TB
+    # shape: token pairs shuffle ONCE into (doc, term) counts with map-side
+    # partial agg; the vocabulary-sized df table BROADCASTS back (the
+    # corpus never reshuffles for the join); ranks order by the integer
+    # (tf DESC, df ASC, term ASC) — rarity-aware and exactly reproducible
+    # across engines, where ordering by the float score would flap on
+    # 1e-16 noise.
+    from datafusion_bigtable_spark.operators.tfidf import tfidf_top_terms
+
+    return tfidf_top_terms(load(spark, sf_dir, "documents"), k=3)
+
+
+@query(
+    "scd2_user_segments",
+    """
+    WITH el AS (
+      SELECT user_id, ts, event_type, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    ch AS (SELECT * FROM el WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+    SELECT user_id, epoch_us(ts) AS valid_from_us,
+           epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_us,
+           event_type AS segment
+    FROM ch
+    """,
+)
+def scd2_user_segments_q(spark, sf_dir):
+    # Changelog → SCD2 temporal table (operators/temporal.py): the events
+    # stream is each user's segment changelog; consecutive repeats collapse
+    # (re-asserting a value extends its interval), survivors get
+    # [valid_from, valid_to) via lead(), open interval for the current
+    # state.  Both windows share one (user) partitioning → ONE shuffle,
+    # single stage.  Validity bounds exported as epoch µs (timezone-free
+    # integers on both engines).
+    from datafusion_bigtable_spark.operators.temporal import changelog_to_scd2
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type", "event_id")
+    scd = changelog_to_scd2(ev, key="user_id", ts="ts", value="event_type", tie=("event_id",))
+    epoch = "TIMESTAMP_NTZ'1970-01-01 00:00:00'"
+    return scd.select(
+        "user_id",
+        F.timestamp_diff("MICROSECOND", F.expr(epoch), F.col("valid_from")).alias("valid_from_us"),
+        F.timestamp_diff("MICROSECOND", F.expr(epoch), F.col("valid_to")).alias("valid_to_us"),
+        F.col("event_type").alias("segment"),
+    )
+
+
+@query(
+    "corpus_shard_assign",
+    """
+    WITH t AS (
+      SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS INT64) % 16 AS shard_id,
+             doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS toks
+      FROM documents)
+    SELECT shard_id, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM t GROUP BY shard_id
+    """,
+)
+def corpus_shard_assign_q(spark, sf_dir):
+    # Deterministic training-shard assignment + balance audit: shard =
+    # md5(doc_id) prefix mod 16 — content-independent, engine-portable
+    # (same md5 trick as deterministic_hash_sample), and the column a real
+    # run hands to .repartition(n, shard)/partitionBy to materialize
+    # training order.  The audit aggregate (docs + tokens per shard) is the
+    # artifact you check BEFORE launching a 1000-executor epoch: token
+    # imbalance here is straggler time there.  One groupBy shuffle of
+    # pre-aggregated per-shard partials.
+    from datafusion_bigtable_spark.functions.text import whitespace_token_count
+
+    d = load(spark, sf_dir, "documents").select(
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+            F.lit(16),
+        ).alias("shard_id"),
+        "doc_id",
+        whitespace_token_count(F.col("text")).alias("toks"),
+    )
+    return d.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("toks").alias("n_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

@@ -23,11 +23,13 @@ def _m(short: str) -> str:
 def test_registry_size_and_full_green_fold():
     # After each round's fold every prior-era query carries a driver-green
     # round; queries with no record yet (this round's additions) must sit
-    # in the window.  101 = 94 r4-era + 7 r5 additions
+    # in the window.  105 = 94 r4-era + 7 r5 additions
     # (interval_join_order_events, streaming_dedup_pairs,
     # streaming_enriched_counts, decontaminate_vs_benchmark,
-    # text_chunk_documents, corpus_pack_sequences, streaming_attribution_join).
-    assert len(q.REGISTRY) == 101
+    # text_chunk_documents, corpus_pack_sequences, streaming_attribution_join)
+    # + 4 r6 additions (text_repetition_signals, text_tfidf_top_terms,
+    # scd2_user_segments, corpus_shard_assign).
+    assert len(q.REGISTRY) == 105
     sched = q._schedule()
     for name in (n for n in q.REGISTRY if n not in q._LAST_GREEN):
         assert sched.index(name) < 50, f"new query {name} outside driver window"
