@@ -541,3 +541,53 @@ def test_stream_run_restores_session_confs(spark, sf_dir):
     finally:
         for k, v in prior.items():
             spark.conf.set(k, v)
+
+
+def test_repetition_signals_edge_cases(spark):
+    """functions/text.py repetition signals: empty and single-word docs
+    take the defined defaults (nothing repeats / nothing dominates), a
+    fully-repeated doc maxes every signal."""
+    from datafusion_bigtable_spark.functions.text import (
+        distinct_word_ratio,
+        duplicate_bigram_ratio,
+        top_word_share,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "word"), (3, "spam spam spam spam"), (4, "a b a b a b")],
+        "id long, text string",
+    )
+    rows = {
+        r.id: (r.dr, r.tw, r.db)
+        for r in df.select(
+            "id",
+            F.round(distinct_word_ratio(F.col("text")), 4).alias("dr"),
+            F.round(top_word_share(F.col("text")), 4).alias("tw"),
+            F.round(duplicate_bigram_ratio(F.col("text")), 4).alias("db"),
+        ).collect()
+    }
+    assert rows[1] == (1.0, 0.0, 0.0)          # empty: defaults
+    assert rows[2] == (1.0, 1.0, 0.0)          # one word, no bigrams
+    # "spam"×4 → 3 identical bigrams, 1 distinct → 2/3 duplicated
+    assert rows[3] == (0.25, 1.0, 0.6667)
+    # alternating words: every word repeats but bigrams alternate too —
+    # "a b"×3 and "b a"×2 → 5 grams, 2 distinct → 3/5 duplicated
+    assert rows[4] == (round(2 / 6, 4), 0.5, 0.6)
+
+
+def test_tfidf_ranks_are_deterministic_and_scored(spark):
+    from datafusion_bigtable_spark.operators.tfidf import tfidf_top_terms
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry cherry"), (3, "apple durian")],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.rank): (r.term, r.tf, r.df, r.score)
+           for r in tfidf_top_terms(docs, k=2).collect()}
+    # doc 1: apple tf=2 ranks first; banana tf=1
+    assert out[(1, 1)][0] == "apple" and out[(1, 2)][0] == "banana"
+    # doc 3: tf tie (both 1) → rarer term (durian df=1) outranks apple (df=2)
+    assert out[(3, 1)][0] == "durian" and out[(3, 2)][0] == "apple"
+    # score carries tf * ln(N/df)
+    assert out[(1, 1)][3] == round(2 * math.log(3 / 2), 4)
