@@ -86,3 +86,85 @@ def run_dedup_ingest(
     finally:
         q.stop()
     return spark.read.parquet(target_path)
+
+
+def latest_wins_view(
+    rows: DataFrame,
+    key_cols: list,
+    value_cols: list,
+    ts_col: str = "_timestamp",
+) -> DataFrame:
+    """Continuously-maintained latest-version view of a version-unnested
+    cell stream — the stateful operator the streaming source's contract
+    defers to (sources/datasource.py BigtableStreamReader requires
+    ``only_read_latest=false`` because a later file can carry a newer
+    version of an already-emitted cell; latest-wins is therefore a
+    downstream STATE problem, not a scan problem).
+
+    Keyed by the row-key components; per qualifier column the state holds
+    the newest non-null ``(value, ts)`` seen so far — a NULL hole in a
+    newer version row does NOT erase an older value for that qualifier,
+    matching the batch only-read-latest pivot exactly.  Each micro-batch
+    emits the key's refreshed current row (update mode) plus ``_last_ts``
+    (µs, the newest version contributing to it).
+
+    State is O(|live keys| × |qualifiers|) — the same cardinality a
+    Bigtable tablet's row index carries; idle-key eviction would use state
+    timeouts at 100 TB ingest.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import col
+
+    schema = rows.schema
+    out_schema = T.StructType(
+        [schema[c] for c in key_cols]
+        + [T.StructField(c, schema[c].dataType) for c in value_cols]
+        + [T.StructField("_last_ts", T.LongType())]
+    )
+    state_schema = T.StructType(
+        [T.StructField(f"v_{c}", schema[c].dataType) for c in value_cols]
+        + [T.StructField(f"t_{c}", T.LongType()) for c in value_cols]
+    )
+    n_vals = len(value_cols)
+    long_valued = {
+        c for c in value_cols if isinstance(schema[c].dataType, T.LongType)
+    }
+
+    def _py(c, x):
+        if x is None or (isinstance(x, float) and pd.isna(x)):
+            return None
+        if c in long_valued:
+            return int(x)
+        return x.item() if hasattr(x, "item") else x
+
+    def update(key, pdfs, state):
+        if state.exists:
+            st = list(state.get)
+            vals = {c: st[i] for i, c in enumerate(value_cols)}
+            tss = {c: st[n_vals + i] for i, c in enumerate(value_cols)}
+        else:
+            vals = {c: None for c in value_cols}
+            tss = {c: None for c in value_cols}
+        pdf = pd.concat(list(pdfs)).sort_values(ts_col, kind="stable")
+        ts_us = pd.to_datetime(pdf[ts_col]).astype("int64") // 1000
+        for c in value_cols:
+            nn = pdf[c].notna()
+            if nn.any():
+                t = int(ts_us[nn].iloc[-1])
+                if tss[c] is None or t >= tss[c]:
+                    vals[c] = _py(c, pdf[c][nn].iloc[-1])
+                    tss[c] = t
+        state.update(
+            tuple(vals[c] for c in value_cols) + tuple(tss[c] for c in value_cols)
+        )
+        last = max(t for t in tss.values() if t is not None)
+        row = {k: v for k, v in zip(key_cols, key)}
+        row.update({c: vals[c] for c in value_cols})
+        row["_last_ts"] = last
+        yield pd.DataFrame([row])
+
+    return rows.select(*key_cols, ts_col, *value_cols).groupBy(
+        *[col(c) for c in key_cols]
+    ).applyInPandasWithState(update, out_schema, state_schema, "update", "NoTimeout")

@@ -238,3 +238,65 @@ def test_stream_writer_gc_orphan_staging(tmp_path):
     assert not os.path.exists(old_orphan)
     assert os.path.isdir(fresh_stream)  # age-gate: live writers untouched
     assert os.path.isdir(batch_staging)  # batch jobs never swept
+
+
+def test_latest_wins_view_matches_batch_latest(registered, cells_path, tmp_path):
+    """streaming/sinks.py::latest_wins_view — the stateful latest-version
+    twin the stream reader's contract defers to: after newer versions
+    arrive mid-stream, the final state per key must equal the batch
+    only_read_latest=true read (and a NULL hole in a newer version must
+    not erase an older qualifier value)."""
+    from datafusion_bigtable_spark.streaming.sinks import latest_wins_view
+
+    dest = str(tmp_path / "lw_store")
+    src = _write_initial(registered, cells_path, dest)
+
+    keys = ["region", "balloon_id", "event_minute"]
+    stream = registered.readStream.format("bigtable").options(path=dest, **OPTS).load()
+    view = latest_wins_view(stream, keys, ["pressure", "temperature"])
+    q = (
+        view.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_latest_wins")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # newer PARTIAL versions: pressure-only update (temperature NULL) —
+        # the view must take the new pressure and KEEP the old temperature
+        newer = src.filter("event_minute = '2021-03-05-1200'").selectExpr(
+            "region", "balloon_id", "event_minute",
+            "_timestamp + INTERVAL 1 HOUR AS _timestamp",
+            "pressure + 1000 AS pressure", "CAST(NULL AS STRING) AS temperature",
+        )
+        newer.write.format("bigtable").options(path=dest, **OPTS).mode("append").save()
+        q.processAllAvailable()
+
+        out = registered.table("t_latest_wins").collect()
+        # update-mode memory sink appends; last row per key is current state
+        current = {}
+        for r in out:
+            current[(r.region, r.balloon_id, r.event_minute)] = (r.pressure, r.temperature)
+
+        # Expected: the MERGED current row per key — per qualifier, the
+        # newest non-null value.  (The batch only_read_latest pivot mirrors
+        # the reference's one-row-per-(key, ts) shape, so per-column latest
+        # values at different timestamps land in DIFFERENT rows; the view
+        # merges them, so merge here too.)
+        batch = (
+            registered.read.format("bigtable")
+            .options(path=dest, **{**OPTS, "only_read_latest": "true"})
+            .load()
+        )
+        want: dict = {}
+        for r in sorted(batch.collect(), key=lambda r: r._timestamp):
+            k = (r.region, r.balloon_id, r.event_minute)
+            p, t = want.get(k, (None, None))
+            want[k] = (r.pressure if r.pressure is not None else p,
+                       r.temperature if r.temperature is not None else t)
+        assert current == want
+        # the partial update really merged: new pressure, surviving temperature
+        k = next(k for k in want if k[2] == "2021-03-05-1200")
+        assert want[k][0] >= 95000 and want[k][1] is not None
+    finally:
+        q.stop()
