@@ -4026,3 +4026,75 @@ def text_pii_redaction_q(spark, sf_dir):
         counts["n_ids"].alias("n_ids"),
         F.md5(redact_pii(aug)).alias("redacted_md5"),
     )
+
+
+@query(
+    "embedding_normalize_trunc",
+    """
+    WITH dv AS (SELECT vec_id, (CAST(embedding AS DOUBLE[]))[1:16] AS t FROM embeddings),
+    n AS (SELECT vec_id, t,
+                 sqrt(list_reduce(list_transform(t, x -> x*x), (a,b) -> a+b)) AS norm
+          FROM dv)
+    SELECT vec_id, ROUND(norm, 6) AS norm16,
+           ROUND(list_reduce(t, (a,b) -> a+b) / norm, 6) AS unit_sum
+    FROM n
+    """,
+)
+def embedding_normalize_trunc_q(spark, sf_dir):
+    # Matryoshka truncation + L2 normalization — the standard embedding
+    # prep before cosine ANN (truncate to the leading 16 dims, renormalize
+    # to unit length so dot product == cosine).  Pure Catalyst array fold
+    # in DOUBLE with a left-to-right sum on BOTH engines (Spark
+    # F.aggregate ≡ DuckDB list_reduce), so the float arithmetic is
+    # bit-reproducible; zero shuffle, fuses into the scan like the int8
+    # quantizer.  The oracle reduces vectors to (norm, normalized-sum)
+    # scalars for the hash compare.
+    e = load(spark, sf_dir, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    t16 = F.slice(dv, 1, 16)
+    norm = F.sqrt(F.aggregate(t16, F.lit(0.0), lambda a, x: a + x * x))
+    unit_sum = F.aggregate(t16, F.lit(0.0), lambda a, x: a + x) / norm
+    return e.select(
+        "vec_id", F.round(norm, 6).alias("norm16"), F.round(unit_sum, 6).alias("unit_sum")
+    )
+
+
+@query(
+    "fk_orphan_audit",
+    """
+    SELECT 'lineitem.l_orderkey->orders' AS fk,
+           (SELECT COUNT(*) FROM lineitem) AS n_child,
+           (SELECT COUNT(*) FROM lineitem c
+             WHERE NOT EXISTS (SELECT 1 FROM orders p WHERE p.o_orderkey = c.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders c
+             WHERE NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.o_custkey))
+    UNION ALL
+    SELECT 'events.user_id->customer',
+           (SELECT COUNT(*) FROM events),
+           (SELECT COUNT(*) FROM events c
+             WHERE NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.user_id))
+    """,
+)
+def fk_orphan_audit_q(spark, sf_dir):
+    # Referential-integrity audit — the pre-flight a 100 TB pipeline runs
+    # before joining fact tables: per declared FK, the child count and the
+    # orphan count via broadcast LEFT ANTI join (parent key sets are
+    # dimension-sized → broadcast; the child never shuffles).  All-zero
+    # orphans over this testdata is the assertion, not a triviality: the
+    # same query is the canary when an ingest drops a dimension partition.
+    def audit(fk, child, ckey, parent, pkey):
+        c = load(spark, sf_dir, child)
+        p = load(spark, sf_dir, parent).select(pkey)
+        orphans = c.join(F.broadcast(p), c[ckey] == p[pkey], "left_anti")
+        return c.select(
+            F.lit(fk).alias("fk"), F.count("*").alias("n_child")
+        ).crossJoin(orphans.select(F.count("*").alias("n_orphans")))
+
+    return (
+        audit("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey")
+        .unionAll(audit("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"))
+        .unionAll(audit("events.user_id->customer", "events", "user_id", "customer", "c_custkey"))
+    )
