@@ -4098,3 +4098,36 @@ def fk_orphan_audit_q(spark, sf_dir):
         .unionAll(audit("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"))
         .unionAll(audit("events.user_id->customer", "events", "user_id", "customer", "c_custkey"))
     )
+
+
+@query(
+    "numeric_histogram_prices",
+    """
+    WITH st AS (SELECT MIN(l_extendedprice) lo, MAX(l_extendedprice) hi FROM lineitem)
+    SELECT LEAST(19, CAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 20)) AS BIGINT)) AS bucket,
+           COUNT(*) AS n
+    FROM lineitem, st GROUP BY 1
+    """,
+)
+def numeric_histogram_q(spark, sf_dir):
+    # Equi-width histogram (the profiling/data-quality staple) as the
+    # two-phase plan that scales: a 1-row min/max aggregate BROADCAST back
+    # over the fact scan (no second shuffle for the bounds), bucket as a
+    # scan-fused projection, then ONE partial-aggregated groupBy on the 20
+    # bucket ids.  The fact table is scanned twice but shuffled once, and
+    # the second scan carries only the bucketed column — at 100 TB the
+    # alternative (exact percentile sort) is a full-data sort.
+    li = load(spark, sf_dir, "lineitem")
+    stats = F.broadcast(
+        li.agg(F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi"))
+    )
+    width = (F.col("hi") - F.col("lo")) / 20
+    bucket = F.least(
+        F.lit(19), F.floor((F.col("l_extendedprice") - F.col("lo")) / width).cast("long")
+    )
+    return (
+        li.crossJoin(stats)
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )

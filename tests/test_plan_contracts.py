@@ -220,3 +220,40 @@ def test_dynamic_partition_pruning_on_date_lake(spark, sf_dir, tmp_path):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), f"no DPP in fact scan:\n{plan}"
     assert j.count() == 3  # only the filtered days were aggregated
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    """Sort-merge-bucket co-location — the 100 TB fact⋈fact technique
+    (neither side broadcastable): tables bucketed+sorted on the join key
+    join with NO exchange under the SortMergeJoin; the only shuffle left
+    is the downstream aggregation.  This is the layout the cells store's
+    range partitioning plays for key scans, applied to relational joins."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # forbid broadcast so the contract exercises the SMB path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable("t_smb_li")
+        od.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("t_smb_od")
+        j = (
+            spark.table("t_smb_li")
+            .join(spark.table("t_smb_od"), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("+- == Initial Plan ==")[0]
+        assert "SortMergeJoin" in final
+        assert "Bucketed: true" in final, "scans did not use the bucket layout"
+        # the single exchange is the aggregation's — the JOIN itself moved
+        # no data
+        n_ex = sum("Exchange hashpartitioning" in l for l in final.splitlines())
+        assert n_ex == 1, f"bucketed join still shuffled:\n{final}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_smb_li")
+        spark.sql("DROP TABLE IF EXISTS t_smb_od")
