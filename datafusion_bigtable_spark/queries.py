@@ -4131,3 +4131,56 @@ def numeric_histogram_q(spark, sf_dir):
         .groupBy("bucket")
         .agg(F.count("*").alias("n"))
     )
+
+
+def _zorder_oracle_sql(bits: int = 16) -> str:
+    """DuckDB twin of operators/zorder.py::zvalue over (l_orderkey,
+    l_partkey) with data-derived bounds — the interleave terms are
+    generated from the same loop shape as the Spark expression so the two
+    engines cannot drift."""
+
+    def code(x, lo, hi):
+        return (
+            f"LEAST(65535, GREATEST(0, CAST(FLOOR(({x} - {lo}) * (65535.0 / ({hi} - {lo}))) AS BIGINT)))"
+        )
+
+    ca = code("l_orderkey", "lo1", "hi1")
+    cb = code("l_partkey", "lo2", "hi2")
+    terms = " + ".join(
+        f"(((ca >> {i}) % 2) << {2 * i}) + (((cb >> {i}) % 2) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    return f"""
+    WITH st AS (SELECT MIN(l_orderkey) lo1, MAX(l_orderkey) hi1,
+                       MIN(l_partkey) lo2, MAX(l_partkey) hi2 FROM lineitem),
+    c AS (SELECT {ca} AS ca, {cb} AS cb FROM lineitem, st),
+    z AS (SELECT {terms} AS z FROM c)
+    SELECT z // 16777216 AS zbucket, COUNT(*) AS n FROM z GROUP BY 1
+    """
+
+
+@query("zorder_bucket_counts", _zorder_oracle_sql())
+def zorder_bucket_counts_q(spark, sf_dir):
+    # Z-order layout verification (operators/zorder.py): Morton-interleave
+    # (l_orderkey, l_partkey) into 16-bit-per-dim z-values and count rows
+    # per coarse z-bucket (z >> 24, 256 buckets) — hash-verifying the
+    # interleave arithmetic bit-for-bit against the oracle.  The bucket id
+    # IS the clustering key `cluster_by_zvalue` range-partitions on, so a
+    # green here pins the exact layout 100 TB writes would get.  Bounds
+    # come from one driver-side min/max row (the same bounded action the
+    # IVF codebook trainer uses); the z computation itself is scan-fused
+    # integer codegen, zero extra shuffle beyond the bucket groupBy.
+    from datafusion_bigtable_spark.operators.zorder import zvalue
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    lo1, hi1, lo2, hi2 = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"), F.min("l_partkey"), F.max("l_partkey")
+    ).first()
+    z = zvalue(
+        [(F.col("l_orderkey"), lo1, hi1), (F.col("l_partkey"), lo2, hi2)], bits=16
+    )
+    return (
+        li.select(F.floor(z / F.lit(16777216)).cast("long").alias("zbucket"))
+        .groupBy("zbucket")
+        .agg(F.count("*").alias("n"))
+    )
