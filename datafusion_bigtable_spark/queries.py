@@ -4184,3 +4184,42 @@ def zorder_bucket_counts_q(spark, sf_dir):
         .groupBy("zbucket")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "winsorize_prices",
+    """
+    WITH st AS (SELECT quantile_cont(l_extendedprice, 0.01) p01,
+                       quantile_cont(l_extendedprice, 0.99) p99 FROM lineitem)
+    SELECT l_returnflag,
+           ROUND(SUM(GREATEST(p01, LEAST(p99, l_extendedprice))), 2) AS wsum,
+           COUNT(*) AS n
+    FROM lineitem, st GROUP BY 1
+    """,
+)
+def winsorize_prices_q(spark, sf_dir):
+    # Winsorization (p1/p99 outlier clipping) — the numeric-prep staple
+    # before training statistics.  EXACT percentiles via Spark's
+    # sort-based `percentile` (linear interpolation, the same definition
+    # as DuckDB quantile_cont, so the clip bounds agree bit-for-bit),
+    # broadcast as a 1-row frame over the fact scan; the clip is a
+    # scan-fused greatest/least, then one partial-aggregated groupBy.
+    # Exact percentile costs a sort of the VALUE column only (not the full
+    # rows); at 100 TB you'd flip to approx_percentile and accept ±ε clip
+    # bounds — the plan shape is identical.
+    li = load(spark, sf_dir, "lineitem")
+    pct = F.broadcast(
+        li.agg(
+            F.expr("percentile(l_extendedprice, 0.01)").alias("p01"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        )
+    )
+    return (
+        li.crossJoin(pct)
+        .select(
+            F.greatest(F.col("p01"), F.least(F.col("p99"), F.col("l_extendedprice"))).alias("w"),
+            "l_returnflag",
+        )
+        .groupBy("l_returnflag")
+        .agg(F.round(F.sum("w"), 2).alias("wsum"), F.count("*").alias("n"))
+    )
