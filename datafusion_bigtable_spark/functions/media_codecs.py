@@ -17,7 +17,7 @@ their samples raw, so numpy decodes REAL pixels/samples with no PIL or
 ffmpeg — ``decode_pixels`` returns an (h, w, 3) uint8 array,
 ``decode_wav_samples`` an (n, channels) int16 array, and
 ``resample_nearest`` is a real nearest-neighbor image resampler.
-Compressed containers (PNG deflate, JPEG DCT) stay behind the honest
+JPEG (DCT + Huffman) stays behind the honest
 ``NotImplementedError`` gate in functions/multimodal.py.
 
 ``build_*`` constructs real, spec-valid containers so synthetic corpora
@@ -219,13 +219,157 @@ def decode_ppm_pixels(b: bytes) -> np.ndarray | None:
     return np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=off).reshape(h, w, 3).copy()
 
 
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_line(cur: np.ndarray, prev: np.ndarray, ft: int, ch: int) -> np.ndarray:
+    """Forward PNG filter of one scanline (encoder side), spec §6."""
+    c = cur.astype(np.int32)
+    p = prev.astype(np.int32)
+    left = np.zeros_like(c)
+    left[ch:] = c[:-ch]
+    ul = np.zeros_like(p)
+    ul[ch:] = p[:-ch]
+    if ft == 0:
+        out = c
+    elif ft == 1:
+        out = c - left
+    elif ft == 2:
+        out = c - p
+    elif ft == 3:
+        out = c - (left + p) // 2
+    elif ft == 4:
+        pa, pb, pc = np.abs(p - ul), np.abs(left - ul), np.abs(left + p - 2 * ul)
+        pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, p, ul))
+        out = c - pred
+    else:
+        raise ValueError(f"bad PNG filter {ft}")
+    return (out % 256).astype(np.uint8)
+
+
+def build_png_rgb(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """A REAL, spec-valid 8-bit RGB PNG: IHDR + zlib IDAT + IEND with
+    correct CRCs (unlike ``build_png``, which is the header-only metadata
+    fixture).  ``filters`` picks the per-row filter type (default all 0) —
+    tests use it to exercise every unfilter path of the decoder."""
+    import zlib
+
+    h, w = pixels.shape[:2]
+    px = np.ascontiguousarray(pixels[:, :, :3], dtype=np.uint8).reshape(h, w * 3)
+    filters = filters if filters is not None else [0] * h
+    prev = np.zeros(w * 3, dtype=np.uint8)
+    lines = []
+    for y in range(h):
+        ft = filters[y % len(filters)]
+        lines.append(bytes([ft]) + _png_filter_line(px[y], prev, ft, 3).tobytes())
+        prev = px[y]
+    ihdr = struct.pack(">II", w, h) + bytes([8, 2, 0, 0, 0])  # 8-bit RGB, no interlace
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(b: bytes) -> np.ndarray | None:
+    """(h, w, 3) uint8 RGB from an 8-bit PNG — REAL decode, stdlib only:
+    chunk walk → zlib inflate (the stdlib has PNG's exact codec) → per-row
+    unfilter (all five spec filters, numpy; Sub is a cumsum, Average/Paeth
+    run the spec recurrence per pixel).  Supported profile: bit depth 8,
+    color type 0 (gray, replicated to RGB), 2 (RGB) or 6 (RGBA, alpha
+    dropped), no interlace — the overwhelmingly common case.  Anything
+    else returns None (JPEG's DCT+Huffman remains the genuinely
+    PIL-gated residue)."""
+    import zlib
+
+    if len(b) < 33 or not b.startswith(PNG_SIG):
+        return None
+    w = h = None
+    channels = 0
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(b):
+        (clen,) = struct.unpack(">I", b[i : i + 4])
+        tag = b[i + 4 : i + 8]
+        payload = b[i + 8 : i + 8 + clen]
+        if tag == b"IHDR":
+            if clen < 13:
+                return None
+            w, h = struct.unpack(">II", payload[:8])
+            depth, ctype, comp, filt, interlace = payload[8:13]
+            if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+                return None
+            channels = {0: 1, 2: 3, 6: 4}.get(ctype, 0)
+            if channels == 0:
+                return None
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        i += 12 + clen
+    if not w or not h or not idat:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
+        pos += 1 + stride
+        if ft == 0:
+            cur = line
+        elif ft == 1:  # Sub: running sum per channel lane
+            cur = np.cumsum(line.reshape(w, channels), axis=0).reshape(stride) % 256
+        elif ft == 2:  # Up
+            cur = (line + prev) % 256
+        elif ft in (3, 4):  # Average / Paeth: spec recurrence, per pixel
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                left = cur[x - channels] if x >= channels else 0
+                up = prev[x]
+                ul = prev[x - channels] if x >= channels else 0
+                if ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    pa, pb, pc = abs(up - ul), abs(left - ul), abs(left + up - 2 * ul)
+                    pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                cur[x] = (line[x] + pred) % 256
+        else:
+            return None
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    return px[:, :, :3].copy()
+
+
 def decode_pixels(b: bytes) -> np.ndarray | None:
-    """Dispatch: real pixels for the uncompressed profiles, None for
-    compressed containers (PNG/JPEG — the PIL-gated tier) and non-images."""
+    """Dispatch: real pixels for every natively-decodable profile — BMP,
+    PPM, and (since r6) 8-bit PNG via stdlib zlib.  None for JPEG (the
+    one genuinely PIL-gated container: DCT + Huffman) and non-images."""
     if b[:2] == b"BM":
         return decode_bmp_pixels(b)
     if b[:2] == b"P6":
         return decode_ppm_pixels(b)
+    if b.startswith(PNG_SIG):
+        return decode_png_pixels(b)
     return None
 
 

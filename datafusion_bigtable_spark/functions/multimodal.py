@@ -187,11 +187,12 @@ def extract_features(assets: DataFrame, *, fake: bool = True, mode: str | None =
       media libs; the metadata tier a curation pipeline filters on before
       decoding pixels.
     - ``"fake"`` — digest-derived stub dims (for non-container payloads).
-    - ``"full"`` — headers PLUS real content decode for the uncompressed
-      profiles: BMP/PPM pixels and 16-bit PCM WAV samples decode with
-      numpy, emitting ``content_mean``/``content_std``.  A compressed
-      container (PNG/JPEG) in full mode raises NotImplementedError — that
-      decode genuinely needs PIL, absent here.
+    - ``"full"`` — headers PLUS real content decode for every natively-
+      decodable profile: BMP/PPM pixels, 8-bit PNG (r6: stdlib zlib
+      inflate + numpy unfilter, media_codecs.decode_png_pixels) and
+      16-bit PCM WAV samples, emitting ``content_mean``/``content_std``.
+      JPEG in full mode raises NotImplementedError — DCT+Huffman decode
+      genuinely needs PIL, absent here; that is the whole remaining gate.
 
     Arrow-batched: each pandas chunk is one Arrow batch (~10k rows), so an
     executor never holds more than a batch of payloads in Python memory.
@@ -217,9 +218,9 @@ def extract_features(assets: DataFrame, *, fake: bool = True, mode: str | None =
                 arr = samples.astype("float64")
                 return float(arr.mean()), float(arr.std())
             raise NotImplementedError(
-                "real media decode of compressed/unknown containers requires "
-                "PIL/ffmpeg, not in this container; uncompressed BMP/PPM/"
-                "WAV-PCM decode natively — or use mode='headers' for the "
+                "real media decode of JPEG/unknown containers requires "
+                "PIL/ffmpeg, not in this container; BMP/PPM/PNG/WAV-PCM "
+                "decode natively — or use mode='headers' for the "
                 "metadata tier"
             )
 
@@ -286,9 +287,9 @@ def resize_images(
     (media_codecs.py).  Pixel tiers:
     - ``mode="full"`` — REAL nearest-neighbor resample (numpy,
       media_codecs.resample_nearest) for the natively-decodable profiles
-      (uncompressed 24-bit BMP, binary PPM); ``resized`` is the raw RGB
-      buffer of exactly width·height·3 bytes.  A compressed container
-      (PNG/JPEG) raises NotImplementedError — that decode needs PIL.
+      (uncompressed 24-bit BMP, binary PPM, and — r6 — 8-bit PNG);
+      ``resized`` is the raw RGB buffer of exactly width·height·3 bytes.
+      JPEG raises NotImplementedError — that decode needs PIL.
     - ``mode="fake"`` — deterministic digest-expanded payload of exactly
       width·height·3 bytes (a stand-in RGB buffer for payloads that are
       not real containers; reproducible, so tests can pin batch shapes).
@@ -325,9 +326,8 @@ def resize_images(
                     px = mc.decode_pixels(bytes(payload))
                     if px is None:
                         raise NotImplementedError(
-                            "full resize of a compressed container (PNG/JPEG) "
-                            "requires PIL, not in this container; BMP/PPM "
-                            "resample natively"
+                            "full resize of a JPEG requires PIL, not in this "
+                            "container; BMP/PPM/PNG resample natively"
                         )
                     rows["resized"].append(mc.resample_nearest(px, width, height).tobytes())
                 else:

@@ -4224,3 +4224,73 @@ def winsorize_prices_q(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(F.round(F.sum("w"), 2).alias("wsum"), F.count("*").alias("n"))
     )
+
+
+@query(
+    "multimodal_png_decode",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             list_transform(range(0, 16), i ->
+               (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2*i + 1, 1)) - 1) * 16
+               + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2*i + 2, 1)) - 1
+             ) AS bytes
+      FROM documents),
+    m AS (SELECT doc_id, list_sum(bytes) / 16.0 AS mu,
+                 list_sum(list_transform(bytes, x -> x * x)) / 16.0 AS m2 FROM b)
+    SELECT doc_id, 8 AS width, 4 AS height,
+           ROUND(mu, 4) AS px_mean, ROUND(sqrt(m2 - mu * mu), 4) AS px_std
+    FROM m
+    """,
+)
+def multimodal_png_decode_q(spark, sf_dir):
+    # REAL PNG pixel decode through the Spark surface (r6 — closes the
+    # PIL-gate on PNG; only JPEG's DCT+Huffman remains gated): per doc a
+    # spec-valid 8-bit RGB PNG is ENCODED from md5-derived pixels with all
+    # five scanline filters exercised, shipped as a binary column, and
+    # DECODED by media_codecs.decode_png_pixels (stdlib zlib inflate +
+    # numpy unfilter) inside the Arrow-batched extract_features pipeline.
+    # The oracle recomputes the expected pixel statistics from the same
+    # digest arithmetic in SQL — so a wrong filter inversion, a dropped
+    # byte, or a stats drift all hash-mismatch.  Every stage is mapInPandas
+    # over (doc_id) — zero shuffle, embarrassingly parallel at any scale.
+    import hashlib as _hl
+
+    import numpy as _np
+
+    from pyspark.sql import types as T
+
+    from datafusion_bigtable_spark.functions.multimodal import extract_features
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        from datafusion_bigtable_spark.functions.media_codecs import build_png_rgb
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                digest = _hl.md5(str(int(did)).encode()).digest()
+                px = _np.frombuffer(digest * 6, dtype=_np.uint8).reshape(4, 8, 3)
+                payloads.append(build_png_rgb(px, filters=[0, 1, 2, 3, 4]))
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "mime": "image/png", "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(gen, schema)
+    return extract_features(assets, mode="full").select(
+        F.col("asset_id").alias("doc_id"),
+        "width",
+        "height",
+        F.round("content_mean", 4).alias("px_mean"),
+        F.round("content_std", 4).alias("px_std"),
+    )

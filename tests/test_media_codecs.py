@@ -178,3 +178,103 @@ class TestSparkOps:
             assert px is not None and px.shape == (4, 4, 3)
             color = (r.asset_id * 31 + r.frame_idx * 17) % 256
             assert (px == color).all()
+
+
+# --- r6: real PNG codec (stdlib zlib + numpy unfilter) ---------------------
+
+
+def _rand_px(h, w, seed):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_png_round_trip_filter0():
+    from datafusion_bigtable_spark.functions.media_codecs import build_png_rgb, decode_png_pixels
+
+    px = _rand_px(13, 7, 1)
+    assert np.array_equal(decode_png_pixels(build_png_rgb(px)), px)
+
+
+def test_png_round_trip_every_filter():
+    """Each spec filter (Sub/Up/Average/Paeth) must invert exactly —
+    the encoder writes a chosen filter per row, the decoder unfilters."""
+    from datafusion_bigtable_spark.functions.media_codecs import build_png_rgb, decode_png_pixels
+
+    px = _rand_px(10, 9, 2)
+    for ft in (1, 2, 3, 4):
+        got = decode_png_pixels(build_png_rgb(px, filters=[ft]))
+        assert np.array_equal(got, px), f"filter {ft} did not invert"
+    # mixed filters down the image
+    got = decode_png_pixels(build_png_rgb(px, filters=[0, 1, 2, 3, 4]))
+    assert np.array_equal(got, px)
+
+
+def test_png_paeth_known_values():
+    """Hand-computed Paeth case so encoder and decoder can't share a bug:
+    row0 = [10, 20], row1 raw = [30, 40] (1 channel equivalent via gray
+    replicated — use RGB with constant channels)."""
+    from datafusion_bigtable_spark.functions.media_codecs import decode_png_pixels, PNG_SIG, _png_chunk
+    import struct, zlib
+
+    # 2x2 RGB, rows: (10,10,10),(20,20,20) / (30,30,30),(40,40,40)
+    # Row 0 Paeth: prev=0 row → predictors: x0 left=0,up=0,ul=0 → pred 0;
+    #   x1 left=10, up=0, ul=0 → pa=|0-0|=0? spec: pa=|up-ul|=0, pb=|left-ul|=10, pc=|left+up-2ul|=10 → pred=up=0? pa<=pb and pa<=pc → pred=left? NO:
+    #   spec order: if pa<=pb and pa<=pc: pred=left (pa is |p-c| where p.. careful) — delegate: encode row0 filter 0.
+    # Row 1 Paeth filtered: x0: left=0, up=10, ul=0 → pa=|10-0|=10,pb=0,pc=10 → pred=up=10 → out=30-10=20
+    #   x1: left=30, up=20, ul=10 → pa=|20-10|=10, pb=|30-10|=20, pc=|30+20-20|=30 → pred=left=30 → out=40-30=10
+    raw = bytes([0]) + bytes([10,10,10,20,20,20]) + bytes([4]) + bytes([20,20,20,10,10,10])
+    ihdr = struct.pack(">II", 2, 2) + bytes([8, 2, 0, 0, 0])
+    png = PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+    got = decode_png_pixels(png)
+    want = np.array([[[10,10,10],[20,20,20]],[[30,30,30],[40,40,40]]], dtype=np.uint8)
+    assert np.array_equal(got, want)
+
+
+def test_png_grayscale_and_rgba_profiles():
+    from datafusion_bigtable_spark.functions.media_codecs import decode_png_pixels, PNG_SIG, _png_chunk
+    import struct, zlib
+
+    # grayscale 1x3: values 5, 6, 7 → replicated RGB
+    raw = bytes([0, 5, 6, 7])
+    ihdr = struct.pack(">II", 3, 1) + bytes([8, 0, 0, 0, 0])
+    png = PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+    got = decode_png_pixels(png)
+    assert got.shape == (1, 3, 3) and list(got[0, :, 0]) == [5, 6, 7]
+    assert np.array_equal(got[:, :, 0], got[:, :, 2])
+
+    # RGBA 1x2: alpha dropped
+    raw = bytes([0, 1, 2, 3, 255, 4, 5, 6, 128])
+    ihdr = struct.pack(">II", 2, 1) + bytes([8, 6, 0, 0, 0])
+    png = PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+    got = decode_png_pixels(png)
+    assert got.shape == (1, 2, 3)
+    assert list(got[0, 0]) == [1, 2, 3] and list(got[0, 1]) == [4, 5, 6]
+
+
+def test_png_header_only_fixture_rejected():
+    """The metadata fixture (build_png: junk body, no valid IDAT) must NOT
+    pretend to decode — None keeps full-mode honest for it."""
+    from datafusion_bigtable_spark.functions.media_codecs import build_png, decode_png_pixels
+
+    assert decode_png_pixels(build_png(16, 16, b"not real idat")) is None
+
+
+def test_png_full_mode_feature_extract(spark):
+    """End to end through the Spark surface: a REAL PNG payload must now
+    emit genuine content_mean/std in mode='full' (this was the PIL-gated
+    gap until r6) and resize through the same dispatch."""
+    from datafusion_bigtable_spark.functions.media_codecs import build_png_rgb
+    from datafusion_bigtable_spark.functions.multimodal import extract_features, resize_images
+
+    px = _rand_px(24, 16, 3)
+    df = spark.createDataFrame(
+        [(1, "image/png", bytearray(build_png_rgb(px, filters=[0, 1, 2, 3, 4])))],
+        "asset_id long, mime string, payload binary",
+    )
+    row = extract_features(df, mode="full").collect()[0]
+    assert row.width == 16 and row.height == 24
+    assert abs(row.content_mean - float(px.mean())) < 1e-9
+    assert abs(row.content_std - float(px.std())) < 1e-9
+
+    r = resize_images(df, width=8, height=8, mode="full").collect()[0]
+    assert r.src_width == 16 and r.src_height == 24 and len(r.resized) == 8 * 8 * 3
