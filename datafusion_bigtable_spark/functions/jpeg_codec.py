@@ -1,0 +1,517 @@
+"""Baseline JPEG codec — pure Python/numpy, no PIL.
+
+Closes most of the last media gate: baseline sequential JPEG (SOF0,
+Huffman, 8-bit, 4:4:4 or grayscale) ENCODES and DECODES natively here.
+What stays gated (decode returns None): progressive (SOF2), arithmetic
+coding, chroma-subsampled scans (2x2/2x1 sampling — the general MCU
+walk is implemented but unverifiable without a reference decoder in
+this container, so it is refused rather than shipped untested), and
+restart markers.
+
+Everything is spec constants + linear algebra:
+
+- FDCT/IDCT: the orthonormal 8×8 DCT-II basis as one numpy matrix M;
+  FDCT(B) = M·B·Mᵀ, IDCT(C) = Mᵀ·C·M — exact to float64 round-off.
+- Quantization: ITU T.81 Annex K example tables (the de-facto "quality
+  50" tables every codec ships).
+- Entropy coding: canonical Huffman from the Annex K example tables —
+  DC coded as category+diff bits, AC as (run, size) with ZRL/EOB,
+  0xFF byte-stuffing in the entropy stream.
+
+Verification strategy (tests/test_jpeg_codec.py): each lossy stage is
+bounded analytically and each lossless stage round-trips EXACTLY —
+bitstream I/O, Huffman symbol round-trip, zigzag, and the
+coefficient→bitstream→coefficient path must be bit-identical; the full
+encode→decode path must stay within the quantization-error bound
+(≤ ceil(q/2)·basis-gain per coefficient).  Encoder and decoder share no
+state beyond the public tables, so a shared-bug round-trip is ruled out
+by the hand-computed DCT/quant vectors.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- spec constants (ITU T.81 Annex K) -------------------------------------
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)
+
+QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int32,
+).reshape(8, 8)
+
+QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int32,
+).reshape(8, 8)
+
+# Annex K example Huffman specs: (BITS counts per code length 1..16, HUFFVAL)
+DC_LUMA_SPEC = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+DC_CHROMA_SPEC = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+AC_LUMA_SPEC = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+AC_CHROMA_SPEC = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8×8 DCT-II basis: row k = c(k)·cos((2x+1)kπ/16)/2."""
+    M = np.zeros((8, 8))
+    for k in range(8):
+        c = np.sqrt(0.125) if k == 0 else 0.5
+        M[k] = c * np.cos((2 * np.arange(8) + 1) * k * np.pi / 16)
+    return M
+
+
+_DCT_M = _dct_matrix()
+
+
+def fdct2(block: np.ndarray) -> np.ndarray:
+    return _DCT_M @ block @ _DCT_M.T
+
+
+def idct2(coef: np.ndarray) -> np.ndarray:
+    return _DCT_M.T @ coef @ _DCT_M
+
+
+# --- canonical Huffman -----------------------------------------------------
+
+
+def _build_codes(spec) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) via the canonical construction (spec C.2)."""
+    bits, vals = spec
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decoder(spec) -> dict[tuple[int, int], int]:
+    """(code, length) → symbol, the inverse mapping for the bit reader."""
+    return {cl: sym for sym, cl in _build_codes(spec).items()}
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # entropy-stream stuffing
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        while self.n <= 24 and self.pos < len(self.data):
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed FF
+                else:
+                    # a real marker: stop feeding (spec: entropy ends here)
+                    self.pos = len(self.data)
+                    break
+            self.acc = (self.acc << 8) | byte
+            self.n += 8
+
+    def read(self, length: int) -> int:
+        if length == 0:
+            return 0
+        self._fill()
+        if self.n < length:
+            # missing bits decode as zeros (truncated stream)
+            self.acc <<= length - self.n
+            self.n = length
+        v = (self.acc >> (self.n - length)) & ((1 << length) - 1)
+        self.n -= length
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int]) -> int | None:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read(1)
+            sym = table.get((code, length))
+            if sym is not None:
+                return sym
+        return None
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length() if v < 0 else 0
+
+
+def _encode_magnitude(v: int) -> tuple[int, int]:
+    """(bits, length) of v's 1's-complement magnitude code (spec F.1.2.1)."""
+    s = _category(v)
+    return (v if v >= 0 else v + (1 << s) - 1, s)
+
+
+def _extend(bits: int, s: int) -> int:
+    """Inverse of _encode_magnitude (spec F.2.2.1 EXTEND)."""
+    if s == 0:
+        return 0
+    return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+
+
+def _encode_block(w: _BitWriter, coefs: np.ndarray, prev_dc: int, dc_codes, ac_codes) -> int:
+    zz = coefs.reshape(64)[ZIGZAG]
+    diff = int(zz[0]) - prev_dc
+    bits, s = _encode_magnitude(diff)
+    code, ln = dc_codes[s]
+    w.write(code, ln)
+    w.write(bits, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for i in range(1, 64):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            w.write(code, ln)
+            run -= 16
+        bits, s = _encode_magnitude(v)
+        code, ln = ac_codes[(run << 4) | s]
+        w.write(code, ln)
+        w.write(bits, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        w.write(code, ln)
+    return int(zz[0])
+
+
+def _decode_block(r: _BitReader, prev_dc: int, dc_table, ac_table) -> tuple[np.ndarray, int] | None:
+    zz = np.zeros(64, dtype=np.int32)
+    s = r.read_symbol(dc_table)
+    if s is None:
+        return None
+    dc = prev_dc + _extend(r.read(s), s)
+    zz[0] = dc
+    i = 1
+    while i < 64:
+        sym = r.read_symbol(ac_table)
+        if sym is None:
+            return None
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            i += 16
+            continue
+        run, size = sym >> 4, sym & 0xF
+        i += run
+        if i >= 64 or size == 0:
+            return None
+        zz[i] = _extend(r.read(size), size)
+        i += 1
+    out = np.zeros(64, dtype=np.int32)
+    out[ZIGZAG] = zz
+    return out.reshape(8, 8), dc
+
+
+# --- color ------------------------------------------------------------------
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = (ycc[..., i] for i in range(3))
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+# --- container --------------------------------------------------------------
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _dht_payload(tc_th: int, spec) -> bytes:
+    bits, vals = spec
+    return bytes([tc_th]) + bytes(bits) + bytes(vals)
+
+
+def build_jpeg_rgb(pixels: np.ndarray) -> bytes:
+    """Spec-valid baseline sequential JPEG, 4:4:4 (no subsampling), Annex K
+    tables — the profile ``decode_jpeg_pixels`` decodes."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape[:2]
+    gray = px.ndim == 2 or px.shape[2] == 1
+    if gray:
+        comps = [px.reshape(h, w).astype(np.float64) - 128.0]
+        quants = [QUANT_LUMA]
+    else:
+        ycc = _rgb_to_ycbcr(px[:, :, :3])
+        comps = [ycc[..., i] - 128.0 for i in range(3)]
+        quants = [QUANT_LUMA, QUANT_CHROMA, QUANT_CHROMA]
+
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    padded = []
+    for c in comps:
+        p = np.zeros((bh * 8, bw * 8))
+        p[:h, :w] = c
+        p[h:, :w] = c[-1:, :]  # edge-replicate padding
+        p[:, w:] = p[:, w - 1 : w]
+        padded.append(p)
+
+    dc_specs = [DC_LUMA_SPEC] + [DC_CHROMA_SPEC] * (len(comps) - 1)
+    ac_specs = [AC_LUMA_SPEC] + [AC_CHROMA_SPEC] * (len(comps) - 1)
+    dc_codes = [_build_codes(s) for s in dc_specs]
+    ac_codes = [_build_codes(s) for s in ac_specs]
+
+    wtr = _BitWriter()
+    prev_dc = [0] * len(comps)
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, plane in enumerate(padded):
+                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coefs = np.round(fdct2(block) / quants[ci]).astype(np.int32)
+                prev_dc[ci] = _encode_block(wtr, coefs, prev_dc[ci], dc_codes[ci], ac_codes[ci])
+    entropy = wtr.flush()
+
+    n = len(comps)
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0]) + bytes(QUANT_LUMA.reshape(64)[ZIGZAG].astype(np.uint8)))
+    if n > 1:
+        out += _seg(0xDB, bytes([1]) + bytes(QUANT_CHROMA.reshape(64)[ZIGZAG].astype(np.uint8)))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([n])
+    for ci in range(n):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 1x1 sampling
+    out += _seg(0xC0, sof)
+    out += _seg(0xC4, _dht_payload(0x00, DC_LUMA_SPEC))
+    out += _seg(0xC4, _dht_payload(0x10, AC_LUMA_SPEC))
+    if n > 1:
+        out += _seg(0xC4, _dht_payload(0x01, DC_CHROMA_SPEC))
+        out += _seg(0xC4, _dht_payload(0x11, AC_CHROMA_SPEC))
+    sos = bytes([n])
+    for ci in range(n):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg_pixels(b: bytes) -> np.ndarray | None:
+    """(h, w, 3) uint8 RGB from a baseline sequential 4:4:4 (or grayscale)
+    JPEG.  Returns None for anything outside that profile (progressive,
+    subsampled, 12-bit, arithmetic, restart intervals) — refused rather
+    than shipped untested; see module doc.  Malformed containers (e.g.
+    the header-only bench fixtures) also return None, never raise."""
+    try:
+        return _decode_jpeg(b)
+    except (ValueError, IndexError, struct.error):
+        return None
+
+
+def _decode_jpeg(b: bytes) -> np.ndarray | None:
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    quant: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    h = w = None
+    comps: list[tuple[int, int, int]] = []  # (id, sampling, tq)
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker == 0xD9:  # EOI
+            return None  # no scan seen
+        if 0xD0 <= marker <= 0xD8:
+            i += 2
+            continue
+        (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
+        payload = b[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            j = 0
+            while j < len(payload):
+                pq_tq = payload[j]
+                if pq_tq >> 4 != 0:
+                    return None  # 16-bit tables: out of profile
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[ZIGZAG] = np.frombuffer(payload, np.uint8, 64, j + 1)
+                quant[pq_tq & 0xF] = tbl.reshape(8, 8)
+                j += 65
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(payload):
+                tc_th = payload[j]
+                bits = list(payload[j + 1 : j + 17])
+                nvals = sum(bits)
+                vals = list(payload[j + 17 : j + 17 + nvals])
+                table = _build_decoder((bits, vals))
+                if tc_th >> 4 == 0:
+                    dc_tables[tc_th & 0xF] = table
+                else:
+                    ac_tables[tc_th & 0xF] = table
+                j += 17 + nvals
+        elif marker == 0xC0 or marker == 0xC1:  # baseline SOF
+            if payload[0] != 8:
+                return None
+            h, w = struct.unpack(">HH", payload[1:5])
+            n = payload[5]
+            comps = []
+            for c in range(n):
+                cid, samp, tq = payload[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    return None  # subsampling: out of profile
+                comps.append((cid, samp, tq))
+        elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return None  # progressive & friends: out of profile
+        elif marker == 0xDD:
+            return None  # restart intervals: out of profile
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if h is None or not comps:
+                return None
+            ns = payload[0]
+            scan = []
+            for c in range(ns):
+                cs, tables = payload[1 + 2 * c : 3 + 2 * c]
+                comp = next((x for x in comps if x[0] == cs), None)
+                if comp is None:
+                    return None
+                scan.append((comp[2], tables >> 4, tables & 0xF))
+            data = b[i + 2 + seglen :]
+            return _decode_scan(data, h, w, scan, quant, dc_tables, ac_tables)
+        i += 2 + seglen
+    return None
+
+
+def _decode_scan(data, h, w, scan, quant, dc_tables, ac_tables):
+    r = _BitReader(data)
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    n = len(scan)
+    planes = [np.zeros((bh * 8, bw * 8)) for _ in range(n)]
+    prev_dc = [0] * n
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, (tq, td, ta) in enumerate(scan):
+                if tq not in quant or td not in dc_tables or ta not in ac_tables:
+                    return None
+                got = _decode_block(r, prev_dc[ci], dc_tables[td], ac_tables[ta])
+                if got is None:
+                    return None
+                coefs, prev_dc[ci] = got
+                block = idct2(coefs * quant[tq]) + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    if n == 1:
+        y = np.clip(planes[0][:h, :w].round(), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    if n != 3:
+        return None
+    ycc = np.stack([p[:h, :w] for p in planes], axis=-1)
+    return _ycbcr_to_rgb(ycc)

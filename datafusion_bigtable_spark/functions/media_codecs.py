@@ -17,8 +17,9 @@ their samples raw, so numpy decodes REAL pixels/samples with no PIL or
 ffmpeg — ``decode_pixels`` returns an (h, w, 3) uint8 array,
 ``decode_wav_samples`` an (n, channels) int16 array, and
 ``resample_nearest`` is a real nearest-neighbor image resampler.
-JPEG (DCT + Huffman) stays behind the honest
-``NotImplementedError`` gate in functions/multimodal.py.
+Baseline 4:4:4/grayscale JPEG decodes natively too (functions/jpeg_codec.py);
+only out-of-profile JPEG (progressive, chroma-subsampled) stays behind the
+honest ``NotImplementedError`` gate in functions/multimodal.py.
 
 ``build_*`` constructs real, spec-valid containers so synthetic corpora
 exercise the genuine parse/decode path; ``parse_media`` sniffs by magic.
@@ -362,14 +363,21 @@ def decode_png_pixels(b: bytes) -> np.ndarray | None:
 
 def decode_pixels(b: bytes) -> np.ndarray | None:
     """Dispatch: real pixels for every natively-decodable profile — BMP,
-    PPM, and (since r6) 8-bit PNG via stdlib zlib.  None for JPEG (the
-    one genuinely PIL-gated container: DCT + Huffman) and non-images."""
+    PPM, 8-bit PNG (stdlib zlib) and baseline 4:4:4/grayscale JPEG
+    (functions/jpeg_codec.py: full Huffman + IDCT pipeline, r6).  None
+    for out-of-profile JPEGs (progressive / chroma-subsampled — refused
+    rather than shipped unverifiable, jpeg_codec module doc) and
+    non-images."""
     if b[:2] == b"BM":
         return decode_bmp_pixels(b)
     if b[:2] == b"P6":
         return decode_ppm_pixels(b)
     if b.startswith(PNG_SIG):
         return decode_png_pixels(b)
+    if b[:2] == b"\xff\xd8":
+        from datafusion_bigtable_spark.functions.jpeg_codec import decode_jpeg_pixels
+
+        return decode_jpeg_pixels(b)
     return None
 
 

@@ -191,8 +191,11 @@ def extract_features(assets: DataFrame, *, fake: bool = True, mode: str | None =
       decodable profile: BMP/PPM pixels, 8-bit PNG (r6: stdlib zlib
       inflate + numpy unfilter, media_codecs.decode_png_pixels) and
       16-bit PCM WAV samples, emitting ``content_mean``/``content_std``.
-      JPEG in full mode raises NotImplementedError — DCT+Huffman decode
-      genuinely needs PIL, absent here; that is the whole remaining gate.
+      Baseline 4:4:4/grayscale JPEG also decodes natively (r6,
+      functions/jpeg_codec.py — full Huffman + IDCT in numpy); only
+      OUT-OF-PROFILE JPEG (progressive, chroma-subsampled) raises
+      NotImplementedError — unverifiable without a reference decoder in
+      this container, so refused rather than shipped.
 
     Arrow-batched: each pandas chunk is one Arrow batch (~10k rows), so an
     executor never holds more than a batch of payloads in Python memory.
@@ -218,7 +221,7 @@ def extract_features(assets: DataFrame, *, fake: bool = True, mode: str | None =
                 arr = samples.astype("float64")
                 return float(arr.mean()), float(arr.std())
             raise NotImplementedError(
-                "real media decode of JPEG/unknown containers requires "
+                "real media decode of out-of-profile-JPEG/unknown containers requires "
                 "PIL/ffmpeg, not in this container; BMP/PPM/PNG/WAV-PCM "
                 "decode natively — or use mode='headers' for the "
                 "metadata tier"
@@ -289,7 +292,7 @@ def resize_images(
       media_codecs.resample_nearest) for the natively-decodable profiles
       (uncompressed 24-bit BMP, binary PPM, and — r6 — 8-bit PNG);
       ``resized`` is the raw RGB buffer of exactly width·height·3 bytes.
-      JPEG raises NotImplementedError — that decode needs PIL.
+      Out-of-profile JPEG raises NotImplementedError — that needs PIL.
     - ``mode="fake"`` — deterministic digest-expanded payload of exactly
       width·height·3 bytes (a stand-in RGB buffer for payloads that are
       not real containers; reproducible, so tests can pin batch shapes).
@@ -326,8 +329,9 @@ def resize_images(
                     px = mc.decode_pixels(bytes(payload))
                     if px is None:
                         raise NotImplementedError(
-                            "full resize of a JPEG requires PIL, not in this "
-                            "container; BMP/PPM/PNG resample natively"
+                            "full resize of an out-of-profile JPEG (progressive/"
+                            "subsampled) requires PIL; BMP/PPM/PNG/baseline-"
+                            "4:4:4-JPEG resample natively"
                         )
                     rows["resized"].append(mc.resample_nearest(px, width, height).tobytes())
                 else:

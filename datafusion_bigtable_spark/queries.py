@@ -4294,3 +4294,63 @@ def multimodal_png_decode_q(spark, sf_dir):
         F.round("content_mean", 4).alias("px_mean"),
         F.round("content_std", 4).alias("px_std"),
     )
+
+
+@query("multimodal_jpeg_decode", None)
+def multimodal_jpeg_decode_q(spark, sf_dir):
+    # Baseline JPEG decode through the Spark surface (r6,
+    # functions/jpeg_codec.py — full Huffman+IDCT in numpy; no PIL): per
+    # doc a spec-valid 4:4:4 JPEG is encoded from a deterministic smooth
+    # gradient (seeded by doc_id), shipped as a binary column, and decoded
+    # by extract_features(mode="full").  JPEG is LOSSY, so no exact SQL
+    # oracle exists (the expected stats depend on the full DCT+quant
+    # chain) — this entry takes the driver's rows-only check; the codec's
+    # exactness is pinned layer-by-layer in tests/test_jpeg_codec.py
+    # (lossless stages bit-exact, lossy stages analytically bounded).
+    # Same zero-shuffle mapInPandas shape as the PNG twin.
+    import numpy as _np
+
+    from pyspark.sql import types as T
+
+    from datafusion_bigtable_spark.functions.multimodal import extract_features
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        from datafusion_bigtable_spark.functions.jpeg_codec import build_jpeg_rgb
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                base = int(did) % 200
+                y, x = _np.mgrid[0:16, 0:16]
+                px = _np.stack(
+                    [
+                        ((x * 3 + base) % 256),
+                        ((y * 5 + base) % 256),
+                        ((x + y + base) % 256),
+                    ],
+                    axis=-1,
+                ).astype(_np.uint8)
+                payloads.append(build_jpeg_rgb(px))
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "mime": "image/jpeg", "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(gen, schema)
+    return extract_features(assets, mode="full").select(
+        F.col("asset_id").alias("doc_id"),
+        "width",
+        "height",
+        F.round("content_mean", 2).alias("px_mean"),
+        F.round("content_std", 2).alias("px_std"),
+    )

@@ -1,0 +1,164 @@
+"""functions/jpeg_codec.py — layered verification without PIL.
+
+Every LOSSLESS stage round-trips exactly (bit I/O, canonical Huffman,
+zigzag, coefficient↔bitstream); the LOSSY stages (quantization) are
+bounded analytically; the DCT is checked against hand-computed vectors
+so encoder and decoder cannot share a transform bug.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from datafusion_bigtable_spark.functions import jpeg_codec as J
+
+
+def test_dct_hand_computed_vectors():
+    # constant block: only DC survives; orthonormal DCT-II DC = 8·v/8 = v·8·(1/√64)…
+    # concretely: fdct2(v·ones) = v·8·(√0.125·√0.125·8) = v·8? verify numerically
+    v = 100.0
+    c = J.fdct2(np.full((8, 8), v))
+    assert abs(c[0, 0] - v * 8.0) < 1e-9  # DC gain of the orthonormal basis
+    assert np.abs(c).sum() - abs(c[0, 0]) < 1e-9  # every AC is zero
+    # orthonormality: IDCT(FDCT(x)) == x to round-off
+    rng = np.random.RandomState(0)
+    x = rng.uniform(-128, 127, (8, 8))
+    assert np.abs(J.idct2(J.fdct2(x)) - x).max() < 1e-9
+    # Parseval: energy preserved
+    assert abs((J.fdct2(x) ** 2).sum() - (x**2).sum()) < 1e-6
+
+
+def test_bit_writer_reader_round_trip():
+    rng = np.random.RandomState(1)
+    fields = [(int(rng.randint(0, 1 << l)), int(l)) for l in rng.randint(1, 17, 200)]
+    w = J._BitWriter()
+    for v, l in fields:
+        w.write(v, l)
+    data = w.flush()
+    r = J._BitReader(data)
+    for v, l in fields:
+        assert r.read(l) == v
+
+
+def test_bit_stuffing_round_trip():
+    # all-ones stretches force 0xFF bytes → stuffed 0x00s must be invisible
+    w = J._BitWriter()
+    for _ in range(10):
+        w.write(0xFFFF, 16)
+    data = w.flush()
+    assert b"\xff\x00" in data
+    r = J._BitReader(data)
+    for _ in range(10):
+        assert r.read(16) == 0xFFFF
+
+
+def test_magnitude_code_round_trip():
+    for v in list(range(-255, 256)) + [1023, -1023, 2047, -2047]:
+        bits, s = J._encode_magnitude(v)
+        assert J._extend(bits, s) == v, v
+
+
+def test_huffman_coefficient_block_round_trip():
+    """coefficients → entropy bits → coefficients must be EXACT for
+    arbitrary sparse blocks, including ZRL (>15 zero runs) and EOB."""
+    rng = np.random.RandomState(2)
+    dc_codes = J._build_codes(J.DC_LUMA_SPEC)
+    ac_codes = J._build_codes(J.AC_LUMA_SPEC)
+    dc_table = J._build_decoder(J.DC_LUMA_SPEC)
+    ac_table = J._build_decoder(J.AC_LUMA_SPEC)
+    blocks = []
+    for _ in range(50):
+        blk = np.zeros(64, dtype=np.int32)
+        for _ in range(rng.randint(0, 12)):
+            blk[rng.randint(0, 64)] = rng.randint(-200, 201)
+        blocks.append(blk.reshape(8, 8))
+    blocks.append(np.zeros((8, 8), dtype=np.int32))  # pure-EOB block
+    zrl = np.zeros(64, dtype=np.int32)
+    zrl[0], zrl[40] = 5, -3  # 39-zero run → two ZRLs + coded coeff
+    blocks.append(zrl.reshape(8, 8))
+
+    w = J._BitWriter()
+    prev = 0
+    for blk in blocks:
+        prev = J._encode_block(w, blk, prev, dc_codes, ac_codes)
+    r = J._BitReader(w.flush())
+    prev = 0
+    for blk in blocks:
+        got, prev = J._decode_block(r, prev, dc_table, ac_table)
+        assert np.array_equal(got, blk)
+
+
+def test_jpeg_round_trip_error_bound():
+    """decode(encode(px)) must stay within the quantization-error bound.
+    For a CONSTANT image only the DC coefficient is nonzero: error ≤
+    q_dc/2 · (1/8) per pixel (+1 for color round-trip rounding)."""
+    for v in (0, 17, 128, 200, 255):
+        px = np.full((24, 24, 3), v, dtype=np.uint8)
+        got = J.decode_jpeg_pixels(J.build_jpeg_rgb(px))
+        assert got.shape == (24, 24, 3)
+        assert int(np.abs(got.astype(int) - int(v)).max()) <= 3, v
+
+
+def test_jpeg_round_trip_smooth_image():
+    """Smooth gradients concentrate energy in low-frequency coefficients
+    (small quant steps) — round-trip error stays small."""
+    y, x = np.mgrid[0:40, 0:32]
+    px = np.stack(
+        [
+            (x * 255 / 31).astype(np.uint8),
+            (y * 255 / 39).astype(np.uint8),
+            ((x + y) * 255 / 70).astype(np.uint8),
+        ],
+        axis=-1,
+    )
+    got = J.decode_jpeg_pixels(J.build_jpeg_rgb(px))
+    err = np.abs(got.astype(int) - px.astype(int))
+    assert err.mean() < 4 and err.max() <= 40  # chroma quant is coarse
+
+
+def test_jpeg_non_multiple_of_8_crops_exactly():
+    px = np.full((13, 11, 3), 90, dtype=np.uint8)
+    got = J.decode_jpeg_pixels(J.build_jpeg_rgb(px))
+    assert got.shape == (13, 11, 3)
+    assert int(np.abs(got.astype(int) - 90).max()) <= 3
+
+
+def test_jpeg_grayscale_profile():
+    g = np.linspace(0, 255, 16 * 16).reshape(16, 16).astype(np.uint8)
+    got = J.decode_jpeg_pixels(J.build_jpeg_rgb(g))
+    assert got.shape == (16, 16, 3)
+    assert np.array_equal(got[:, :, 0], got[:, :, 1])
+    assert np.abs(got[:, :, 0].astype(int) - g.astype(int)).mean() < 4
+
+
+def test_jpeg_out_of_profile_rejected():
+    px = np.full((8, 8, 3), 50, dtype=np.uint8)
+    b = bytearray(J.build_jpeg_rgb(px))
+    # flip SOF0 → SOF2 (progressive): must refuse, not misdecode
+    i = b.find(b"\xff\xc0")
+    b[i + 1] = 0xC2
+    assert J.decode_jpeg_pixels(bytes(b)) is None
+    # the header-only bench fixture (no scan) must also refuse
+    from datafusion_bigtable_spark.functions.media_codecs import build_jpeg
+
+    assert J.decode_jpeg_pixels(build_jpeg(16, 16, b"junk")) is None
+
+
+def test_jpeg_full_mode_feature_extract(spark):
+    """End to end through the Spark surface: a real baseline JPEG payload
+    emits content stats in mode='full' within the codec's quantization
+    error bound, and resizes through the same dispatch."""
+    from datafusion_bigtable_spark.functions.multimodal import extract_features, resize_images
+
+    px = np.full((24, 16, 3), 130, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, "image/jpeg", bytearray(J.build_jpeg_rgb(px)))],
+        "asset_id long, mime string, payload binary",
+    )
+    row = extract_features(df, mode="full").collect()[0]
+    assert row.width == 16 and row.height == 24
+    assert abs(row.content_mean - 130.0) <= 3 and row.content_std <= 3
+
+    r = resize_images(df, width=8, height=8, mode="full").collect()[0]
+    assert len(r.resized) == 8 * 8 * 3
