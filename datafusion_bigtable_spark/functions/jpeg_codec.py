@@ -1,12 +1,11 @@
 """Baseline JPEG codec — pure Python/numpy, no PIL.
 
 Closes most of the last media gate: baseline sequential JPEG (SOF0,
-Huffman, 8-bit, 4:4:4 or grayscale) ENCODES and DECODES natively here.
-What stays gated (decode returns None): progressive (SOF2), arithmetic
-coding, chroma-subsampled scans (2x2/2x1 sampling — the general MCU
-walk is implemented but unverifiable without a reference decoder in
-this container, so it is refused rather than shipped untested), and
-restart markers.
+Huffman, 8-bit) ENCODES and DECODES natively here — 4:4:4, grayscale,
+and the real-world-default 4:2:0/4:2:2 MCU-interleaved subsampled
+layouts (any sampling factors up to 2×2).  What stays gated (decode
+returns None): progressive (SOF2), arithmetic coding, sampling factors
+beyond 2×2, 12-bit precision, and restart markers.
 
 Everything is spec constants + linear algebra:
 
@@ -341,45 +340,78 @@ def _dht_payload(tc_th: int, spec) -> bytes:
     return bytes([tc_th]) + bytes(bits) + bytes(vals)
 
 
-def build_jpeg_rgb(pixels: np.ndarray) -> bytes:
-    """Spec-valid baseline sequential JPEG, 4:4:4 (no subsampling), Annex K
-    tables — the profile ``decode_jpeg_pixels`` decodes."""
+def _pad_plane(c: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate pad a component plane to (ph, pw)."""
+    h, w = c.shape
+    p = np.zeros((ph, pw))
+    p[:h, :w] = c
+    if ph > h:
+        p[h:, :w] = c[-1:, :]
+    if pw > w:
+        p[:, w:] = p[:, w - 1 : w]
+    return p
+
+
+def build_jpeg_rgb(pixels: np.ndarray, subsample: bool = False) -> bytes:
+    """Spec-valid baseline sequential JPEG with the Annex K tables.
+    ``subsample=False`` → 4:4:4; ``subsample=True`` → 4:2:0 (2×2 luma
+    sampling, box-averaged chroma) — the MCU-interleaved layout real-world
+    encoders emit.  Both profiles are what ``decode_jpeg_pixels`` decodes."""
     px = np.asarray(pixels, dtype=np.uint8)
     h, w = px.shape[:2]
     gray = px.ndim == 2 or px.shape[2] == 1
     if gray:
-        comps = [px.reshape(h, w).astype(np.float64) - 128.0]
+        planes = [px.reshape(h, w).astype(np.float64) - 128.0]
         quants = [QUANT_LUMA]
+        samps = [(1, 1)]
     else:
         ycc = _rgb_to_ycbcr(px[:, :, :3])
-        comps = [ycc[..., i] - 128.0 for i in range(3)]
+        y, cb, cr = (ycc[..., i] - 128.0 for i in range(3))
+        if subsample:
+            # box-average 2×2 chroma (pad to even first)
+            eh, ew = (h + 1) & ~1, (w + 1) & ~1
+            cbp, crp = _pad_plane(cb, eh, ew), _pad_plane(cr, eh, ew)
+            cb = cbp.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samps = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
         quants = [QUANT_LUMA, QUANT_CHROMA, QUANT_CHROMA]
 
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    padded = []
-    for c in comps:
-        p = np.zeros((bh * 8, bw * 8))
-        p[:h, :w] = c
-        p[h:, :w] = c[-1:, :]  # edge-replicate padding
-        p[:, w:] = p[:, w - 1 : w]
-        padded.append(p)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = [
+        _pad_plane(p, mcuy * 8 * vi, mcux * 8 * hi)
+        for p, (hi, vi) in zip(planes, samps)
+    ]
 
-    dc_specs = [DC_LUMA_SPEC] + [DC_CHROMA_SPEC] * (len(comps) - 1)
-    ac_specs = [AC_LUMA_SPEC] + [AC_CHROMA_SPEC] * (len(comps) - 1)
+    n = len(planes)
+    dc_specs = [DC_LUMA_SPEC] + [DC_CHROMA_SPEC] * (n - 1)
+    ac_specs = [AC_LUMA_SPEC] + [AC_CHROMA_SPEC] * (n - 1)
     dc_codes = [_build_codes(s) for s in dc_specs]
     ac_codes = [_build_codes(s) for s in ac_specs]
 
     wtr = _BitWriter()
-    prev_dc = [0] * len(comps)
-    for by in range(bh):
-        for bx in range(bw):
+    prev_dc = [0] * n
+    # MCU-interleaved block order (spec A.2.3): per MCU, each component
+    # contributes Vi×Hi blocks in raster order
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci, plane in enumerate(padded):
-                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                coefs = np.round(fdct2(block) / quants[ci]).astype(np.int32)
-                prev_dc[ci] = _encode_block(wtr, coefs, prev_dc[ci], dc_codes[ci], ac_codes[ci])
+                hi, vi = samps[ci]
+                for v in range(vi):
+                    for u in range(hi):
+                        by, bx = my * vi + v, mx * hi + u
+                        block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                        coefs = np.round(fdct2(block) / quants[ci]).astype(np.int32)
+                        prev_dc[ci] = _encode_block(
+                            wtr, coefs, prev_dc[ci], dc_codes[ci], ac_codes[ci]
+                        )
     entropy = wtr.flush()
 
-    n = len(comps)
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += _seg(0xDB, bytes([0]) + bytes(QUANT_LUMA.reshape(64)[ZIGZAG].astype(np.uint8)))
@@ -387,7 +419,8 @@ def build_jpeg_rgb(pixels: np.ndarray) -> bytes:
         out += _seg(0xDB, bytes([1]) + bytes(QUANT_CHROMA.reshape(64)[ZIGZAG].astype(np.uint8)))
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([n])
     for ci in range(n):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 1x1 sampling
+        hi, vi = samps[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
     out += _seg(0xC0, sof)
     out += _seg(0xC4, _dht_payload(0x00, DC_LUMA_SPEC))
     out += _seg(0xC4, _dht_payload(0x10, AC_LUMA_SPEC))
@@ -405,11 +438,12 @@ def build_jpeg_rgb(pixels: np.ndarray) -> bytes:
 
 
 def decode_jpeg_pixels(b: bytes) -> np.ndarray | None:
-    """(h, w, 3) uint8 RGB from a baseline sequential 4:4:4 (or grayscale)
-    JPEG.  Returns None for anything outside that profile (progressive,
-    subsampled, 12-bit, arithmetic, restart intervals) — refused rather
-    than shipped untested; see module doc.  Malformed containers (e.g.
-    the header-only bench fixtures) also return None, never raise."""
+    """(h, w, 3) uint8 RGB from a baseline sequential JPEG — 4:4:4,
+    grayscale, or 4:2:0/4:2:2 subsampled (sampling factors ≤ 2×2).
+    Returns None outside that profile (progressive, 12-bit, arithmetic,
+    restart intervals, >2×2 sampling) — refused rather than shipped
+    untested; see module doc.  Malformed containers (e.g. the header-only
+    bench fixtures) also return None, never raise."""
     try:
         return _decode_jpeg(b)
     except (ValueError, IndexError, struct.error):
@@ -467,8 +501,9 @@ def _decode_jpeg(b: bytes) -> np.ndarray | None:
             comps = []
             for c in range(n):
                 cid, samp, tq = payload[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    return None  # subsampling: out of profile
+                hi, vi = samp >> 4, samp & 0xF
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    return None  # beyond 2×2 sampling: out of profile
                 comps.append((cid, samp, tq))
         elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             return None  # progressive & friends: out of profile
@@ -484,7 +519,8 @@ def _decode_jpeg(b: bytes) -> np.ndarray | None:
                 comp = next((x for x in comps if x[0] == cs), None)
                 if comp is None:
                     return None
-                scan.append((comp[2], tables >> 4, tables & 0xF))
+                hi, vi = comp[1] >> 4, comp[1] & 0xF
+                scan.append((comp[2], tables >> 4, tables & 0xF, hi, vi))
             data = b[i + 2 + seglen :]
             return _decode_scan(data, h, w, scan, quant, dc_tables, ac_tables)
         i += 2 + seglen
@@ -492,22 +528,40 @@ def _decode_jpeg(b: bytes) -> np.ndarray | None:
 
 
 def _decode_scan(data, h, w, scan, quant, dc_tables, ac_tables):
+    """General MCU-interleaved scan walk (spec A.2.3): per MCU each
+    component contributes Vi×Hi blocks in raster order; subsampled
+    components decode into smaller planes and upsample by pixel
+    replication afterwards."""
     r = _BitReader(data)
-    bh, bw = (h + 7) // 8, (w + 7) // 8
     n = len(scan)
-    planes = [np.zeros((bh * 8, bw * 8)) for _ in range(n)]
+    hmax = max(s[3] for s in scan)
+    vmax = max(s[4] for s in scan)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * 8 * vi, mcux * 8 * hi)) for (_, _, _, hi, vi) in scan
+    ]
     prev_dc = [0] * n
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, (tq, td, ta) in enumerate(scan):
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (tq, td, ta, hi, vi) in enumerate(scan):
                 if tq not in quant or td not in dc_tables or ta not in ac_tables:
                     return None
-                got = _decode_block(r, prev_dc[ci], dc_tables[td], ac_tables[ta])
-                if got is None:
-                    return None
-                coefs, prev_dc[ci] = got
-                block = idct2(coefs * quant[tq]) + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+                for v in range(vi):
+                    for u in range(hi):
+                        got = _decode_block(r, prev_dc[ci], dc_tables[td], ac_tables[ta])
+                        if got is None:
+                            return None
+                        coefs, prev_dc[ci] = got
+                        block = idct2(coefs * quant[tq]) + 128.0
+                        by, bx = my * vi + v, mx * hi + u
+                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    # upsample subsampled components to full resolution (replication)
+    for ci, (_, _, _, hi, vi) in enumerate(scan):
+        if hi != hmax or vi != vmax:
+            planes[ci] = np.repeat(
+                np.repeat(planes[ci], vmax // vi, axis=0), hmax // hi, axis=1
+            )
     if n == 1:
         y = np.clip(planes[0][:h, :w].round(), 0, 255).astype(np.uint8)
         return np.repeat(y[:, :, None], 3, axis=2)

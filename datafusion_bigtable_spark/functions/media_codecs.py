@@ -17,8 +17,8 @@ their samples raw, so numpy decodes REAL pixels/samples with no PIL or
 ffmpeg — ``decode_pixels`` returns an (h, w, 3) uint8 array,
 ``decode_wav_samples`` an (n, channels) int16 array, and
 ``resample_nearest`` is a real nearest-neighbor image resampler.
-Baseline 4:4:4/grayscale JPEG decodes natively too (functions/jpeg_codec.py);
-only out-of-profile JPEG (progressive, chroma-subsampled) stays behind the
+Baseline JPEG (incl. 4:2:0/4:2:2) decodes natively too (functions/jpeg_codec.py);
+only out-of-profile JPEG (progressive, >2×2 sampling) stays behind the
 honest ``NotImplementedError`` gate in functions/multimodal.py.
 
 ``build_*`` constructs real, spec-valid containers so synthetic corpora
@@ -363,11 +363,10 @@ def decode_png_pixels(b: bytes) -> np.ndarray | None:
 
 def decode_pixels(b: bytes) -> np.ndarray | None:
     """Dispatch: real pixels for every natively-decodable profile — BMP,
-    PPM, 8-bit PNG (stdlib zlib) and baseline 4:4:4/grayscale JPEG
-    (functions/jpeg_codec.py: full Huffman + IDCT pipeline, r6).  None
-    for out-of-profile JPEGs (progressive / chroma-subsampled — refused
-    rather than shipped unverifiable, jpeg_codec module doc) and
-    non-images."""
+    PPM, 8-bit PNG (stdlib zlib) and baseline JPEG incl. 4:2:0/4:2:2
+    subsampling (functions/jpeg_codec.py: full Huffman + IDCT pipeline,
+    r6).  None for out-of-profile JPEGs (progressive / >2×2 sampling /
+    restart markers — jpeg_codec module doc) and non-images."""
     if b[:2] == b"BM":
         return decode_bmp_pixels(b)
     if b[:2] == b"P6":

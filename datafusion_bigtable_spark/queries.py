@@ -4341,7 +4341,8 @@ def multimodal_jpeg_decode_q(spark, sf_dir):
                     ],
                     axis=-1,
                 ).astype(_np.uint8)
-                payloads.append(build_jpeg_rgb(px))
+                # 4:2:0 — the real-world-default subsampled MCU layout
+                payloads.append(build_jpeg_rgb(px, subsample=True))
             yield pd.DataFrame(
                 {"asset_id": pdf["doc_id"], "mime": "image/jpeg", "payload": payloads}
             )

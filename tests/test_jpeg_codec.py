@@ -162,3 +162,40 @@ def test_jpeg_full_mode_feature_extract(spark):
 
     r = resize_images(df, width=8, height=8, mode="full").collect()[0]
     assert len(r.resized) == 8 * 8 * 3
+
+
+def test_jpeg_420_round_trip():
+    """4:2:0 (the real-world default): MCU-interleaved 2x2 luma + box-
+    averaged chroma must round-trip within the quantization + subsampling
+    bound; luma (not subsampled) stays as tight as 4:4:4."""
+    for hw in ((32, 32), (24, 16), (13, 11), (16, 24)):
+        px = np.full((*hw, 3), 120, dtype=np.uint8)
+        got = J.decode_jpeg_pixels(J.build_jpeg_rgb(px, subsample=True))
+        assert got.shape == (*hw, 3)
+        assert int(np.abs(got.astype(int) - 120).max()) <= 3, hw
+
+    y, x = np.mgrid[0:32, 0:24]
+    px = np.stack(
+        [
+            (x * 255 / 23).astype(np.uint8),
+            (y * 255 / 31).astype(np.uint8),
+            np.full((32, 24), 60, np.uint8),
+        ],
+        axis=-1,
+    )
+    got = J.decode_jpeg_pixels(J.build_jpeg_rgb(px, subsample=True))
+    err = np.abs(got.astype(int) - px.astype(int))
+    # chroma carries the gradient at half resolution → tolerance includes
+    # the replication-upsample step (±1 chroma pixel of gradient)
+    assert err.mean() < 6 and err.max() <= 60
+
+
+def test_jpeg_420_vs_444_consistency():
+    """Both profiles must agree on a chroma-flat image (subsampling loses
+    nothing when chroma is constant)."""
+    rng = np.random.RandomState(5)
+    luma = rng.randint(0, 256, (16, 16), dtype=np.uint8)
+    px = np.stack([luma, luma, luma], axis=-1)  # gray content → flat chroma
+    a = J.decode_jpeg_pixels(J.build_jpeg_rgb(px, subsample=False)).astype(int)
+    b = J.decode_jpeg_pixels(J.build_jpeg_rgb(px, subsample=True)).astype(int)
+    assert np.abs(a - b).max() <= 2
