@@ -415,3 +415,47 @@ def resample_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     ys = np.minimum(((np.arange(height) + 0.5) * sh / height).astype(np.int64), sh - 1)
     xs = np.minimum(((np.arange(width) + 0.5) * sw / width).astype(np.int64), sw - 1)
     return arr[ys][:, xs]
+
+
+def audio_spectral_features(samples: np.ndarray, rate: int) -> dict:
+    """Real spectral features of a PCM clip (numpy rFFT — the DSP tier a
+    training pipeline filters audio on before an encoder): RMS level,
+    spectral centroid/rolloff(85%)/bandwidth in Hz, and zero-crossing
+    rate.  Multi-channel input is mixed down first.  Deterministic: for a
+    pure sine at f the centroid lands on f's bin (pinned in tests against
+    the analytic value)."""
+    if samples.ndim == 2:
+        x = samples.astype(np.float64).mean(axis=1)
+    else:
+        x = samples.astype(np.float64)
+    n = x.size
+    if n == 0:
+        return {
+            "rms": 0.0, "zcr": 0.0,
+            "spectral_centroid_hz": 0.0,
+            "spectral_rolloff_hz": 0.0,
+            "spectral_bandwidth_hz": 0.0,
+        }
+    rms = float(np.sqrt(np.mean(x * x)))
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0.0
+    mag = np.abs(np.fft.rfft(x))
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    power = mag * mag
+    total = power.sum()
+    if total <= 0:
+        return {
+            "rms": rms, "zcr": zcr,
+            "spectral_centroid_hz": 0.0,
+            "spectral_rolloff_hz": 0.0,
+            "spectral_bandwidth_hz": 0.0,
+        }
+    centroid = float((freqs * power).sum() / total)
+    cum = np.cumsum(power)
+    rolloff = float(freqs[int(np.searchsorted(cum, 0.85 * total))])
+    bandwidth = float(np.sqrt(((freqs - centroid) ** 2 * power).sum() / total))
+    return {
+        "rms": rms, "zcr": zcr,
+        "spectral_centroid_hz": centroid,
+        "spectral_rolloff_hz": rolloff,
+        "spectral_bandwidth_hz": bandwidth,
+    }

@@ -4307,14 +4307,16 @@ def multimodal_jpeg_decode_q(spark, sf_dir):
     # chain) — this entry takes the driver's rows-only check; the codec's
     # exactness is pinned layer-by-layer in tests/test_jpeg_codec.py
     # (lossless stages bit-exact, lossy stages analytically bounded).
-    # Same zero-shuffle mapInPandas shape as the PNG twin.
+    # Same zero-shuffle mapInPandas shape as the PNG twin.  Every third
+    # doc: pure-Python Huffman costs ~8 ms per 16×16 image — representative
+    # coverage at a third of the cost (the PNG twin decodes ALL docs).
     import numpy as _np
 
     from pyspark.sql import types as T
 
     from datafusion_bigtable_spark.functions.multimodal import extract_features
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") % 3 == 0)
     schema = T.StructType(
         [
             T.StructField("asset_id", T.LongType()),
@@ -4355,3 +4357,67 @@ def multimodal_jpeg_decode_q(spark, sf_dir):
         F.round("content_mean", 2).alias("px_mean"),
         F.round("content_std", 2).alias("px_std"),
     )
+
+
+@query(
+    "multimodal_audio_spectral",
+    """
+    SELECT doc_id,
+           8000 AS sample_rate,
+           CAST(200 + (doc_id % 30) * 100 AS BIGINT) AS freq_hz,
+           CAST(200 + (doc_id % 30) * 100 AS BIGINT) AS centroid_hz,
+           CAST(200 + (doc_id % 30) * 100 AS BIGINT) AS rolloff_hz
+    FROM documents
+    """,
+)
+def multimodal_audio_spectral_q(spark, sf_dir):
+    # REAL audio DSP through the Spark surface (r6): per doc a 1-second
+    # 16-bit PCM sine at a doc-derived frequency is built, containerized
+    # as WAV, decoded back, and run through the numpy rFFT spectral
+    # extractor (media_codecs.audio_spectral_features).  The oracle is
+    # ANALYTIC: a pure on-bin sine has all its power in one FFT bin, so
+    # the measured centroid and 85% rolloff must land exactly on the
+    # generator frequency after integer rounding — a wrong window, an
+    # off-by-one bin map, or a broken PCM decode all hash-mismatch.
+    # Zero-shuffle mapInPandas, like the image twins.
+    import numpy as _np
+
+    from pyspark.sql import types as T
+
+    from datafusion_bigtable_spark.functions.media_codecs import (
+        audio_spectral_features,
+        build_pcm_sine,
+        build_wav,
+        decode_wav_samples,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("freq_hz", T.LongType()),
+            T.StructField("centroid_hz", T.LongType()),
+            T.StructField("rolloff_hz", T.LongType()),
+        ]
+    )
+
+    def op(batches):
+        import pandas as pd
+
+        rate = 8000
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "sample_rate", "freq_hz", "centroid_hz", "rolloff_hz")}
+            for did in pdf["doc_id"]:
+                f = 200.0 + (int(did) % 30) * 100.0
+                wav = build_wav(rate, 1, build_pcm_sine(rate, 1, rate, freq=f))
+                samples, r = decode_wav_samples(wav)
+                feats = audio_spectral_features(samples, r)
+                rows["doc_id"].append(int(did))
+                rows["sample_rate"].append(r)
+                rows["freq_hz"].append(int(f))
+                rows["centroid_hz"].append(round(feats["spectral_centroid_hz"]))
+                rows["rolloff_hz"].append(round(feats["spectral_rolloff_hz"]))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(op, schema)

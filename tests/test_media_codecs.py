@@ -278,3 +278,51 @@ def test_png_full_mode_feature_extract(spark):
 
     r = resize_images(df, width=8, height=8, mode="full").collect()[0]
     assert r.src_width == 16 and r.src_height == 24 and len(r.resized) == 8 * 8 * 3
+
+
+# --- r6: audio spectral features (numpy rFFT) -----------------------------
+
+
+def test_spectral_features_pure_sine_analytic():
+    """A pure sine at f has all its power in f's bin: centroid == rolloff
+    == f (to bin resolution), bandwidth ≈ 0, RMS = A/√2, ZCR = 2f/rate."""
+    from datafusion_bigtable_spark.functions.media_codecs import (
+        audio_spectral_features,
+        build_pcm_sine,
+        build_wav,
+        decode_wav_samples,
+    )
+
+    rate, f, n = 8000, 440.0, 8000  # 1 s → 1 Hz bins, 440 exactly on-bin
+    body = build_pcm_sine(rate, 1, n, freq=f)
+    samples, got_rate = decode_wav_samples(build_wav(rate, 1, body))
+    assert got_rate == rate
+    feats = audio_spectral_features(samples, rate)
+    assert abs(feats["spectral_centroid_hz"] - f) < 1.0
+    assert abs(feats["spectral_rolloff_hz"] - f) < 1.0
+    assert feats["spectral_bandwidth_hz"] < 5.0
+    assert abs(feats["rms"] - 32000 / np.sqrt(2)) / (32000 / np.sqrt(2)) < 0.01
+    assert abs(feats["zcr"] - 2 * f / rate) < 0.01
+
+
+def test_spectral_features_two_tone_centroid_between():
+    """Equal-power tones at f1 and f2 → centroid at the midpoint."""
+    from datafusion_bigtable_spark.functions.media_codecs import audio_spectral_features
+
+    rate, n = 8000, 8000
+    t = np.arange(n) / rate
+    x = (np.sin(2 * np.pi * 400 * t) + np.sin(2 * np.pi * 1200 * t)) * 10000
+    feats = audio_spectral_features(x.astype("<i2"), rate)
+    assert abs(feats["spectral_centroid_hz"] - 800.0) < 5.0
+    assert 390 < feats["spectral_rolloff_hz"] <= 1210
+    # bandwidth ≈ |f2-f1|/2 = 400 for equal-power two-tone
+    assert abs(feats["spectral_bandwidth_hz"] - 400.0) < 10.0
+
+
+def test_spectral_features_empty_and_silence():
+    from datafusion_bigtable_spark.functions.media_codecs import audio_spectral_features
+
+    z = audio_spectral_features(np.zeros((0,), dtype=np.int16), 8000)
+    assert z["rms"] == 0.0 and z["spectral_centroid_hz"] == 0.0
+    s = audio_spectral_features(np.zeros((100, 2), dtype=np.int16), 8000)
+    assert s["rms"] == 0.0 and s["spectral_centroid_hz"] == 0.0

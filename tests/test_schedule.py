@@ -27,12 +27,12 @@ def test_registry_size_and_full_green_fold():
     # (interval_join_order_events, streaming_dedup_pairs,
     # streaming_enriched_counts, decontaminate_vs_benchmark,
     # text_chunk_documents, corpus_pack_sequences, streaming_attribution_join)
-    # + 12 r6 additions (text_repetition_signals, text_tfidf_top_terms,
+    # + 13 r6 additions (text_repetition_signals, text_tfidf_top_terms,
     # scd2_user_segments, corpus_shard_assign, text_pii_redaction,
     # embedding_normalize_trunc, fk_orphan_audit, numeric_histogram_prices,
     # zorder_bucket_counts, winsorize_prices, multimodal_png_decode,
-    # multimodal_jpeg_decode).
-    assert len(q.REGISTRY) == 113
+    # multimodal_jpeg_decode, multimodal_audio_spectral).
+    assert len(q.REGISTRY) == 114
     sched = q._schedule()
     for name in (n for n in q.REGISTRY if n not in q._LAST_GREEN):
         assert sched.index(name) < 50, f"new query {name} outside driver window"
