@@ -1697,6 +1697,8 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         f"{_PKG}.operators.rangejoin",  # µs-exact bucketing (ADVICE r5 high+medium)
         f"{_PKG}.streaming.cells_stream",  # per-read conf scoping (ADVICE r5 low)
         f"{_PKG}.sources.datasource",  # stream staging-dir GC (ADVICE r5 low)
+        f"{_PKG}.functions.media_codecs",  # decode_pixels dispatch gained PNG/JPEG
+        f"{_PKG}.functions.multimodal",  # full-mode gate now decodes PNG/JPEG
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset()

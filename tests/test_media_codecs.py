@@ -326,3 +326,49 @@ def test_spectral_features_empty_and_silence():
     assert z["rms"] == 0.0 and z["spectral_centroid_hz"] == 0.0
     s = audio_spectral_features(np.zeros((100, 2), dtype=np.int16), 8000)
     assert s["rms"] == 0.0 and s["spectral_centroid_hz"] == 0.0
+
+
+# --- r6: property-based codec hardening ------------------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        seed=st.integers(0, 2**31 - 1),
+        filt=st.lists(st.integers(0, 4), min_size=1, max_size=5),
+    )
+    def test_png_round_trip_property(w, h, seed, filt):
+        """Any size × any filter schedule × any pixels: PNG must round-trip
+        EXACTLY (the whole pipeline is lossless)."""
+        from datafusion_bigtable_spark.functions.media_codecs import (
+            build_png_rgb,
+            decode_png_pixels,
+        )
+
+        px = _rand_px(h, w, seed % 2**16)
+        assert np.array_equal(decode_png_pixels(build_png_rgb(px, filters=filt)), px)
+
+    @settings(max_examples=10, deadline=None)
+    @given(w=st.integers(1, 20), h=st.integers(1, 20), v=st.integers(0, 255), sub=st.booleans())
+    def test_jpeg_constant_image_property(w, h, v, sub):
+        """Constant images: only the DC coefficient survives, so round-trip
+        error is bounded by the DC quantization step regardless of size,
+        value, or subsampling."""
+        from datafusion_bigtable_spark.functions.jpeg_codec import (
+            build_jpeg_rgb,
+            decode_jpeg_pixels,
+        )
+
+        px = np.full((h, w, 3), v, dtype=np.uint8)
+        got = decode_jpeg_pixels(build_jpeg_rgb(px, subsample=sub))
+        assert got.shape == (h, w, 3)
+        assert int(np.abs(got.astype(int) - v).max()) <= 3

@@ -75,3 +75,15 @@ def test_zorder_prunes_secondary_dimension(spark, sf_dir):
     zp, _ = _touched(zdf, "l_orderkey", *band1)
     # primary-dim pruning survives (degraded, not destroyed)
     assert zp < z_n
+
+
+def test_zvalue_degenerate_bounds(spark):
+    """A constant column (hi == lo) codes to 0 everywhere — z-order
+    degrades gracefully to a sort on the remaining dimensions instead of
+    dividing by zero."""
+    df = spark.createDataFrame([(5, 1), (5, 2), (5, 3)], "a long, b long")
+    out = df.select(
+        zvalue([(F.col("a"), 5, 5), (F.col("b"), 1, 3)], bits=4).alias("z")
+    ).collect()
+    zs = sorted(r.z for r in out)
+    assert zs == sorted(zs) and len(set(zs)) == 3  # b still separates
