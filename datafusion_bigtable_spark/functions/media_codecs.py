@@ -289,7 +289,17 @@ def decode_png_pixels(b: bytes) -> np.ndarray | None:
     color type 0 (gray, replicated to RGB), 2 (RGB) or 6 (RGBA, alpha
     dropped), no interlace — the overwhelmingly common case.  Anything
     else returns None (JPEG's DCT+Huffman remains the genuinely
-    PIL-gated residue)."""
+    PIL-gated residue).  Malformed/truncated containers return None,
+    never raise — a poison payload must not kill the Arrow batch (a
+    declared chunk length past the buffer end would otherwise surface as
+    struct.error on the IHDR unpack)."""
+    try:
+        return _decode_png(b)
+    except (ValueError, IndexError, struct.error):
+        return None
+
+
+def _decode_png(b: bytes) -> np.ndarray | None:
     import zlib
 
     if len(b) < 33 or not b.startswith(PNG_SIG):

@@ -372,3 +372,58 @@ if _HYP:
         got = decode_jpeg_pixels(build_jpeg_rgb(px, subsample=sub))
         assert got.shape == (h, w, 3)
         assert int(np.abs(got.astype(int) - v).max()) <= 3
+
+
+def test_decoder_fuzz_never_crashes():
+    """Poison-payload robustness: at 100 TB some payloads WILL be
+    corrupt, and a decoder that raises an uncaught error or hangs kills
+    the whole Arrow batch.  Mutated/truncated containers must decode to
+    an array or None — nothing else."""
+    from datafusion_bigtable_spark.functions.jpeg_codec import build_jpeg_rgb
+    from datafusion_bigtable_spark.functions.media_codecs import (
+        build_bmp,
+        build_png_rgb,
+        build_ppm,
+        build_wav,
+        build_pcm_sine,
+        decode_pixels,
+        decode_wav_samples,
+        parse_media,
+    )
+
+    rng = np.random.RandomState(7)
+    px = _rand_px(12, 9, 11)
+    seeds = [
+        build_png_rgb(px, filters=[0, 1, 2, 3, 4]),
+        build_jpeg_rgb(px),
+        build_jpeg_rgb(px, subsample=True),
+        build_bmp(9, 12, px),
+        build_ppm(9, 12, px),
+        build_wav(8000, 1, build_pcm_sine(8000, 1, 256)),
+    ]
+    for seed in seeds:
+        for _ in range(40):
+            b = bytearray(seed)
+            for _ in range(rng.randint(1, 6)):
+                b[rng.randint(0, len(b))] = rng.randint(0, 256)
+            if rng.rand() < 0.3:
+                b = b[: rng.randint(0, len(b))]
+            payload = bytes(b)
+            out = decode_pixels(payload)
+            assert out is None or isinstance(out, np.ndarray)
+            wav = decode_wav_samples(payload)
+            assert wav is None or isinstance(wav[0], np.ndarray)
+            assert isinstance(parse_media(payload), dict)
+
+
+def test_png_truncated_chunk_length_returns_none():
+    """A declared chunk length pointing past the buffer must return None,
+    not raise — the exact poison shape random fuzz rarely hits."""
+    from datafusion_bigtable_spark.functions.media_codecs import (
+        PNG_SIG,
+        decode_png_pixels,
+    )
+    import struct
+
+    evil = PNG_SIG + struct.pack(">I", 1000) + b"IHDR" + b"\x00" * 4  # len >> data
+    assert decode_png_pixels(evil) is None
