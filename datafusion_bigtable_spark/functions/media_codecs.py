@@ -11,13 +11,15 @@ documented header layouts that plain Python parses fine:
 - WAV:  RIFF/WAVE + ``fmt `` chunk (channels/sample-rate little-endian).
 - BMP:  BITMAPFILEHEADER + BITMAPINFOHEADER (width/height LE at 18/22).
 - PPM:  ``P6`` ASCII header (width height maxval).
+- GIF:  GIF87a/89a logical screen descriptor (width/height LE at 6/8).
 
 **Pixel tier** (uncompressed containers only): BMP, PPM and WAV PCM store
 their samples raw, so numpy decodes REAL pixels/samples with no PIL or
 ffmpeg — ``decode_pixels`` returns an (h, w, 3) uint8 array,
 ``decode_wav_samples`` an (n, channels) int16 array, and
 ``resample_nearest`` is a real nearest-neighbor image resampler.
-Baseline JPEG (incl. 4:2:0/4:2:2) decodes natively too (functions/jpeg_codec.py);
+Baseline JPEG (incl. 4:2:0/4:2:2) decodes natively too (functions/jpeg_codec.py),
+as do single-frame GIFs (real LZW, ``decode_gif_pixels``);
 only out-of-profile JPEG (progressive, >2×2 sampling) stays behind the
 honest ``NotImplementedError`` gate in functions/multimodal.py.
 
@@ -176,7 +178,7 @@ def parse_ppm(b: bytes) -> dict | None:
 def parse_media(b: bytes) -> dict:
     """Sniff-by-magic header parse; unknown containers come back as
     octet-stream with no typed metadata."""
-    for parser in (parse_png, parse_jpeg, parse_wav, parse_bmp, parse_ppm):
+    for parser in (parse_png, parse_jpeg, parse_wav, parse_bmp, parse_ppm, parse_gif):
         meta = parser(b)
         if meta is not None:
             return meta
@@ -387,6 +389,8 @@ def decode_pixels(b: bytes) -> np.ndarray | None:
         from datafusion_bigtable_spark.functions.jpeg_codec import decode_jpeg_pixels
 
         return decode_jpeg_pixels(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(b)
     return None
 
 
@@ -469,3 +473,179 @@ def audio_spectral_features(samples: np.ndarray, rate: int) -> dict:
         "spectral_rolloff_hz": rolloff,
         "spectral_bandwidth_hz": bandwidth,
     }
+
+
+# --- GIF (LZW) -------------------------------------------------------------
+
+
+def build_gif_rgb(pixels: np.ndarray) -> bytes:
+    """Spec-valid GIF89a, single frame, global palette (≤256 distinct
+    colors required — GIF is palette-indexed), real LZW compression with
+    variable-width codes, clear/EOI, and 255-byte sub-blocks."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape[:2]
+    flat = px.reshape(-1, 3)
+    colors, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"GIF needs ≤256 colors, got {len(colors)}")
+    # palette size = next power of two ≥ max(2, n)
+    bits = max(1, int(np.ceil(np.log2(max(2, len(colors))))))
+    pal = np.zeros((1 << bits, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0])  # GCT flag+sizes
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"  # image descriptor
+
+    min_code = max(2, bits)
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    codes: list[tuple[int, int]] = []  # (code, width)
+    width = min_code + 1
+    table = {(i,): i for i in range(1 << min_code)}
+    next_code = eoi + 1
+    codes.append((clear, width))
+    seq: tuple = ()
+    for idx in inv.tolist():
+        cand = seq + (idx,)
+        if cand in table:
+            seq = cand
+            continue
+        codes.append((table[seq], width))
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        elif next_code > 4096:
+            codes.append((clear, width))
+            table = {(i,): i for i in range(1 << min_code)}
+            next_code = eoi + 1
+            width = min_code + 1
+        seq = (idx,)
+    if seq:
+        codes.append((table[seq], width))
+    codes.append((eoi, width))
+
+    # LSB-first bit packing
+    acc = n = 0
+    data = bytearray()
+    for code, cw in codes:
+        acc |= code << n
+        n += cw
+        while n >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        data.append(acc & 0xFF)
+
+    out += bytes([min_code])
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def parse_gif(b: bytes) -> dict | None:
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", b[6:10])
+    return {"mime": "image/gif", "width": w, "height": h}
+
+
+def decode_gif_pixels(b: bytes) -> np.ndarray | None:
+    """(h, w, 3) uint8 RGB from a single-frame, non-interlaced GIF with a
+    global color table — real LZW decode (variable-width codes, clear/EOI,
+    table growth to 4096).  Interlaced or local-palette frames return
+    None; malformed input returns None, never raises."""
+    try:
+        return _decode_gif(b)
+    except (ValueError, IndexError, struct.error):
+        return None
+
+
+def _decode_gif(b: bytes) -> np.ndarray | None:
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", b[6:10])
+    flags = b[10]
+    if not flags & 0x80:
+        return None  # no global color table
+    gct_n = 2 << (flags & 0x07)
+    i = 13
+    pal = np.frombuffer(b, np.uint8, gct_n * 3, i).reshape(gct_n, 3)
+    i += gct_n * 3
+    # skip extension blocks to the first image descriptor
+    while i < len(b):
+        blk = b[i]
+        if blk == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(b) and b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+        elif blk == 0x2C:
+            break
+        else:
+            return None
+    ix, iy, iw, ih = struct.unpack("<HHHH", b[i + 1 : i + 9])
+    iflags = b[i + 9]
+    if iflags & 0xC0:  # local palette or interlace: out of profile
+        return None
+    i += 10
+    min_code = b[i]
+    i += 1
+    data = bytearray()
+    while i < len(b) and b[i] != 0:
+        ln = b[i]
+        data += b[i + 1 : i + 1 + ln]
+        i += 1 + ln
+
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    acc = n = pos = 0
+    table: list[bytes] = [bytes([c]) for c in range(1 << min_code)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+
+    def read_code():
+        nonlocal acc, n, pos
+        while n < width:
+            if pos >= len(data):
+                return None
+            acc |= data[pos] << n
+            pos += 1
+            n += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n -= width
+        return code
+
+    while True:
+        code = read_code()
+        if code is None or code == eoi:
+            break
+        if code == clear:
+            table = [bytes([c]) for c in range(1 << min_code)] + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            return None
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < iw * ih:
+        return None
+    idx = np.frombuffer(bytes(out[: iw * ih]), np.uint8)
+    if idx.max(initial=0) >= len(pal):
+        return None
+    return pal[idx].reshape(ih, iw, 3).copy()

@@ -401,6 +401,10 @@ def test_decoder_fuzz_never_crashes():
         build_ppm(9, 12, px),
         build_wav(8000, 1, build_pcm_sine(8000, 1, 256)),
     ]
+    from datafusion_bigtable_spark.functions.media_codecs import build_gif_rgb
+
+    gif_pal = _rand_px(4, 4, 13).reshape(16, 3)
+    seeds.append(build_gif_rgb(gif_pal[np.random.RandomState(14).randint(0, 16, (12, 9))]))
     for seed in seeds:
         for _ in range(40):
             b = bytearray(seed)
@@ -427,3 +431,66 @@ def test_png_truncated_chunk_length_returns_none():
 
     evil = PNG_SIG + struct.pack(">I", 1000) + b"IHDR" + b"\x00" * 4  # len >> data
     assert decode_png_pixels(evil) is None
+
+
+# --- r6: GIF (LZW) codec ---------------------------------------------------
+
+
+def test_gif_round_trip_exact():
+    """GIF is lossless for palette-limited images: full LZW round-trip
+    (variable code widths, clear/EOI, sub-blocks) must be bit-exact."""
+    from datafusion_bigtable_spark.functions.media_codecs import (
+        build_gif_rgb,
+        decode_gif_pixels,
+        parse_media,
+    )
+
+    rng = np.random.RandomState(9)
+    pal = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    px = pal[rng.randint(0, 16, (23, 17))]
+    g = build_gif_rgb(px)
+    assert np.array_equal(decode_gif_pixels(g), px)
+    assert parse_media(g) == {"mime": "image/gif", "width": 17, "height": 23}
+    # 2-color and 256-color edges; enough data to force code-width growth
+    bw = np.zeros((40, 40, 3), np.uint8)
+    bw[::2] = 255
+    assert np.array_equal(decode_gif_pixels(build_gif_rgb(bw)), bw)
+    pal256 = rng.randint(0, 256, (256, 3), dtype=np.uint8)
+    big = pal256[rng.randint(0, 256, (64, 64))]
+    assert np.array_equal(decode_gif_pixels(build_gif_rgb(big)), big)
+
+
+def test_gif_too_many_colors_rejected():
+    from datafusion_bigtable_spark.functions.media_codecs import build_gif_rgb
+    import pytest as _pt
+
+    rng = np.random.RandomState(10)
+    with _pt.raises(ValueError, match="256 colors"):
+        build_gif_rgb(rng.randint(0, 256, (32, 32, 3), dtype=np.uint8))
+
+
+def test_gif_interlaced_refused():
+    from datafusion_bigtable_spark.functions.media_codecs import (
+        build_gif_rgb,
+        decode_gif_pixels,
+    )
+
+    px = np.zeros((8, 8, 3), np.uint8)
+    g = bytearray(build_gif_rgb(px))
+    i = g.find(b"\x2c")  # image descriptor
+    g[i + 9] |= 0x40  # set interlace flag
+    assert decode_gif_pixels(bytes(g)) is None
+
+
+def test_gif_through_spark_full_mode(spark):
+    from datafusion_bigtable_spark.functions.media_codecs import build_gif_rgb
+    from datafusion_bigtable_spark.functions.multimodal import extract_features
+
+    px = np.full((12, 10, 3), 77, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, "image/gif", bytearray(build_gif_rgb(px)))],
+        "asset_id long, mime string, payload binary",
+    )
+    row = extract_features(df, mode="full").collect()[0]
+    assert row.mime == "image/gif" and row.width == 10 and row.height == 12
+    assert row.content_mean == 77.0 and row.content_std == 0.0
