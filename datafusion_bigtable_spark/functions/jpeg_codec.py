@@ -33,6 +33,12 @@ import struct
 
 import numpy as np
 
+# Decode-side allocation guard: planes are float64, so a declared h×w×3
+# costs ~24·h·w bytes before any entropy data is read.  64 MPix (~1.5 GB
+# of planes) is far beyond any fixture yet bounds a poison SOF claiming
+# 65535×65535 (≈100 GB) to a refusal instead of an executor OOM.
+MAX_DECODE_PIXELS = 64 * 1024 * 1024
+
 # --- spec constants (ITU T.81 Annex K) -------------------------------------
 
 ZIGZAG = np.array(
@@ -446,7 +452,7 @@ def decode_jpeg_pixels(b: bytes) -> np.ndarray | None:
     bench fixtures) also return None, never raise."""
     try:
         return _decode_jpeg(b)
-    except (ValueError, IndexError, struct.error):
+    except (ValueError, IndexError, struct.error, MemoryError):
         return None
 
 
@@ -497,6 +503,11 @@ def _decode_jpeg(b: bytes) -> np.ndarray | None:
             if payload[0] != 8:
                 return None
             h, w = struct.unpack(">HH", payload[1:5])
+            if h == 0 or w == 0 or h * w > MAX_DECODE_PIXELS:
+                # A poison SOF can declare up to 65535×65535×3 ≈ 100+ GB of
+                # planes before a single entropy byte exists; refuse rather
+                # than let the allocation OOM the executor.
+                return None
             n = payload[5]
             comps = []
             for c in range(n):

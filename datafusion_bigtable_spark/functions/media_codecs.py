@@ -35,6 +35,12 @@ import numpy as np
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+# Allocation guard shared by the pixel decoders: declared dimensions are
+# attacker-controlled (PNG IHDR is 32-bit, GIF 16-bit) and arrive before
+# any pixel data, so cap the pixel count a decoder will materialize.
+# Matches jpeg_codec.MAX_DECODE_PIXELS.
+MAX_DECODE_PIXELS = 64 * 1024 * 1024
+
 
 # --- builders (deterministic; body bytes are caller-supplied) -------------
 
@@ -331,12 +337,18 @@ def _decode_png(b: bytes) -> np.ndarray | None:
         i += 12 + clen
     if not w or not h or not idat:
         return None
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error:
+    if w * h > MAX_DECODE_PIXELS:
         return None
     stride = w * channels
-    if len(raw) < h * (stride + 1):
+    need = h * (stride + 1)
+    # Bounded inflate: dims are known from IHDR, so never expand a
+    # zip-bomb IDAT past the raster size it claims to fill (+1 byte to
+    # detect overlong streams without materializing them).
+    try:
+        raw = zlib.decompressobj().decompress(bytes(idat), need + 1)
+    except zlib.error:
+        return None
+    if len(raw) < need:
         return None
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
@@ -593,6 +605,8 @@ def _decode_gif(b: bytes) -> np.ndarray | None:
     iflags = b[i + 9]
     if iflags & 0xC0:  # local palette or interlace: out of profile
         return None
+    if iw == 0 or ih == 0 or iw * ih > MAX_DECODE_PIXELS:
+        return None
     i += 10
     min_code = b[i]
     i += 1
@@ -638,6 +652,8 @@ def _decode_gif(b: bytes) -> np.ndarray | None:
         else:
             return None
         out += entry
+        if len(out) >= iw * ih:
+            break  # raster full — ignore trailing codes, never out-grow it
         if prev is not None:
             table.append(prev + entry[:1])
             if len(table) == (1 << width) and width < 12:

@@ -25,14 +25,19 @@ from pyspark.sql import DataFrame, functions as F
 
 def exact_percentile(df: DataFrame, col: str, p: float, n: int | None = None) -> float:
     """Exact linear-interpolated quantile of a numeric column, computed as
-    an order statistic (see module doc).  ``n`` (the row count) can be
-    passed to avoid a recount when the caller already has it."""
+    an order statistic (see module doc).  Nulls are ignored, matching
+    Spark ``percentile`` / DuckDB ``quantile_cont`` (ascending orderBy
+    puts nulls FIRST in Spark, so counting them would shift the
+    quantile or interpolate against None).  ``n`` (the NON-NULL row
+    count) can be passed to avoid a recount when the caller already has
+    it."""
     if not 0.0 <= p <= 1.0:
         raise ValueError(f"p must be in [0, 1], got {p}")
+    df = df.filter(F.col(col).isNotNull())
     if n is None:
         n = df.count()
     if n == 0:
-        raise ValueError("exact_percentile of an empty frame")
+        raise ValueError("exact_percentile of an empty or all-null column")
     pos = p * (n - 1)
     k = math.floor(pos)
     frac = pos - k

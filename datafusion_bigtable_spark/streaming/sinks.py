@@ -159,10 +159,14 @@ def latest_wins_view(
         state.update(
             tuple(vals[c] for c in value_cols) + tuple(tss[c] for c in value_cols)
         )
-        last = max(t for t in tss.values() if t is not None)
+        non_null_ts = [t for t in tss.values() if t is not None]
+        if not non_null_ts:
+            # A key's first-ever batch can be all-null in every value
+            # column: state stays empty-ish, nothing to emit yet.
+            return
         row = {k: v for k, v in zip(key_cols, key)}
         row.update({c: vals[c] for c in value_cols})
-        row["_last_ts"] = last
+        row["_last_ts"] = max(non_null_ts)
         yield pd.DataFrame([row])
 
     return rows.select(*key_cols, ts_col, *value_cols).groupBy(

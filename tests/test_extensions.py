@@ -606,3 +606,17 @@ def test_exact_percentile_matches_spark_percentile(spark, sf_dir):
         want = li.agg(F.expr(f"percentile(l_extendedprice, {p}d)")).first()[0]
         got = exact_percentile(li, "l_extendedprice", p, n)
         assert got == want, (p, got, want)
+
+
+def test_exact_percentile_ignores_nulls(spark):
+    """r6 ADVICE: ascending orderBy puts nulls FIRST in Spark, so nulls in
+    the column used to shift the order statistic or interpolate against
+    None.  Must match Spark percentile (null-ignoring) exactly, including
+    when the caller passes a stale total row count."""
+    from datafusion_bigtable_spark.operators.stats import exact_percentile
+
+    vals = [(float(v),) for v in range(100)] + [(None,)] * 17
+    df = spark.createDataFrame(vals, "x double")
+    for p in (0.0, 0.02, 0.98, 1.0):
+        want = df.agg(F.expr(f"percentile(x, {p}d)")).first()[0]
+        assert exact_percentile(df, "x", p) == want, p

@@ -199,3 +199,25 @@ def test_jpeg_420_vs_444_consistency():
     a = J.decode_jpeg_pixels(J.build_jpeg_rgb(px, subsample=False)).astype(int)
     b = J.decode_jpeg_pixels(J.build_jpeg_rgb(px, subsample=True)).astype(int)
     assert np.abs(a - b).max() <= 2
+
+
+def test_jpeg_poison_sof_dims_refused():
+    """r6 ADVICE: a ~200-byte JPEG declaring 65535×65535 in SOF0 used to
+    allocate ~100 GB of float64 planes before any entropy data existed.
+    Now the SOF parse refuses dimensions above MAX_DECODE_PIXELS (and
+    decode_jpeg_pixels additionally catches MemoryError)."""
+    import struct
+
+    import numpy as np
+
+    from datafusion_bigtable_spark.functions.jpeg_codec import (
+        build_jpeg_rgb,
+        decode_jpeg_pixels,
+    )
+
+    good = build_jpeg_rgb(np.zeros((8, 8, 3), dtype=np.uint8))
+    i = good.index(b"\xff\xc0")
+    evil = bytearray(good)
+    evil[i + 5 : i + 9] = struct.pack(">HH", 65535, 65535)  # h, w after precision
+    assert decode_jpeg_pixels(bytes(evil)) is None
+    assert decode_jpeg_pixels(good) is not None  # sanity: patch site was right

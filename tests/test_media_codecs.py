@@ -494,3 +494,102 @@ def test_gif_through_spark_full_mode(spark):
     row = extract_features(df, mode="full").collect()[0]
     assert row.mime == "image/gif" and row.width == 10 and row.height == 12
     assert row.content_mean == 77.0 and row.content_std == 0.0
+
+
+# --- r7: allocation guards on attacker-controlled dimensions ---------------
+
+
+def test_png_zip_bomb_idat_bounded():
+    """r6 ADVICE: IDAT inflation is now bounded by the IHDR-declared raster
+    size — a small IDAT that would inflate to ~512 MB must not expand past
+    the 8×8 raster it claims to fill (the decode itself still succeeds on
+    the prefix, matching the old overlong-stream tolerance)."""
+    import struct
+    import zlib
+
+    from datafusion_bigtable_spark.functions.media_codecs import (
+        PNG_SIG,
+        _png_chunk,
+        decode_png_pixels,
+    )
+
+    bomb = zlib.compress(b"\x00" * (512 * 1024 * 1024), 9)  # ~512 KB compressed
+    ihdr = struct.pack(">II", 8, 8) + bytes([8, 2, 0, 0, 0])
+    evil = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", bomb)
+        + _png_chunk(b"IEND", b"")
+    )
+    out = decode_png_pixels(evil)
+    assert out is not None and out.shape == (8, 8, 3) and not out.any()
+
+
+def test_png_giant_declared_dims_refused():
+    """A 4-billion-pixel IHDR must be refused before any allocation."""
+    import struct
+
+    from datafusion_bigtable_spark.functions.media_codecs import (
+        PNG_SIG,
+        _png_chunk,
+        decode_png_pixels,
+    )
+
+    ihdr = struct.pack(">II", 65535, 65535) + bytes([8, 2, 0, 0, 0])
+    evil = PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", b"x") + _png_chunk(b"IEND", b"")
+    assert decode_png_pixels(evil) is None
+
+
+def _gif_descriptor_offset(b: bytes) -> int:
+    """Walk header + global color table + extensions to the 0x2C image
+    descriptor (a bare .index would false-hit 0x2C palette bytes)."""
+    gct_n = 2 << (b[10] & 0x07)
+    i = 13 + gct_n * 3
+    while b[i] == 0x21:
+        i += 2
+        while b[i] != 0:
+            i += 1 + b[i]
+        i += 1
+    assert b[i] == 0x2C
+    return i
+
+
+def test_gif_lzw_output_capped_at_raster():
+    """r6 ADVICE: LZW decode stops at iw*ih bytes — a descriptor patched
+    down to 4×4 over a 64×64 image's LZW stream decodes the 4×4 prefix
+    instead of materializing the full 4096-byte raster."""
+    import struct
+
+    import numpy as np
+
+    from datafusion_bigtable_spark.functions.media_codecs import (
+        build_gif_rgb,
+        decode_gif_pixels,
+    )
+
+    pal = np.arange(48, dtype=np.uint8).reshape(16, 3)
+    rng = np.random.RandomState(7)
+    full = build_gif_rgb(pal[rng.randint(0, 16, (64, 64))])
+    i = _gif_descriptor_offset(full)
+    evil = bytearray(full)
+    evil[i + 5 : i + 9] = struct.pack("<HH", 4, 4)
+    out = decode_gif_pixels(bytes(evil))
+    assert out is not None and out.shape == (4, 4, 3)
+
+
+def test_gif_giant_declared_dims_refused():
+    import struct
+
+    import numpy as np
+
+    from datafusion_bigtable_spark.functions.media_codecs import (
+        build_gif_rgb,
+        decode_gif_pixels,
+    )
+
+    pal = np.zeros((2, 3), dtype=np.uint8)
+    full = build_gif_rgb(pal[np.zeros((4, 4), dtype=np.int64)])
+    i = _gif_descriptor_offset(full)
+    evil = bytearray(full)
+    evil[i + 5 : i + 9] = struct.pack("<HH", 65535, 65535)
+    assert decode_gif_pixels(bytes(evil)) is None

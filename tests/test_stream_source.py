@@ -300,3 +300,47 @@ def test_latest_wins_view_matches_batch_latest(registered, cells_path, tmp_path)
         assert want[k][0] >= 95000 and want[k][1] is not None
     finally:
         q.stop()
+
+
+def test_latest_wins_view_all_null_first_batch(registered, cells_path, tmp_path):
+    """r6 ADVICE: a key whose first-ever micro-batch carries only rows with
+    every tracked value column NULL (here: tracking ["temperature"] while
+    the arriving rows are pressure-only) used to hit max() over an empty
+    generator and kill the streaming query.  Now: no emit until a non-null
+    value arrives, then the normal current-row emit."""
+    from datafusion_bigtable_spark.streaming.sinks import latest_wins_view
+
+    dest = str(tmp_path / "lw_nulls_store")
+    src = registered.read.format("bigtable").options(path=cells_path, **OPTS).load()
+    # first batch: ONE key, pressure-only (temperature NULL in the pivot row)
+    first = src.filter("event_minute = '2021-03-05-1200'").selectExpr(
+        "region", "balloon_id", "event_minute", "_timestamp",
+        "pressure", "CAST(NULL AS STRING) AS temperature",
+    ).limit(1)
+    first.write.format("bigtable").options(path=dest, **OPTS).mode("append").save()
+
+    keys = ["region", "balloon_id", "event_minute"]
+    stream = registered.readStream.format("bigtable").options(path=dest, **OPTS).load()
+    view = latest_wins_view(stream, keys, ["temperature"])
+    q = (
+        view.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_lw_nulls")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # pre-fix: ValueError kills the query here
+        assert registered.table("t_lw_nulls").count() == 0  # nothing to say yet
+
+        upd = first.selectExpr(
+            "region", "balloon_id", "event_minute",
+            "_timestamp + INTERVAL 1 HOUR AS _timestamp",
+            "CAST(NULL AS BIGINT) AS pressure", "'warm' AS temperature",
+        )
+        upd.write.format("bigtable").options(path=dest, **OPTS).mode("append").save()
+        q.processAllAvailable()
+        rows = registered.table("t_lw_nulls").collect()
+        assert [r.temperature for r in rows] == ["warm"]
+        assert rows[0]._last_ts is not None
+    finally:
+        q.stop()
