@@ -4298,27 +4298,49 @@ def multimodal_png_decode_q(spark, sf_dir):
     )
 
 
-@query("multimodal_jpeg_decode", None)
+@query(
+    "multimodal_jpeg_decode",
+    """
+    WITH v AS (
+      SELECT doc_id,
+             list_transform(range(0, 4), b ->
+               2 * ((doc_id * (3 + b) + 17 * b) % 128)) AS vals
+      FROM documents),
+    m AS (SELECT doc_id, list_sum(vals) / 4.0 AS mu,
+                 list_sum(list_transform(vals, x -> x * x)) / 4.0 AS m2 FROM v)
+    SELECT doc_id, 16 AS width, 16 AS height,
+           ROUND(mu, 2) AS px_mean, ROUND(sqrt(m2 - mu * mu), 2) AS px_std
+    FROM m
+    """,
+)
 def multimodal_jpeg_decode_q(spark, sf_dir):
-    # Baseline JPEG decode through the Spark surface (r6,
+    # Baseline JPEG decode through the Spark surface (r6, exact oracle r7;
     # functions/jpeg_codec.py — full Huffman+IDCT in numpy; no PIL): per
-    # doc a spec-valid 4:4:4 JPEG is encoded from a deterministic smooth
-    # gradient (seeded by doc_id), shipped as a binary column, and decoded
-    # by extract_features(mode="full").  JPEG is LOSSY, so no exact SQL
-    # oracle exists (the expected stats depend on the full DCT+quant
-    # chain) — this entry takes the driver's rows-only check; the codec's
-    # exactness is pinned layer-by-layer in tests/test_jpeg_codec.py
-    # (lossless stages bit-exact, lossy stages analytically bounded).
-    # Same zero-shuffle mapInPandas shape as the PNG twin.  Every third
-    # doc: pure-Python Huffman costs ~8 ms per 16×16 image — representative
-    # coverage at a third of the cost (the PNG twin decodes ALL docs).
+    # doc a spec-valid 4:2:0 JPEG is encoded from doc_id-derived pixels,
+    # shipped as a binary column, and decoded by
+    # extract_features(mode="full").  JPEG is lossy in general, so the
+    # images are chosen INSIDE the quantization lattice: four flat 8×8
+    # gray blocks per 16×16 image, values even.  A flat block's FDCT is
+    # DC-only with DC = 8·(v−128); luma Q00 = 16, so the quantized DC is
+    # (v−128)/2 exactly when v is even and dequant+IDCT reproduces v
+    # bit-for-bit (gray ⇒ chroma planes are flat 128 ⇒ DC 0 ⇒ exact
+    # through 2×2 downsample, replication upsample, and the YCbCr↔RGB
+    # round trip — verified exhaustively in tests/test_jpeg_codec.py).
+    # The bitstream still exercises the real decode machinery: Huffman DC
+    # categories both signs via cross-block DC prediction, EOB AC coding,
+    # byte-stuffing, the interleaved 4:2:0 MCU walk, and upsampling.
+    # Pixel mean/std are then closed-form in the four block values, so the
+    # DuckDB oracle recomputes them arithmetically from doc_id — the stats
+    # are EXACT doubles on both sides (all intermediates are dyadic
+    # rationals below 2^53), not approximately-rounded agreement.  Same
+    # zero-shuffle mapInPandas shape as the PNG twin, all docs.
     import numpy as _np
 
     from pyspark.sql import types as T
 
     from datafusion_bigtable_spark.functions.multimodal import extract_features
 
-    docs = load(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") % 3 == 0)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
     schema = T.StructType(
         [
             T.StructField("asset_id", T.LongType()),
@@ -4335,16 +4357,12 @@ def multimodal_jpeg_decode_q(spark, sf_dir):
         for pdf in batches:
             payloads = []
             for did in pdf["doc_id"]:
-                base = int(did) % 200
-                y, x = _np.mgrid[0:16, 0:16]
-                px = _np.stack(
-                    [
-                        ((x * 3 + base) % 256),
-                        ((y * 5 + base) % 256),
-                        ((x + y + base) % 256),
-                    ],
-                    axis=-1,
-                ).astype(_np.uint8)
+                did = int(did)
+                px = _np.zeros((16, 16, 3), dtype=_np.uint8)
+                for b in range(4):
+                    v = 2 * ((did * (3 + b) + 17 * b) % 128)
+                    r, c = divmod(b, 2)
+                    px[r * 8 : (r + 1) * 8, c * 8 : (c + 1) * 8, :] = v
                 # 4:2:0 — the real-world-default subsampled MCU layout
                 payloads.append(build_jpeg_rgb(px, subsample=True))
             yield pd.DataFrame(
