@@ -56,6 +56,7 @@ def main() -> None:
         .option("column_family", "measurements")
         .option("columns", "pressure:int64,temperature:string")
         .option("table_partition_cols", "_row_key")
+        .option("allow_full_scan", "true")
         .load()
         .write.format("noop")
         .mode("overwrite")

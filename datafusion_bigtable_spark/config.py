@@ -71,7 +71,10 @@ class BigtableTableConfig:
     project: str = "local"
     instance: str = "local"
     cells_path: str | None = None
-    allow_full_scan: bool = True
+    #: Reference posture (composer.rs:72-77): an unfiltered scan of a
+    #: 100 TB store is refused by DEFAULT; pass allow_full_scan=True as a
+    #: loud opt-in for genuinely-small tables or offline batch sweeps.
+    allow_full_scan: bool = False
     #: optional logical type per key component ("string" | "int64").  The
     #: reference deliberately restricts key literals to strings
     #: (composer.rs:175); "int64" is the extension: the component is stored

@@ -934,6 +934,7 @@ def bt_ts_range_q(spark, sf_dir):
         .option("column_family", "events")
         .option("columns", "etype:string,cents:int64")
         .option("table_partition_cols", "uid,eid")
+        .option("allow_full_scan", "true")  # deliberate: no key predicate — ts/value pushdown over the whole store
         .option("only_read_latest", "false")
         .load()
         .filter(
@@ -1044,6 +1045,7 @@ def bt_value_filter_q(spark, sf_dir):
         .option("column_family", "events")
         .option("columns", "etype:string,cents:int64")
         .option("table_partition_cols", "uid,eid")
+        .option("allow_full_scan", "true")  # deliberate: no key predicate — ts/value pushdown over the whole store
         .option("only_read_latest", "false")
         .load()
         .filter("cents >= 2000 AND etype = 'click'")
@@ -1113,6 +1115,7 @@ def bt_value_regex_q(spark, sf_dir):
         .option("column_family", "events")
         .option("columns", "etype:string,cents:int64")
         .option("table_partition_cols", "uid,eid")
+        .option("allow_full_scan", "true")  # deliberate: no key predicate — ts/value pushdown over the whole store
         .option("only_read_latest", "false")
         .load()
         .filter("etype LIKE '%ick%'")

@@ -109,7 +109,7 @@ def _config_from_options(options) -> BigtableTableConfig:
         table_partition_separator=opt("table_partition_separator", DEFAULT_SEPARATOR),
         only_read_latest=(opt("only_read_latest", "true").lower() == "true"),
         cells_path=path,
-        allow_full_scan=(opt("allow_full_scan", "true").lower() == "true"),
+        allow_full_scan=(opt("allow_full_scan", "false").lower() == "true"),
         key_types=key_types,
     )
 
@@ -1015,6 +1015,14 @@ class BigtableStreamReader(DataSourceStreamReader):
 
     def __init__(self, schema, options):
         self.config = _config_from_options(options)
+        # The full-scan refusal (config.allow_full_scan, default False)
+        # guards against accidental unbounded BATCH sweeps; a stream
+        # micro-batch is bounded by its offsets (only files in end−start),
+        # so the refusal does not apply here.
+        if not self.config.allow_full_scan:
+            import dataclasses
+
+            self.config = dataclasses.replace(self.config, allow_full_scan=True)
         if self.config.only_read_latest:
             raise ValueError(
                 "streaming cells source requires only_read_latest=false — "

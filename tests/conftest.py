@@ -34,6 +34,7 @@ def simple_config(cells_path) -> BigtableTableConfig:
         table_partition_cols=("_row_key",),
         only_read_latest=True,
         cells_path=cells_path,
+        allow_full_scan=True,  # tiny golden fixture; default refusal pinned in test_datasource
     )
 
 
@@ -47,6 +48,7 @@ def composite_config(cells_path) -> BigtableTableConfig:
         table_partition_cols=("region", "balloon_id", "event_minute"),
         only_read_latest=True,
         cells_path=cells_path,
+        allow_full_scan=True,  # tiny golden fixture; default refusal pinned in test_datasource
     )
 
 

@@ -36,6 +36,7 @@ def test_roundtrip_events_through_cells_store(spark, sf_dir, tmp_path):
         .option("column_family", "f")
         .option("columns", "metrics:int64")
         .option("table_partition_cols", "event_type,user_id,event_id")
+        .option("allow_full_scan", "true")
         .load()
     )
     # full scan parallelizes per file

@@ -25,6 +25,7 @@ def _reader(spark, cells_path, **overrides):
         column_family="measurements",
         columns="pressure:int64,temperature:string",
         table_partition_cols="region,balloon_id,event_minute",
+        allow_full_scan="true",
     )
     opts.update(overrides)
     r = spark.read.format("bigtable")
@@ -95,6 +96,34 @@ def test_full_scan_refused_when_disallowed(registered, cells_path):
         df.collect()
 
 
+def test_full_scan_refused_by_default(registered, cells_path):
+    """r7: the DEFAULT matches the reference's refusal posture
+    (composer.rs:72-77) — an unfiltered scan with no allow_full_scan
+    opt-in raises; at 100 TB an accidental full scan is an outage.
+    (_reader's default opts opt in, so build the options by hand.)"""
+    df = (
+        registered.read.format("bigtable")
+        .option("path", cells_path)
+        .option("column_family", "measurements")
+        .option("columns", "pressure:int64,temperature:string")
+        .option("table_partition_cols", "region,balloon_id,event_minute")
+        .load()
+    )
+    with pytest.raises(Exception, match="filter is not provided or not supported"):
+        df.collect()
+    # key-pruned reads need no opt-in
+    pruned = (
+        registered.read.format("bigtable")
+        .option("path", cells_path)
+        .option("column_family", "measurements")
+        .option("columns", "pressure:int64,temperature:string")
+        .option("table_partition_cols", "region,balloon_id,event_minute")
+        .load()
+        .filter("region = 'us-west2' AND balloon_id = '3698' AND event_minute = '2021-03-05-1200'")
+    )
+    assert pruned.count() == 1
+
+
 def test_fresh_load_per_predicate_set_is_clean(registered, cells_path):
     """Upstream caveat (see sources/datasource.py docstring): Spark caches
     the planned scan per load() handle.  Fresh load() handles per predicate
@@ -131,6 +160,7 @@ def test_datasource_version_unnest(registered, tmp_path, spark):
             .option("column_family", "f")
             .option("columns", "p:int64,t:string")
             .option("table_partition_cols", "_row_key")
+            .option("allow_full_scan", "true")
             .option("only_read_latest", latest)
             .load()
         )
@@ -177,6 +207,7 @@ def test_null_cell_values_through_datasource(registered, tmp_path, spark):
         .option("column_family", "f")
         .option("columns", "p:string")
         .option("table_partition_cols", "_row_key")
+        .option("allow_full_scan", "true")
         .load()
     )
     got = {(r._row_key, r._timestamp): r.p for r in df.collect()}
@@ -223,6 +254,7 @@ def test_streaming_read_multi_rowgroup_carry_over(registered, tmp_path):
         .option("column_family", "f")
         .option("columns", "a:string,b:string")
         .option("table_partition_cols", "_row_key")
+        .option("allow_full_scan", "true")
         .load()
     )
     rows = df.collect()
@@ -246,6 +278,7 @@ def test_unsorted_store_falls_back_correctly(registered, tmp_path):
         .option("column_family", "f")
         .option("columns", "a:string,b:string")
         .option("table_partition_cols", "_row_key")
+        .option("allow_full_scan", "true")
         .load()
     )
     rows_out = df.collect()
@@ -267,6 +300,7 @@ def test_scan_reuse_warns_loudly(cells_path):
             "path": cells_path,
             "column_family": "measurements",
             "columns": "pressure:int64,temperature:string",
+            "allow_full_scan": "true",
         },
     )
     reader.ranges = [KeyRange("a", "b")]

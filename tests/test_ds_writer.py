@@ -27,6 +27,7 @@ def _opts(r, path, latest="true"):
         .option("column_family", "measurements")
         .option("columns", "pressure:int64,temperature:string")
         .option("table_partition_cols", "region,balloon_id,event_minute")
+        .option("allow_full_scan", "true")
         .option("only_read_latest", latest)
     )
 
@@ -141,6 +142,7 @@ def test_compaction_restores_disjoint_layout(registered, cells_path, tmp_path):
             "columns": "pressure:int64,temperature:string",
             "table_partition_cols": "region,balloon_id,event_minute",
             "only_read_latest": "false",
+            "allow_full_scan": "true",
         })
         return r.partitions()
 

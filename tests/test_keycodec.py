@@ -67,6 +67,7 @@ def test_int_keyed_datasource_roundtrip_and_pruning(spark, tmp_path):
         "columns": "v:string",
         "table_partition_cols": "tenant,seq",
         "key_types": "int64,int64",
+        "allow_full_scan": "true",
     }
     T = dt.datetime(2024, 1, 1)
     rows = [
@@ -113,6 +114,7 @@ def test_int_keyed_bigtable_table_path(spark, tmp_path):
         "columns": "v:string",
         "table_partition_cols": "tenant,seq",
         "key_types": "int64,int64",
+        "allow_full_scan": "true",
     }
     T = dt.datetime(2024, 1, 1)
     rows = [(t, s, T, f"{t}:{s}") for t in (1, 2) for s in range(5)]
@@ -177,6 +179,7 @@ def test_malformed_int_key_component_yields_null(spark, tmp_path):
         .option("columns", "v:string")
         .option("table_partition_cols", "seq")
         .option("key_types", "int64")
+        .option("allow_full_scan", "true")
         .load()
     )
     got = {r.v: r.seq for r in df.collect()}

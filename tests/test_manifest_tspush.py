@@ -60,6 +60,7 @@ def _reader(path, **overrides):
         "columns": "q:string",
         "table_partition_cols": "_row_key",
         "only_read_latest": "false",
+        "allow_full_scan": "true",
     }
     opts.update(overrides)
     return BigtableReader(None, opts)
@@ -151,6 +152,7 @@ def test_no_promotion_hazard_end_to_end(spark, tmp_path):
             .option("columns", "q:string")
             .option("table_partition_cols", "_row_key")
             .option("only_read_latest", latest)
+            .option("allow_full_scan", "true")
             .load()
             .filter(
                 "_timestamp >= TIMESTAMP '2024-01-01 00:00:00' "
@@ -249,6 +251,7 @@ def test_value_pushdown_latest_no_stale_match(spark, tmp_path):
             .option("columns", "p:int64")
             .option("table_partition_cols", "_row_key")
             .option("only_read_latest", latest)
+            .option("allow_full_scan", "true")
             .load()
             .filter("p = 5")
         )

@@ -21,6 +21,7 @@ OPTS = {
     "columns": "pressure:int64,temperature:string",
     "table_partition_cols": "region,balloon_id,event_minute",
     "only_read_latest": "false",
+    "allow_full_scan": "true",  # batch read-backs in these tests; the stream reader itself is offset-bounded
 }
 
 

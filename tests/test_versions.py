@@ -39,6 +39,7 @@ def _table(spark, tmp_path, only_read_latest):
         table_partition_cols=("_row_key",),
         only_read_latest=only_read_latest,
         cells_path=path,
+        allow_full_scan=True,
     )
     return BigtableTable(cfg)
 
