@@ -24,6 +24,35 @@ TS = {
 }
 
 
+# r7 (VERDICT #3): every golden runs over BOTH transports — the parquet
+# stand-in AND the in-process ReadRows service (the reference's actual
+# execution path, execute_plan.rs:168-212, against the fake emulator) —
+# so the full request chain (RowSet + family/qualifier regex +
+# cells-per-column limit in one Chain) is live-fired per golden, not just
+# unit-tested.
+_SVC_CACHE: dict = {}
+
+
+@pytest.fixture(params=["parquet", "service"])
+def transport(request):
+    return request.param
+
+
+def _table(config, transport):
+    if transport == "service":
+        import dataclasses
+
+        from datafusion_bigtable_spark.sources.fake_bigtable import service_from_parquet
+
+        path = config.cells_path
+        if path not in _SVC_CACHE:
+            _SVC_CACHE[path] = service_from_parquet(path)
+        return BigtableTable(
+            dataclasses.replace(config, cells_path=None), service=_SVC_CACHE[path]
+        )
+    return BigtableTable(config)
+
+
 def _rows(df):
     return [tuple(r) for r in df.collect()]
 
@@ -31,9 +60,9 @@ def _rows(df):
 # --- test_simple_row_key (src/datasource.rs:177-241) -----------------------
 
 
-def test_simple_eq_projection(spark, simple_config):
+def test_simple_eq_projection(spark, simple_config, transport):
     # src/datasource.rs:198-206
-    table = BigtableTable(simple_config)
+    table = _table(simple_config, transport)
     table.register(spark, predicates=[Eq("_row_key", "us-west2#3698#2021-03-05-1200")])
     out = spark.sql(
         "SELECT _row_key, pressure, _timestamp FROM weather_balloons "
@@ -42,19 +71,19 @@ def test_simple_eq_projection(spark, simple_config):
     assert _rows(out) == [("us-west2#3698#2021-03-05-1200", 94558, TS["1200"])]
 
 
-def test_simple_select_star(spark, simple_config):
+def test_simple_select_star(spark, simple_config, transport):
     # src/datasource.rs:208-216 — field order is load-bearing.
-    table = BigtableTable(simple_config)
+    table = _table(simple_config, transport)
     table.register(spark, predicates=[Eq("_row_key", "us-west2#3698#2021-03-05-1200")])
     out = spark.sql("SELECT * FROM weather_balloons WHERE _row_key = 'us-west2#3698#2021-03-05-1200'")
     assert out.columns == ["_row_key", "_timestamp", "pressure", "temperature"]
     assert _rows(out) == [("us-west2#3698#2021-03-05-1200", TS["1200"], 94558, "9.6")]
 
 
-def test_simple_in_order_by(spark, simple_config):
+def test_simple_in_order_by(spark, simple_config, transport):
     # src/datasource.rs:218-227
     keys = ["us-west2#3698#2021-03-05-1200", "us-west2#3698#2021-03-05-1201"]
-    table = BigtableTable(simple_config)
+    table = _table(simple_config, transport)
     table.register(spark, predicates=[In("_row_key", tuple(keys))])
     out = spark.sql(
         "SELECT _row_key, pressure, _timestamp FROM weather_balloons "
@@ -66,10 +95,10 @@ def test_simple_in_order_by(spark, simple_config):
     ]
 
 
-def test_simple_between_order_by(spark, simple_config):
+def test_simple_between_order_by(spark, simple_config, transport):
     # src/datasource.rs:229-239
     lo, hi = "us-west2#3698#2021-03-05-1200", "us-west2#3698#2021-03-05-1202"
-    table = BigtableTable(simple_config)
+    table = _table(simple_config, transport)
     table.register(spark, predicates=[Between("_row_key", lo, hi)])
     out = spark.sql(
         "SELECT _row_key, pressure, _timestamp FROM weather_balloons "
@@ -85,9 +114,9 @@ def test_simple_between_order_by(spark, simple_config):
 # --- test_composite_row_key (src/datasource.rs:243-300) --------------------
 
 
-def test_composite_all_eq(spark, composite_config):
+def test_composite_all_eq(spark, composite_config, transport):
     # src/datasource.rs:268-276
-    table = BigtableTable(composite_config)
+    table = _table(composite_config, transport)
     table.register(
         spark,
         predicates=[Eq("region", "us-west2"), Eq("balloon_id", "3698"), Eq("event_minute", "2021-03-05-1200")],
@@ -99,9 +128,9 @@ def test_composite_all_eq(spark, composite_config):
     assert _rows(out) == [("us-west2", "3698", "2021-03-05-1200", 94558, TS["1200"])]
 
 
-def test_composite_eq_in_in(spark, composite_config):
+def test_composite_eq_in_in(spark, composite_config, transport):
     # src/datasource.rs:278-287
-    table = BigtableTable(composite_config)
+    table = _table(composite_config, transport)
     table.register(
         spark,
         predicates=[
@@ -121,9 +150,9 @@ def test_composite_eq_in_in(spark, composite_config):
     ]
 
 
-def test_composite_eq_in_between(spark, composite_config):
+def test_composite_eq_in_between(spark, composite_config, transport):
     # src/datasource.rs:289-298
-    table = BigtableTable(composite_config)
+    table = _table(composite_config, transport)
     table.register(
         spark,
         predicates=[
@@ -143,10 +172,10 @@ def test_composite_eq_in_between(spark, composite_config):
     ]
 
 
-def test_composite_not_between_prunes_and_reapplies(spark, composite_config):
+def test_composite_not_between_prunes_and_reapplies(spark, composite_config, transport):
     # extension golden: NOT BETWEEN on the tail → two complement ranges;
     # the re-applied WHERE gives exact semantics (boundaries excluded)
-    table = BigtableTable(composite_config)
+    table = _table(composite_config, transport)
     table.register(
         spark,
         predicates=[
