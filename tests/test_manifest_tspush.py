@@ -297,3 +297,24 @@ def test_like_prefix_on_undeclared_column_is_ignored(tmp_path):
     r.pushFilters([StringStartsWith(("_row_key",), "k"), StringStartsWith(("p",), "x")])
     (part,) = r.partitions()
     assert part.value_preds == ()  # neither pushed: key col / non-string col
+
+
+def test_pruned_scan_zero_footer_reads(two_file_store, monkeypatch):
+    """r7 (VERDICT #5): with a manifest present, planning a pruned scan
+    must never open a parquet footer — at 10⁶ files the footer loop is a
+    listing bottleneck, and the manifest (written once at write_cells /
+    commit time) is the Bigtable-tablet-metadata analogue that replaces
+    it.  The pruning decision must equal the footer loop's (pinned by
+    test_manifest_identical_pruning)."""
+    import datafusion_bigtable_spark.sources.cells as cells_mod
+
+    write_manifest(two_file_store)
+
+    def boom(files):
+        raise AssertionError(f"footer loop ran on {files}")
+
+    monkeypatch.setattr(cells_mod, "footer_file_stats", boom)
+    r = _reader(two_file_store)
+    r.pushFilters([GreaterThanOrEqual(("_row_key",), "b"), LessThanOrEqual(("_row_key",), "c")])
+    parts = r.partitions()
+    assert [p.files for p in parts] == [(os.path.join(two_file_store, "part-b.parquet"),)]
