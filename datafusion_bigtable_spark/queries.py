@@ -2031,6 +2031,70 @@ def sim_ivf_nprobe_q(spark, sf_dir):
 
 
 @query(
+    "sim_trained_codebook_recall",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           TRUE AS ivf_trained_ge_seed, TRUE AS ivf_floor,
+           TRUE AS pq_trained_ge_seed, TRUE AS pq_floor
+    FROM embeddings WHERE vec_id % 100 = 0
+    """,
+)
+def sim_trained_codebook_recall_q(spark, sf_dir):
+    # Trained-codebook quality IN THE ROTATION (r7, VERDICT #6): exercises
+    # train_ivf_codebook and train_pq_codebooks (operators/similarity.py —
+    # Lloyd refinement over a deterministic md5-ordered sample, broadcast
+    # back) end-to-end and emits a CONTRACT row the DuckDB oracle states
+    # declaratively: trained recall@10 must not lose to the seed codebook
+    # and must clear an absolute floor (measured seed/trained at
+    # sf0.001/0.01/0.1: IVF nprobe=4 .52/.52, .46/.66, .505/.505; PQ m=16
+    # .40/.40, .42/.48, .275/.32 — floors set ~0.05+ under the minima).
+    # Training is iterative (not SQL-expressible), but the recall
+    # INVARIANT is — so this hash-checks rather than taking a rows-only
+    # pass.  All collects are bounded: 2048-row training samples,
+    # queries×k result rows.
+    from datafusion_bigtable_spark.operators import similarity as S
+
+    emb = load(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") % 100 == 0
+    k = 10
+
+    truth: dict = {}
+    for r in S.topk_bruteforce(emb, pred, k=k).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(df) -> float:
+        got: dict = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        denom = sum(len(t) for t in truth.values())
+        return sum(len(got.get(q, set()) & t) for q, t in truth.items()) / denom
+
+    ivf_seed = recall(S.topk_ivf(emb, pred, n_cells=16, k=k, nprobe=4))
+    ivf_tr = recall(
+        S.topk_ivf(
+            emb, pred, n_cells=16, k=k, nprobe=4,
+            codebook=S.train_ivf_codebook(emb, n_cells=16, iters=3),
+        )
+    )
+    pq_seed = recall(S.topk_pq(emb, pred, k=k, m=16))
+    pq_tr = recall(
+        S.topk_pq(emb, pred, k=k, m=16, codebooks=S.train_pq_codebooks(emb, m=16, iters=3))
+    )
+    row = (
+        len(truth),
+        bool(ivf_tr >= ivf_seed - 1e-9),
+        bool(ivf_tr >= 0.40),
+        bool(pq_tr >= pq_seed - 1e-9),
+        bool(pq_tr >= 0.25),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_queries long, ivf_trained_ge_seed boolean, ivf_floor boolean, "
+        "pq_trained_ge_seed boolean, pq_floor boolean",
+    )
+
+
+@query(
     "embedding_quantize_int8",
     """
     WITH dv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
