@@ -345,3 +345,90 @@ def test_latest_wins_view_all_null_first_batch(registered, cells_path, tmp_path)
         assert rows[0]._last_ts is not None
     finally:
         q.stop()
+
+
+def test_stream_sink_kill_midbatch_restart_exactly_once(registered, tmp_path):
+    """r7 (VERDICT #7): kill-mid-batch → restart → exactly-once.  Writer A
+    commits batch 5, stages batch 6, and dies before commit (its staging
+    dir is orphaned).  Spark restarts from the checkpoint with a FRESH
+    writer instance and replays batch 6; then the post-commit-pre-ack
+    crash replays it AGAIN through yet another instance.  The store must
+    hold every micro-batch exactly once throughout, the manifest must stay
+    consistent, and the orphan staging must be age-GC'd without touching
+    live data."""
+    import datetime as dt
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    from datafusion_bigtable_spark.sources.cells import read_manifest
+    from datafusion_bigtable_spark.sources.datasource import (
+        BigtableStreamWriter,
+        _CellsWriteCommit,
+    )
+
+    dest = str(tmp_path / "crash_dest")
+    enc = lambda v: v.to_bytes(8, "big", signed=True)
+    T = dt.datetime(2021, 3, 5)
+
+    def stage(w, tag, rows):
+        os.makedirs(w.staging, exist_ok=True)
+        p = os.path.join(w.staging, f"{tag}.parquet")
+        _write_cells_file(p, rows)
+        return p
+
+    b5 = [("k1", "measurements", "pressure", T, enc(100))]
+    b6 = [("k2", "measurements", "pressure", T, enc(200))]
+
+    wa = BigtableStreamWriter(None, {"path": dest, **OPTS})
+    wa.commit([_CellsWriteCommit(stage(wa, "a5", b5))], batchId=5)
+    stage(wa, "a6", b6)  # batch 6 staged, never committed: driver dies here
+    orphan = wa.staging
+    assert os.path.isdir(orphan)
+
+    def store_rows():
+        out = []
+        for f in sorted(os.listdir(dest)):
+            if f.endswith(".parquet"):
+                t = pq.read_table(os.path.join(dest, f))
+                out += list(zip(t.column("row_key").to_pylist(), t.column("value").to_pylist()))
+        return sorted(out)
+
+    want_b5 = [("k1", enc(100))]
+    want_all = sorted(want_b5 + [("k2", enc(200))])
+    assert store_rows() == want_b5  # uncommitted staging leaked nothing
+
+    # restart: fresh writer (new uuid) replays batch 6 from the checkpoint
+    wb = BigtableStreamWriter(None, {"path": dest, **OPTS})
+    wb.commit([_CellsWriteCommit(stage(wb, "b6", b6))], batchId=6)
+    assert store_rows() == want_all
+
+    # crash after commit but before checkpoint ack: batch 6 replays again
+    wc = BigtableStreamWriter(None, {"path": dest, **OPTS})
+    wc.commit([_CellsWriteCommit(stage(wc, "c6", b6))], batchId=6)
+    assert store_rows() == want_all  # no duplicate, no loss
+
+    # manifest stayed consistent with the final file set
+    m = read_manifest(dest)
+    assert m is not None
+    assert sorted(os.path.basename(s["file"]) for s in m) == sorted(
+        f for f in os.listdir(dest) if f.endswith(".parquet")
+    )
+
+    # the dead driver's staging is orphaned until TTL, then GC'd by the
+    # next commit — live data untouched
+    assert os.path.isdir(orphan)
+    old = time.time() - BigtableStreamWriter.STAGING_ORPHAN_TTL_S - 10
+    os.utime(orphan, (old, old))
+    wd = BigtableStreamWriter(None, {"path": dest, **OPTS})
+    wd.commit([_CellsWriteCommit(stage(wd, "d7", [("k3", "measurements", "pressure", T, enc(300))]))], batchId=7)
+    assert not os.path.exists(orphan)
+    assert store_rows() == sorted(want_all + [("k3", enc(300))])
+
+    # and the stream reader replaying from offset zero sees exactly-once rows
+    from datafusion_bigtable_spark.sources.datasource import BigtableStreamReader
+
+    r = BigtableStreamReader(None, {"path": dest, **OPTS})
+    rows = _collect(r, r.partitions(r.initialOffset(), r.latestOffset()))
+    assert len(rows) == 3  # one pivoted row per key — exactly-once end to end
