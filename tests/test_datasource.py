@@ -528,3 +528,28 @@ def test_rows_limit_disabled_for_tail_points_with_bounds(registered, cells_path)
         "us-west2#3698#2021-03-05-1202",
         "us-west2#3698#2021-03-05-1203",
     ]
+
+
+def test_spark_scan_cache_canary(registered, cells_path):
+    """r7 (VERDICT #8): CANARY for the Spark 4.1 Python-DS scan cache
+    (module docstring "KNOWN UPSTREAM CAVEAT").  Today an unfiltered
+    re-query of the SAME load() handle silently reuses the pruned scan and
+    returns 1 row instead of 5 — the hazard ScanReuseWarning and the
+    fresh-handle convention exist for.  If this test FAILS (second count
+    == 5), upstream PySpark now replans correctly: retire the workaround
+    deliberately — drop ScanReuseWarning, the _pushed_since_last_plan
+    machinery, and the module-doc caveat — instead of letting them rot."""
+    import warnings
+
+    df = _reader(registered, cells_path)
+    pruned = df.filter(
+        "region = 'us-west2' AND balloon_id = '3698' AND event_minute = '2021-03-05-1200'"
+    )
+    assert pruned.count() == 1
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # the workaround's own warning may fire
+        stale = df.count()
+    assert stale == 1, (
+        f"unfiltered re-query returned {stale} rows — the upstream scan-cache "
+        "bug appears FIXED; retire the ScanReuseWarning workaround"
+    )
