@@ -1560,7 +1560,61 @@ _R5_GREEN = (
     "events_funnel_analysis",
     "tpch_q15_top_supplier",
 )
-# Later rounds override earlier ones; every name absent from all five
+# CORRECTNESS_r06.json — 49/50 window entries green (the lone exception was
+# rows-only multimodal_jpeg_decode, since rebuilt with an exact oracle and
+# reset to 0 via _TOUCHED_QUERIES below).
+_R6_GREEN = (
+    "bt_limit_pushdown",
+    "bt_ts_range_prune",
+    "bt_value_filter_pushdown",
+    "bt_value_regex_pushdown",
+    "bt_int_key_prune",
+    "interval_join_order_events",
+    "streaming_window_counts",
+    "streaming_dedup_pairs",
+    "streaming_attribution_join",
+    "streaming_enriched_counts",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_pixel_stats",
+    "multimodal_video_frames",
+    "streaming_stateful_user_totals",
+    "streaming_session_windows",
+    "text_repetition_signals",
+    "text_tfidf_top_terms",
+    "scd2_user_segments",
+    "corpus_shard_assign",
+    "text_pii_redaction",
+    "embedding_normalize_trunc",
+    "fk_orphan_audit",
+    "numeric_histogram_prices",
+    "zorder_bucket_counts",
+    "winsorize_prices",
+    "multimodal_png_decode",
+    "multimodal_audio_spectral",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_excess_suppliers",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_revenue_change",
+    "tpch_q10_returned_items",
+    "agg_distinct_stats",
+    "rollup_lineitem_qty",
+    "cube_orders_revenue",
+    "window_topk_per_group",
+    "window_running_sum",
+    "window_lag_delta",
+    "topk_orders_global",
+    "set_ops_nation_overlap",
+    "set_ops_nation_except",
+)
+# Later rounds override earlier ones; every name absent from all six
 # tuples carries 0.
 _LAST_GREEN: dict[str, int] = {
     **{n: 1 for n in _R1_GREEN},
@@ -1568,6 +1622,7 @@ _LAST_GREEN: dict[str, int] = {
     **{n: 3 for n in _R3_GREEN},
     **{n: 4 for n in _R4_GREEN},
     **{n: 5 for n in _R5_GREEN},
+    **{n: 6 for n in _R6_GREEN},
 }
 
 # ---------------------------------------------------------------------------
@@ -1689,7 +1744,7 @@ def query_deps(name: str) -> frozenset[str]:
     return _module_closure(_callable_direct_deps(fn, {fn}))
 
 
-# Round 6: package modules with BEHAVIOR-CHANGING edits this round (their
+# Round 7: package modules with BEHAVIOR-CHANGING edits this round (their
 # dependents reset to 0) and query functions edited in this file this round.
 # Policy (amended per ADVICE r5): purely ADDITIVE module changes — a new
 # function no existing query calls — do not reset dependents; any edit to
@@ -1697,14 +1752,22 @@ def query_deps(name: str) -> frozenset[str]:
 # the fold.
 _TOUCHED_MODULES: frozenset[str] = frozenset(
     {
-        f"{_PKG}.operators.rangejoin",  # µs-exact bucketing (ADVICE r5 high+medium)
-        f"{_PKG}.streaming.cells_stream",  # per-read conf scoping (ADVICE r5 low)
-        f"{_PKG}.sources.datasource",  # stream staging-dir GC (ADVICE r5 low)
-        f"{_PKG}.functions.media_codecs",  # decode_pixels dispatch gained PNG/JPEG
-        f"{_PKG}.functions.multimodal",  # full-mode gate now decodes PNG/JPEG
+        f"{_PKG}.config",  # allow_full_scan default flipped to refusal
+        f"{_PKG}.sources.datasource",  # default flip + stream-reader exemption
+        f"{_PKG}.functions.jpeg_codec",  # SOF dimension guard (ADVICE r6)
+        f"{_PKG}.functions.media_codecs",  # bounded inflate / LZW cap (ADVICE r6)
+        f"{_PKG}.operators.stats",  # null-ignoring percentile (ADVICE r6)
+        f"{_PKG}.streaming.sinks",  # all-null first-batch guard (ADVICE r6)
     }
 )
-_TOUCHED_QUERIES: frozenset[str] = frozenset()
+_TOUCHED_QUERIES: frozenset[str] = frozenset(
+    {
+        "multimodal_jpeg_decode",  # rebuilt on quantization-lattice fixtures + exact oracle
+        "bt_ts_range_prune",  # gained the explicit full-scan opt-in
+        "bt_value_filter_pushdown",
+        "bt_value_regex_pushdown",
+    }
+)
 
 
 def _last_green(name: str) -> int:

@@ -31,8 +31,9 @@ def test_registry_size_and_full_green_fold():
     # scd2_user_segments, corpus_shard_assign, text_pii_redaction,
     # embedding_normalize_trunc, fk_orphan_audit, numeric_histogram_prices,
     # zorder_bucket_counts, winsorize_prices, multimodal_png_decode,
-    # multimodal_jpeg_decode, multimodal_audio_spectral).
-    assert len(q.REGISTRY) == 114
+    # multimodal_jpeg_decode, multimodal_audio_spectral)
+    # + 1 r7 addition (sim_trained_codebook_recall).
+    assert len(q.REGISTRY) == 115
     sched = q._schedule()
     for name in (n for n in q.REGISTRY if n not in q._LAST_GREEN):
         assert sched.index(name) < 50, f"new query {name} outside driver window"
