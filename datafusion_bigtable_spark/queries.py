@@ -1222,6 +1222,52 @@ def bt_read_rows_service_q(spark, sf_dir):
 
 
 @query(
+    "bt_value_pushdown_service",
+    """
+    SELECT LPAD(CAST(user_id AS VARCHAR), 4, '0') AS uid,
+           LPAD(CAST(event_id AS VARCHAR), 8, '0') AS eid,
+           event_type AS etype,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+    WHERE user_id = 7 AND ROUND(value * 100) >= 2000
+    """,
+)
+def bt_value_pushdown_service_q(spark, sf_dir):
+    # r7: the reference's unshipped value-filter roadmap (README.md:46-49)
+    # over the LIVE transport — the cents bound pushes into the ReadRows
+    # request as a per-qualifier Interleave of encoded-byte ranges
+    # (grpc_transport.build_value_pred_filter: Chain(qualifier==cents,
+    # ValueRange sign-split) interleaved with a keep-rest branch for
+    # etype), positioned AFTER the cells-per-column limit so it is
+    # latest-then-filter.  The exact predicate re-applies on the decoded
+    # frame (A16), and the driver oracle hash-checks the whole path.
+    # Server-side reduction is pinned in tests/test_fake_bigtable.py.
+    from datafusion_bigtable_spark.config import BigtableTableConfig, ColumnSpec
+    from datafusion_bigtable_spark.plans.composer import Between as CBetween, Eq as CEq
+    from datafusion_bigtable_spark.sources.bigtable_table import BigtableTable
+    from datafusion_bigtable_spark.sources.fake_bigtable import service_from_parquet
+
+    path = _bt_events_store(spark, sf_dir)
+    if path not in _SERVICE_CACHE:
+        _SERVICE_CACHE[path] = service_from_parquet(path)
+    table = BigtableTable(
+        BigtableTableConfig(
+            table="events_cells",
+            column_family="events",
+            columns=(ColumnSpec("etype", "string"), ColumnSpec("cents", "int64")),
+            table_partition_cols=("uid", "eid"),
+        ),
+        service=_SERVICE_CACHE[path],
+    )
+    df = table.to_df(
+        spark,
+        predicates=[CEq("uid", "0007"), CBetween("eid", "00000000", "99999999")],
+        value_filters=[("cents", "ge", 2000)],
+    )
+    return df.filter(F.col("cents") >= 2000).select("uid", "eid", "etype", "cents")
+
+
+@query(
     "events_sessionize",
     """
     WITH gaps AS (

@@ -82,6 +82,7 @@ class BigtableTable:
         ranges: Sequence[KeyRange] = (),
         as_of=None,
         strict_as_of: bool = False,
+        value_filters: Sequence[tuple[str, str, object]] = (),
     ) -> DataFrame:
         if self.service is not None:
             # Live ReadRows path: ranges + filter chain are pushed INTO the
@@ -98,7 +99,11 @@ class BigtableTable:
             rows = [
                 (rk, fam, q, _us_to_naive_datetime(ts), val)
                 for rk, fam, q, ts, val in fetch_cells(
-                    self.config, ranges, service=self.service, as_of_us=as_of_us
+                    self.config,
+                    ranges,
+                    service=self.service,
+                    as_of_us=as_of_us,
+                    value_preds=tuple(value_filters),
                 )
             ]
             return spark.createDataFrame(rows, CELLS_SCHEMA)
@@ -158,10 +163,22 @@ class BigtableTable:
         predicates: Sequence[Predicate] = (),
         as_of=None,
         strict_as_of: bool = False,
+        value_filters: Sequence[tuple[str, str, object]] = (),
     ) -> DataFrame:
         """Assemble the relational view; ``as_of`` (naive datetime) gives a
         TIME-TRAVEL read: the latest version of each cell among versions
         with ``ts <= as_of`` — Bigtable's timestamp-bounded read.
+
+        ``value_filters`` — ``(column, op, literal)`` triples with op in
+        eq/ge/gt/le/lt (r7; the reference's unshipped value-filter roadmap,
+        README.md:46-49): on the SERVICE path each pushes into the
+        ReadRows request as a per-qualifier Interleave of byte ranges
+        (grpc_transport.build_value_pred_filter) positioned AFTER the
+        latest-version limit — latest-then-filter, never the promotion
+        hazard.  The exact relational predicate is ALWAYS re-applied on
+        the decoded frame (the A16 inexact contract), which also makes the
+        parquet path correct with no cell-level pushdown (the format-API
+        path has its own).
 
         ``strict_as_of=True`` raises :class:`GCWatermarkError` when the
         bound is at or before the store's GC watermark (a version-GC

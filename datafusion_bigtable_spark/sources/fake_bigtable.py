@@ -25,6 +25,9 @@ Bigtable service contract):
   (composer.rs:257-263).
 - ``chain``: filters applied in order, like the reference's Chain
   (execute_plan.rs:174-179).
+- ``interleave``: union of branch outputs (r7 — carries the per-qualifier
+  value-predicate idiom, grpc_transport.build_value_pred_filter), and
+  ``value_range_filter`` honors open bounds alongside closed ones.
 
 Rows stream back in key order; within a row, cells are ordered
 (family, qualifier, ts DESC) as the service returns them.
@@ -78,6 +81,16 @@ class InProcessBigtableService:
             for sub in flt["chain"]["filters"]:
                 cells = InProcessBigtableService._apply_filter(sub, cells)
             return cells
+        if "interleave" in flt:
+            # Service semantics: the union of every branch's output, each
+            # matching cell emitted once PER MATCHING BRANCH (duplicates
+            # are real Bigtable behavior; the engine only ever constructs
+            # qualifier-disjoint branches, so its streams stay
+            # duplicate-free).  Output order is re-normalized by read_rows.
+            out: list = []
+            for sub in flt["interleave"]["filters"]:
+                out.extend(InProcessBigtableService._apply_filter(sub, cells))
+            return out
         if "family_name_regex_filter" in flt:
             pat = flt["family_name_regex_filter"]
             pat = pat.decode() if isinstance(pat, bytes) else pat
@@ -106,11 +119,15 @@ class InProcessBigtableService:
             return [c for c in cells if rx.search(c[3])]
         if "value_range_filter" in flt:
             vr = flt["value_range_filter"]
-            lo, hi = vr.get("start_value_closed"), vr.get("end_value_closed")
+            lo_c, hi_c = vr.get("start_value_closed"), vr.get("end_value_closed")
+            lo_o, hi_o = vr.get("start_value_open"), vr.get("end_value_open")
             return [
                 c
                 for c in cells
-                if (lo is None or c[3] >= lo) and (hi is None or c[3] <= hi)
+                if (lo_c is None or c[3] >= lo_c)
+                and (hi_c is None or c[3] <= hi_c)
+                and (lo_o is None or c[3] > lo_o)
+                and (hi_o is None or c[3] < hi_o)
             ]
         if "cells_per_column_limit_filter" in flt:
             n = int(flt["cells_per_column_limit_filter"])

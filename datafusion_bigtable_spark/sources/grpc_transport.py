@@ -87,23 +87,129 @@ def build_filter_chain(
     return chain
 
 
+_INT64_NEG = (b"\x80" + b"\x00" * 7, b"\xff" * 8)  # two's-complement negatives
+_INT64_POS = (b"\x00" * 8, b"\x7f" + b"\xff" * 7)
+
+
+def encode_value_ranges(typ: str, op: str, value) -> list[dict]:
+    """``value <op> literal`` as a UNION of service ValueRange payloads
+    (closed/open byte bounds) over the ENCODED cell bytes.
+
+    int64 cells are 8-byte big-endian two's complement: byte order is
+    numeric order within one sign, but negatives sort ABOVE positives —
+    so ordered predicates split into up to two sign intervals (the same
+    decomposition the parquet path uses, datasource.py::_value_expr).
+    String ranges are ASCII-gated: byte order equals code-point order only
+    there (equality needs no order and takes any unicode)."""
+    if typ in ("int64", "long"):
+        enc = int(value).to_bytes(8, "big", signed=True)
+        if op == "eq":
+            return [{"start_value_closed": enc, "end_value_closed": enc}]
+        lo_key = "start_value_closed" if op == "ge" else "start_value_open"
+        hi_key = "end_value_closed" if op == "le" else "end_value_open"
+        if op in ("ge", "gt"):
+            if int(value) >= 0:
+                return [{lo_key: enc, "end_value_closed": _INT64_POS[1]}]
+            return [
+                {lo_key: enc, "end_value_closed": _INT64_NEG[1]},
+                {"start_value_closed": _INT64_POS[0], "end_value_closed": _INT64_POS[1]},
+            ]
+        if op in ("le", "lt"):
+            if int(value) >= 0:
+                return [
+                    {"start_value_closed": _INT64_NEG[0], "end_value_closed": _INT64_NEG[1]},
+                    {"start_value_closed": _INT64_POS[0], hi_key: enc},
+                ]
+            return [{"start_value_closed": _INT64_NEG[0], hi_key: enc}]
+        raise ValueError(f"unsupported value op {op!r}")
+    enc = value if isinstance(value, bytes) else str(value).encode("utf-8")
+    if op == "eq":
+        return [{"start_value_closed": enc, "end_value_closed": enc}]
+    if not enc.isascii():
+        raise ValueError(
+            f"ordered value predicate on non-ASCII literal {value!r}: byte "
+            "order diverges from code-point order — filter client-side"
+        )
+    key = {
+        "ge": "start_value_closed",
+        "gt": "start_value_open",
+        "le": "end_value_closed",
+        "lt": "end_value_open",
+    }.get(op)
+    if key is None:
+        raise ValueError(f"unsupported value op {op!r}")
+    return [{key: enc}]
+
+
+def build_value_pred_filter(
+    config: BigtableTableConfig,
+    qualifier: str,
+    op: str,
+    value,
+    projected_qualifiers: Iterable[str] | None = None,
+) -> dict:
+    """Per-qualifier value predicate as the service's real RowFilter idiom:
+    ``Interleave(Chain(qualifier==q, ValueRange...), qualifier∈others)``.
+
+    A bare ValueRangeFilter applies to EVERY cell in the row, so it would
+    also drop other qualifiers' cells whose encoded bytes happen to fall
+    outside the target column's bound (e.g. a string temperature tested
+    against an int64 pressure range).  Scoping needs per-branch routing,
+    and RE2 has no negative lookahead to express "not q" in one regex —
+    the Interleave of a value-filtered target branch with a positive
+    alternation of the OTHER projected qualifiers is the standard
+    construction.  Branches are disjoint by qualifier, so the interleaved
+    stream carries each cell at most once.
+
+    Chain POSITION carries semantics exactly like build_filter_chain's
+    value filters: append this AFTER the cells-per-column limit —
+    latest-then-filter — never before it."""
+    quals = list(projected_qualifiers) if projected_qualifiers is not None else list(config.qualifiers)
+    if qualifier not in quals:
+        raise ValueError(f"value predicate on unprojected qualifier {qualifier!r}")
+    spec = {c.name: c.type for c in config.columns}
+    ranges = encode_value_ranges(spec[qualifier], op, value)
+    vr = (
+        {"value_range_filter": ranges[0]}
+        if len(ranges) == 1
+        else {"interleave": {"filters": [{"value_range_filter": r} for r in ranges]}}
+    )
+    target = {
+        "chain": {
+            "filters": [
+                {"column_qualifier_regex_filter": re.escape(qualifier).encode("utf-8")},
+                vr,
+            ]
+        }
+    }
+    others = [q for q in quals if q != qualifier]
+    if not others:
+        return target
+    keep_rest = {
+        "column_qualifier_regex_filter": "|".join(re.escape(q) for q in others).encode("utf-8")
+    }
+    return {"interleave": {"filters": [target, keep_rest]}}
+
+
 def build_read_rows_request(
     config: BigtableTableConfig,
     ranges: Sequence[KeyRange],
     projected_qualifiers: Iterable[str] | None = None,
     as_of_us: int | None = None,
+    value_preds: Sequence[tuple[str, str, object]] = (),
 ) -> dict:
-    """Full ReadRowsRequest shape (execute_plan.rs:168-181)."""
+    """Full ReadRowsRequest shape (execute_plan.rs:168-181).  Optional
+    ``value_preds`` — ``(qualifier, op, literal)`` triples — append one
+    per-qualifier Interleave each (see build_value_pred_filter); chaining
+    them ANDs the per-column conditions cell-wise (a cell of qualifier q
+    passes every other qualifier's filter through its keep-rest branch)."""
+    chain = build_filter_chain(config, projected_qualifiers, as_of_us=as_of_us)
+    for qual, op, val in value_preds:
+        chain.append(build_value_pred_filter(config, qual, op, val, projected_qualifiers))
     return {
         "table_name": _table_name(config),
         "rows": build_row_set(ranges),
-        "filter": {
-            "chain": {
-                "filters": build_filter_chain(
-                    config, projected_qualifiers, as_of_us=as_of_us
-                )
-            }
-        },
+        "filter": {"chain": {"filters": chain}},
     }
 
 
@@ -218,6 +324,7 @@ def fetch_cells(
     projected_qualifiers: Iterable[str] | None = None,
     service=None,
     as_of_us: int | None = None,
+    value_preds: Sequence[tuple[str, str, object]] = (),
 ):
     """Issue the read and yield canonical cell tuples
     (row_key, family, qualifier, ts_micros, value_bytes).
@@ -230,7 +337,9 @@ def fetch_cells(
     ``google-cloud-bigtable`` (not in this container).
     """
     if service is not None:
-        request = build_read_rows_request(config, ranges, projected_qualifiers, as_of_us)
+        request = build_read_rows_request(
+            config, ranges, projected_qualifiers, as_of_us, value_preds
+        )
         for row_key, cells in service.read_rows(request):
             for family, qualifier, ts, value in cells:
                 yield (row_key, family, qualifier, ts, value)

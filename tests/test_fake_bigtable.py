@@ -389,3 +389,56 @@ def test_asof_snapshot_is_session_timezone_independent(spark, tmp_path):
         assert got == {("k1", T0): 100}
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_to_df_value_filter_pushdown_via_service(spark, composite_config, cells_path):
+    """r7: per-qualifier value predicate through the live request.  The
+    pressure bound pushes as an Interleave of byte ranges scoped to the
+    pressure qualifier — temperature cells must survive untouched (the
+    keep-rest branch), and the re-applied exact predicate makes the final
+    frame equal the unpushed read filtered relationally."""
+    cfg = dataclasses.replace(composite_config, cells_path=None)
+    svc = service_from_parquet(cells_path)
+
+    plain = BigtableTable(cfg, service=svc).to_df(spark)
+    want = sorted(map(tuple, plain.filter("pressure >= 95000").collect()))
+
+    pushed_df = BigtableTable(cfg, service=svc).to_df(
+        spark, value_filters=[("pressure", "ge", 95000)]
+    ).filter("pressure >= 95000")
+    assert sorted(map(tuple, pushed_df.collect())) == want
+    assert len(want) >= 2  # fixture really has matches
+    # temperature present on every surviving row — the cross-type branch
+    # did not eat string cells whose bytes sort outside the int range
+    assert all(t[-1] is not None for t in want)
+
+    # server-side reduction is real: count pressure cells the service
+    # returns with vs without the pushed predicate
+    from datafusion_bigtable_spark.sources.grpc_transport import fetch_cells as _fc
+
+    all_cells = list(_fc(cfg, [], service=svc))
+    pushed_cells = list(_fc(cfg, [], service=svc, value_preds=[("pressure", "ge", 95000)]))
+    n_pressure = lambda cs: sum(1 for c in cs if c[2] == "pressure")
+    n_temp = lambda cs: sum(1 for c in cs if c[2] == "temperature")
+    assert n_pressure(pushed_cells) < n_pressure(all_cells)
+    assert n_temp(pushed_cells) == n_temp(all_cells)
+
+
+def test_interleave_negative_int64_range_via_service():
+    """Sign-split correctness on the wire: ge over a negative literal must
+    keep negative values above it AND all positives (two's-complement
+    bytes put negatives lexicographically ABOVE positives)."""
+    from datafusion_bigtable_spark.sources.grpc_transport import build_read_rows_request
+
+    enc = lambda v: v.to_bytes(8, "big", signed=True)
+    cells = [
+        ("r1", "f", "a", 100, enc(-10)),
+        ("r2", "f", "a", 100, enc(-2)),
+        ("r3", "f", "a", 100, enc(0)),
+        ("r4", "f", "a", 100, enc(7)),
+    ]
+    svc = InProcessBigtableService(cells)
+    cfg = dataclasses.replace(_CFG_VR, columns=(ColumnSpec("a", "int64"),))
+    req = build_read_rows_request(cfg, [], value_preds=[("a", "ge", -5)])
+    keys = [rk for rk, _ in svc.read_rows(req)]
+    assert keys == ["r2", "r3", "r4"]

@@ -131,3 +131,74 @@ def test_push_cells_raises_on_entry_failure():
 
     with pytest.raises(RuntimeError, match="entry 0"):
         push_cells(CFG, [("k", "f", "q", 1, b"v")], service=_Failing())
+
+
+# --- r7: per-qualifier value predicates through the request ---------------
+
+
+def test_encode_value_ranges_int64_sign_split():
+    """Ordered int64 predicates must decompose into the sign intervals of
+    big-endian two's complement (negatives sort ABOVE positives in byte
+    order).  Verified by brute force: a value passes some returned range
+    iff the relational predicate holds."""
+    from datafusion_bigtable_spark.sources.grpc_transport import encode_value_ranges
+
+    def passes(enc, r):
+        return (
+            ("start_value_closed" not in r or enc >= r["start_value_closed"])
+            and ("end_value_closed" not in r or enc <= r["end_value_closed"])
+            and ("start_value_open" not in r or enc > r["start_value_open"])
+            and ("end_value_open" not in r or enc < r["end_value_open"])
+        )
+
+    probe = [-(2**63), -(2**40), -3, -1, 0, 1, 7, 2**40, 2**63 - 1]
+    ops = {"eq": lambda a, b: a == b, "ge": lambda a, b: a >= b,
+           "gt": lambda a, b: a > b, "le": lambda a, b: a <= b,
+           "lt": lambda a, b: a < b}
+    for op, rel in ops.items():
+        for lit in (-5, -1, 0, 3, 2**40):
+            ranges = encode_value_ranges("int64", op, lit)
+            for v in probe:
+                enc = v.to_bytes(8, "big", signed=True)
+                want = rel(v, lit)
+                got = any(passes(enc, r) for r in ranges)
+                assert got == want, (op, lit, v)
+
+
+def test_encode_value_ranges_string_gates_non_ascii_order():
+    from datafusion_bigtable_spark.sources.grpc_transport import encode_value_ranges
+
+    assert encode_value_ranges("string", "eq", "héllo")  # equality: any unicode
+    with pytest.raises(ValueError, match="non-ASCII"):
+        encode_value_ranges("string", "ge", "héllo")
+
+
+def test_build_value_pred_filter_interleave_shape():
+    """The per-qualifier idiom: Interleave(Chain(qual==q, range), others) —
+    RE2 has no negative lookahead, so the keep-rest branch is a positive
+    alternation of the OTHER projected qualifiers."""
+    from datafusion_bigtable_spark.sources.grpc_transport import build_value_pred_filter
+
+    f = build_value_pred_filter(CFG, "pressure", "ge", 1000)
+    branches = f["interleave"]["filters"]
+    assert len(branches) == 2
+    target = branches[0]["chain"]["filters"]
+    assert target[0] == {"column_qualifier_regex_filter": b"pressure"}
+    assert "value_range_filter" in target[1]
+    assert branches[1] == {"column_qualifier_regex_filter": b"temp\\.c"}
+
+    # single-qualifier projection → no keep-rest branch needed
+    only = build_value_pred_filter(CFG, "pressure", "eq", 5, projected_qualifiers=["pressure"])
+    assert "interleave" not in only and "chain" in only
+
+    with pytest.raises(ValueError, match="unprojected"):
+        build_value_pred_filter(CFG, "pressure", "eq", 5, projected_qualifiers=["temp.c"])
+
+
+def test_value_preds_appended_after_limit():
+    """Chain position is the latest-then-filter semantics gate: the value
+    interleave must sit after cells_per_column_limit_filter."""
+    req = build_read_rows_request(CFG, [], value_preds=[("pressure", "ge", 7)])
+    chain = req["filter"]["chain"]["filters"]
+    kinds = [next(iter(f)) for f in chain]
+    assert kinds.index("cells_per_column_limit_filter") < kinds.index("interleave")
