@@ -432,3 +432,50 @@ def test_stream_sink_kill_midbatch_restart_exactly_once(registered, tmp_path):
     r = BigtableStreamReader(None, {"path": dest, **OPTS})
     rows = _collect(r, r.partitions(r.initialOffset(), r.latestOffset()))
     assert len(rows) == 3  # one pivoted row per key — exactly-once end to end
+
+
+def test_stream_sink_checkpoint_restart_live(registered, cells_path, tmp_path):
+    """r7: LIVE checkpoint recovery — stop a running stream→store pipeline,
+    append more source data while it is down, restart a NEW query on the
+    SAME checkpoint, and the destination must hold every source row exactly
+    once (Spark's replay of any in-flight batch hits the sink's
+    deterministic-name overwrite path; nothing duplicates, nothing drops)."""
+    src_store = str(tmp_path / "restart_src")
+    dest = str(tmp_path / "restart_dest")
+    ckpt = str(tmp_path / "restart_ckpt")
+    src = _write_initial(registered, cells_path, src_store)
+
+    def start():
+        stream = (
+            registered.readStream.format("bigtable").options(path=src_store, **OPTS).load()
+        )
+        return (
+            stream.writeStream.format("bigtable")
+            .options(path=dest, checkpointLocation=ckpt, **OPTS)
+            .outputMode("append")
+            .start()
+        )
+
+    q1 = start()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+
+    # while the pipeline is DOWN: two more appends land in the source
+    for minute in ("2021-03-05-1203", "2021-03-05-1204"):
+        newer = src.filter(f"event_minute = '{minute}'").selectExpr(
+            "region", "balloon_id", "event_minute",
+            "_timestamp + INTERVAL 2 HOUR AS _timestamp", "pressure", "temperature",
+        )
+        newer.write.format("bigtable").options(path=src_store, **OPTS).mode("append").save()
+
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+        back = registered.read.format("bigtable").options(path=dest, **OPTS).load()
+        src_now = registered.read.format("bigtable").options(path=src_store, **OPTS).load()
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src_now.collect()))
+        assert back.count() == 7  # 5 original + 2 caught up, exactly once
+    finally:
+        q2.stop()
