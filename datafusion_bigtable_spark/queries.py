@@ -4617,3 +4617,70 @@ def multimodal_audio_spectral_q(spark, sf_dir):
             yield pd.DataFrame(rows)
 
     return docs.mapInPandas(op, schema)
+
+
+@query(
+    "text_boilerplate_ngrams",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS w
+      FROM documents),
+    g AS (
+      SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+      FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) s
+      WHERE len(w) >= 3),
+    df AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 5),
+    st AS (
+      SELECT g.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+             CAST(SUM(CASE WHEN df.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS boilerplate_ngrams
+      FROM g LEFT JOIN df USING (gram) GROUP BY g.doc_id)
+    SELECT doc_id, total_ngrams, boilerplate_ngrams,
+           boilerplate_ngrams * 5 >= total_ngrams AS flagged
+    FROM st
+    """,
+)
+def text_boilerplate_q(spark, sf_dir):
+    # Cross-document boilerplate n-gram gate (operators/boilerplate.py) —
+    # the delimiter-free analogue of C4/RefinedWeb line-level dedup: a
+    # trigram in >= 5 distinct docs is boilerplate; docs >= 20% boilerplate
+    # flag.  One n-gram shuffle (map-side partial countDistinct), the small
+    # heavy-hitter set broadcasts back, one doc_id agg — raw text never
+    # shuffles twice, and the flag is integer arithmetic (no float
+    # threshold against the oracle).
+    from datafusion_bigtable_spark.operators.boilerplate import boilerplate_ngram_stats
+
+    return boilerplate_ngram_stats(
+        load(spark, sf_dir, "documents"), n=3, min_df=5, frac_num=1, frac_den=5
+    )
+
+
+@query(
+    "embedding_cluster_outliers",
+    """
+    WITH ex AS (
+      SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s),
+    cent AS (
+      SELECT label, list(a ORDER BY pos) AS cvec
+      FROM (SELECT label, pos, AVG(v) AS a FROM ex GROUP BY label, pos)
+      GROUP BY label)
+    SELECT e.vec_id, e.label,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6)
+             AS centroid_cosine,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) < 0.0
+             AS is_outlier
+    FROM embeddings e JOIN cent c USING (label)
+    """,
+)
+def embedding_cluster_outliers_q(spark, sf_dir):
+    # Semantic curation gate (operators/similarity.py::
+    # centroid_outlier_scores): cosine of every vector to its own label
+    # centroid, negatives flagged as outliers.  Centroids reduce through a
+    # (label, pos) partial-aggregated shuffle (traffic = n_labels x dims
+    # per partition) and broadcast back — raw vectors never shuffle.
+    from datafusion_bigtable_spark.operators.similarity import centroid_outlier_scores
+
+    return centroid_outlier_scores(load(spark, sf_dir, "embeddings"), threshold=0.0)

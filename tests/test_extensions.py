@@ -620,3 +620,67 @@ def test_exact_percentile_ignores_nulls(spark):
     for p in (0.0, 0.02, 0.98, 1.0):
         want = df.agg(F.expr(f"percentile(x, {p}d)")).first()[0]
         assert exact_percentile(df, "x", p) == want, p
+
+
+def test_boilerplate_ngram_stats(spark):
+    from datafusion_bigtable_spark.operators.boilerplate import boilerplate_ngram_stats
+
+    rows = [
+        # "shared footer text" appears in docs 1-5 -> boilerplate at min_df=5
+        (1, "alpha beta gamma shared footer text"),
+        (2, "delta epsilon shared footer text"),
+        (3, "zeta eta theta shared footer text iota"),
+        (4, "shared footer text"),
+        (5, "kappa shared footer text lambda mu nu xi omicron pi rho sigma"),
+        (6, "totally original content with no repeats at all"),
+        (7, "ab"),  # < n words: no grams, absent from output
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in boilerplate_ngram_stats(docs, n=3, min_df=5).collect()}
+
+    assert 7 not in out  # the descending-sequence guard: no fabricated grams
+    assert out[4].total_ngrams == 1 and out[4].boilerplate_ngrams == 1 and out[4].flagged
+    # doc 6: 8 words -> 6 grams, none shared
+    assert out[6].total_ngrams == 6 and out[6].boilerplate_ngrams == 0 and not out[6].flagged
+    # doc 5: 12 words -> 10 grams, exactly one boilerplate -> 10% < 20% -> unflagged
+    assert out[5].total_ngrams == 10 and out[5].boilerplate_ngrams == 1 and not out[5].flagged
+    # doc 1: 6 words -> 4 grams, 1 boilerplate -> exactly 25% >= 20% -> flagged
+    assert out[1].total_ngrams == 4 and out[1].boilerplate_ngrams == 1 and out[1].flagged
+
+
+def test_boilerplate_small_set_broadcasts(spark, sf_dir):
+    from datafusion_bigtable_spark import queries as Q
+
+    plan = Q.REGISTRY["text_boilerplate_ngrams"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_centroid_outlier_scores(spark):
+    from datafusion_bigtable_spark.operators.similarity import centroid_outlier_scores
+
+    rows = [
+        # label 0: two vectors along +x, one along -x (the outlier)
+        (1, [1.0, 0.0], 0),
+        (2, [2.0, 0.0], 0),
+        (3, [-1.0, 0.0], 0),
+        # label 1: aligned pair, no outlier
+        (4, [0.0, 1.0], 1),
+        (5, [0.0, 3.0], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.vec_id: r for r in centroid_outlier_scores(emb, threshold=0.0).collect()}
+    # label 0 centroid = (2/3, 0): vectors 1,2 cosine +1, vector 3 cosine -1
+    assert out[1].centroid_cosine == 1.0 and not out[1].is_outlier
+    assert out[2].centroid_cosine == 1.0 and not out[2].is_outlier
+    assert out[3].centroid_cosine == -1.0 and out[3].is_outlier
+    assert out[4].centroid_cosine == 1.0 and out[5].centroid_cosine == 1.0
+
+
+def test_centroid_outliers_vectors_never_shuffle(spark, sf_dir):
+    # the raw-vector side must reach the join via broadcast of the
+    # centroid table, not an exchange of the vectors themselves
+    from datafusion_bigtable_spark import queries as Q
+
+    df = Q.REGISTRY["embedding_cluster_outliers"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
