@@ -1264,7 +1264,9 @@ def bt_value_pushdown_service_q(spark, sf_dir):
         predicates=[CEq("uid", "0007"), CBetween("eid", "00000000", "99999999")],
         value_filters=[("cents", "ge", 2000)],
     )
-    return df.filter(F.col("cents") >= 2000).select("uid", "eid", "etype", "cents")
+    # no caller-side re-filter: to_df owns the exact predicate (A16) — the
+    # driver oracle therefore pins to_df's own re-application, not ours
+    return df.select("uid", "eid", "etype", "cents")
 
 
 @query(
@@ -1804,6 +1806,7 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         f"{_PKG}.functions.media_codecs",  # bounded inflate / LZW cap (ADVICE r6)
         f"{_PKG}.operators.stats",  # null-ignoring percentile (ADVICE r6)
         f"{_PKG}.streaming.sinks",  # all-null first-batch guard (ADVICE r6)
+        f"{_PKG}.sources.bigtable_table",  # to_df now forwards + re-applies value_filters
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset(

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from typing import Iterable, Sequence
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from datafusion_bigtable_spark.config import RESERVED_TIMESTAMP, BigtableTableConfig
 from datafusion_bigtable_spark.operators.decode import decode_value
@@ -195,7 +195,13 @@ class BigtableTable:
         here the scan-level bound is the correct plan, not a hazard.
         """
         ranges = self.key_ranges(predicates)
-        cells = self.cells(spark, ranges, as_of=as_of, strict_as_of=strict_as_of)
+        cells = self.cells(
+            spark,
+            ranges,
+            as_of=as_of,
+            strict_as_of=strict_as_of,
+            value_filters=tuple(value_filters),
+        )
 
         # Inexact contract: re-apply the range predicate above the scan even
         # when the service already pruned server-side (A16).
@@ -236,7 +242,26 @@ class BigtableTable:
         cols.append(F.col("_timestamp").cast("timestamp_ntz").alias(RESERVED_TIMESTAMP))
         for spec in self.config.columns:
             cols.append(decode_value(F.col(spec.name), spec.spark_type()).alias(spec.name))
-        return wide.select(*cols)
+        out = wide.select(*cols)
+
+        # A16 for value predicates: the wire pushdown (service path) is a
+        # cell-level reduction; the RELATIONAL predicate on the decoded
+        # column is re-applied here so the frame is exact on every
+        # transport — including the parquet path, which pushes nothing at
+        # this layer.  (ASCII-gated string encodings keep byte order equal
+        # to Spark's string order, so pushed and re-applied semantics
+        # agree; a NULL decoded value — missing cell — fails the compare
+        # on both paths.)
+        _OPS = {
+            "eq": Column.__eq__,
+            "ge": Column.__ge__,
+            "gt": Column.__gt__,
+            "le": Column.__le__,
+            "lt": Column.__lt__,
+        }
+        for col, op, lit in value_filters:
+            out = out.filter(_OPS[op](F.col(col), F.lit(lit)))
+        return out
 
     def mutate(self, df: DataFrame, max_mutations: int = 100_000) -> int:
         """Write a relational DataFrame through the MutateRows transport —

@@ -403,10 +403,20 @@ def test_to_df_value_filter_pushdown_via_service(spark, composite_config, cells_
     plain = BigtableTable(cfg, service=svc).to_df(spark)
     want = sorted(map(tuple, plain.filter("pressure >= 95000").collect()))
 
+    # NO caller-side re-filter: to_df itself must re-apply the relational
+    # predicate (r7 fix — value_filters were accepted but silently dropped,
+    # hidden by this test's own .filter)
     pushed_df = BigtableTable(cfg, service=svc).to_df(
         spark, value_filters=[("pressure", "ge", 95000)]
-    ).filter("pressure >= 95000")
+    )
     assert sorted(map(tuple, pushed_df.collect())) == want
+
+    # parquet transport: same contract, no wire pushdown — the re-applied
+    # relational predicate alone must produce the identical frame
+    parquet_df = BigtableTable(composite_config).to_df(
+        spark, value_filters=[("pressure", "ge", 95000)]
+    )
+    assert sorted(map(tuple, parquet_df.collect())) == want
     assert len(want) >= 2  # fixture really has matches
     # temperature present on every surviving row — the cross-type branch
     # did not eat string cells whose bytes sort outside the int range
