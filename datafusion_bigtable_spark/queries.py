@@ -1807,6 +1807,8 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         f"{_PKG}.operators.stats",  # null-ignoring percentile (ADVICE r6)
         f"{_PKG}.streaming.sinks",  # all-null first-batch guard (ADVICE r6)
         f"{_PKG}.sources.bigtable_table",  # to_df now forwards + re-applies value_filters
+        f"{_PKG}.sources.grpc_transport",  # rows_limit request field (r7)
+        f"{_PKG}.sources.fake_bigtable",  # read_rows honors rows_limit (r7)
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset(

@@ -83,6 +83,7 @@ class BigtableTable:
         as_of=None,
         strict_as_of: bool = False,
         value_filters: Sequence[tuple[str, str, object]] = (),
+        rows_limit: int | None = None,
     ) -> DataFrame:
         if self.service is not None:
             # Live ReadRows path: ranges + filter chain are pushed INTO the
@@ -104,9 +105,16 @@ class BigtableTable:
                     service=self.service,
                     as_of_us=as_of_us,
                     value_preds=tuple(value_filters),
+                    rows_limit=rows_limit,
                 )
             ]
             return spark.createDataFrame(rows, CELLS_SCHEMA)
+        if rows_limit is not None:
+            raise ValueError(
+                "rows_limit is a ReadRows request field (service transport "
+                "only); on the parquet path cap relationally — to_df's "
+                "rows_limit does this for you"
+            )
         if not self.config.cells_path:
             raise NotImplementedError(
                 "no transport: set cells_path to a parquet cells store, or "
@@ -164,6 +172,7 @@ class BigtableTable:
         as_of=None,
         strict_as_of: bool = False,
         value_filters: Sequence[tuple[str, str, object]] = (),
+        rows_limit: int | None = None,
     ) -> DataFrame:
         """Assemble the relational view; ``as_of`` (naive datetime) gives a
         TIME-TRAVEL read: the latest version of each cell among versions
@@ -186,6 +195,14 @@ class BigtableTable:
         default warns (:class:`GCWatermarkWarning`) and returns the
         best-effort snapshot.
 
+        ``rows_limit`` (r7) — the ReadRowsRequest's real ``rows_limit``:
+        the first N post-filter rows in row-key order.  Pushed into the
+        request on the service path, replicated as a key-ordered
+        TakeOrderedAndProject on the parquet path; latest-mode only
+        (under version-unnest a Bigtable row fans out per timestamp, so
+        the cap would not be the relational LIMIT — it warns and is
+        ignored).
+
         Note the ordering contract: the bound applies BEFORE the
         latest-version filter.  This is exactly the semantics the generic
         ts-pushdown gate protects against producing by accident (a ts
@@ -195,12 +212,38 @@ class BigtableTable:
         here the scan-level bound is the correct plan, not a hazard.
         """
         ranges = self.key_ranges(predicates)
+
+        # rows_limit: the ReadRowsRequest's real rows_limit field — the
+        # server stops after N post-filter rows in key order.  Exactness
+        # gates (mirroring the parquet DS rows_limit option's discipline):
+        # - latest mode only: under version-unnest a Bigtable row pivots to
+        #   one output row per timestamp, so the cap is NOT the relational
+        #   LIMIT — warn and ignore rather than return a short frame.
+        # - wire push additionally requires NO value_filters: the
+        #   keep-rest interleave lets a row survive the wire predicate on
+        #   other qualifiers and die at the relational re-application
+        #   above the scan, so a server-side cap would undercount matching
+        #   rows.  With value_filters the cap applies relationally below
+        #   (filter-then-TakeOrdered, same result the server would give
+        #   with a condition filter).
+        cap = rows_limit if (rows_limit is None or self.config.only_read_latest) else None
+        if rows_limit is not None and cap is None:
+            import warnings
+
+            warnings.warn(
+                "bigtable: rows_limit ignored for a version-unnest read — "
+                "the service caps Bigtable ROWS, which pivot to one output "
+                "row per surviving timestamp; apply .limit() above instead",
+                stacklevel=2,
+            )
+        wire_limit = cap if (self.service is not None and not value_filters) else None
         cells = self.cells(
             spark,
             ranges,
             as_of=as_of,
             strict_as_of=strict_as_of,
             value_filters=tuple(value_filters),
+            rows_limit=wire_limit,
         )
 
         # Inexact contract: re-apply the range predicate above the scan even
@@ -242,6 +285,8 @@ class BigtableTable:
         cols.append(F.col("_timestamp").cast("timestamp_ntz").alias(RESERVED_TIMESTAMP))
         for spec in self.config.columns:
             cols.append(decode_value(F.col(spec.name), spec.spark_type()).alias(spec.name))
+        if cap is not None and wire_limit is None:
+            cols.append(F.col("row_key").alias("__rk"))
         out = wide.select(*cols)
 
         # A16 for value predicates: the wire pushdown (service path) is a
@@ -261,7 +306,19 @@ class BigtableTable:
         }
         for col, op, lit in value_filters:
             out = out.filter(_OPS[op](F.col(col), F.lit(lit)))
-        return out
+
+        if cap is not None and wire_limit is None:
+            # Relational replication of the service's rows_limit: the
+            # first N rows in ROW-KEY byte order, applied after every
+            # filter exactly like the server would.  Ordering by the raw
+            # joined key (not the split components — a component char
+            # below the separator would invert tuple vs joined order)
+            # plans as TakeOrderedAndProject: per-partition top-N + driver
+            # merge of N, bounded at any store size.  Used on the parquet
+            # transport always, and on the service transport when
+            # value_filters make a wire cap inexact (see above).
+            out = out.orderBy(F.col("__rk")).limit(cap)
+        return out.drop("__rk") if "__rk" in out.columns else out
 
     def mutate(self, df: DataFrame, max_mutations: int = 100_000) -> int:
         """Write a relational DataFrame through the MutateRows transport —

@@ -179,6 +179,10 @@ class InProcessBigtableService:
             raise KeyError(f"unknown table {request.get('table_name')!r}")
         rows = request.get("rows") or {}
         flt = request.get("filter")
+        # rows_limit: the service stops after N post-filter non-empty ROWS
+        # in key order (the real field's contract — rows, never cells)
+        limit = request.get("rows_limit")
+        emitted = 0
         for row_key in sorted(self._rows):
             if not self._key_selected(row_key.encode("utf-8"), rows):
                 continue
@@ -187,6 +191,9 @@ class InProcessBigtableService:
                 cells = self._apply_filter(flt, cells)
             if cells:
                 yield row_key, sorted(cells, key=lambda c: (c[0], c[1], -c[2]))
+                emitted += 1
+                if limit is not None and emitted >= limit:
+                    return
 
 
 def service_from_parquet(path: str, table_name: str | None = None) -> InProcessBigtableService:

@@ -197,20 +197,32 @@ def build_read_rows_request(
     projected_qualifiers: Iterable[str] | None = None,
     as_of_us: int | None = None,
     value_preds: Sequence[tuple[str, str, object]] = (),
+    rows_limit: int | None = None,
 ) -> dict:
     """Full ReadRowsRequest shape (execute_plan.rs:168-181).  Optional
     ``value_preds`` — ``(qualifier, op, literal)`` triples — append one
     per-qualifier Interleave each (see build_value_pred_filter); chaining
     them ANDs the per-column conditions cell-wise (a cell of qualifier q
-    passes every other qualifier's filter through its keep-rest branch)."""
+    passes every other qualifier's filter through its keep-rest branch).
+
+    ``rows_limit`` is the service's real ``rows_limit`` field: the server
+    stops after that many (post-filter, non-empty) ROWS in key order —
+    Bigtable rows, not relational rows; under version-unnest one Bigtable
+    row pivots to one output row per surviving timestamp, so callers gate
+    it on latest-mode reads (see BigtableTable.to_df)."""
     chain = build_filter_chain(config, projected_qualifiers, as_of_us=as_of_us)
     for qual, op, val in value_preds:
         chain.append(build_value_pred_filter(config, qual, op, val, projected_qualifiers))
-    return {
+    request = {
         "table_name": _table_name(config),
         "rows": build_row_set(ranges),
         "filter": {"chain": {"filters": chain}},
     }
+    if rows_limit is not None:
+        if int(rows_limit) <= 0:
+            raise ValueError(f"rows_limit must be positive, got {rows_limit!r}")
+        request["rows_limit"] = int(rows_limit)
+    return request
 
 
 def _table_name(config: BigtableTableConfig) -> str:
@@ -325,6 +337,7 @@ def fetch_cells(
     service=None,
     as_of_us: int | None = None,
     value_preds: Sequence[tuple[str, str, object]] = (),
+    rows_limit: int | None = None,
 ):
     """Issue the read and yield canonical cell tuples
     (row_key, family, qualifier, ts_micros, value_bytes).
@@ -338,7 +351,7 @@ def fetch_cells(
     """
     if service is not None:
         request = build_read_rows_request(
-            config, ranges, projected_qualifiers, as_of_us, value_preds
+            config, ranges, projected_qualifiers, as_of_us, value_preds, rows_limit
         )
         for row_key, cells in service.read_rows(request):
             for family, qualifier, ts, value in cells:
@@ -361,7 +374,7 @@ def fetch_cells(
         row_set.add_row_range_from_keys(
             start_key=r.start.encode(), end_key=r.end.encode(), end_inclusive=True
         )
-    for row in table.read_rows(row_set=row_set):  # pragma: no cover
+    for row in table.read_rows(row_set=row_set, limit=rows_limit):  # pragma: no cover
         for family, cells in row.cells.items():
             for qualifier, versions in cells.items():
                 for cell in versions:

@@ -452,3 +452,67 @@ def test_interleave_negative_int64_range_via_service():
     req = build_read_rows_request(cfg, [], value_preds=[("a", "ge", -5)])
     keys = [rk for rk, _ in svc.read_rows(req)]
     assert keys == ["r2", "r3", "r4"]
+
+
+def test_rows_limit_service_and_parquet_parity(spark, composite_config, cells_path):
+    """r7: the ReadRowsRequest rows_limit field.  Service path pushes the
+    cap into the request; parquet path replicates it as a key-ordered
+    TakeOrderedAndProject — both must return the FIRST two row keys."""
+    svc = service_from_parquet(cells_path)
+    svc_cfg = dataclasses.replace(composite_config, cells_path=None)
+
+    full = BigtableTable(composite_config).to_df(spark)
+    want = sorted(map(tuple, full.collect()))[:2]
+
+    via_service = BigtableTable(svc_cfg, service=svc).to_df(spark, rows_limit=2)
+    via_parquet = BigtableTable(composite_config).to_df(spark, rows_limit=2)
+    assert sorted(map(tuple, via_service.collect())) == want
+    assert sorted(map(tuple, via_parquet.collect())) == want
+    assert via_service.columns == full.columns  # no __rk leakage
+
+    # the wire really carries the cap (not a client-side truncation)
+    from datafusion_bigtable_spark.sources.grpc_transport import fetch_cells as _fc
+
+    keys = {c[0] for c in _fc(svc_cfg, [], service=svc, rows_limit=2)}
+    assert len(keys) == 2
+
+
+def test_rows_limit_with_value_filters_is_exact(spark, composite_config, cells_path):
+    """A row can survive the wire value filter through the keep-rest
+    branch and die at the relational re-application — the cap must count
+    MATCHING rows, so with value_filters it applies relationally, not in
+    the request."""
+    svc = service_from_parquet(cells_path)
+    cfg = dataclasses.replace(composite_config, cells_path=None)
+    t = BigtableTable(cfg, service=svc)
+
+    all_match = sorted(
+        map(tuple, t.to_df(spark, value_filters=[("pressure", "ge", 95000)]).collect())
+    )
+    # fixture: pressures 94558, 94122, 95992, 96025, 96021 — the first two
+    # KEYS do not match, so a wire cap of 2 would return zero/one rows
+    assert len(all_match) == 3
+    capped = t.to_df(spark, value_filters=[("pressure", "ge", 95000)], rows_limit=2)
+    assert sorted(map(tuple, capped.collect())) == all_match[:2]
+
+
+def test_rows_limit_ignored_for_version_unnest(spark, composite_config, cells_path):
+    import warnings as _w
+
+    svc = service_from_parquet(cells_path)
+    cfg = dataclasses.replace(
+        composite_config, cells_path=None, only_read_latest=False
+    )
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        df = BigtableTable(cfg, service=svc).to_df(spark, rows_limit=1)
+        n = df.count()
+    assert any("rows_limit ignored" in str(r.message) for r in rec)
+    assert n > 1  # uncapped
+
+
+def test_cells_rows_limit_rejected_on_parquet_path(spark, composite_config):
+    import pytest
+
+    with pytest.raises(ValueError, match="service transport only"):
+        BigtableTable(composite_config).cells(spark, rows_limit=2)

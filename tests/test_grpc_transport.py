@@ -202,3 +202,12 @@ def test_value_preds_appended_after_limit():
     chain = req["filter"]["chain"]["filters"]
     kinds = [next(iter(f)) for f in chain]
     assert kinds.index("cells_per_column_limit_filter") < kinds.index("interleave")
+
+
+def test_rows_limit_in_request_shape():
+    assert "rows_limit" not in build_read_rows_request(CFG, [])
+    assert build_read_rows_request(CFG, [], rows_limit=10)["rows_limit"] == 10
+    with pytest.raises(ValueError):
+        build_read_rows_request(CFG, [], rows_limit=0)
+    with pytest.raises(ValueError):
+        build_read_rows_request(CFG, [], rows_limit=-3)

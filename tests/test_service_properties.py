@@ -104,9 +104,10 @@ str_pred = st.tuples(
 preds_strategy = st.lists(st.one_of(int_pred, str_pred), min_size=0, max_size=2)
 
 
-def _expected(cells, config, ranges, projection, as_of_us, value_preds):
+def _expected(cells, config, ranges, projection, as_of_us, value_preds, rows_limit=None):
     """Brute-force engine semantics.  Output mirrors fetch_cells: rows in
-    key order; within a row cells ordered (family, qualifier, ts DESC)."""
+    key order; within a row cells ordered (family, qualifier, ts DESC);
+    ``rows_limit`` truncates to the first N non-empty ROWS."""
     quals = list(projection) if projection is not None else [c.name for c in config.columns]
     spec = {c.name: c.type for c in config.columns}
 
@@ -133,7 +134,10 @@ def _expected(cells, config, ranges, projection, as_of_us, value_preds):
         per_row[rk].append((fam, q, ts, v))
 
     out = []
+    rows_emitted = 0
     for rk in sorted(per_row):
+        if rows_limit is not None and rows_emitted >= rows_limit:
+            break
         if ranges and not any(r.start <= rk <= r.end for r in ranges):
             continue
         cs = [c for c in per_row[rk] if c[0] == config.column_family]
@@ -150,8 +154,11 @@ def _expected(cells, config, ranges, projection, as_of_us, value_preds):
             cs = [c for c in cs if c[1] in quals]
         for pq, op, lit in value_preds:
             cs = [c for c in cs if pred_holds(c[1], c[3], pq, op, lit)]
+        if not cs:
+            continue
         for fam, q, ts, v in sorted(cs, key=lambda c: (c[0], c[1], -c[2])):
             out.append((rk, fam, q, ts, v))
+        rows_emitted += 1
     return out
 
 
@@ -163,8 +170,11 @@ def _expected(cells, config, ranges, projection, as_of_us, value_preds):
     as_of=st.one_of(st.none(), st.integers(0, 4)),
     latest=st.booleans(),
     preds=preds_strategy,
+    rows_limit=st.one_of(st.none(), st.integers(1, 3)),
 )
-def test_transport_matches_brute_force_model(cells, ranges, projection, as_of, latest, preds):
+def test_transport_matches_brute_force_model(
+    cells, ranges, projection, as_of, latest, preds, rows_limit
+):
     config = _config(only_read_latest=latest)
     # value predicates ride the projection's keep-rest alternation; the
     # builder rejects a predicate on an unprojected qualifier — mirror the
@@ -182,9 +192,10 @@ def test_transport_matches_brute_force_model(cells, ranges, projection, as_of, l
             service=service,
             as_of_us=as_of,
             value_preds=preds,
+            rows_limit=rows_limit,
         )
     )
-    assert got == _expected(cells, config, ranges, projection, as_of, preds)
+    assert got == _expected(cells, config, ranges, projection, as_of, preds, rows_limit)
 
 
 @settings(max_examples=150, deadline=None)
