@@ -69,8 +69,14 @@ def boilerplate_ngram_stats(
     ``boilerplate_ngrams / total_ngrams >= frac_num / frac_den`` (compared
     in integers).
     """
-    grams = docs.select(
-        F.col(id_col), F.explode(ngram_array(words(F.col(text_col)), n)).alias("gram")
+    # Materialize the token array in its OWN projection before the gram
+    # transform: inlined, the regex split becomes a free variable of the
+    # transform lambda and re-evaluates PER ELEMENT (measured 8× slower at
+    # sf0.1 — 6.4 s vs 0.8 s for the gram scan).  A separate Project is a
+    # non-cheap expression, so CollapseProject keeps it one-eval-per-row.
+    toks = docs.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
+    grams = toks.select(
+        F.col(id_col), F.explode(ngram_array(F.col("_w"), n)).alias("gram")
     )
     boiler = (
         grams.groupBy("gram")
