@@ -1809,6 +1809,7 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         f"{_PKG}.sources.bigtable_table",  # to_df now forwards + re-applies value_filters
         f"{_PKG}.sources.grpc_transport",  # rows_limit request field (r7)
         f"{_PKG}.sources.fake_bigtable",  # read_rows honors rows_limit (r7)
+        f"{_PKG}.operators.boilerplate",  # gram-scan projection materialization (r7)
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset(
