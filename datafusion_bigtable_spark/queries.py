@@ -1269,6 +1269,60 @@ def bt_value_pushdown_service_q(spark, sf_dir):
     return df.select("uid", "eid", "etype", "cents")
 
 
+#: one wire server per cells store (daemon threads, process lifetime) —
+#: the socket endpoint the wire query below reads through.
+_WIRE_CACHE: dict = {}
+
+
+@query(
+    "bt_read_rows_wire",
+    """
+    SELECT LPAD(CAST(user_id AS VARCHAR), 4, '0') AS uid,
+           LPAD(CAST(event_id AS VARCHAR), 8, '0') AS eid,
+           event_type AS etype,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+    WHERE user_id = 11 AND ROUND(value * 100) < 2000
+    """,
+)
+def bt_read_rows_wire_q(spark, sf_dir):
+    # r7: the transport chain ACROSS A REAL SOCKET (sources/wire.py) — the
+    # sandbox-honest analogue of the reference's emulator-over-gRPC runs
+    # (Makefile:1-15): composer ranges + a sign-split negative value bound
+    # serialize into the request, cross localhost TCP to a server wrapping
+    # the fake service, and the response streams back frame-by-frame
+    # before pivot/split/decode.  Differential wire-vs-in-process parity
+    # is pinned in tests/test_wire_transport.py; this entry puts the
+    # socket path itself under the driver's hash check.
+    from datafusion_bigtable_spark.config import BigtableTableConfig, ColumnSpec
+    from datafusion_bigtable_spark.plans.composer import Between as CBetween, Eq as CEq
+    from datafusion_bigtable_spark.sources.fake_bigtable import service_from_parquet
+    from datafusion_bigtable_spark.sources.bigtable_table import BigtableTable
+    from datafusion_bigtable_spark.sources.wire import WireBigtableClient, WireBigtableServer
+
+    path = _bt_events_store(spark, sf_dir)
+    if path not in _SERVICE_CACHE:
+        _SERVICE_CACHE[path] = service_from_parquet(path)
+    if path not in _WIRE_CACHE:
+        _WIRE_CACHE[path] = WireBigtableServer(_SERVICE_CACHE[path]).start()
+    client = WireBigtableClient(*_WIRE_CACHE[path].address)
+    table = BigtableTable(
+        BigtableTableConfig(
+            table="events_cells",
+            column_family="events",
+            columns=(ColumnSpec("etype", "string"), ColumnSpec("cents", "int64")),
+            table_partition_cols=("uid", "eid"),
+        ),
+        service=client,
+    )
+    df = table.to_df(
+        spark,
+        predicates=[CEq("uid", "0011"), CBetween("eid", "00000000", "99999999")],
+        value_filters=[("cents", "lt", 2000)],
+    )
+    return df.select("uid", "eid", "etype", "cents")
+
+
 @query(
     "events_sessionize",
     """

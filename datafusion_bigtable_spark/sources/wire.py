@@ -1,0 +1,227 @@
+"""A real-socket wire transport for the ReadRows/MutateRows seam.
+
+The reference validates its connector against the Bigtable EMULATOR over
+live gRPC (Makefile:1-15, .github/workflows/rust.yml:22-38).  This
+container has neither ``grpcio`` nor ``google-cloud-bigtable``, so the
+closest honest analogue is built from the stdlib: a localhost TCP server
+that wraps any object implementing the service seam
+(``read_rows(request_dict)`` / ``mutate_rows(request_dict)`` — e.g. the
+in-process fake, sources/fake_bigtable.py) and a socket client that
+implements the SAME seam, so ``BigtableTable(service=WireBigtableClient)``
+drives every request across a real wire: the request is serialized, the
+response streams back frame-by-frame, and nothing is shared between the
+two processes' object graphs.
+
+What this proves that the in-process fake alone cannot:
+- the full request structure — RowSet, Chain/Interleave filter trees,
+  sign-split VALUE BYTE RANGES, timestamp bounds, rows_limit — survives a
+  serialization round trip (bytes are the load-bearing case: row-range
+  bounds and value-range bounds are raw byte strings);
+- responses stream: the client yields rows as frames arrive, so a
+  rows_limit'd or early-abandoned scan does not require materializing the
+  server's full result;
+- failures cross the boundary as errors, not truncated streams.
+
+What it deliberately does NOT claim: protobuf wire compatibility.  The
+framing is length-prefixed JSON with tagged base64 bytes — a stand-in
+encoding, chosen because the *real* encoding lives in the gRPC SDK gated
+at grpc_transport.py:fetch_cells.  The semantic payload (every field the
+request builder emits) round-trips losslessly, which is the property the
+rest of the engine depends on.
+
+Framing: each message is ``len(payload).to_bytes(4, "big") + payload``
+where payload is UTF-8 JSON.  A read_rows response is a sequence of row
+frames ``{"k": row_key, "c": [[family, qualifier, ts_us, <bytes>], ...]}``
+terminated by ``{"end": true}``; errors arrive as ``{"error": class,
+"msg": str}``.  Bytes anywhere in a structure encode as
+``{"__b64__": base64}``.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import socket
+import socketserver
+import struct
+import threading
+from typing import Iterator
+
+
+MAX_FRAME = 64 * 1024 * 1024  # refuse absurd frames rather than OOM
+
+
+def _tag_bytes(obj):
+    if isinstance(obj, bytes):
+        return {"__b64__": base64.b64encode(obj).decode("ascii")}
+    if isinstance(obj, dict):
+        return {k: _tag_bytes(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_tag_bytes(v) for v in obj]
+    return obj
+
+
+def _untag_bytes(obj):
+    if isinstance(obj, dict):
+        if set(obj) == {"__b64__"}:
+            return base64.b64decode(obj["__b64__"])
+        return {k: _untag_bytes(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_untag_bytes(v) for v in obj]
+    return obj
+
+
+def dump_frame(obj) -> bytes:
+    payload = json.dumps(_tag_bytes(obj), separators=(",", ":")).encode("utf-8")
+    if len(payload) > MAX_FRAME:
+        raise ValueError(f"frame of {len(payload)} bytes exceeds MAX_FRAME")
+    return struct.pack(">I", len(payload)) + payload
+
+
+def read_frame(sock: socket.socket):
+    """One framed message off the socket; None on clean EOF at a frame
+    boundary; ConnectionError on mid-frame EOF (a truncated stream must
+    never parse as a short result)."""
+    header = _read_exact(sock, 4, allow_eof=True)
+    if header is None:
+        return None
+    (n,) = struct.unpack(">I", header)
+    if n > MAX_FRAME:
+        raise ConnectionError(f"peer announced {n}-byte frame > MAX_FRAME")
+    return json.loads(_read_exact(sock, n).decode("utf-8"))
+
+
+def _read_exact(sock: socket.socket, n: int, allow_eof: bool = False):
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            if allow_eof and not buf:
+                return None
+            raise ConnectionError("connection closed mid-frame")
+        buf += chunk
+    return bytes(buf)
+
+
+class _Handler(socketserver.BaseRequestHandler):
+    def handle(self):
+        sock = self.request
+        while True:
+            try:
+                msg = read_frame(sock)
+            except ConnectionError:
+                return
+            if msg is None:
+                return
+            method = msg.get("method")
+            request = _untag_bytes(msg.get("request") or {})
+            try:
+                if method == "read_rows":
+                    for row_key, cells in self.server.service.read_rows(request):
+                        sock.sendall(
+                            dump_frame({"k": row_key, "c": _tag_bytes([list(c) for c in cells])})
+                        )
+                elif method == "mutate_rows":
+                    for entry in self.server.service.mutate_rows(request):
+                        sock.sendall(dump_frame({"k": None, "c": _tag_bytes(entry)}))
+                else:
+                    raise ValueError(f"unknown method {method!r}")
+                sock.sendall(dump_frame({"end": True}))
+            except BrokenPipeError:
+                return  # client abandoned the stream; nothing to report to
+            except Exception as exc:  # noqa: BLE001 — ship the failure across the wire
+                try:
+                    sock.sendall(
+                        dump_frame({"error": type(exc).__name__, "msg": str(exc)})
+                    )
+                except BrokenPipeError:
+                    pass
+                return  # poisoned stream state: drop the connection
+
+
+class WireBigtableServer:
+    """Serve any service-seam object over localhost TCP.
+
+    >>> srv = WireBigtableServer(service_from_parquet(path)); srv.start()
+    >>> client = WireBigtableClient(*srv.address)
+    ... BigtableTable(cfg, service=client).to_df(spark, preds)
+    >>> srv.stop()
+
+    Threading server: concurrent connections each get their own handler
+    thread, mirroring a real server's per-stream concurrency.
+    """
+
+    def __init__(self, service, host: str = "127.0.0.1", port: int = 0):
+        self._tcp = socketserver.ThreadingTCPServer((host, port), _Handler, bind_and_activate=True)
+        self._tcp.daemon_threads = True
+        self._tcp.service = service
+        self._thread: threading.Thread | None = None
+
+    @property
+    def address(self) -> tuple[str, int]:
+        return self._tcp.server_address[:2]
+
+    def start(self) -> "WireBigtableServer":
+        self._thread = threading.Thread(target=self._tcp.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._tcp.shutdown()
+        self._tcp.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+    def __enter__(self) -> "WireBigtableServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+
+class WireError(RuntimeError):
+    """A failure reported by the wire server (original class in .remote_type)."""
+
+    def __init__(self, remote_type: str, msg: str):
+        super().__init__(f"{remote_type}: {msg}")
+        self.remote_type = remote_type
+
+
+class WireBigtableClient:
+    """Socket-backed implementation of the service seam.
+
+    One connection per streamed call: a generator the caller abandons
+    mid-stream must not leave a half-consumed response to corrupt the next
+    request, so each call owns (and closes) its socket.  Connect cost on a
+    localhost loop is microseconds; against a remote endpoint a pooling
+    layer would slot in here.
+    """
+
+    def __init__(self, host: str, port: int, timeout: float = 30.0):
+        self._addr = (host, port)
+        self._timeout = timeout
+
+    def _call(self, method: str, request: dict) -> Iterator:
+        sock = socket.create_connection(self._addr, timeout=self._timeout)
+        try:
+            sock.sendall(dump_frame({"method": method, "request": _tag_bytes(request)}))
+            while True:
+                msg = read_frame(sock)
+                if msg is None:
+                    raise ConnectionError("server closed stream before end frame")
+                if msg.get("end"):
+                    return
+                if "error" in msg:
+                    raise WireError(msg["error"], msg.get("msg", ""))
+                yield msg
+        finally:
+            sock.close()
+
+    def read_rows(self, request: dict) -> Iterator[tuple[str, list[tuple[str, str, int, bytes]]]]:
+        for msg in self._call("read_rows", request):
+            cells = [tuple(c) for c in _untag_bytes(msg["c"])]
+            yield msg["k"], cells
+
+    def mutate_rows(self, request: dict) -> Iterator[dict]:
+        for msg in self._call("mutate_rows", request):
+            yield _untag_bytes(msg["c"])
