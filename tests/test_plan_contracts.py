@@ -257,3 +257,18 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_smb_li")
         spark.sql("DROP TABLE IF EXISTS t_smb_od")
+
+
+def test_boilerplate_single_tokenize_per_scan(spark, sf_dir):
+    """The gram transform must reference a MATERIALIZED token array, not
+    an inlined regex split: inlined, the split becomes a free variable of
+    the transform lambda and re-evaluates once per gram element (measured
+    8x on the sf0.1 gram scan).  Pin: exactly one split per scan branch
+    (the op deliberately scans twice — df aggregate + tagged count), both
+    inside a Project aliasing the array, never inside a lambdafunction."""
+    plan = _plan(spark, _q(spark, sf_dir, "text_boilerplate_ngrams"))
+    assert plan.count("split(lower") == 2, f"tokenize not once-per-scan:\n{plan}"
+    for line in plan.splitlines():
+        if "split(lower" in line:
+            head = line.split("lambdafunction", 1)[0]
+            assert "split(lower" in head, f"split inlined into a lambda:\n{line}"

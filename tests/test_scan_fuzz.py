@@ -210,13 +210,13 @@ def fuzz_cells_path(tmp_path_factory) -> str:
     return path
 
 
-def _config(cells_path) -> BigtableTableConfig:
+def _config(cells_path, latest: bool = True) -> BigtableTableConfig:
     return BigtableTableConfig(
         table="fuzz_scan",
         column_family=FAMILY,
         columns=(ColumnSpec("pressure", "int64"), ColumnSpec("temperature", "string")),
         table_partition_cols=PCOLS,
-        only_read_latest=True,
+        only_read_latest=latest,
         cells_path=cells_path,
         allow_full_scan=True,  # shapes may draw zero key predicates
     )
@@ -225,7 +225,7 @@ def _config(cells_path) -> BigtableTableConfig:
 _SVC = {}
 
 
-def _table(cells_path, transport) -> BigtableTable:
+def _table(cells_path, transport, latest: bool = True) -> BigtableTable:
     if transport == "service":
         import dataclasses
 
@@ -234,10 +234,10 @@ def _table(cells_path, transport) -> BigtableTable:
         if cells_path not in _SVC:
             _SVC[cells_path] = service_from_parquet(cells_path)
         return BigtableTable(
-            dataclasses.replace(_config(cells_path), cells_path=None),
+            dataclasses.replace(_config(cells_path, latest), cells_path=None),
             service=_SVC[cells_path],
         )
-    return BigtableTable(_config(cells_path))
+    return BigtableTable(_config(cells_path, latest))
 
 
 @pytest.mark.parametrize("transport", ["parquet", "service"])
@@ -250,5 +250,48 @@ def test_scan_matches_bruteforce_model(spark, fuzz_cells_path, transport, shape_
     got = spark.sql(f"SELECT {', '.join(proj)} FROM fuzz_scan{where}")
     assert got.columns == proj
     assert sorted((tuple(r) for r in got.collect()), key=repr) == _model(
+        _CELLS, preds, value_cut, proj
+    )
+
+
+def _model_unnest(cells, preds, value_cut, proj) -> list[tuple]:
+    """Version-unnest semantics: EVERY cell survives; one relational row
+    per (key, ts) carrying the qualifiers written at exactly that ts."""
+    rows: dict[tuple[str, dt.datetime], dict] = {}
+    for key, q, ts, val in cells:
+        rows.setdefault((key, ts), {})[q] = val
+    out = []
+    for (key, ts), quals in rows.items():
+        comp = dict(zip(PCOLS, key.split("#")))
+        if not _eval_key(comp, preds):
+            continue
+        pressure = (
+            int.from_bytes(quals["pressure"], "big", signed=True)
+            if "pressure" in quals
+            else None
+        )
+        temperature = quals["temperature"].decode() if "temperature" in quals else None
+        if value_cut is not None and (pressure is None or not pressure > value_cut):
+            continue
+        full = {**comp, "_timestamp": ts, "pressure": pressure, "temperature": temperature}
+        out.append(tuple(full[c] for c in proj))
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("transport", ["parquet", "service"])
+@pytest.mark.parametrize("shape_idx", range(0, N_SHAPES, 2))
+def test_version_unnest_matches_bruteforce_model(
+    spark, fuzz_cells_path, transport, shape_idx
+):
+    """only_read_latest=False: the full version history pivots — every
+    (row_key, ts) pair is a relational row.  Half the shapes, both
+    transports (the service path must NOT apply a cells-per-column
+    limit in this mode)."""
+    preds, reg_preds, clauses, value_cut, proj = _SHAPES[shape_idx]
+    table = _table(fuzz_cells_path, transport, latest=False)
+    table.register(spark, name="fuzz_scan_v", predicates=reg_preds)
+    where = f" WHERE {' AND '.join(clauses)}" if clauses else ""
+    got = spark.sql(f"SELECT {', '.join(proj)} FROM fuzz_scan_v{where}")
+    assert sorted((tuple(r) for r in got.collect()), key=repr) == _model_unnest(
         _CELLS, preds, value_cut, proj
     )
