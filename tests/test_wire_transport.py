@@ -254,3 +254,51 @@ def test_truncated_stream_raises_not_short_result():
         list(client.read_rows(build_read_rows_request(_config(), [])))
     t.join(timeout=5)
     lst.close()
+
+
+# --- tier 5: hypothesis differential — random stores, random requests --------
+# Reuses the service-property strategies (test_service_properties.py); the
+# wire adds serialization + socket framing on top of the same algebra, so
+# the contract is stream-equality with the in-process service it wraps.
+# One shared server; the wrapped service is swapped per example (calls are
+# sequential and each owns its connection, so the swap is race-free).
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+import test_service_properties as _sp  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def swap_server():
+    svc_holder = InProcessBigtableService([])
+    with WireBigtableServer(svc_holder) as srv:
+        yield srv
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    cells=_sp.cells_strategy,
+    ranges=_sp.ranges_strategy,
+    projection=_sp.projection_strategy,
+    as_of=st.one_of(st.none(), st.integers(0, 4)),
+    latest=st.booleans(),
+    preds=_sp.preds_strategy,
+    rows_limit=st.one_of(st.none(), st.integers(1, 3)),
+)
+def test_wire_equals_inprocess_for_random_requests(
+    swap_server, cells, ranges, projection, as_of, latest, preds, rows_limit
+):
+    config = _sp._config(only_read_latest=latest)
+    if projection is not None:
+        for pq, _, _ in preds:
+            if pq not in projection:
+                projection = list(projection) + [pq]
+    svc = InProcessBigtableService(cells)
+    swap_server._tcp.service = svc
+    client = WireBigtableClient(*swap_server.address)
+    req = build_read_rows_request(
+        config, ranges, projection, as_of, preds, rows_limit
+    )
+    expect = [(k, list(cs)) for k, cs in svc.read_rows(req)]
+    assert [(k, list(cs)) for k, cs in client.read_rows(req)] == expect
