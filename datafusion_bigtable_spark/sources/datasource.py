@@ -86,8 +86,11 @@ def _config_from_options(options) -> BigtableTableConfig:
         return v if v is not None else default
 
     path = opt("path") or opt("cells_path")
-    if not path:
-        raise ValueError("bigtable data source requires .option('path', <cells parquet>)")
+    if not path and not opt("endpoint"):
+        raise ValueError(
+            "bigtable data source requires .option('path', <cells parquet>) "
+            "or .option('endpoint', 'host:port')"
+        )
     columns = []
     for spec in (opt("columns") or "").split(","):
         spec = spec.strip()
@@ -130,6 +133,27 @@ class RangePartition(InputPartition):
 
 
 @dataclass
+class WireRangePartition(InputPartition):
+    """One key-range SHARD of a wire-endpoint scan → one Spark task that
+    opens its own connection and issues its own ReadRows — the reference's
+    executor-side read shape (its TableProvider streams gRPC inside the
+    execution plan), and the only shape that scales: the driver plans
+    shard boundaries from SampleRowKeys; executors fetch in parallel.
+    ``start_open=True`` makes the start bound exclusive (shard k covers
+    ``(bound[k-1], bound[k]]`` — SampleRowKeys boundary semantics).
+    ``start``/``end`` of None = unbounded."""
+
+    start: object
+    end: object
+    endpoint: tuple
+    start_open: bool = False
+    ts_lo: object = None
+    ts_hi: object = None
+    value_preds: tuple = ()
+    rows_cap: object = None
+
+
+@dataclass
 class FilePartition(InputPartition):
     """Full-scan path: one key-disjoint GROUP of parquet files → one scan
     task.  With a write_cells layout every group is a single file; after
@@ -148,6 +172,16 @@ class FilePartition(InputPartition):
 class BigtableReader(DataSourceReader):
     def __init__(self, schema, options):
         self.config = _config_from_options(options)
+        # Wire endpoint mode (r7): scan a live ReadRows service instead of
+        # a parquet store.  The driver shards key space from SampleRowKeys;
+        # every executor task opens its own connection for its shard.
+        ep = options.get("endpoint")
+        self.endpoint: tuple | None = None
+        if ep:
+            host, _, port = str(ep).rpartition(":")
+            self.endpoint = (host or "127.0.0.1", int(port))
+        raw_stride = options.get("sample_stride_bytes")
+        self.sample_stride = int(raw_stride) if raw_stride is not None else None
         self.ranges: list[KeyRange] = []
         self._filters_pushed = False
         self._pushed_since_last_plan = False
@@ -524,6 +558,8 @@ class BigtableReader(DataSourceReader):
             rows_cap = None
         self._pushed_since_last_plan = False
         self._last_plan_pruned = bool(ranges) or ts_push or bool(value_preds)
+        if self.endpoint is not None:
+            return self._wire_partitions(ranges, ts_lo, ts_hi, value_preds, rows_cap)
         if ranges:
             # File-level pruning: a range partition only scans files whose
             # footer [min,max] row_key interval overlaps the range — with a
@@ -563,6 +599,50 @@ class BigtableReader(DataSourceReader):
             for g in _key_disjoint_groups(stats)
         ]
 
+    def _wire_partitions(self, ranges, ts_lo, ts_hi, value_preds, rows_cap):
+        """Shard the composed ranges (or the full key space) at
+        SampleRowKeys boundaries: shard k covers ``(bound[k-1], bound[k]]``
+        so shards are disjoint and ordered, one executor task each — the
+        same planner shape the real service's connectors use (tablet
+        boundaries ≈ sample keys).  Driver work is O(#samples); no parquet
+        footers, no driver-side data."""
+        from datafusion_bigtable_spark.sources.grpc_transport import _table_name
+        from datafusion_bigtable_spark.sources.wire import WireBigtableClient
+
+        if not ranges and not self.config.allow_full_scan:
+            raise ComposerError(
+                "table_partition_cols: filter is not provided or not supported"
+            )
+        client = WireBigtableClient(*self.endpoint)
+        sample_req: dict = {"table_name": _table_name(self.config)}
+        if self.sample_stride is not None:
+            sample_req["stride_bytes"] = self.sample_stride
+        bounds = [s["row_key"] for s in client.sample_row_keys(sample_req)]
+        spans = [(r.start, r.end) for r in ranges] or [(None, None)]
+        parts = []
+        for s, e in spans:
+            cuts = [b for b in bounds if (s is None or b > s) and (e is None or b < e)]
+            lo, lo_open = s, False
+            for b in cuts:
+                parts.append(
+                    WireRangePartition(
+                        lo, b, self.endpoint, lo_open, ts_lo, ts_hi, value_preds, rows_cap
+                    )
+                )
+                lo, lo_open = b, True
+            if lo_open and e is None and bounds and lo == bounds[-1]:
+                continue  # (last_key, ∞) is empty by the SampleRowKeys contract
+            parts.append(
+                WireRangePartition(
+                    lo, e, self.endpoint, lo_open, ts_lo, ts_hi, value_preds, rows_cap
+                )
+            )
+        return parts or [
+            # zero shards (empty table): one unbounded probe so the scan
+            # yields an empty frame with a stable schema
+            WireRangePartition(None, None, self.endpoint, False, ts_lo, ts_hi, value_preds, rows_cap)
+        ]
+
     # -- scan (A1/A11/A13/A14/A15, partition-local) -----------------------
     def read(self, partition: InputPartition) -> Iterator:
         # the cap travels on the partition: it was validated against THIS
@@ -582,6 +662,9 @@ class BigtableReader(DataSourceReader):
                 return
 
     def _scan(self, partition: InputPartition) -> Iterator:
+        if isinstance(partition, WireRangePartition):
+            yield from self._wire_scan(partition)
+            return
         import pyarrow.dataset as pa_ds
 
         cfg = self.config
@@ -641,6 +724,78 @@ class BigtableReader(DataSourceReader):
         elif carry is None:
             # no rows at all: emit one empty batch for a stable schema
             yield from _pivot_partition(pd.DataFrame(columns=cols), cfg)
+
+    def _wire_scan(self, partition: WireRangePartition) -> Iterator:
+        """Executor-side ReadRows over the wire for one shard: this task
+        opens its own connection, streams its key range, and pivots rows
+        as they arrive.  The filter work rides the REQUEST (family pin,
+        cells-per-column limit in latest mode, qualifier regex, value
+        predicates, unnest-gated ts bounds), so wire traffic is already
+        reduced server-side — the executor holds one chunk of complete
+        rows, never the shard.  NOTE value predicates reach here only in
+        version-unnest plans (partitions() gates them in latest mode,
+        matching the parquet path); the wire chain places value filters
+        after the latest limit, so either gating is sound — Spark
+        re-applies every filter above regardless (A16)."""
+        import pandas as pd
+
+        from datafusion_bigtable_spark.sources.grpc_transport import (
+            build_read_rows_request,
+        )
+        from datafusion_bigtable_spark.sources.wire import WireBigtableClient
+
+        cfg = self.config
+
+        def to_us(t):
+            return None if t is None else int(pd.Timestamp(t).value // 1_000)
+
+        lo_us, hi_us = to_us(partition.ts_lo), to_us(partition.ts_hi)
+        req = build_read_rows_request(
+            cfg,
+            [],
+            value_preds=tuple(partition.value_preds),
+            ts_range_us=(lo_us, hi_us) if (lo_us is not None or hi_us is not None) else None,
+        )
+        rng: dict = {}
+        if partition.start is not None:
+            key = "start_key_open" if partition.start_open else "start_key_closed"
+            rng[key] = partition.start.encode("utf-8")
+        if partition.end is not None:
+            rng["end_key_closed"] = partition.end.encode("utf-8")
+        req["rows"] = {"row_keys": [], "row_ranges": [rng] if rng else []}
+
+        buf: dict[str, list] = {"row_key": [], "qualifier": [], "ts": [], "value": []}
+
+        def flush():
+            pdf = pd.DataFrame(
+                {
+                    "row_key": list(buf["row_key"]),
+                    "qualifier": list(buf["qualifier"]),
+                    "ts": pd.to_datetime(buf["ts"], unit="us"),
+                    "value": list(buf["value"]),
+                }
+            )
+            for v in buf.values():
+                v.clear()
+            yield from _pivot_partition(pdf, cfg)
+
+        client = WireBigtableClient(*partition.endpoint)
+        pending = 0
+        emitted = False
+        for row_key, cells in client.read_rows(req):
+            for _family, qualifier, ts, value in cells:
+                buf["row_key"].append(row_key)
+                buf["qualifier"].append(qualifier)
+                buf["ts"].append(ts)
+                buf["value"].append(value)
+            pending += len(cells)
+            if pending >= 65536:
+                # rows arrive COMPLETE (one frame per row), so every chunk
+                # boundary is a row boundary — no carry logic needed
+                yield from flush()
+                pending, emitted = 0, True
+        if pending or not emitted:
+            yield from flush()
 
 
 def _key_disjoint_groups(stats: list[dict]) -> list[list[str]]:

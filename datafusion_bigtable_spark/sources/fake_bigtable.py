@@ -68,9 +68,16 @@ class InProcessBigtableService:
         if key_bytes in explicit:
             return True
         for r in ranges:
-            start = r.get("start_key_closed")
-            end = r.get("end_key_closed")
-            if (start is None or key_bytes >= start) and (end is None or key_bytes <= end):
+            start_c = r.get("start_key_closed")
+            start_o = r.get("start_key_open")
+            end_c = r.get("end_key_closed")
+            end_o = r.get("end_key_open")
+            if (
+                (start_c is None or key_bytes >= start_c)
+                and (start_o is None or key_bytes > start_o)
+                and (end_c is None or key_bytes <= end_c)
+                and (end_o is None or key_bytes < end_o)
+            ):
                 return True
         return False
 
@@ -141,6 +148,31 @@ class InProcessBigtableService:
                     out.append(c)
             return out
         raise NotImplementedError(f"unsupported RowFilter: {sorted(flt)}")
+
+    # -- SampleRowKeys ----------------------------------------------------
+    def sample_row_keys(self, request: dict) -> Iterator[dict]:
+        """The service's SampleRowKeys RPC: approximately-equidistant row
+        keys (real Bigtable returns tablet boundaries, one every few
+        hundred MB) with cumulative ``offset_bytes``, ALWAYS including the
+        last key — the contract range-sharding scan planners rely on.
+        ``stride_bytes`` (default 16 KiB here; a test knob — real tablets
+        are ~GB) controls sample density."""
+        if self.table_name is not None and request.get("table_name") not in (None, self.table_name):
+            raise KeyError(f"unknown table {request.get('table_name')!r}")
+        stride = int(request.get("stride_bytes") or 16 * 1024)
+        keys = sorted(self._rows)
+        if not keys:
+            return
+        acc = 0
+        next_mark = stride
+        for i, rk in enumerate(keys):
+            acc += sum(
+                len(rk) + len(f) + len(q) + 8 + len(v) for f, q, _, v in self._rows[rk]
+            )
+            if acc >= next_mark or i == len(keys) - 1:
+                yield {"row_key": rk, "offset_bytes": acc}
+                while next_mark <= acc:
+                    next_mark += stride
 
     # -- the write RPC ----------------------------------------------------
     def mutate_rows(self, request: dict) -> Iterator[dict]:

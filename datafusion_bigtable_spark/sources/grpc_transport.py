@@ -49,6 +49,7 @@ def build_filter_chain(
     value_range: tuple[bytes | None, bytes | None] | None = None,
     value_regex: bytes | None = None,
     as_of_us: int | None = None,
+    ts_range_us: tuple[int | None, int | None] | None = None,
 ) -> list[dict]:
     """The reference's RowFilter chain (composer.rs:249-284):
     family pin → optional as-of timestamp bound → optional cells-per-column
@@ -68,6 +69,20 @@ def build_filter_chain(
     if as_of_us is not None:
         # Bigtable's end bound is EXCLUSIVE; +1 makes `ts <= as_of` inclusive
         chain.append({"timestamp_range_filter": {"end_timestamp_micros": as_of_us + 1}})
+    if ts_range_us is not None:
+        # Closed [lo, hi] cell-timestamp bound (the DS's version-unnest ts
+        # pushdown over the wire).  Same placement discipline as as_of:
+        # BEFORE any cells-per-column limit — callers gate this to unnest
+        # reads where no limit exists, so bound-then-latest inversion
+        # cannot arise.
+        lo, hi = ts_range_us
+        tr: dict = {}
+        if lo is not None:
+            tr["start_timestamp_micros"] = int(lo)
+        if hi is not None:
+            tr["end_timestamp_micros"] = int(hi) + 1
+        if tr:
+            chain.append({"timestamp_range_filter": tr})
     if config.only_read_latest:
         chain.append({"cells_per_column_limit_filter": 1})
     quals = list(projected_qualifiers) if projected_qualifiers is not None else list(config.qualifiers)
@@ -198,6 +213,7 @@ def build_read_rows_request(
     as_of_us: int | None = None,
     value_preds: Sequence[tuple[str, str, object]] = (),
     rows_limit: int | None = None,
+    ts_range_us: tuple[int | None, int | None] | None = None,
 ) -> dict:
     """Full ReadRowsRequest shape (execute_plan.rs:168-181).  Optional
     ``value_preds`` — ``(qualifier, op, literal)`` triples — append one
@@ -210,7 +226,9 @@ def build_read_rows_request(
     Bigtable rows, not relational rows; under version-unnest one Bigtable
     row pivots to one output row per surviving timestamp, so callers gate
     it on latest-mode reads (see BigtableTable.to_df)."""
-    chain = build_filter_chain(config, projected_qualifiers, as_of_us=as_of_us)
+    chain = build_filter_chain(
+        config, projected_qualifiers, as_of_us=as_of_us, ts_range_us=ts_range_us
+    )
     for qual, op, val in value_preds:
         chain.append(build_value_pred_filter(config, qual, op, val, projected_qualifiers))
     request = {

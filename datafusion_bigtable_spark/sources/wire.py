@@ -121,8 +121,8 @@ class _Handler(socketserver.BaseRequestHandler):
                         sock.sendall(
                             dump_frame({"k": row_key, "c": _tag_bytes([list(c) for c in cells])})
                         )
-                elif method == "mutate_rows":
-                    for entry in self.server.service.mutate_rows(request):
+                elif method in ("mutate_rows", "sample_row_keys"):
+                    for entry in getattr(self.server.service, method)(request):
                         sock.sendall(dump_frame({"k": None, "c": _tag_bytes(entry)}))
                 else:
                     raise ValueError(f"unknown method {method!r}")
@@ -224,4 +224,8 @@ class WireBigtableClient:
 
     def mutate_rows(self, request: dict) -> Iterator[dict]:
         for msg in self._call("mutate_rows", request):
+            yield _untag_bytes(msg["c"])
+
+    def sample_row_keys(self, request: dict) -> Iterator[dict]:
+        for msg in self._call("sample_row_keys", request):
             yield _untag_bytes(msg["c"])
