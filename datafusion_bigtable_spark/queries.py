@@ -1324,6 +1324,49 @@ def bt_read_rows_wire_q(spark, sf_dir):
 
 
 @query(
+    "bt_wire_sharded_scan",
+    """
+    SELECT LPAD(CAST(user_id AS VARCHAR), 4, '0') AS uid,
+           LPAD(CAST(event_id AS VARCHAR), 8, '0') AS eid,
+           event_type AS etype,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+    WHERE user_id = 23
+    """,
+)
+def bt_wire_sharded_scan_q(spark, sf_dir):
+    # r7: the EXECUTOR-SIDE wire scan in the rotation — spark.read.format
+    # ("bigtable").option("endpoint", ...) shards key space at
+    # SampleRowKeys boundaries and each task streams its shard over its
+    # own socket (datasource.py::_wire_partitions/_wire_scan; the
+    # reference's gRPC-inside-the-plan shape, execute_plan.rs:183-212).
+    # Unlike bt_read_rows_wire (driver-side to_df fetch), the rows here
+    # never touch the driver: pivot/split/decode run in the scan tasks.
+    from datafusion_bigtable_spark.sources import datasource as bt_ds
+    from datafusion_bigtable_spark.sources.fake_bigtable import service_from_parquet
+    from datafusion_bigtable_spark.sources.wire import WireBigtableServer
+
+    bt_ds.register(spark)
+    path = _bt_events_store(spark, sf_dir)
+    if path not in _SERVICE_CACHE:
+        _SERVICE_CACHE[path] = service_from_parquet(path)
+    if path not in _WIRE_CACHE:
+        _WIRE_CACHE[path] = WireBigtableServer(_SERVICE_CACHE[path]).start()
+    host, port = _WIRE_CACHE[path].address
+    df = (
+        spark.read.format("bigtable")
+        .option("endpoint", f"{host}:{port}")
+        .option("column_family", "events")
+        .option("columns", "etype:string,cents:int64")
+        .option("table_partition_cols", "uid,eid")
+        .option("allow_full_scan", "false")
+        .load()
+        .filter("uid = '0023' AND eid BETWEEN '00000000' AND '99999999'")
+    )
+    return df.select(F.col("uid"), F.col("eid"), "etype", "cents")
+
+
+@query(
     "events_sessionize",
     """
     WITH gaps AS (
