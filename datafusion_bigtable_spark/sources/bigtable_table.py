@@ -331,8 +331,9 @@ class BigtableTable:
         ``max_mutations`` SetCell mutations, split on row boundaries
         (per-row atomicity, the service's actual unit).  Returns the
         number of rows applied.  Driver-side iteration, exactly like the
-        read path materializes the RPC response — for 100 TB-scale writes
-        use the parquet store.
+        read path materializes the RPC response — for cluster-scale writes
+        use ``df.write.format("bigtable").option("endpoint", ...)``, which
+        pushes each partition through MutateRows executor-side.
         """
         if self.service is None:
             raise NotImplementedError(

@@ -953,6 +953,11 @@ class _CellsWriteCommit(WriterCommitMessage):
     staged: str  # task-local staged parquet file
 
 
+@dataclass
+class _WireWriteCommit(WriterCommitMessage):
+    applied: int  # rows this task pushed through MutateRows
+
+
 class BigtableWriter(DataSourceWriter):
     """``df.write.format("bigtable")`` — the reference's unshipped
     roadmap item "writes to Bigtable" (README.md:46-49), expressed for the
@@ -975,10 +980,30 @@ class BigtableWriter(DataSourceWriter):
         import uuid
 
         self.config = _config_from_options(options)
+        # Endpoint mode (r7): each task pushes its partition through
+        # MutateRows over its own connection — executor-parallel writes,
+        # the symmetric twin of the endpoint read path.  Semantics are the
+        # SERVICE's, not the staged commit's: per-row atomicity, no
+        # job-level rollback (abort cannot unwrite completed tasks), and
+        # idempotent task retries (SetCell carries the row's explicit
+        # _timestamp, so a replayed batch version-replaces itself).
+        ep = options.get("endpoint")
+        self.endpoint: tuple | None = None
+        if ep:
+            host, _, port = str(ep).rpartition(":")
+            self.endpoint = (host or "127.0.0.1", int(port))
+            if overwrite:
+                raise ValueError(
+                    "bigtable: mode('overwrite') is not supported for an "
+                    "endpoint write — MutateRows has no truncate; use "
+                    "mode('append')"
+                )
         self.overwrite = overwrite
         self.job_id = uuid.uuid4().hex[:12]
         store = self.config.cells_path
-        self.staging = os.path.join(store, "_staging", self.job_id)
+        self.staging = (
+            os.path.join(store, "_staging", self.job_id) if store else None
+        )
 
     # -- executor side ----------------------------------------------------
     def write(self, iterator):
@@ -996,6 +1021,17 @@ class BigtableWriter(DataSourceWriter):
             # wire path uses the same one, so parquet staging and wire
             # mutations cannot drift
             cells.extend(encode_relational_row(cfg, row.asDict()))
+        if self.endpoint is not None:
+            from datafusion_bigtable_spark.sources.cells import _naive_datetime_to_us
+            from datafusion_bigtable_spark.sources.grpc_transport import push_cells
+            from datafusion_bigtable_spark.sources.wire import WireBigtableClient
+
+            applied = push_cells(
+                cfg,
+                ((k, f, q, _naive_datetime_to_us(ts), v) for k, f, q, ts, v in cells),
+                service=WireBigtableClient(*self.endpoint),
+            )
+            return _WireWriteCommit(applied)
         if not cells:
             return None
         cells.sort(key=lambda c: (c[0], c[2], c[3]))
@@ -1021,6 +1057,8 @@ class BigtableWriter(DataSourceWriter):
 
         from datafusion_bigtable_spark.sources.cells import write_manifest
 
+        if self.endpoint is not None:
+            return  # mutations are applied per task; nothing to move
         store = self.config.cells_path
         os.makedirs(store, exist_ok=True)
         if self.overwrite:
@@ -1043,6 +1081,8 @@ class BigtableWriter(DataSourceWriter):
         import contextlib
         import shutil
 
+        if self.staging is None:
+            return  # endpoint write: completed tasks cannot be unwritten
         shutil.rmtree(self.staging, ignore_errors=True)
         with contextlib.suppress(OSError):  # non-empty → another job is active
             os.rmdir(os.path.dirname(self.staging))

@@ -109,3 +109,113 @@ def test_key_pruned_wire_scan_matches(spark, fuzz_cells_path, wire_addr):
     full = _load(spark, wire_addr, stride=2048)
     assert pruned.rdd.getNumPartitions() < full.rdd.getNumPartitions() + 2
     assert _rows(pruned) == _rows(_load(spark, fuzz_cells_path).filter(flt))
+
+
+def test_endpoint_write_read_round_trip(spark):
+    """Executor-parallel WRITES over the wire: df.write pushes each
+    partition through MutateRows on its own connection; reading the same
+    endpoint returns the rows.  Overwrite mode is refused (MutateRows has
+    no truncate)."""
+    import pandas as pd
+
+    from datafusion_bigtable_spark.sources.fake_bigtable import (
+        InProcessBigtableService,
+    )
+
+    svc = InProcessBigtableService([])
+    with WireBigtableServer(svc) as srv:
+        addr = f"{srv.address[0]}:{srv.address[1]}"
+        bt_ds.register(spark)
+        pdf = pd.DataFrame(
+            {
+                "region": ["eu-west3", "eu-west3", "us-west2"],
+                "balloon_id": ["9", "9", "7"],
+                "event_minute": ["m00", "m01", "m00"],
+                "_timestamp": pd.to_datetime([1_000_000, 2_000_000, 3_000_000], unit="us"),
+                "pressure": [-12, None, 2**41],
+                "temperature": ["a", "b", None],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        (
+            df.repartition(3)
+            .write.format("bigtable")
+            .option("endpoint", addr)
+            .option("column_family", "measurements")
+            .option("columns", "pressure:int64,temperature:string")
+            .option("table_partition_cols", "region,balloon_id,event_minute")
+            .mode("append")
+            .save()
+        )
+        back = _load(spark, addr)
+        rows = {
+            (r["region"], r["balloon_id"], r["event_minute"]): (
+                r["pressure"],
+                r["temperature"],
+            )
+            for r in back.collect()
+        }
+        assert rows == {
+            ("eu-west3", "9", "m00"): (-12, "a"),
+            ("eu-west3", "9", "m01"): (None, "b"),
+            ("us-west2", "7", "m00"): (2**41, None),
+        }
+        with pytest.raises(Exception, match="overwrite.*not supported|not supported.*overwrite"):
+            (
+                df.write.format("bigtable")
+                .option("endpoint", addr)
+                .option("column_family", "measurements")
+                .option("columns", "pressure:int64,temperature:string")
+                .option("table_partition_cols", "region,balloon_id,event_minute")
+                .mode("overwrite")
+                .save()
+            )
+
+
+def test_endpoint_write_is_idempotent_on_replay(spark):
+    """A retried task replays its batch: SetCell with explicit timestamps
+    version-replaces itself, so the store is unchanged — the property that
+    makes Spark task retries safe against a live service."""
+    import pandas as pd
+
+    from datafusion_bigtable_spark.sources.fake_bigtable import (
+        InProcessBigtableService,
+    )
+
+    svc = InProcessBigtableService([])
+    with WireBigtableServer(svc) as srv:
+        addr = f"{srv.address[0]}:{srv.address[1]}"
+        bt_ds.register(spark)
+        pdf = pd.DataFrame(
+            {
+                "region": ["ap-east1"],
+                "balloon_id": ["1"],
+                "event_minute": ["m05"],
+                "_timestamp": pd.to_datetime([5_000_000], unit="us"),
+                "pressure": [42],
+                "temperature": ["x"],
+            }
+        )
+        for _ in range(2):  # same frame written twice = replayed batch
+            (
+                spark.createDataFrame(pdf)
+                .write.format("bigtable")
+                .option("endpoint", addr)
+                .option("column_family", "measurements")
+                .option("columns", "pressure:int64,temperature:string")
+                .option("table_partition_cols", "region,balloon_id,event_minute")
+                .mode("append")
+                .save()
+            )
+        assert len(svc._rows["ap-east1#1#m05"]) == 2  # 2 cells, not 4
+        back = _load(spark, addr)
+        assert [tuple(r) for r in back.collect()] == [
+            (
+                "ap-east1",
+                "1",
+                "m05",
+                pd.Timestamp(5_000_000, unit="us").to_pydatetime(),
+                42,
+                "x",
+            )
+        ]
