@@ -1117,8 +1117,24 @@ class BigtableStreamWriter(DataSourceStreamWriter):
         import uuid
 
         self.config = _config_from_options(options)
+        # Endpoint mode (r7): every micro-batch partition pushes through
+        # MutateRows executor-side (BigtableWriter.write's endpoint
+        # branch).  Delivery is at-least-once made effectively exactly-once
+        # by idempotence: a replayed batch re-sends the same
+        # (key, qualifier, explicit-ts, value) cells, which version-replace
+        # themselves — provided the stream's rows are deterministic per
+        # batch (the same property the staged-parquet path's deterministic
+        # file names rely on).
+        ep = options.get("endpoint")
+        self.endpoint: tuple | None = None
+        if ep:
+            host, _, port = str(ep).rpartition(":")
+            self.endpoint = (host or "127.0.0.1", int(port))
         self.job_id = uuid.uuid4().hex[:12]
-        self.staging = os.path.join(self.config.cells_path, "_staging", f"stream-{self.job_id}")
+        store = self.config.cells_path
+        self.staging = (
+            os.path.join(store, "_staging", f"stream-{self.job_id}") if store else None
+        )
 
     def _gc_orphan_staging(self) -> None:
         """Remove stream-* staging dirs from crashed drivers (ADVICE r5):
@@ -1149,6 +1165,8 @@ class BigtableStreamWriter(DataSourceStreamWriter):
 
         from datafusion_bigtable_spark.sources.cells import write_manifest
 
+        if self.endpoint is not None:
+            return  # mutations landed per task; nothing staged
         store = self.config.cells_path
         os.makedirs(store, exist_ok=True)
         # drop any files a previously-failed attempt of THIS batch left
@@ -1166,7 +1184,8 @@ class BigtableStreamWriter(DataSourceStreamWriter):
     def abort(self, messages, batchId: int) -> None:
         import shutil
 
-        shutil.rmtree(self.staging, ignore_errors=True)
+        if self.staging is not None:
+            shutil.rmtree(self.staging, ignore_errors=True)
 
 
 @dataclass

@@ -219,3 +219,62 @@ def test_endpoint_write_is_idempotent_on_replay(spark):
                 "x",
             )
         ]
+
+
+def test_streaming_endpoint_sink(spark, tmp_path):
+    """writeStream.format('bigtable').option('endpoint', ...): every
+    micro-batch partition lands through MutateRows over the socket; the
+    store read back over the same endpoint carries the stream's rows."""
+    import pandas as pd
+
+    from datafusion_bigtable_spark.sources.fake_bigtable import (
+        InProcessBigtableService,
+    )
+    from pyspark.sql import functions as F
+
+    svc = InProcessBigtableService([])
+    with WireBigtableServer(svc) as srv:
+        addr = f"{srv.address[0]}:{srv.address[1]}"
+        bt_ds.register(spark)
+        # a bounded deterministic stream: one file of 20 relational rows
+        src_dir = tmp_path / "stream_src"
+        src_dir.mkdir()
+        pd.DataFrame({"n": range(20)}).to_parquet(src_dir / "batch0.parquet")
+        stream = (
+            spark.readStream.schema("n long")
+            .parquet(str(src_dir))
+            .select(
+                F.format_string("sk%03d", F.col("n")).alias("_row_key"),
+                F.timestamp_micros(F.col("n") * 1000 + 1).alias("_timestamp"),
+                (F.col("n") * 11 - 50).alias("pressure"),
+                F.format_string("v%d", F.col("n")).alias("temperature"),
+            )
+        )
+        q = (
+            stream.writeStream.format("bigtable")
+            .option("endpoint", addr)
+            .option("column_family", "measurements")
+            .option("columns", "pressure:int64,temperature:string")
+            .option("table_partition_cols", "_row_key")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        back = _load_simple(spark, addr)
+        rows = {r["_row_key"]: (r["pressure"], r["temperature"]) for r in back.collect()}
+        assert len(rows) == 20
+        assert rows["sk000"] == (-50, "v0") and rows["sk019"] == (159, "v19")
+
+
+def _load_simple(spark, addr):
+    bt_ds.register(spark)
+    return (
+        spark.read.format("bigtable")
+        .option("endpoint", addr)
+        .option("column_family", "measurements")
+        .option("columns", "pressure:int64,temperature:string")
+        .option("table_partition_cols", "_row_key")
+        .option("allow_full_scan", "true")
+        .load()
+    )
