@@ -2002,6 +2002,52 @@ def dedup_jaccard_q(spark, sf_dir):
 
 
 @query(
+    "dedup_substring_spans",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS w
+      FROM documents),
+    g AS (
+      SELECT doc_id, i AS pos, array_to_string(w[i:i+4], ' ') AS gram
+      FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - 4)) AS i) s
+      WHERE len(w) >= 5),
+    gc AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) <= 200),
+    g2 AS (SELECT g.* FROM g JOIN gc USING (gram)),
+    p AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+      FROM g2 a JOIN g2 b USING (gram) WHERE a.doc_id < b.doc_id),
+    r AS (
+      SELECT da, db, pa,
+             pa - ROW_NUMBER() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS grp,
+             pa - pb AS diag
+      FROM p),
+    s AS (
+      SELECT da, db, COUNT(*) AS run
+      FROM r GROUP BY da, db, diag, grp HAVING COUNT(*) >= 4)
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(MAX(run) + 4 AS BIGINT) AS max_span_words,
+           CAST(COUNT(*) AS BIGINT) AS n_spans
+    FROM s GROUP BY da, db
+    """,
+)
+def dedup_substring_spans_q(spark, sf_dir):
+    # Span-level exact dedup (operators/dedup.py::substring_span_pairs) —
+    # the Lee et al. 2022 suffix-array dedup re-expressed as diagonal runs
+    # over positional 5-gram matches: pairs sharing an exact >= 8-word
+    # span, with the longest span length and span count per pair.  One
+    # gram shuffle (inverted-list pairs, window-capped hot grams), one
+    # (pair, diagonal) window shuffle — never a global sort.  Positions
+    # are 0-based here and 1-based in the oracle; diagonals and run
+    # lengths are offset-invariant, so the frames agree exactly.
+    from datafusion_bigtable_spark.operators.dedup import substring_span_pairs
+
+    return substring_span_pairs(
+        load(spark, sf_dir, "documents"), n=5, min_span_words=8, df_cap=200
+    )
+
+
+@query(
     "dedup_minhash_lsh",
     f"""
     WITH {_SHINGLES_CTE},

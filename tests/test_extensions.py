@@ -684,3 +684,49 @@ def test_centroid_outliers_vectors_never_shuffle(spark, sf_dir):
     df = Q.REGISTRY["embedding_cluster_outliers"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_substring_span_pairs_constructed(spark):
+    """A planted 10-word shared span (with different surroundings) must
+    come back with its exact length; an 7-word share must not."""
+    from datafusion_bigtable_spark.operators.dedup import substring_span_pairs
+
+    span10 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    span7 = "one two three four five six seven"
+    docs = spark.createDataFrame(
+        [
+            (1, f"start filler {span10} tail a b c"),
+            (2, f"other prefix words {span10} different ending"),
+            (3, f"x y {span7} z w"),
+            (4, f"p q {span7} r s"),
+            (5, "entirely unrelated text with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): (r["max_span_words"], r["n_spans"])
+        for r in substring_span_pairs(docs, n=5, min_span_words=8).collect()
+    }
+    assert out == {(1, 2): (10, 1)}
+    # lowering the bar to 7 words admits the second pair at exactly 7
+    out7 = {
+        (r["doc_a"], r["doc_b"]): r["max_span_words"]
+        for r in substring_span_pairs(docs, n=5, min_span_words=7).collect()
+    }
+    assert out7 == {(1, 2): 10, (3, 4): 7}
+
+
+def test_substring_span_df_cap_drops_hot_grams(spark):
+    """A gram above df_cap stops contributing matches — the bucket bound
+    engages instead of collecting a hot gram's occurrence list."""
+    from datafusion_bigtable_spark.operators.dedup import substring_span_pairs
+
+    boiler = "the same header every page repeats here always today"
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} unique words {boiler}") for i in range(1, 8)],
+        "doc_id long, text string",
+    )
+    capped = substring_span_pairs(docs, n=5, min_span_words=8, df_cap=3).collect()
+    assert capped == []
+    uncapped = substring_span_pairs(docs, n=5, min_span_words=8).collect()
+    assert len(uncapped) == 21  # all 7-choose-2 pairs share the span

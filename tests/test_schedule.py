@@ -32,10 +32,11 @@ def test_registry_size_and_full_green_fold():
     # embedding_normalize_trunc, fk_orphan_audit, numeric_histogram_prices,
     # zorder_bucket_counts, winsorize_prices, multimodal_png_decode,
     # multimodal_jpeg_decode, multimodal_audio_spectral)
-    # + 6 r7 additions (sim_trained_codebook_recall,
+    # + 7 r7 additions (sim_trained_codebook_recall,
     # bt_value_pushdown_service, text_boilerplate_ngrams,
-    # embedding_cluster_outliers, bt_read_rows_wire, bt_wire_sharded_scan).
-    assert len(q.REGISTRY) == 120
+    # embedding_cluster_outliers, bt_read_rows_wire, bt_wire_sharded_scan,
+    # dedup_substring_spans).
+    assert len(q.REGISTRY) == 121
     sched = q._schedule()
     for name in (n for n in q.REGISTRY if n not in q._LAST_GREEN):
         assert sched.index(name) < 50, f"new query {name} outside driver window"
