@@ -1907,6 +1907,7 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         f"{_PKG}.sources.grpc_transport",  # rows_limit request field (r7)
         f"{_PKG}.sources.fake_bigtable",  # read_rows honors rows_limit (r7)
         f"{_PKG}.operators.boilerplate",  # gram-scan projection materialization (r7)
+        f"{_PKG}.sources.wire",  # new transport; evolved within r7 (sample_row_keys)
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset(
