@@ -278,3 +278,19 @@ def _load_simple(spark, addr):
         .option("allow_full_scan", "true")
         .load()
     )
+
+
+def test_wire_ds_matches_parquet_ds_on_fuzz_shapes(spark, fuzz_cells_path, wire_addr):
+    """The seeded scan-fuzz WHERE clauses, re-run across the endpoint DS
+    vs the parquet DS with fine shards — random predicate shapes exercise
+    the shard∩composed-range intersection paths a fixed filter list
+    misses.  One pass, all shapes, both frames compared as multisets."""
+    from test_scan_fuzz import _SHAPES
+
+    for preds, reg, clauses, vc, proj in _SHAPES:
+        where = " AND ".join(clauses)
+        pq_df = _load(spark, fuzz_cells_path)
+        wr_df = _load(spark, wire_addr, stride=1024)
+        if where:
+            pq_df, wr_df = pq_df.filter(where), wr_df.filter(where)
+        assert _rows(wr_df) == _rows(pq_df), f"mismatch for: {where!r}"
