@@ -182,6 +182,10 @@ class BigtableReader(DataSourceReader):
             self.endpoint = (host or "127.0.0.1", int(port))
         raw_stride = options.get("sample_stride_bytes")
         self.sample_stride = int(raw_stride) if raw_stride is not None else None
+        # Shard-count cap: a pathologically dense SampleRowKeys response
+        # (one sample per key) must not plan O(keys) partitions — thin the
+        # boundary list instead.  512 is ~4× a large cluster's task wave.
+        self.max_wire_shards = int(options.get("max_wire_shards") or 512)
         self.ranges: list[KeyRange] = []
         self._filters_pushed = False
         self._pushed_since_last_plan = False
@@ -618,6 +622,14 @@ class BigtableReader(DataSourceReader):
         if self.sample_stride is not None:
             sample_req["stride_bytes"] = self.sample_stride
         bounds = [s["row_key"] for s in client.sample_row_keys(sample_req)]
+        if len(bounds) > self.max_wire_shards:
+            # thin to ≤ max shards, always keeping the LAST boundary (the
+            # max-key marker the trailing-segment elision relies on)
+            last = bounds[-1]
+            step = -(-len(bounds) // self.max_wire_shards)
+            bounds = bounds[step - 1 :: step]
+            if not bounds or bounds[-1] != last:
+                bounds.append(last)
         spans = [(r.start, r.end) for r in ranges] or [(None, None)]
         parts = []
         for s, e in spans:

@@ -294,3 +294,24 @@ def test_wire_ds_matches_parquet_ds_on_fuzz_shapes(spark, fuzz_cells_path, wire_
         if where:
             pq_df, wr_df = pq_df.filter(where), wr_df.filter(where)
         assert _rows(wr_df) == _rows(pq_df), f"mismatch for: {where!r}"
+
+
+def test_max_wire_shards_caps_dense_samples(spark, fuzz_cells_path, wire_addr):
+    """A degenerate sample density (tiny stride ~ every key) must not plan
+    O(keys) partitions: the boundary list thins to <= max_wire_shards
+    (+1 segments) and the result is unchanged."""
+    bt_ds.register(spark)
+    dense = (
+        spark.read.format("bigtable")
+        .option("endpoint", wire_addr)
+        .option("column_family", "measurements")
+        .option("columns", "pressure:int64,temperature:string")
+        .option("table_partition_cols", "region,balloon_id,event_minute")
+        .option("only_read_latest", "true")
+        .option("allow_full_scan", "true")
+        .option("sample_stride_bytes", "1")   # one boundary per key
+        .option("max_wire_shards", "5")
+        .load()
+    )
+    assert dense.rdd.getNumPartitions() <= 6
+    assert _rows(dense) == _rows(_load(spark, fuzz_cells_path))
