@@ -315,3 +315,38 @@ def test_max_wire_shards_caps_dense_samples(spark, fuzz_cells_path, wire_addr):
     )
     assert dense.rdd.getNumPartitions() <= 6
     assert _rows(dense) == _rows(_load(spark, fuzz_cells_path))
+
+
+def test_int_key_store_over_endpoint(spark, tmp_path):
+    """INT64 key components over the wire: the order-preserving key codec
+    (plans/keycodec.py) must compose ranges, intersect SampleRowKeys
+    shard boundaries, and decode back identically on both transports."""
+    from datafusion_bigtable_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    store = Q._bt_events_int_store(spark, sf)
+    with WireBigtableServer(service_from_parquet(store)) as srv:
+        addr = f"{srv.address[0]}:{srv.address[1]}"
+        bt_ds.register(spark)
+
+        def load(src_opt, src):
+            return (
+                spark.read.format("bigtable")
+                .option(src_opt, src)
+                .option("column_family", "events")
+                .option("columns", "etype:string,cents:int64")
+                .option("table_partition_cols", "user_id,event_id")
+                .option("key_types", "int64,int64")
+                .option("allow_full_scan", "true")
+                .option("sample_stride_bytes", "4096")
+                .load()
+            )
+
+        flt = "user_id = 7 AND event_id > 10 AND event_id < 500"
+        w = sorted(tuple(r) for r in load("endpoint", addr).filter(flt).collect())
+        p = sorted(tuple(r) for r in load("path", store).filter(flt).collect())
+        assert w == p and len(w) > 0
+        # full scan too (shard boundaries are encoded-int keys)
+        wf = sorted(tuple(r) for r in load("endpoint", addr).collect())
+        pf = sorted(tuple(r) for r in load("path", store).collect())
+        assert wf == pf
