@@ -730,3 +730,42 @@ def test_substring_span_df_cap_drops_hot_grams(spark):
     assert capped == []
     uncapped = substring_span_pairs(docs, n=5, min_span_words=8).collect()
     assert len(uncapped) == 21  # all 7-choose-2 pairs share the span
+
+
+def test_substring_span_diagonal_grouping(spark):
+    """Two distinct shared spans that sit back-to-back in one doc but far
+    apart (and reordered) in the other: their gram matches have
+    CONSECUTIVE positions in doc A but DIFFERENT diagonals, so a run
+    computed per-pair (ignoring the diagonal) would wrongly fuse them
+    into one long span.  Pins that runs group by (pair, pa - pb)."""
+    from datafusion_bigtable_spark.operators.dedup import substring_span_pairs
+
+    s1 = "alpha beta gamma delta epsilon zeta eta theta"          # 8 words
+    s2 = "north south east west upper lower inner outer"          # 8 words
+    docs = spark.createDataFrame(
+        [
+            (1, f"{s1} {s2}"),                                    # adjacent
+            (2, f"{s2} filler0 filler1 filler2 filler3 {s1}"),     # reordered, apart
+        ],
+        "doc_id long, text string",
+    )
+    out = substring_span_pairs(docs, n=5, min_span_words=8).collect()
+    assert len(out) == 1
+    row = out[0]
+    # two maximal 8-word spans — never a fused 16-word one
+    assert (row["max_span_words"], row["n_spans"]) == (8, 2)
+
+    # The sharper direction: one span REPEATED in doc B gives two
+    # diagonals over the SAME doc-A positions; without per-diagonal
+    # grouping the interleaved (pa, pb) stream fragments into sub-runs
+    # and the span is MISSED entirely.
+    docs2 = spark.createDataFrame(
+        [
+            (1, f"{s1} closing words here"),
+            (2, f"{s1} mid1 mid2 {s1}"),
+        ],
+        "doc_id long, text string",
+    )
+    out2 = substring_span_pairs(docs2, n=5, min_span_words=8).collect()
+    assert len(out2) == 1
+    assert (out2[0]["max_span_words"], out2[0]["n_spans"]) == (8, 2)
