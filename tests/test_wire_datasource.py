@@ -80,12 +80,25 @@ def test_wire_ds_equals_parquet_ds(spark, fuzz_cells_path, wire_addr, latest, fl
 def test_unnest_ts_bound_pushes_and_matches(spark, fuzz_cells_path, wire_addr):
     """Version-unnest ts pushdown rides the wire request as a
     timestamp_range_filter; result must equal the parquet path's
-    row-group-pruned scan."""
-    flt = "_timestamp >= TIMESTAMP '2021-03-05 12:02:00' AND region = 'us-west2'"
+    row-group-pruned scan.  The bounds are EXACT cell timestamps from the
+    store (not round minutes) so an inclusive/exclusive off-by-one in the
+    wire encoding drops a real cell and fails here — a round-timestamp
+    bound sits between cells and cannot distinguish >= from >."""
+    from test_scan_fuzz import _CELLS
+
+    ts_sorted = sorted({c[2] for c in _CELLS})
+    lo, hi = ts_sorted[len(ts_sorted) // 3], ts_sorted[2 * len(ts_sorted) // 3]
+    flt = (
+        f"_timestamp >= TIMESTAMP '{lo.isoformat(sep=' ')}' "
+        f"AND _timestamp <= TIMESTAMP '{hi.isoformat(sep=' ')}'"
+    )
     a = _rows(_load(spark, fuzz_cells_path, latest=False).filter(flt))
     b = _rows(_load(spark, wire_addr, latest=False).filter(flt))
     assert a == b
     assert len(a) > 0
+    # the boundary cells themselves are in the frame (inclusive both ends)
+    stamps = {r[3] for r in a}
+    assert lo in stamps and hi in stamps
 
 
 def test_sampled_sharding_parallelizes_the_scan(spark, wire_addr):
