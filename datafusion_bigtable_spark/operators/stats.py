@@ -3,34 +3,75 @@
 Spark's exact ``percentile`` aggregate materializes EVERY value in one
 aggregation buffer — measured 4× slower than necessary at sf0.1 and an
 OOM at 100 TB (the buffer is per-group, and an ungrouped percentile is
-one group).  For tail quantiles (p ≤ a few %, or ≥ 96-ish %) the scalable
-exact plan is an ORDER STATISTIC: `orderBy(col).limit(k)` compiles to
-TakeOrderedAndProject — a bounded per-partition top-k heap + driver merge
-— so the cluster never holds more than k values anywhere.  Interpolation
-between the two neighboring order statistics reproduces the standard
-linear-interpolation definition (Spark `percentile` ≡ DuckDB
-`quantile_cont`) bit-for-bit.
+one group).  The scalable exact plan selects the two neighboring ORDER
+STATISTICS distributedly and brings exactly TWO rows to the driver, for
+ANY p including the median:
 
-Cost honesty: k ≈ p·n (or (1−p)·n from the top), so this is for TAIL
-quantiles — a median would heap half the data.  Mid quantiles at scale
-use approx_percentile; the clip-plan shape downstream is identical.
+1. range-repartition the values (``repartitionByRange`` — Spark's
+   distributed sort primitive: sampled boundaries, equal keys always
+   land in the same partition);
+2. per-partition ``row_number`` window (partitioned by
+   ``spark_partition_id`` — never a global single-partition window);
+3. cumulative partition counts (one tiny P-row aggregate, broadcast
+   back) turn local ranks into global ranks;
+4. ``filter(rank IN (k+1, k+2))`` — two rows cross the wire.
+
+The value shuffle happens once: both the count branch and the rank
+branch hang off the same ``repartitionByRange`` exchange, which
+Catalyst's ReuseExchange deduplicates.  Nothing anywhere holds more
+than one partition of values, and the driver never sees more than
+P + 2 rows regardless of n or p — the ``limit(k).collect()`` form this
+replaces collected O(p·n) rows, which at a fixed fraction grows
+linearly with the corpus (VERDICT r7 #2).
+
+Interpolation between the two order statistics reproduces the standard
+linear-interpolation definition (Spark ``percentile`` ≡ DuckDB
+``quantile_cont``) bit-for-bit.
 """
 
 from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def order_statistics_df(df: DataFrame, col: str, ranks: list[int]) -> DataFrame:
+    """``(_rk, _v)`` rows for the requested 1-indexed ascending ranks of
+    the NON-NULL values of ``col`` — len(ranks) rows, selected without
+    any global sort, single-partition window, or driver-side top-k
+    (see module doc for the plan shape).  Ranks beyond n are absent.
+    Ties are broken arbitrarily within the window, which cannot change
+    the VALUE at any rank (order statistics are tie-invariant)."""
+    spark = df.sparkSession
+    p_conf = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    num_parts = int(p_conf) if str(p_conf).isdigit() else 32
+    vals = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(col).alias("_v"))
+        .repartitionByRange(num_parts, F.col("_v").asc())
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    counts = vals.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_local = Window.partitionBy("_pid").orderBy(F.col("_v").asc())
+    return (
+        vals.join(F.broadcast(offsets), "_pid")
+        .withColumn("_rk", F.row_number().over(w_local) + F.col("_off"))
+        .filter(F.col("_rk").isin([int(r) for r in ranks]))
+        .select("_rk", "_v")
+    )
 
 
 def exact_percentile(df: DataFrame, col: str, p: float, n: int | None = None) -> float:
     """Exact linear-interpolated quantile of a numeric column, computed as
     an order statistic (see module doc).  Nulls are ignored, matching
-    Spark ``percentile`` / DuckDB ``quantile_cont`` (ascending orderBy
-    puts nulls FIRST in Spark, so counting them would shift the
-    quantile or interpolate against None).  ``n`` (the NON-NULL row
-    count) can be passed to avoid a recount when the caller already has
-    it."""
+    Spark ``percentile`` / DuckDB ``quantile_cont``.  ``n`` (the NON-NULL
+    row count) can be passed to avoid a recount when the caller already
+    has it."""
     if not 0.0 <= p <= 1.0:
         raise ValueError(f"p must be in [0, 1], got {p}")
     df = df.filter(F.col(col).isNotNull())
@@ -41,14 +82,13 @@ def exact_percentile(df: DataFrame, col: str, p: float, n: int | None = None) ->
     pos = p * (n - 1)
     k = math.floor(pos)
     frac = pos - k
-    if p <= 0.5:
-        rows = df.select(col).orderBy(F.col(col).asc()).limit(k + 2).collect()
-        v1 = rows[k][0]
-        v2 = rows[k + 1][0] if k + 1 < len(rows) else v1
-    else:
-        # from the top: ascending v[k] is descending d[n-1-k]
-        m = n - 1 - k
-        rows = df.select(col).orderBy(F.col(col).desc()).limit(m + 1).collect()
-        v1 = rows[m][0]
-        v2 = rows[m - 1][0] if m >= 1 else v1
-    return v1 + (v2 - v1) * frac
+    vals = {
+        int(r["_rk"]): r["_v"]
+        for r in order_statistics_df(df, col, [k + 1, k + 2]).collect()
+    }
+    v1 = vals[k + 1]
+    v2 = vals.get(k + 2, v1)
+    # weighted-average form, NOT v1 + (v2-v1)*frac: Spark's Percentile and
+    # DuckDB's quantile_cont both evaluate v1*(1-frac) + v2*frac, and the
+    # two forms round differently in float64 (caught at p=0.4 on sf0.001)
+    return v1 * (1.0 - frac) + v2 * frac

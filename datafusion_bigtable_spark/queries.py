@@ -4527,15 +4527,15 @@ def zorder_bucket_counts_q(spark, sf_dir):
 )
 def winsorize_prices_q(spark, sf_dir):
     # Winsorization (p1/p99 outlier clipping) — the numeric-prep staple
-    # before training statistics.  EXACT tail percentiles via order
-    # statistics (operators/stats.py: TakeOrdered top-k heaps, never more
-    # than k values held anywhere — Spark's `percentile` aggregate buffers
-    # ALL values in one aggregator, measured 4× slower at sf0.1 and an OOM
-    # at 100 TB), interpolated to the same definition as DuckDB
-    # quantile_cont so the clip bounds agree bit-for-bit.  Bounds embed as
-    # literals; the clip is a scan-fused greatest/least, then one
-    # partial-aggregated groupBy.  Mid-quantiles at 100 TB flip to
-    # approx_percentile — identical downstream plan.
+    # before training statistics.  EXACT percentiles via distributed order
+    # statistics (operators/stats.py: range-repartition + per-partition
+    # rank + 2-row filter — the driver sees exactly two rows per quantile
+    # at ANY p, and no executor holds more than one range partition;
+    # Spark's `percentile` aggregate buffers ALL values in one aggregator,
+    # measured 4× slower at sf0.1 and an OOM at 100 TB), interpolated to
+    # the same definition as DuckDB quantile_cont so the clip bounds agree
+    # bit-for-bit.  Bounds embed as literals; the clip is a scan-fused
+    # greatest/least, then one partial-aggregated groupBy.
     from datafusion_bigtable_spark.operators.stats import exact_percentile
 
     li = load(spark, sf_dir, "lineitem")

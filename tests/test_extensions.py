@@ -602,7 +602,7 @@ def test_exact_percentile_matches_spark_percentile(spark, sf_dir):
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     n = li.count()
-    for p in (0.0, 0.01, 0.03, 0.97, 0.99, 1.0):
+    for p in (0.0, 0.01, 0.03, 0.4, 0.5, 0.97, 0.99, 1.0):
         want = li.agg(F.expr(f"percentile(l_extendedprice, {p}d)")).first()[0]
         got = exact_percentile(li, "l_extendedprice", p, n)
         assert got == want, (p, got, want)

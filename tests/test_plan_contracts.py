@@ -272,3 +272,26 @@ def test_boilerplate_single_tokenize_per_scan(spark, sf_dir):
         if "split(lower" in line:
             head = line.split("lambdafunction", 1)[0]
             assert "split(lower" in head, f"split inlined into a lambda:\n{line}"
+
+
+def test_exact_percentile_two_row_shape(spark, sf_dir):
+    """The order-statistic selector must stay driver-safe for ANY p
+    (VERDICT r7 #2): values range-partition (distributed sort, never a
+    single-partition window), ranks resolve per-partition, and only the
+    requested ranks survive the final filter — so the driver sees 2 rows
+    whether p is 0.01 or 0.5.  The old limit(k).collect() form pulled
+    O(p*n) rows through TakeOrderedAndProject."""
+    from datafusion_bigtable_spark.operators.stats import order_statistics_df
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n = li.count()
+    k = n // 2  # a MEDIAN-position rank: the case the old form couldn't scale to
+    df = order_statistics_df(li, "l_extendedprice", [k, k + 1])
+    plan = _plan(spark, df)
+    assert "rangepartitioning" in plan, "values not range-partitioned"
+    assert "TakeOrderedAndProject" not in plan
+    assert "_rk" in plan and "Filter" in plan
+    # the window is per-range-partition, never a global orderBy
+    assert "Window [row_number()" in plan and "_pid" in plan
+    rows = df.collect()
+    assert len(rows) == 2
