@@ -435,6 +435,19 @@ def substring_span_pairs(
 
     Like the suffix-array method, sub-gram spans (< n words) are
     invisible; unlike it, nothing is ever globally sorted.
+
+    ``df_cap`` semantics (pinned by
+    tests/test_extensions.py::test_substring_span_hot_gram_splits_run):
+    the cap drops hot GRAM POSITIONS, not documents — a gram repeated
+    > df_cap times across the corpus that occurs INSIDE an otherwise-rare
+    shared span removes that one diagonal position and SPLITS the run, so
+    the pair reports two shorter maximal spans (each still counted when
+    ≥ min_span_words) instead of one long one.  Deliberate: a
+    corpus-hot gram is boilerplate with no pair-discriminating signal,
+    and re-admitting it per-pair would re-create exactly the Σ|bucket|²
+    blow-up the cap exists to bound.  The registered oracle implements
+    the same drop-then-split, so engine and oracle agree by
+    construction.
     """
     min_run = min_span_words - n + 1
     if min_run < 1:

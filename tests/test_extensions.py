@@ -769,3 +769,43 @@ def test_substring_span_diagonal_grouping(spark):
     out2 = substring_span_pairs(docs2, n=5, min_span_words=8).collect()
     assert len(out2) == 1
     assert (out2[0]["max_span_words"], out2[0]["n_spans"]) == (8, 2)
+
+
+def test_substring_span_hot_gram_splits_run(spark):
+    """VERDICT r7 #6: a corpus-hot gram INSIDE an otherwise-rare shared
+    span is dropped by df_cap, which removes one diagonal position and
+    SPLITS the run — the pair must report the two shorter maximal spans,
+    not the original long one and not nothing.  Pins the documented
+    drop-then-split semantics of df_cap."""
+    from datafusion_bigtable_spark.operators.dedup import substring_span_pairs
+
+    # 20-word span shared by docs 1 and 2; words 9-13 ("h1..h5") also
+    # appear verbatim in ten other docs, making that ONE 5-gram hot
+    # (12 occurrences > df_cap=4) while every overlapping gram stays rare.
+    span = (
+        "a1 a2 a3 a4 a5 a6 a7 a8 h1 h2 h3 h4 h5 b1 b2 b3 b4 b5 b6 b7"
+    )
+    rows = [
+        (1, f"p1 p2 {span} q1 q2"),
+        (2, f"r1 r2 r3 {span} s1"),
+    ] + [
+        (i, f"u{i}a u{i}b u{i}c h1 h2 h3 h4 h5 v{i}a v{i}b v{i}c")
+        for i in range(3, 13)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): (r["max_span_words"], r["n_spans"])
+        for r in substring_span_pairs(docs, n=5, min_span_words=8).collect()
+    }
+    assert uncapped == {(1, 2): (20, 1)}
+
+    # capped: the 16-gram diagonal run splits at offset 8 into runs of
+    # 8 and 7 grams -> maximal spans of 12 and 11 words, both >= 8
+    capped = {
+        (r["doc_a"], r["doc_b"]): (r["max_span_words"], r["n_spans"])
+        for r in substring_span_pairs(
+            docs, n=5, min_span_words=8, df_cap=4
+        ).collect()
+    }
+    assert capped == {(1, 2): (12, 2)}
