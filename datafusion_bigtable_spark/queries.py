@@ -4787,7 +4787,9 @@ def multimodal_audio_spectral_q(spark, sf_dir):
       SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gram
       FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) s
       WHERE len(w) >= 3),
-    df AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 5),
+    df AS (SELECT gram FROM g GROUP BY gram
+           HAVING COUNT(DISTINCT doc_id) >=
+                  GREATEST(2, CEIL(0.01 * (SELECT COUNT(DISTINCT doc_id) FROM documents)))),
     st AS (
       SELECT g.doc_id,
              CAST(COUNT(*) AS BIGINT) AS total_ngrams,
@@ -4802,15 +4804,22 @@ def multimodal_audio_spectral_q(spark, sf_dir):
 def text_boilerplate_q(spark, sf_dir):
     # Cross-document boilerplate n-gram gate (operators/boilerplate.py) —
     # the delimiter-free analogue of C4/RefinedWeb line-level dedup: a
-    # trigram in >= 5 distinct docs is boilerplate; docs >= 20% boilerplate
-    # flag.  One n-gram shuffle (map-side partial countDistinct), the small
-    # heavy-hitter set broadcasts back, one doc_id agg — raw text never
-    # shuffles twice, and the flag is integer arithmetic (no float
-    # threshold against the oracle).
+    # trigram in >= max(2, ceil(1% of docs)) distinct docs is boilerplate
+    # (corpus-RELATIVE, so the threshold tracks corpus size — at sf0.01's
+    # 500 docs this resolves to the same 5 as the old absolute knob); docs
+    # >= 20% boilerplate flag.  One n-gram shuffle (map-side partial
+    # countDistinct); the heavy-hitter set joins back WITHOUT a forced
+    # broadcast — AQE broadcasts only when its measured size fits, with a
+    # gram-key shuffle join as the 100 TB fallback.  The flag is integer
+    # arithmetic (no float threshold against the oracle).
     from datafusion_bigtable_spark.operators.boilerplate import boilerplate_ngram_stats
 
     return boilerplate_ngram_stats(
-        load(spark, sf_dir, "documents"), n=3, min_df=5, frac_num=1, frac_den=5
+        load(spark, sf_dir, "documents"),
+        n=3,
+        min_df_frac=0.01,
+        frac_num=1,
+        frac_den=5,
     )
 
 

@@ -295,3 +295,41 @@ def test_exact_percentile_two_row_shape(spark, sf_dir):
     assert "Window [row_number()" in plan and "_pid" in plan
     rows = df.collect()
     assert len(rows) == 2
+
+
+def test_boilerplate_join_falls_back_when_boiler_large(spark):
+    """VERDICT r7 #3: the boiler->gram join must NOT force a broadcast.
+    With the adaptive broadcast thresholds squeezed to zero (standing in
+    for a corpus whose repeated-gram set exceeds the broadcast limit),
+    the executed plan must keep a shuffle join on the gram key — and the
+    counts must be identical to the broadcast path's."""
+    from datafusion_bigtable_spark.operators.boilerplate import boilerplate_ngram_stats
+
+    docs = spark.createDataFrame(
+        [(i, "shared footer text repeated on every page here") for i in range(1, 9)]
+        + [(9, "original words only in this document alone")],
+        "doc_id long, text string",
+    )
+    want = {(r.doc_id, r.total_ngrams, r.boilerplate_ngrams, r.flagged)
+            for r in boilerplate_ngram_stats(docs, n=3, min_df=2).collect()}
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        out = boilerplate_ngram_stats(docs, n=3, min_df=2)
+        got = {(r.doc_id, r.total_ngrams, r.boilerplate_ngrams, r.flagged)
+               for r in out.collect()}
+        final = out._jdf.queryExecution().executedPlan().toString().split(
+            "+- == Initial Plan =="
+        )[0]
+        assert "BroadcastHashJoin" not in final, final
+        assert "SortMergeJoin" in final or "ShuffledHashJoin" in final, final
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        if prev_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    assert got == want
+    assert len(got) == 9
