@@ -105,9 +105,9 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in Q.REGISTRY]
     extra = [n for n in Q.REGISTRY if n not in names]
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name in names + extra:
-        timings[name] = run_once(name)
+        samples[name] = [run_once(name)]
     # Contention guard: this host shows transient broad-spectrum noise
     # (the same plan measured 2.8 s and 11.9 s in back-to-back sessions
     # with zero code change).  Re-measure EVERY query once and keep the
@@ -118,8 +118,22 @@ def main() -> None:
     # (r3 union_all_entities, r4 json_extract_props at 0.726 s vs a
     # 0.357 s floor); warm re-runs of the cheap majority cost far less
     # than the first pass, so the full second pass is ~1.6× wall, not 2×.
-    for name in list(timings):
-        timings[name] = min(timings[name], run_once(name))
+    for name in list(samples):
+        samples[name].append(run_once(name))
+    # The iterative dedup family wobbles ±50% round-over-round even with
+    # min-of-2 (VERDICT r7 #4: dedup_minhash_lsh 1.72→2.65 s with zero
+    # code change — many short dependent stages make these queries
+    # scheduler-noise magnets).  Take a THIRD sample and report the
+    # median of 3 for this family: one outlier sample can no longer move
+    # the recorded number.
+    iterative = [
+        n for n in samples if n.startswith("dedup_") or n == "pipeline_curated_corpus"
+    ]
+    for name in iterative:
+        samples[name].append(run_once(name))
+    timings = {
+        n: (sorted(s)[1] if len(s) == 3 else min(s)) for n, s in samples.items()
+    }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Ascending-time order: the driver's stdout capture keeps only the TAIL

@@ -347,6 +347,58 @@ def embedding_dup_pairs(
     )
 
 
+def embedding_dup_pairs_ivf(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_cells: int = 16,
+    codebook: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index=None,
+) -> DataFrame:
+    """IVF-cell-blocked near-duplicate pairs — the corpus-scale variant
+    :func:`embedding_dup_pairs` prescribes: the blocking key comes from
+    the VECTORS themselves (argmax-cosine cell over a broadcast
+    codebook, similarity.py build_ivf_index) instead of a metadata
+    label, so it exists for any corpus and its granularity is a knob.
+
+    Cost is Σ|cell|² with ~n/n_cells per cell — raising ``n_cells``
+    shrinks every bucket, the same dial as IVF search; a label column
+    fixes the block count at however many labels the data happens to
+    have.  Same blind spot as every blocked pass: near-dups straddling a
+    cell boundary are missed (mitigate with a trained codebook or by
+    unioning a second blocking, e.g. LSH buckets).
+
+    The pair stream shuffles (cell, id, vector) once on the cell key;
+    centroids broadcast.  ``index=build_ivf_index(...)`` reuses an owned
+    assignment; without one a throwaway is built (topk_ivf's lifecycle
+    note applies).
+    """
+    from datafusion_bigtable_spark.operators.similarity import build_ivf_index, dot_raw
+
+    if index is None:
+        index = build_ivf_index(
+            embeddings, n_cells=n_cells, nprobe=1, codebook=codebook,
+            id_col=id_col, vec_col=vec_col,
+        )
+    assigned = index.assignments.filter(F.col("_rn") == 1)
+    a = assigned.select(
+        F.col("cell"), F.col(id_col).alias("id_a"),
+        F.col("_dv").alias("av"), F.col("_n").alias("an"),
+    )
+    b = assigned.select(
+        F.col("cell"), F.col(id_col).alias("id_b"),
+        F.col("_dv").alias("bv"), F.col("_n").alias("bn"),
+    )
+    c = F.round(dot_raw(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 6)
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", c.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 # -------------------------------------------------------- decontamination --
 
 

@@ -333,3 +333,24 @@ def test_boilerplate_join_falls_back_when_boiler_large(spark):
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     assert got == want
     assert len(got) == 9
+
+
+def test_embedding_dedup_ivf_blocks_on_cell(spark, sf_dir):
+    """VERDICT r7 #8: the IVF-blocked embedding dedup must pair ONLY
+    within a cell — an equi-join keyed on the cell assignment (Σ|cell|²),
+    with the id_a < id_b ordering as a residual, never an unbounded
+    pairing of vectors.  (The codebook crossJoin inside the assignment is
+    the deliberate broadcast-seeded one, n_cells rows.)"""
+    df = _q(spark, sf_dir, "dedup_embedding_cosine_ivf")
+    plan = _plan(spark, df)
+    joins = [l for l in plan.splitlines()
+             if any(j in l for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))]
+    assert any("cell" in l for l in joins), f"no equi-join on cell:\n{plan}"
+    assert "CartesianProduct" not in plan
+    # every nested-loop join in the tree is the deliberate n_cells-row
+    # codebook seeding (BuildRight over the broadcast seeds), printed once
+    # per self-join branch of the cached assignment's lineage — never a
+    # pairing of the vectors themselves
+    for l in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in l:
+            assert "BuildRight" in l, f"unexpected nested loop:\n{l}"

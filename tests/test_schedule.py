@@ -35,8 +35,9 @@ def test_registry_size_and_full_green_fold():
     # + 7 r7 additions (sim_trained_codebook_recall,
     # bt_value_pushdown_service, text_boilerplate_ngrams,
     # embedding_cluster_outliers, bt_read_rows_wire, bt_wire_sharded_scan,
-    # dedup_substring_spans).
-    assert len(q.REGISTRY) == 121
+    # dedup_substring_spans)
+    # + 1 r8 addition (dedup_embedding_cosine_ivf).
+    assert len(q.REGISTRY) == 122
     sched = q._schedule()
     for name in (n for n in q.REGISTRY if n not in q._LAST_GREEN):
         assert sched.index(name) < 50, f"new query {name} outside driver window"
