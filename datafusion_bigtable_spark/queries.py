@@ -1956,6 +1956,8 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
     {
         f"{_PKG}.operators.stats",  # driver-safe order-statistic selection (r8)
         f"{_PKG}.operators.boilerplate",  # AQE-sized boiler join + min_df_frac (r8)
+        f"{_PKG}.sources.wire",  # protobuf framing replaces tagged-JSON (r8)
+        f"{_PKG}.sources.proto",  # new protobuf codec the wire depends on (r8)
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset(

@@ -29,12 +29,12 @@ from datafusion_bigtable_spark.sources.fake_bigtable import (
     service_from_parquet,
 )
 from datafusion_bigtable_spark.sources.grpc_transport import build_read_rows_request
+from datafusion_bigtable_spark.sources import proto
 from datafusion_bigtable_spark.sources.wire import (
+    FLAG_DATA,
     WireBigtableClient,
     WireBigtableServer,
     WireError,
-    _tag_bytes,
-    _untag_bytes,
     dump_frame,
 )
 
@@ -69,22 +69,31 @@ def wire(inproc):
 
 
 def test_bytes_round_trip_everywhere():
+    """Adversarial bytes (empty, NUL-bearing, full-range) in every
+    byte-typed position of a request must survive the protobuf encoding
+    exactly — row-range and value-range bounds are raw byte strings."""
     rng = random.Random(7)
     blobs = [bytes(rng.randrange(256) for _ in range(n)) for n in (0, 1, 8, 255)]
-    nasty = {
-        "rows": {"row_ranges": [{"start_key_closed": blobs[2], "end_key_open": blobs[3]}]},
-        "value_ranges": [[{"lo": blobs[0]}, {"hi": blobs[1]}]],
-        "unicode": "\u00b5#\u2026 NaN-ish \x00 nul",
-        "ints": [-(2**63), 2**63 - 1],
-        "none": None,
+    req = {
+        "table_name": "projects/p/instances/i/tables/\u00b5#\u2026",
+        "rows": {
+            "row_keys": [blobs[0], blobs[1]],
+            "row_ranges": [{"start_key_closed": blobs[2], "end_key_open": blobs[3]}],
+        },
+        "filter": {"chain": {"filters": [
+            {"value_regex_filter": blobs[3]},
+            {"value_range_filter": {"start_value_closed": blobs[0], "end_value_open": blobs[2]}},
+        ]}},
+        "rows_limit": 2**62,
     }
-    assert _untag_bytes(_tag_bytes(nasty)) == nasty
+    assert proto.decode_read_rows_request(proto.encode_read_rows_request(req)) == req
     # a frame survives its own framing
-    import io, struct as _s
+    import struct as _s
 
-    frame = dump_frame(nasty)
-    (n,) = _s.unpack(">I", frame[:4])
-    assert n == len(frame) - 4
+    payload = proto.encode_read_rows_request(req)
+    frame = dump_frame(FLAG_DATA, payload)
+    flag, n = _s.unpack(">BI", frame[:5])
+    assert flag == FLAG_DATA and n == len(frame) - 5
 
 
 # --- tier 2: differential against the in-process service --------------------
@@ -243,9 +252,15 @@ def test_truncated_stream_raises_not_short_result():
         conn, _ = lst.accept()
         from datafusion_bigtable_spark.sources.wire import read_frame
 
-        read_frame(conn)  # the request
-        conn.sendall(dump_frame({"k": "row1", "c": _tag_bytes([["f", "q", 1, b"v"]])}))
-        conn.close()  # no end frame: truncation
+        read_frame(conn)  # the HEADER frame
+        read_frame(conn)  # the request DATA frame
+        conn.sendall(
+            dump_frame(
+                FLAG_DATA,
+                proto.encode_read_rows_response([("row1", [("f", "q", 1, b"v")])]),
+            )
+        )
+        conn.close()  # no Status trailer: truncation
 
     t = threading.Thread(target=dying_server, daemon=True)
     t.start()
