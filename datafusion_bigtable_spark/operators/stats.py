@@ -66,6 +66,123 @@ def order_statistics_df(df: DataFrame, col: str, ranks: list[int]) -> DataFrame:
     )
 
 
+def exact_percentiles(
+    df: DataFrame, col: str, ps: list[float], n: int | None = None
+) -> list[float]:
+    """Several exact quantiles in ONE distributed pass: the rank filter
+    takes every requested order statistic together, so computing p25/p50/
+    p75 costs the same single value shuffle as one quantile — 2·len(ps)
+    rows to the driver."""
+    for p in ps:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"p must be in [0, 1], got {p}")
+    df = df.filter(F.col(col).isNotNull())
+    if n is None:
+        n = df.count()
+    if n == 0:
+        raise ValueError("exact_percentiles of an empty or all-null column")
+    pos = [(p * (n - 1)) for p in ps]
+    ranks = sorted({r for x in pos for r in (math.floor(x) + 1, math.floor(x) + 2)})
+    vals = {int(r["_rk"]): r["_v"] for r in order_statistics_df(df, col, ranks).collect()}
+    out = []
+    for x in pos:
+        k, frac = math.floor(x), x - math.floor(x)
+        v1 = vals[k + 1]
+        v2 = vals.get(k + 2, v1)
+        out.append(v1 * (1.0 - frac) + v2 * frac)  # wavg form; see exact_percentile
+    return out
+
+
+def grouped_exact_percentiles(
+    df: DataFrame, group_col: str, col: str, ps: list[float]
+) -> DataFrame:
+    """Exact per-GROUP quantiles with the same bounded-memory plan shape:
+    ``(group_col, p, value)`` rows, one per group × requested quantile.
+
+    Spark's grouped ``percentile``/``median`` buffer every value of a
+    group in one aggregator — exactly wrong when groups are FEW and HUGE
+    (a 3-flag split of 10¹² rows puts a third of the corpus in one
+    buffer).  Here values range-partition on ``(group, value)`` so a huge
+    group SPANS partitions; per-(group, partition) ranks plus cumulative
+    group offsets (a tiny groups×partitions aggregate, broadcast) give
+    global per-group ranks, and only the 2·len(ps) neighbor ranks per
+    group survive.  No executor ever holds more than one range partition;
+    the driver sees nothing until the final collect of |groups|·|ps| rows.
+
+    Designed for the few-large-groups regime.  With millions of tiny
+    groups the offsets broadcast grows as groups×partitions — there the
+    plain grouped ``percentile`` aggregate is already bounded (each
+    buffer holds one small group) and should be used instead; the two
+    plans are complementary ends of the same dial.
+
+    Ties and interpolation follow Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont`` exactly (weighted-average form, see
+    :func:`exact_percentile`).
+    """
+    for p in ps:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"p must be in [0, 1], got {p}")
+    spark = df.sparkSession
+    p_conf = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    num_parts = int(p_conf) if str(p_conf).isdigit() else 32
+    vals = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(group_col).alias("_g"), F.col(col).alias("_v"))
+        .repartitionByRange(num_parts, F.col("_g").asc(), F.col("_v").asc())
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    counts = vals.groupBy("_g", "_pid").agg(F.count(F.lit(1)).alias("_c"))
+    w_off = (
+        Window.partitionBy("_g").orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_g", "_pid", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off")
+    )
+    ng = counts.groupBy("_g").agg(F.sum("_c").alias("_n"))
+    # per (group, p): the two neighbor ranks and the interpolation weight
+    t = (
+        ng.select(
+            "_g",
+            "_n",
+            F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("_p"),
+        )
+        .withColumn("_pos", F.col("_p") * (F.col("_n") - 1))
+        .withColumn("_k", F.floor("_pos"))
+        .withColumn("_frac", F.col("_pos") - F.col("_k"))
+    )
+    wants = t.select(
+        "_g",
+        "_p",
+        "_frac",
+        F.explode(
+            F.array(
+                F.struct((F.col("_k") + 1).alias("_rk"), F.lit(0).alias("_hi")),
+                F.struct((F.col("_k") + 2).alias("_rk"), F.lit(1).alias("_hi")),
+            )
+        ).alias("_w"),
+    ).select("_g", "_p", "_frac", F.col("_w._rk").alias("_rk"), F.col("_w._hi").alias("_hi"))
+    w_local = Window.partitionBy("_g", "_pid").orderBy(F.col("_v").asc())
+    ranked = (
+        vals.join(F.broadcast(offsets), ["_g", "_pid"])
+        .withColumn("_rk", F.row_number().over(w_local) + F.col("_off"))
+    )
+    # inner join: the _k+2 want has no match when _k+1 == n (p == 1.0);
+    # the v2 slot then stays null and coalesces to v1 below
+    hits = ranked.join(F.broadcast(wants), ["_g", "_rk"])
+    out = hits.groupBy("_g", "_p", "_frac").agg(
+        F.min(F.when(F.col("_hi") == 0, F.col("_v"))).alias("_v1"),
+        F.min(F.when(F.col("_hi") == 1, F.col("_v"))).alias("_v2"),
+    )
+    return out.select(
+        F.col("_g").alias(group_col),
+        F.col("_p").alias("p"),
+        (
+            F.col("_v1") * (F.lit(1.0) - F.col("_frac"))
+            + F.coalesce(F.col("_v2"), F.col("_v1")) * F.col("_frac")
+        ).alias("value"),
+    )
+
+
 def exact_percentile(df: DataFrame, col: str, p: float, n: int | None = None) -> float:
     """Exact linear-interpolated quantile of a numeric column, computed as
     an order statistic (see module doc).  Nulls are ignored, matching

@@ -655,6 +655,62 @@ def median_quantiles(spark, sf_dir):
     )
 
 
+@query(
+    "exact_quantiles_distributed",
+    """
+    SELECT ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.50), 4) AS p50,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 4) AS p75
+    FROM lineitem
+    """,
+)
+def exact_quantiles_q(spark, sf_dir):
+    # EXACT mid-quantiles at corpus scale — the r8 driver-safe order-
+    # statistic selector (operators/stats.py): values range-partition
+    # once, ranks resolve per-partition, and ALL requested quantiles'
+    # neighbor ranks come back through one filter — 6 rows to the driver
+    # for p25/p50/p75 regardless of n.  This is the path median_quantiles'
+    # "swap to approx at 100 TB" caveat no longer needs for ungrouped
+    # quantiles: exact and bounded at any scale.  (Grouped medians still
+    # buffer per group; grouping by rank-per-group is the known extension.)
+    from datafusion_bigtable_spark.operators.stats import exact_percentiles
+
+    li = load(spark, sf_dir, "lineitem")
+    p25, p50, p75 = exact_percentiles(li, "l_extendedprice", [0.25, 0.50, 0.75])
+    return spark.createDataFrame(
+        [(round(p25, 4), round(p50, 4), round(p75, 4))],
+        "p25 double, p50 double, p75 double",
+    )
+
+
+@query(
+    "grouped_exact_quantiles",
+    """
+    SELECT l_returnflag,
+           ROUND(MEDIAN(l_extendedprice), 4) AS med_price,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def grouped_exact_quantiles_q(spark, sf_dir):
+    # Exact per-group quantiles WITHOUT per-group buffers — the
+    # few-large-groups regime where Spark's grouped percentile/median
+    # aggregate puts a whole group's values in one aggregation buffer
+    # (operators/stats.py grouped_exact_percentiles: values
+    # range-partition on (group, value), so a huge group spans
+    # partitions; per-(group,partition) ranks + broadcast cumulative
+    # offsets select each group's two neighbor ranks per quantile).
+    # Bit-identical to MEDIAN / QUANTILE_CONT.
+    from datafusion_bigtable_spark.operators.stats import grouped_exact_percentiles
+
+    li = load(spark, sf_dir, "lineitem")
+    q = grouped_exact_percentiles(li, "l_returnflag", "l_extendedprice", [0.5, 0.9])
+    return q.groupBy("l_returnflag").agg(
+        F.round(F.max(F.when(F.col("p") == 0.5, F.col("value"))), 4).alias("med_price"),
+        F.round(F.max(F.when(F.col("p") == 0.9, F.col("value"))), 4).alias("p90_price"),
+    )
+
+
 # =========================================================================
 # Bigtable-model operators over driver testdata (SURVEY §2.1 semantics)
 # =========================================================================
@@ -4640,12 +4696,13 @@ def winsorize_prices_q(spark, sf_dir):
     # the same definition as DuckDB quantile_cont so the clip bounds agree
     # bit-for-bit.  Bounds embed as literals; the clip is a scan-fused
     # greatest/least, then one partial-aggregated groupBy.
-    from datafusion_bigtable_spark.operators.stats import exact_percentile
+    from datafusion_bigtable_spark.operators.stats import exact_percentiles
 
     li = load(spark, sf_dir, "lineitem")
-    n = li.count()
-    p01 = exact_percentile(li, "l_extendedprice", 0.01, n)
-    p99 = exact_percentile(li, "l_extendedprice", 0.99, n)
+    # both clip bounds through ONE distributed rank-selection pass
+    # (sf1 run: the two-pass form cost 4.2 s at 6M rows, ~half of it the
+    # second value shuffle)
+    p01, p99 = exact_percentiles(li, "l_extendedprice", [0.01, 0.99])
     return (
         li.select(
             F.greatest(

@@ -809,3 +809,67 @@ def test_substring_span_hot_gram_splits_run(spark):
         ).collect()
     }
     assert capped == {(1, 2): (12, 2)}
+
+
+def test_exact_percentiles_multi_one_pass(spark, sf_dir):
+    """The multi-quantile form must agree with Spark percentile at every
+    requested p — all ranks selected through one distributed pass."""
+    from datafusion_bigtable_spark.operators.stats import exact_percentiles
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ps = [0.0, 0.25, 0.5, 0.75, 0.9, 1.0]
+    got = exact_percentiles(li, "l_extendedprice", ps)
+    for p, g in zip(ps, got):
+        want = li.agg(F.expr(f"percentile(l_extendedprice, {p}d)")).first()[0]
+        assert g == want, (p, g, want)
+
+
+def test_grouped_exact_percentiles_matches_spark(spark, sf_dir):
+    """Per-group order-statistic quantiles must be bit-identical to
+    Spark's grouped percentile/median aggregates (the buffer-everything
+    plan this replaces for few-large-groups corpora)."""
+    from datafusion_bigtable_spark.operators.stats import grouped_exact_percentiles
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = {
+        (r["l_returnflag"], r["p"]): r["value"]
+        for r in grouped_exact_percentiles(
+            li, "l_returnflag", "l_extendedprice", [0.0, 0.5, 0.9, 1.0]
+        ).collect()
+    }
+    want = {
+        (r["l_returnflag"], p): r[f"q{i}"]
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.expr(f"percentile(l_extendedprice, {p}d)").alias(f"q{i}")
+                for i, p in enumerate([0.0, 0.5, 0.9, 1.0])
+            ]
+        )
+        .collect()
+        for i, p in enumerate([0.0, 0.5, 0.9, 1.0])
+    }
+    assert out == want
+
+
+def test_grouped_exact_percentiles_tiny_groups(spark):
+    """Single-row and two-row groups: interpolation edges (k+2 beyond the
+    group) must coalesce to the lone neighbor, per quantile_cont."""
+    from datafusion_bigtable_spark.operators.stats import grouped_exact_percentiles
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 10.0), ("b", 20.0), ("c", 5.0), ("c", None)],
+        "g string, x double",
+    )
+    out = {
+        (r["g"], r["p"]): r["value"]
+        for r in grouped_exact_percentiles(df, "g", "x", [0.5, 1.0]).collect()
+    }
+    assert out == {
+        ("a", 0.5): 1.0,
+        ("a", 1.0): 1.0,
+        ("b", 0.5): 15.0,
+        ("b", 1.0): 20.0,
+        ("c", 0.5): 5.0,  # null ignored
+        ("c", 1.0): 5.0,
+    }
