@@ -646,8 +646,12 @@ def having_groups(spark, sf_dir):
     """,
 )
 def median_quantiles(spark, sf_dir):
-    # Exact percentiles for the oracle check; at 100 TB swap to
-    # approx_percentile (t-digest) — same API shape, bounded memory.
+    # Exact percentiles via the stock grouped aggregates (buffer-per-
+    # group).  At 100 TB with FEW huge groups, the bounded-memory exact
+    # twin is grouped_exact_quantiles (r8, operators/stats.py) — same
+    # results, rank-selection plan; with many small groups this stock
+    # form is already bounded.  approx_percentile remains the sketch
+    # option when exactness is negotiable (approx_aggregates).
     l = load(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
         F.round(F.median("l_quantity"), 4).alias("med_qty"),

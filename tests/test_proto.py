@@ -236,3 +236,49 @@ def test_read_rows_response_round_trip_adversarial_bytes():
         out.extend(asm.feed(proto.encode_read_rows_response(rows[i : i + 2])))
     asm.finish()
     assert out == rows
+
+
+# --- hypothesis: random RowFilter trees round-trip ---------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_leaf_filters = st.one_of(
+    st.fixed_dictionaries({"family_name_regex_filter": st.text(max_size=12)}),
+    st.fixed_dictionaries({"column_qualifier_regex_filter": st.binary(max_size=12)}),
+    st.fixed_dictionaries({"value_regex_filter": st.binary(max_size=12)}),
+    st.fixed_dictionaries({"cells_per_column_limit_filter": st.integers(1, 100)}),
+    st.fixed_dictionaries({"row_key_regex_filter": st.binary(max_size=12)}),
+    st.fixed_dictionaries({"pass_all_filter": st.just(True)}),
+    st.fixed_dictionaries(
+        {},
+        optional={
+            "start_timestamp_micros": st.integers(0, 2**40),
+            "end_timestamp_micros": st.integers(0, 2**40),
+        },
+    ).filter(bool).map(lambda tr: {"timestamp_range_filter": tr}),
+    st.fixed_dictionaries(
+        {},
+        optional={
+            "start_value_closed": st.binary(max_size=9),
+            "start_value_open": st.binary(max_size=9),
+            "end_value_closed": st.binary(max_size=9),
+            "end_value_open": st.binary(max_size=9),
+        },
+    ).filter(bool).map(lambda vr: {"value_range_filter": vr}),
+)
+
+_filter_trees = st.recursive(
+    _leaf_filters,
+    lambda kids: st.one_of(
+        st.lists(kids, min_size=1, max_size=4).map(lambda fs: {"chain": {"filters": fs}}),
+        st.lists(kids, min_size=1, max_size=4).map(lambda fs: {"interleave": {"filters": fs}}),
+    ),
+    max_leaves=12,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(flt=_filter_trees)
+def test_row_filter_tree_round_trip(flt):
+    assert proto.decode_row_filter(proto.encode_row_filter(flt)) == flt
