@@ -1,11 +1,17 @@
-"""Baseline JPEG codec — pure Python/numpy, no PIL.
+"""Baseline + progressive JPEG codec — pure Python/numpy, no PIL.
 
-Closes most of the last media gate: baseline sequential JPEG (SOF0,
-Huffman, 8-bit) ENCODES and DECODES natively here — 4:4:4, grayscale,
-and the real-world-default 4:2:0/4:2:2 MCU-interleaved subsampled
-layouts (any sampling factors up to 2×2).  What stays gated (decode
-returns None): progressive (SOF2), arithmetic coding, sampling factors
-beyond 2×2, 12-bit precision, and restart markers.
+Closes the media gate: baseline sequential JPEG (SOF0, Huffman, 8-bit)
+ENCODES and DECODES natively here — 4:4:4, grayscale, and the
+real-world-default 4:2:0/4:2:2 MCU-interleaved subsampled layouts (any
+sampling factors up to 2×2) — and, since r8, PROGRESSIVE JPEG (SOF2,
+spec G): spectral selection, successive approximation (DC and AC first
++ refinement scans, EOB runs with correction bits), both directions.
+The progressive decoder reconstructs the SAME quantized coefficients a
+baseline scan of the image carries, so `decode(progressive(img)) ==
+decode(baseline(img))` BIT-EXACTLY — the cross-profile identity
+tests/test_jpeg_codec.py pins.  What stays gated (decode returns None):
+arithmetic coding, sampling factors beyond 2×2, 12-bit precision, and
+restart markers.
 
 Everything is spec constants + linear algebra:
 
@@ -444,12 +450,14 @@ def build_jpeg_rgb(pixels: np.ndarray, subsample: bool = False) -> bytes:
 
 
 def decode_jpeg_pixels(b: bytes) -> np.ndarray | None:
-    """(h, w, 3) uint8 RGB from a baseline sequential JPEG — 4:4:4,
-    grayscale, or 4:2:0/4:2:2 subsampled (sampling factors ≤ 2×2).
-    Returns None outside that profile (progressive, 12-bit, arithmetic,
-    restart intervals, >2×2 sampling) — refused rather than shipped
-    untested; see module doc.  Malformed containers (e.g. the header-only
-    bench fixtures) also return None, never raise."""
+    """(h, w, 3) uint8 RGB from a baseline sequential (SOF0/1) or
+    PROGRESSIVE (SOF2) JPEG — 4:4:4, grayscale, or 4:2:0/4:2:2
+    subsampled (sampling factors ≤ 2×2), spectral-selection +
+    successive-approximation scan scripts included.  Returns None
+    outside that profile (12-bit, arithmetic, restart intervals, >2×2
+    sampling) — refused rather than shipped untested; see module doc.
+    Malformed containers (e.g. the header-only bench fixtures) also
+    return None, never raise."""
     try:
         return _decode_jpeg(b)
     except (ValueError, IndexError, struct.error, MemoryError):
@@ -464,12 +472,18 @@ def _decode_jpeg(b: bytes) -> np.ndarray | None:
     ac_tables: dict[int, dict] = {}
     h = w = None
     comps: list[tuple[int, int, int]] = []  # (id, sampling, tq)
+    progressive = False
+    prog_state: dict | None = None
+    prog_scans = 0
+    hmax = vmax = mcux = mcuy = 0
     i = 2
     while i + 4 <= len(b):
         if b[i] != 0xFF:
             return None
         marker = b[i + 1]
         if marker == 0xD9:  # EOI
+            if progressive and prog_scans:
+                return _prog_reconstruct(prog_state, h, w, comps, quant, hmax, vmax)
             return None  # no scan seen
         if 0xD0 <= marker <= 0xD8:
             i += 2
@@ -499,7 +513,7 @@ def _decode_jpeg(b: bytes) -> np.ndarray | None:
                 else:
                     ac_tables[tc_th & 0xF] = table
                 j += 17 + nvals
-        elif marker == 0xC0 or marker == 0xC1:  # baseline SOF
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / progressive SOF
             if payload[0] != 8:
                 return None
             h, w = struct.unpack(">HH", payload[1:5])
@@ -516,8 +530,24 @@ def _decode_jpeg(b: bytes) -> np.ndarray | None:
                 if not (1 <= hi <= 2 and 1 <= vi <= 2):
                     return None  # beyond 2×2 sampling: out of profile
                 comps.append((cid, samp, tq))
-        elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-            return None  # progressive & friends: out of profile
+            if marker == 0xC2:
+                progressive = True
+                hmax = max(c[1] >> 4 for c in comps)
+                vmax = max(c[1] & 0xF for c in comps)
+                mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                prog_state = {
+                    "coef": [
+                        np.zeros(
+                            (mcuy * (c[1] & 0xF), mcux * (c[1] >> 4), 64),
+                            dtype=np.int32,
+                        )
+                        for c in comps
+                    ],
+                    "dc": dc_tables,
+                }
+        elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return None  # lossless/arithmetic/12-bit friends: out of profile
         elif marker == 0xDD:
             return None  # restart intervals: out of profile
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -525,16 +555,60 @@ def _decode_jpeg(b: bytes) -> np.ndarray | None:
                 return None
             ns = payload[0]
             scan = []
+            comp_idx = []
             for c in range(ns):
                 cs, tables = payload[1 + 2 * c : 3 + 2 * c]
-                comp = next((x for x in comps if x[0] == cs), None)
-                if comp is None:
+                ci = next((k for k, x in enumerate(comps) if x[0] == cs), None)
+                if ci is None:
                     return None
+                comp = comps[ci]
                 hi, vi = comp[1] >> 4, comp[1] & 0xF
                 scan.append((comp[2], tables >> 4, tables & 0xF, hi, vi))
-            data = b[i + 2 + seglen :]
-            return _decode_scan(data, h, w, scan, quant, dc_tables, ac_tables)
+                comp_idx.append(ci)
+            if not progressive:
+                data = b[i + 2 + seglen :]
+                return _decode_scan(data, h, w, scan, quant, dc_tables, ac_tables)
+            ss, se, ahal = payload[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            end = _entropy_end(b, i + 2 + seglen)
+            r = _BitReader(b[i + 2 + seglen : end])
+            if ss == 0:  # DC scan (Se must be 0)
+                if se != 0:
+                    return None
+                pscan = [
+                    (comp_idx[si], scan[si][1], scan[si][2], scan[si][3], scan[si][4])
+                    for si in range(ns)
+                ]
+                if not _decode_prog_dc_scan(
+                    r, pscan, prog_state, mcuy, mcux, h, w, hmax, vmax, ah, al
+                ):
+                    return None
+            else:  # AC scan: single component, non-interleaved
+                if ns != 1 or se > 63 or ss > se:
+                    return None
+                ci = comp_idx[0]
+                _tq, _td, ta, hi, vi = scan[0]
+                if ta not in ac_tables:
+                    return None
+                bh, bw = _comp_block_dims(h, w, hi, vi, hmax, vmax)
+                blocks = (
+                    prog_state["coef"][ci][by][bx]
+                    for by in range(bh)
+                    for bx in range(bw)
+                )
+                ok = (
+                    _decode_prog_ac_first(r, blocks, ac_tables[ta], ss, se, al)
+                    if ah == 0
+                    else _decode_prog_ac_refine(r, blocks, ac_tables[ta], ss, se, al)
+                )
+                if not ok:
+                    return None
+            prog_scans += 1
+            i = end
+            continue
         i += 2 + seglen
+    if progressive and prog_scans:
+        return _prog_reconstruct(prog_state, h, w, comps, quant, hmax, vmax)
     return None
 
 
@@ -580,3 +654,440 @@ def _decode_scan(data, h, w, scan, quant, dc_tables, ac_tables):
         return None
     ycc = np.stack([p[:h, :w] for p in planes], axis=-1)
     return _ycbcr_to_rgb(ycc)
+
+
+# --- progressive (SOF2, spec G) ---------------------------------------------
+#
+# A progressive frame carries the SAME quantized coefficients as a
+# baseline frame, split across scans by spectral band (Ss..Se) and bit
+# precision (Ah/Al).  DC scans may interleave all components in MCU
+# order; AC scans are single-component in the component's own block
+# raster.  First scans (Ah=0) Huffman-code values at precision Al;
+# refinement scans (Ah=Al+1) append one magnitude bit per already-coded
+# coefficient and introduce new ±1<<Al coefficients, with EOB runs
+# carrying the buffered correction bits.
+#
+# The Annex K AC tables lack the EOBn (r>0) symbols progressive streams
+# use, so the encoder ships its own flat table: every symbol an AC
+# progressive scan can emit at code length 8 (176 < 255 codes, all-ones
+# reserved per C.2) — also exercising the decoder against non-Annex-K
+# DHTs.
+
+PROG_AC_SPEC = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    [r << 4 for r in range(15)]            # EOB0..EOB14
+    + [0xF0]                               # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)],
+)
+
+
+def _entropy_end(b: bytes, i: int) -> int:
+    """Index of the first real marker (non-stuffed, non-RST 0xFF) at or
+    after ``i`` — where a scan's entropy data ends."""
+    while i + 1 < len(b):
+        if b[i] == 0xFF and b[i + 1] != 0x00:
+            if 0xD0 <= b[i + 1] <= 0xD7:
+                i += 2  # restart marker inside entropy (we refuse via DRI)
+                continue
+            return i
+        i += 1
+    return len(b)
+
+
+def _comp_block_dims(h, w, hi, vi, hmax, vmax) -> tuple[int, int]:
+    """Non-interleaved block grid of a component (spec A.1.1 ceil dims)."""
+    ch = -(-(h * vi) // vmax)
+    cw = -(-(w * hi) // hmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_prog_dc_scan(r, scan, state, mcuy, mcux, h, w, hmax, vmax, ah, al):
+    preds = [0] * len(scan)
+    if len(scan) > 1:  # interleaved, MCU order over the padded grid
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for si, (ci, td, _ta, hi, vi) in enumerate(scan):
+                    for v in range(vi):
+                        for u in range(hi):
+                            zz = state["coef"][ci][my * vi + v][mx * hi + u]
+                            if not _dc_one(r, zz, state, td, preds, si, ah, al):
+                                return False
+        return True
+    ci, td, _ta, hi, vi = scan[0]
+    bh, bw = _comp_block_dims(h, w, hi, vi, hmax, vmax)
+    for by in range(bh):
+        for bx in range(bw):
+            if not _dc_one(r, state["coef"][ci][by][bx], state, td, preds, 0, ah, al):
+                return False
+    return True
+
+
+def _dc_one(r, zz, state, td, preds, si, ah, al) -> bool:
+    if ah == 0:
+        s = r.read_symbol(state["dc"].get(td, {}))
+        if s is None:
+            return False
+        preds[si] += _extend(r.read(s), s)
+        zz[0] = preds[si] << al
+    else:
+        zz[0] |= r.read(1) << al
+    return True
+
+
+def _decode_prog_ac_first(r, blocks, ac_table, ss, se, al) -> bool:
+    eobrun = 0
+    for zz in blocks:
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        k = ss
+        while k <= se:
+            sym = r.read_symbol(ac_table)
+            if sym is None:
+                return False
+            run, s = sym >> 4, sym & 0xF
+            if s == 0:
+                if run == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << run) - 1 + (r.read(run) if run else 0)
+                break
+            k += run
+            if k > se:
+                return False
+            zz[k] = _extend(r.read(s), s) << al
+            k += 1
+    return True
+
+
+def _decode_prog_ac_refine(r, blocks, ac_table, ss, se, al) -> bool:
+    bit = 1 << al
+    eobrun = 0
+    for zz in blocks:
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = r.read_symbol(ac_table)
+                if sym is None:
+                    return False
+                run, s = sym >> 4, sym & 0xF
+                if s == 0:
+                    if run < 15:
+                        eobrun = (1 << run) + (r.read(run) if run else 0)
+                        break
+                    newval = 0  # ZRL: skip 16 still-zero coefficients
+                else:
+                    if s != 1:
+                        return False
+                    newval = bit if r.read(1) else -bit
+                while k <= se:
+                    if zz[k] != 0:
+                        if r.read(1) and not (zz[k] & bit):
+                            zz[k] += bit if zz[k] > 0 else -bit
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if newval and k <= se:
+                    zz[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if zz[k] != 0:
+                    if r.read(1) and not (zz[k] & bit):
+                        zz[k] += bit if zz[k] > 0 else -bit
+                k += 1
+            eobrun -= 1
+    return True
+
+
+def _prog_reconstruct(state, h, w, comps, quant, hmax, vmax):
+    planes = []
+    M = _dct_matrix()
+    for ci, (_cid, samp, tq) in enumerate(comps):
+        hi, vi = samp >> 4, samp & 0xF
+        if tq not in quant:
+            return None
+        zz = state["coef"][ci]  # (bh, bw, 64) int32, zigzag order
+        bh, bw = zz.shape[:2]
+        nat = np.zeros((bh, bw, 64), dtype=np.float64)
+        nat[..., ZIGZAG] = zz
+        coefs = nat.reshape(bh, bw, 8, 8) * quant[tq][None, None]
+        blocks = np.einsum("ij,myjk,kl->myil", M.T, coefs, M) + 128.0
+        plane = blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        ch = -(-(h * vi) // vmax)
+        cw = -(-(w * hi) // hmax)
+        plane = plane[:ch, :cw]
+        plane = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        y = np.clip(planes[0].round(), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    if len(planes) != 3:
+        return None
+    return _ycbcr_to_rgb(np.stack(planes, axis=-1))
+
+
+# --- progressive encoder -----------------------------------------------------
+
+
+def _quantized_coef_grids(pixels: np.ndarray, subsample: bool):
+    """(h, w, samps, tqs, grids): per component an (bh, bw, 64) int32
+    ZIGZAG-order quantized coefficient grid over the MCU-padded plane —
+    the shared substance both JPEG profiles entropy-code."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape[:2]
+    gray = px.ndim == 2 or px.shape[2] == 1
+    if gray:
+        planes = [px.reshape(h, w).astype(np.float64) - 128.0]
+        quants = [QUANT_LUMA]
+        samps = [(1, 1)]
+    else:
+        ycc = _rgb_to_ycbcr(px[:, :, :3])
+        y, cb, cr = (ycc[..., i] - 128.0 for i in range(3))
+        if subsample:
+            eh, ew = (h + 1) & ~1, (w + 1) & ~1
+            cbp, crp = _pad_plane(cb, eh, ew), _pad_plane(cr, eh, ew)
+            cb = cbp.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samps = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        quants = [QUANT_LUMA, QUANT_CHROMA, QUANT_CHROMA]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    grids = []
+    M = _dct_matrix()
+    for p, (hi, vi), q in zip(planes, samps, quants):
+        bh, bw = mcuy * vi, mcux * hi
+        padded = _pad_plane(p, bh * 8, bw * 8)
+        blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        coefs = np.einsum("ij,myjk,kl->myil", M, blocks, M.T)
+        qz = np.round(coefs / q[None, None]).astype(np.int32).reshape(bh, bw, 64)
+        grids.append(qz[..., ZIGZAG])
+    tqs = [0] + [1] * (len(planes) - 1) if not gray else [0]
+    return h, w, samps, tqs, grids
+
+
+class _AcProgWriter:
+    """EOB-run + correction-bit bookkeeping for one AC scan (spec G.1.2)."""
+
+    def __init__(self, w: _BitWriter, codes):
+        self.w = w
+        self.codes = codes
+        self.eobrun = 0
+        self.eob_bits: list[int] = []
+
+    def flush_eob(self) -> None:
+        if self.eobrun == 0:
+            return
+        rbits = self.eobrun.bit_length() - 1
+        code, ln = self.codes[rbits << 4]
+        self.w.write(code, ln)
+        if rbits:
+            self.w.write(self.eobrun - (1 << rbits), rbits)
+        for b in self.eob_bits:
+            self.w.write(b, 1)
+        self.eobrun = 0
+        self.eob_bits = []
+
+    def add_eob(self, correction_bits: list[int]) -> None:
+        self.eobrun += 1
+        self.eob_bits.extend(correction_bits)
+        if self.eobrun == 0x7FFF:
+            self.flush_eob()
+
+
+def _encode_ac_first_block(aw: _AcProgWriter, zz, ss, se, al) -> None:
+    t = [
+        (1 if v > 0 else -1) * (abs(int(v)) >> al) if v else 0
+        for v in zz[ss : se + 1]
+    ]
+    if not any(t):
+        aw.add_eob([])
+        return
+    aw.flush_eob()
+    run = 0
+    last_nz = max(i for i, v in enumerate(t) if v)
+    for i, v in enumerate(t):
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = aw.codes[0xF0]
+            aw.w.write(code, ln)
+            run -= 16
+        bits, s = _encode_magnitude(v)
+        code, ln = aw.codes[(run << 4) | s]
+        aw.w.write(code, ln)
+        aw.w.write(bits, s)
+        run = 0
+    if last_nz < len(t) - 1:
+        aw.add_eob([])
+
+
+def _encode_ac_refine_block(aw: _AcProgWriter, zz, ss, se, al) -> None:
+    """Emission mirrors the decoder's walk EXACTLY: a coefficient that
+    was significant in an earlier scan contributes one correction bit at
+    the moment the decoder's run walk PASSES it, so each ZRL/(r,1)
+    symbol carries precisely the correction bits inside its own span —
+    not a block-global buffer (the desync a naive encoder produces when
+    >16 zeros and history coefficients interleave)."""
+    # events over Ss..Se: ("h", bit) for history-significant coefficients,
+    # ("z", signbit_or_None) for still-zero and newly-significant ones
+    # (newly-significant positions count as zeros in the decoder's run
+    # walk — they are zero in the block until the symbol places them)
+    events: list[tuple[str, int | None]] = []
+    news: list[int] = []  # event indices of newly-significant coefficients
+    for v in zz[ss : se + 1]:
+        mag = abs(int(v))
+        if (mag >> (al + 1)) != 0:
+            events.append(("h", (mag >> al) & 1))
+        elif (mag >> al) == 0:
+            events.append(("z", None))
+        else:  # newly significant: |v| >> al == 1
+            news.append(len(events))
+            events.append(("z", 1 if v > 0 else 0))
+    cursor = 0
+
+    def walk(run: int) -> list[int]:
+        # the decoder's inner loop: collect history bits, consume `run`
+        # zero-ish positions, stop AT the next zero-ish one
+        nonlocal cursor
+        bits = []
+        while cursor < len(events):
+            kind, payload = events[cursor]
+            if kind == "h":
+                bits.append(payload)
+            else:
+                if run == 0:
+                    break
+                run -= 1
+            cursor += 1
+        return bits
+
+    for target in news:
+        r = sum(
+            1 for j in range(cursor, target) if events[j][0] == "z"
+        )
+        while r > 15:
+            aw.flush_eob()
+            code, ln = aw.codes[0xF0]
+            aw.w.write(code, ln)
+            for b in walk(15):
+                aw.w.write(b, 1)
+            cursor += 1  # decoder skips the 16th zero via k += 1
+            r -= 16
+        aw.flush_eob()
+        bits = walk(r)  # cursor lands on `target`
+        code, ln = aw.codes[(r << 4) | 1]
+        aw.w.write(code, ln)
+        aw.w.write(events[target][1], 1)
+        for b in bits:
+            aw.w.write(b, 1)
+        cursor += 1
+    if cursor < len(events):
+        # decoder needs an EOB(run) covering this block's tail; its walk
+        # consumes the remaining history correction bits
+        aw.add_eob([p for k, p in events[cursor:] if k == "h"])
+
+
+def build_jpeg_rgb_progressive(pixels: np.ndarray, subsample: bool = False) -> bytes:
+    """Spec-valid PROGRESSIVE JPEG (SOF2) of the same quantized
+    coefficients ``build_jpeg_rgb`` codes, split across a 2-precision
+    scan script (DC first Al=1 → per-component AC first Al=1 → DC
+    refinement → per-component AC refinement), so a correct decoder
+    reproduces the baseline decode bit-for-bit."""
+    h, w, samps, tqs, grids = _quantized_coef_grids(pixels, subsample)
+    n = len(grids)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcuy, mcux = grids[0].shape[0] // samps[0][1], grids[0].shape[1] // samps[0][0]
+
+    dc_specs = [DC_LUMA_SPEC] + [DC_CHROMA_SPEC] * (n - 1)
+    dc_codes = [_build_codes(s) for s in dc_specs]
+    ac_codes = _build_codes(PROG_AC_SPEC)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0]) + bytes(QUANT_LUMA.reshape(64)[ZIGZAG].astype(np.uint8)))
+    if n > 1:
+        out += _seg(0xDB, bytes([1]) + bytes(QUANT_CHROMA.reshape(64)[ZIGZAG].astype(np.uint8)))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([n])
+    for ci in range(n):
+        hi, vi = samps[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, tqs[ci]])
+    out += _seg(0xC2, sof)
+    out += _seg(0xC4, _dht_payload(0x00, DC_LUMA_SPEC))
+    if n > 1:
+        out += _seg(0xC4, _dht_payload(0x01, DC_CHROMA_SPEC))
+    out += _seg(0xC4, _dht_payload(0x10, PROG_AC_SPEC))
+
+    def sos(comps_tables, ss, se, ah, al):
+        p = bytes([len(comps_tables)])
+        for cid, tdta in comps_tables:
+            p += bytes([cid, tdta])
+        return _seg(0xDA, p + bytes([ss, se, (ah << 4) | al]))
+
+    # scan 1: DC first, all components interleaved, Al=1
+    wtr = _BitWriter()
+    preds = [0] * n
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(n):
+                hi, vi = samps[ci]
+                for v in range(vi):
+                    for u in range(hi):
+                        val = int(grids[ci][my * vi + v, mx * hi + u, 0]) >> 1
+                        bits, s = _encode_magnitude(val - preds[ci])
+                        code, ln = dc_codes[ci][s]
+                        wtr.write(code, ln)
+                        wtr.write(bits, s)
+                        preds[ci] = val
+    out += sos([(ci + 1, (0 if ci == 0 else 1) << 4) for ci in range(n)], 0, 0, 0, 1)
+    out += wtr.flush()
+
+    # scans 2..n+1: AC first per component, Al=1
+    for ci in range(n):
+        hi, vi = samps[ci]
+        bh, bw = _comp_block_dims(h, w, hi, vi, hmax, vmax)
+        wtr = _BitWriter()
+        aw = _AcProgWriter(wtr, ac_codes)
+        for by in range(bh):
+            for bx in range(bw):
+                _encode_ac_first_block(aw, grids[ci][by, bx], 1, 63, 1)
+        aw.flush_eob()
+        out += sos([(ci + 1, 0x10)], 1, 63, 0, 1)
+        out += wtr.flush()
+
+    # scan n+2: DC refinement (one bit per block, MCU-interleaved)
+    wtr = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(n):
+                hi, vi = samps[ci]
+                for v in range(vi):
+                    for u in range(hi):
+                        wtr.write(int(grids[ci][my * vi + v, mx * hi + u, 0]) & 1, 1)
+    out += sos([(ci + 1, 0x00) for ci in range(n)], 0, 0, 1, 0)
+    out += wtr.flush()
+
+    # scans n+3..2n+2: AC refinement per component
+    for ci in range(n):
+        hi, vi = samps[ci]
+        bh, bw = _comp_block_dims(h, w, hi, vi, hmax, vmax)
+        wtr = _BitWriter()
+        aw = _AcProgWriter(wtr, ac_codes)
+        for by in range(bh):
+            for bx in range(bw):
+                _encode_ac_refine_block(aw, grids[ci][by, bx], 1, 63, 0)
+        aw.flush_eob()
+        out += sos([(ci + 1, 0x10)], 1, 63, 1, 0)
+        out += wtr.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -191,12 +191,14 @@ def extract_features(assets: DataFrame, *, fake: bool = True, mode: str | None =
       decodable profile: BMP/PPM pixels, 8-bit PNG (r6: stdlib zlib
       inflate + numpy unfilter, media_codecs.decode_png_pixels) and
       16-bit PCM WAV samples, emitting ``content_mean``/``content_std``.
-      Baseline JPEG also decodes natively — 4:4:4, grayscale, AND the
-      real-world-default 4:2:0/4:2:2 subsampled layouts (r6,
-      functions/jpeg_codec.py — full Huffman + IDCT in numpy); only
-      OUT-OF-PROFILE JPEG (progressive, >2×2 sampling, restart markers)
-      raises NotImplementedError — unverifiable without a reference
-      decoder in this container, so refused rather than shipped.
+      Baseline AND progressive JPEG decode natively — 4:4:4,
+      grayscale, and the real-world-default 4:2:0/4:2:2 subsampled
+      layouts (r6 baseline, r8 progressive/SOF2 with successive
+      approximation — functions/jpeg_codec.py, full Huffman + IDCT in
+      numpy); only OUT-OF-PROFILE JPEG (arithmetic coding, >2×2
+      sampling, 12-bit, restart markers) raises NotImplementedError —
+      unverifiable without a reference decoder in this container, so
+      refused rather than shipped.
 
     Arrow-batched: each pandas chunk is one Arrow batch (~10k rows), so an
     executor never holds more than a batch of payloads in Python memory.
@@ -330,9 +332,9 @@ def resize_images(
                     px = mc.decode_pixels(bytes(payload))
                     if px is None:
                         raise NotImplementedError(
-                            "full resize of an out-of-profile JPEG (progressive/"
-                            ">2x2-sampled) requires PIL; BMP/PPM/PNG/baseline-"
-                            "JPEG resample natively"
+                            "full resize of an out-of-profile JPEG (arithmetic/"
+                            ">2x2-sampled/12-bit) requires PIL; BMP/PPM/PNG/"
+                            "baseline+progressive-JPEG resample natively"
                         )
                     rows["resized"].append(mc.resample_nearest(px, width, height).tobytes())
                 else:

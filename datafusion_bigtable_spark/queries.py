@@ -2018,12 +2018,14 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         f"{_PKG}.operators.boilerplate",  # AQE-sized boiler join + min_df_frac (r8)
         f"{_PKG}.sources.wire",  # protobuf framing replaces tagged-JSON (r8)
         f"{_PKG}.sources.proto",  # new protobuf codec the wire depends on (r8)
+        f"{_PKG}.functions.jpeg_codec",  # progressive (SOF2) decode+encode (r8)
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset(
     {
         "approx_aggregates",  # two-pass rank-check verification form (r8)
         "text_boilerplate_ngrams",  # corpus-relative min_df (r8)
+        "multimodal_jpeg_decode",  # alternating progressive fixtures (r8)
     }
 )
 
@@ -4850,7 +4852,10 @@ def multimodal_jpeg_decode_q(spark, sf_dir):
     def gen(batches):
         import pandas as pd
 
-        from datafusion_bigtable_spark.functions.jpeg_codec import build_jpeg_rgb
+        from datafusion_bigtable_spark.functions.jpeg_codec import (
+            build_jpeg_rgb,
+            build_jpeg_rgb_progressive,
+        )
 
         for pdf in batches:
             payloads = []
@@ -4861,8 +4866,13 @@ def multimodal_jpeg_decode_q(spark, sf_dir):
                     v = 2 * ((did * (3 + b) + 17 * b) % 128)
                     r, c = divmod(b, 2)
                     px[r * 8 : (r + 1) * 8, c * 8 : (c + 1) * 8, :] = v
-                # 4:2:0 — the real-world-default subsampled MCU layout
-                payloads.append(build_jpeg_rgb(px, subsample=True))
+                # 4:2:0 — the real-world-default subsampled MCU layout.
+                # Alternating docs containerize as PROGRESSIVE (SOF2, r8):
+                # same quantized coefficients, so the exact DCT oracle
+                # holds unchanged while the driver gate live-fires the
+                # successive-approximation decode path too.
+                enc = build_jpeg_rgb_progressive if (did // 7) % 2 else build_jpeg_rgb
+                payloads.append(enc(px, subsample=True))
             yield pd.DataFrame(
                 {"asset_id": pdf["doc_id"], "mime": "image/jpeg", "payload": payloads}
             )

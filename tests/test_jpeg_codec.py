@@ -221,3 +221,115 @@ def test_jpeg_poison_sof_dims_refused():
     evil[i + 5 : i + 9] = struct.pack(">HH", 65535, 65535)  # h, w after precision
     assert decode_jpeg_pixels(bytes(evil)) is None
     assert decode_jpeg_pixels(good) is not None  # sanity: patch site was right
+
+
+# --- progressive (SOF2) ------------------------------------------------------
+
+from datafusion_bigtable_spark.functions.jpeg_codec import (  # noqa: E402
+    build_jpeg_rgb,
+    build_jpeg_rgb_progressive,
+    decode_jpeg_pixels,
+)
+
+
+def _structured_image(h=41, w=53):
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[..., 0] = (yy * 5) % 256
+    img[..., 1] = (xx * 3) % 256
+    img[..., 2] = 128
+    img[5 : h // 3, 5 : w // 2] = 200  # flat region -> EOB runs
+    rng = np.random.default_rng(3)
+    ph, pw = h - h // 2, w - w // 2
+    img[h // 2 :, w // 2 :] = rng.integers(0, 256, (ph, pw, 3), dtype=np.uint8)
+    return img
+
+
+def test_progressive_equals_baseline_bit_exact():
+    """The cross-profile identity: a progressive stream carries the SAME
+    quantized coefficients as a baseline stream of the image, so the two
+    decodes must agree bit-for-bit — 4:4:4, 4:2:0, and grayscale."""
+    img = _structured_image()
+    for sub in (False, True):
+        base = decode_jpeg_pixels(build_jpeg_rgb(img, subsample=sub))
+        prog = decode_jpeg_pixels(build_jpeg_rgb_progressive(img, subsample=sub))
+        assert prog is not None
+        assert np.array_equal(base, prog), f"subsample={sub}"
+    g = (np.mgrid[0:30, 0:30][0] * 7 % 256).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg_pixels(build_jpeg_rgb(g)),
+        decode_jpeg_pixels(build_jpeg_rgb_progressive(g)),
+    )
+
+
+def test_progressive_bit_exact_random_sizes():
+    rng = np.random.default_rng(17)
+    for _ in range(8):
+        h, w = rng.integers(1, 70, 2)
+        img = rng.integers(0, 256, (int(h), int(w), 3), dtype=np.uint8)
+        for sub in (False, True):
+            base = decode_jpeg_pixels(build_jpeg_rgb(img, subsample=sub))
+            prog = decode_jpeg_pixels(build_jpeg_rgb_progressive(img, subsample=sub))
+            assert prog is not None and np.array_equal(base, prog), (h, w, sub)
+
+
+def test_progressive_eob_run_and_sparse_spans():
+    """Long EOB runs (flat 257x129 -> hundreds of all-zero AC blocks in
+    one EOBn) and isolated spikes (ZRL chains through interleaved
+    correction bits — the exact desync case the positional-walk encoder
+    exists for) must both survive."""
+    flat = np.full((257, 129, 3), 10, dtype=np.uint8)
+    rng = np.random.default_rng(11)
+    sparse = np.where(rng.random((80, 80, 3)) < 0.01, 255, 0).astype(np.uint8)
+    for img in (flat, sparse):
+        base = decode_jpeg_pixels(build_jpeg_rgb(img))
+        prog = decode_jpeg_pixels(build_jpeg_rgb_progressive(img))
+        assert prog is not None and np.array_equal(base, prog)
+
+
+def test_progressive_ac_refine_positional_bits():
+    """Unit-level pin of the refinement walk: history coefficients
+    separated by >16 zeros force multiple ZRLs whose correction bits
+    must interleave positionally (the case that desyncs a block-global
+    bit buffer)."""
+    from datafusion_bigtable_spark.functions.jpeg_codec import (
+        PROG_AC_SPEC,
+        _AcProgWriter,
+        _BitReader,
+        _BitWriter,
+        _build_codes,
+        _build_decoder,
+        _decode_prog_ac_first,
+        _decode_prog_ac_refine,
+        _encode_ac_first_block,
+        _encode_ac_refine_block,
+    )
+
+    zz = np.zeros(64, dtype=np.int64)
+    for pos, v in {1: 6, 18: 40, 25: -27, 29: -15, 30: -13, 43: 11, 49: 19, 59: 1}.items():
+        zz[pos] = v
+    codes = _build_codes(PROG_AC_SPEC)
+    table = _build_decoder(PROG_AC_SPEC)
+    w1 = _BitWriter()
+    aw1 = _AcProgWriter(w1, codes)
+    _encode_ac_first_block(aw1, zz, 1, 63, 1)
+    aw1.flush_eob()
+    w2 = _BitWriter()
+    aw2 = _AcProgWriter(w2, codes)
+    _encode_ac_refine_block(aw2, zz, 1, 63, 0)
+    aw2.flush_eob()
+    got = [np.zeros(64, dtype=np.int64)]
+    assert _decode_prog_ac_first(_BitReader(w1.flush()), iter(got), table, 1, 63, 1)
+    assert _decode_prog_ac_refine(_BitReader(w2.flush()), iter(got), table, 1, 63, 0)
+    assert np.array_equal(zz[1:], got[0][1:])
+
+
+def test_progressive_truncation_and_fuzz_never_crash():
+    img = _structured_image(32, 48)
+    pb = build_jpeg_rgb_progressive(img)
+    for cut in range(2, len(pb), 97):
+        decode_jpeg_pixels(pb[:cut])  # partial or None, never an exception
+    rng = np.random.default_rng(5)
+    for _ in range(100):
+        blob = bytes(rng.integers(0, 256, int(rng.integers(4, 300))))
+        decode_jpeg_pixels(b"\xff\xd8" + blob)

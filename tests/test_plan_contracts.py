@@ -354,3 +354,22 @@ def test_embedding_dedup_ivf_blocks_on_cell(spark, sf_dir):
     for l in plan.splitlines():
         if "BroadcastNestedLoopJoin" in l:
             assert "BuildRight" in l, f"unexpected nested loop:\n{l}"
+
+
+def test_grouped_exact_quantiles_no_global_window(spark, sf_dir):
+    """grouped_exact_percentiles' 100 TB property: the VALUE stream is
+    range-partitioned and ranked per (group, partition) — never a global
+    or per-group single-partition window over the values, never a
+    TakeOrdered of a data-dependent k.  (The only unpartitioned window
+    runs over the tiny (group x partition) counts aggregate.)"""
+    from datafusion_bigtable_spark.operators.stats import grouped_exact_percentiles
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = grouped_exact_percentiles(li, "l_returnflag", "l_extendedprice", [0.5])
+    plan = _plan(spark, df)
+    assert "rangepartitioning" in plan
+    assert "TakeOrderedAndProject" not in plan
+    # every window over the value column must be keyed by (_g, _pid)
+    for line in plan.splitlines():
+        if "Window [row_number()" in line:
+            assert "_pid" in line and "_g" in line, line
