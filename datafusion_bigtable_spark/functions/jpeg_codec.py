@@ -9,9 +9,10 @@ spec G): spectral selection, successive approximation (DC and AC first
 The progressive decoder reconstructs the SAME quantized coefficients a
 baseline scan of the image carries, so `decode(progressive(img)) ==
 decode(baseline(img))` BIT-EXACTLY — the cross-profile identity
-tests/test_jpeg_codec.py pins.  What stays gated (decode returns None):
-arithmetic coding, sampling factors beyond 2×2, 12-bit precision, and
-restart markers.
+tests/test_jpeg_codec.py pins.  Restart intervals (DRI + RSTn markers,
+byte-aligned predictor/EOB-run resets) encode and decode in both
+profiles.  What stays gated (decode returns None): arithmetic coding,
+sampling factors beyond 2×2, and 12-bit precision.
 
 Everything is spec constants + linear algebra:
 
@@ -201,6 +202,14 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1s per spec
         return bytes(self.out)
 
+    def restart_marker(self, idx: int) -> None:
+        """Byte-align (1-padding) and emit RSTn — markers sit OUTSIDE the
+        entropy coding, so no stuffing byte follows them."""
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (idx & 7)])
+
 
 class _BitReader:
     def __init__(self, data: bytes):
@@ -212,17 +221,31 @@ class _BitReader:
     def _fill(self) -> None:
         while self.n <= 24 and self.pos < len(self.data):
             byte = self.data[self.pos]
-            self.pos += 1
             if byte == 0xFF:
-                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
-                if nxt == 0x00:
-                    self.pos += 1  # stuffed FF
-                else:
-                    # a real marker: stop feeding (spec: entropy ends here)
-                    self.pos = len(self.data)
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0
+                if nxt != 0x00:
+                    # a real marker: stop feeding, leave pos ON the marker
+                    # so skip_restart() can consume an RSTn and resume
                     break
+                self.pos += 2  # stuffed FF
+            else:
+                self.pos += 1
             self.acc = (self.acc << 8) | byte
             self.n += 8
+
+    def skip_restart(self) -> bool:
+        """Byte-align (discard pad bits) and consume an RSTn marker at the
+        current position — the reader half of restart-interval support."""
+        self.acc = 0
+        self.n = 0
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+            return True
+        return False
 
     def read(self, length: int) -> int:
         if length == 0:
@@ -364,11 +387,16 @@ def _pad_plane(c: np.ndarray, ph: int, pw: int) -> np.ndarray:
     return p
 
 
-def build_jpeg_rgb(pixels: np.ndarray, subsample: bool = False) -> bytes:
+def build_jpeg_rgb(
+    pixels: np.ndarray, subsample: bool = False, restart_interval: int = 0
+) -> bytes:
     """Spec-valid baseline sequential JPEG with the Annex K tables.
     ``subsample=False`` → 4:4:4; ``subsample=True`` → 4:2:0 (2×2 luma
     sampling, box-averaged chroma) — the MCU-interleaved layout real-world
-    encoders emit.  Both profiles are what ``decode_jpeg_pixels`` decodes."""
+    encoders emit.  ``restart_interval`` > 0 emits a DRI segment and an
+    RSTn every that-many MCUs (byte-aligned, DC predictors reset) — the
+    error-resilience feature real encoders turn on.  All profiles are
+    what ``decode_jpeg_pixels`` decodes."""
     px = np.asarray(pixels, dtype=np.uint8)
     h, w = px.shape[:2]
     gray = px.ndim == 2 or px.shape[2] == 1
@@ -408,10 +436,17 @@ def build_jpeg_rgb(pixels: np.ndarray, subsample: bool = False) -> bytes:
 
     wtr = _BitWriter()
     prev_dc = [0] * n
+    mcu_no = 0
+    ridx = 0
     # MCU-interleaved block order (spec A.2.3): per MCU, each component
     # contributes Vi×Hi blocks in raster order
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_no and mcu_no % restart_interval == 0:
+                wtr.restart_marker(ridx)
+                ridx = (ridx + 1) % 8
+                prev_dc = [0] * n
+            mcu_no += 1
             for ci, plane in enumerate(padded):
                 hi, vi = samps[ci]
                 for v in range(vi):
@@ -439,6 +474,8 @@ def build_jpeg_rgb(pixels: np.ndarray, subsample: bool = False) -> bytes:
     if n > 1:
         out += _seg(0xC4, _dht_payload(0x01, DC_CHROMA_SPEC))
         out += _seg(0xC4, _dht_payload(0x11, AC_CHROMA_SPEC))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([n])
     for ci in range(n):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
@@ -453,9 +490,10 @@ def decode_jpeg_pixels(b: bytes) -> np.ndarray | None:
     """(h, w, 3) uint8 RGB from a baseline sequential (SOF0/1) or
     PROGRESSIVE (SOF2) JPEG — 4:4:4, grayscale, or 4:2:0/4:2:2
     subsampled (sampling factors ≤ 2×2), spectral-selection +
-    successive-approximation scan scripts included.  Returns None
-    outside that profile (12-bit, arithmetic, restart intervals, >2×2
-    sampling) — refused rather than shipped untested; see module doc.
+    successive-approximation scan scripts and restart intervals
+    included.  Returns None outside that profile (12-bit, arithmetic,
+    >2×2 sampling) — refused rather than shipped untested; see module
+    doc.
     Malformed containers (e.g. the header-only bench fixtures) also
     return None, never raise."""
     try:
@@ -476,6 +514,7 @@ def _decode_jpeg(b: bytes) -> np.ndarray | None:
     prog_state: dict | None = None
     prog_scans = 0
     hmax = vmax = mcux = mcuy = 0
+    restart_interval = 0
     i = 2
     while i + 4 <= len(b):
         if b[i] != 0xFF:
@@ -548,8 +587,8 @@ def _decode_jpeg(b: bytes) -> np.ndarray | None:
                 }
         elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             return None  # lossless/arithmetic/12-bit friends: out of profile
-        elif marker == 0xDD:
-            return None  # restart intervals: out of profile
+        elif marker == 0xDD:  # DRI — restart interval in MCUs
+            (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
             if h is None or not comps:
                 return None
@@ -567,7 +606,9 @@ def _decode_jpeg(b: bytes) -> np.ndarray | None:
                 comp_idx.append(ci)
             if not progressive:
                 data = b[i + 2 + seglen :]
-                return _decode_scan(data, h, w, scan, quant, dc_tables, ac_tables)
+                return _decode_scan(
+                    data, h, w, scan, quant, dc_tables, ac_tables, restart_interval
+                )
             ss, se, ahal = payload[1 + 2 * ns : 4 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0xF
             end = _entropy_end(b, i + 2 + seglen)
@@ -580,7 +621,8 @@ def _decode_jpeg(b: bytes) -> np.ndarray | None:
                     for si in range(ns)
                 ]
                 if not _decode_prog_dc_scan(
-                    r, pscan, prog_state, mcuy, mcux, h, w, hmax, vmax, ah, al
+                    r, pscan, prog_state, mcuy, mcux, h, w, hmax, vmax, ah, al,
+                    restart_interval,
                 ):
                     return None
             else:  # AC scan: single component, non-interleaved
@@ -597,9 +639,13 @@ def _decode_jpeg(b: bytes) -> np.ndarray | None:
                     for bx in range(bw)
                 )
                 ok = (
-                    _decode_prog_ac_first(r, blocks, ac_tables[ta], ss, se, al)
+                    _decode_prog_ac_first(
+                        r, blocks, ac_tables[ta], ss, se, al, restart_interval
+                    )
                     if ah == 0
-                    else _decode_prog_ac_refine(r, blocks, ac_tables[ta], ss, se, al)
+                    else _decode_prog_ac_refine(
+                        r, blocks, ac_tables[ta], ss, se, al, restart_interval
+                    )
                 )
                 if not ok:
                     return None
@@ -612,11 +658,12 @@ def _decode_jpeg(b: bytes) -> np.ndarray | None:
     return None
 
 
-def _decode_scan(data, h, w, scan, quant, dc_tables, ac_tables):
+def _decode_scan(data, h, w, scan, quant, dc_tables, ac_tables, restart_interval=0):
     """General MCU-interleaved scan walk (spec A.2.3): per MCU each
     component contributes Vi×Hi blocks in raster order; subsampled
     components decode into smaller planes and upsample by pixel
-    replication afterwards."""
+    replication afterwards.  A nonzero ``restart_interval`` expects an
+    RSTn every that-many MCUs (byte-aligned, DC predictors reset)."""
     r = _BitReader(data)
     n = len(scan)
     hmax = max(s[3] for s in scan)
@@ -627,8 +674,14 @@ def _decode_scan(data, h, w, scan, quant, dc_tables, ac_tables):
         np.zeros((mcuy * 8 * vi, mcux * 8 * hi)) for (_, _, _, hi, vi) in scan
     ]
     prev_dc = [0] * n
+    mcu_no = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_no and mcu_no % restart_interval == 0:
+                if not r.skip_restart():
+                    return None
+                prev_dc = [0] * n
+            mcu_no += 1
             for ci, (tq, td, ta, hi, vi) in enumerate(scan):
                 if tq not in quant or td not in dc_tables or ta not in ac_tables:
                     return None
@@ -701,11 +754,26 @@ def _comp_block_dims(h, w, hi, vi, hmax, vmax) -> tuple[int, int]:
     return -(-ch // 8), -(-cw // 8)
 
 
-def _decode_prog_dc_scan(r, scan, state, mcuy, mcux, h, w, hmax, vmax, ah, al):
+def _decode_prog_dc_scan(
+    r, scan, state, mcuy, mcux, h, w, hmax, vmax, ah, al, restart_interval=0
+):
     preds = [0] * len(scan)
+    mcu_no = 0
+
+    def boundary():
+        nonlocal preds
+        if restart_interval and mcu_no and mcu_no % restart_interval == 0:
+            if not r.skip_restart():
+                return False
+            preds = [0] * len(scan)
+        return True
+
     if len(scan) > 1:  # interleaved, MCU order over the padded grid
         for my in range(mcuy):
             for mx in range(mcux):
+                if not boundary():
+                    return False
+                mcu_no += 1
                 for si, (ci, td, _ta, hi, vi) in enumerate(scan):
                     for v in range(vi):
                         for u in range(hi):
@@ -717,6 +785,9 @@ def _decode_prog_dc_scan(r, scan, state, mcuy, mcux, h, w, hmax, vmax, ah, al):
     bh, bw = _comp_block_dims(h, w, hi, vi, hmax, vmax)
     for by in range(bh):
         for bx in range(bw):
+            if not boundary():
+                return False
+            mcu_no += 1
             if not _dc_one(r, state["coef"][ci][by][bx], state, td, preds, 0, ah, al):
                 return False
     return True
@@ -734,9 +805,13 @@ def _dc_one(r, zz, state, td, preds, si, ah, al) -> bool:
     return True
 
 
-def _decode_prog_ac_first(r, blocks, ac_table, ss, se, al) -> bool:
+def _decode_prog_ac_first(r, blocks, ac_table, ss, se, al, restart_interval=0) -> bool:
     eobrun = 0
-    for zz in blocks:
+    for bi, zz in enumerate(blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            if not r.skip_restart():
+                return False
+            eobrun = 0
         if eobrun > 0:
             eobrun -= 1
             continue
@@ -760,10 +835,14 @@ def _decode_prog_ac_first(r, blocks, ac_table, ss, se, al) -> bool:
     return True
 
 
-def _decode_prog_ac_refine(r, blocks, ac_table, ss, se, al) -> bool:
+def _decode_prog_ac_refine(r, blocks, ac_table, ss, se, al, restart_interval=0) -> bool:
     bit = 1 << al
     eobrun = 0
-    for zz in blocks:
+    for bi, zz in enumerate(blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            if not r.skip_restart():
+                return False
+            eobrun = 0
         k = ss
         if eobrun == 0:
             while k <= se:
@@ -996,7 +1075,9 @@ def _encode_ac_refine_block(aw: _AcProgWriter, zz, ss, se, al) -> None:
         aw.add_eob([p for k, p in events[cursor:] if k == "h"])
 
 
-def build_jpeg_rgb_progressive(pixels: np.ndarray, subsample: bool = False) -> bytes:
+def build_jpeg_rgb_progressive(
+    pixels: np.ndarray, subsample: bool = False, restart_interval: int = 0
+) -> bytes:
     """Spec-valid PROGRESSIVE JPEG (SOF2) of the same quantized
     coefficients ``build_jpeg_rgb`` codes, split across a 2-precision
     scan script (DC first Al=1 → per-component AC first Al=1 → DC
@@ -1026,6 +1107,8 @@ def build_jpeg_rgb_progressive(pixels: np.ndarray, subsample: bool = False) -> b
     if n > 1:
         out += _seg(0xC4, _dht_payload(0x01, DC_CHROMA_SPEC))
     out += _seg(0xC4, _dht_payload(0x10, PROG_AC_SPEC))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
 
     def sos(comps_tables, ss, se, ah, al):
         p = bytes([len(comps_tables)])
@@ -1036,8 +1119,15 @@ def build_jpeg_rgb_progressive(pixels: np.ndarray, subsample: bool = False) -> b
     # scan 1: DC first, all components interleaved, Al=1
     wtr = _BitWriter()
     preds = [0] * n
+    mcu_no = 0
+    ridx = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_no and mcu_no % restart_interval == 0:
+                wtr.restart_marker(ridx)
+                ridx = (ridx + 1) % 8
+                preds = [0] * n
+            mcu_no += 1
             for ci in range(n):
                 hi, vi = samps[ci]
                 for v in range(vi):
@@ -1057,8 +1147,15 @@ def build_jpeg_rgb_progressive(pixels: np.ndarray, subsample: bool = False) -> b
         bh, bw = _comp_block_dims(h, w, hi, vi, hmax, vmax)
         wtr = _BitWriter()
         aw = _AcProgWriter(wtr, ac_codes)
+        bi = 0
+        ridx = 0
         for by in range(bh):
             for bx in range(bw):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    aw.flush_eob()
+                    wtr.restart_marker(ridx)
+                    ridx = (ridx + 1) % 8
+                bi += 1
                 _encode_ac_first_block(aw, grids[ci][by, bx], 1, 63, 1)
         aw.flush_eob()
         out += sos([(ci + 1, 0x10)], 1, 63, 0, 1)
@@ -1066,8 +1163,14 @@ def build_jpeg_rgb_progressive(pixels: np.ndarray, subsample: bool = False) -> b
 
     # scan n+2: DC refinement (one bit per block, MCU-interleaved)
     wtr = _BitWriter()
+    mcu_no = 0
+    ridx = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_no and mcu_no % restart_interval == 0:
+                wtr.restart_marker(ridx)
+                ridx = (ridx + 1) % 8
+            mcu_no += 1
             for ci in range(n):
                 hi, vi = samps[ci]
                 for v in range(vi):
@@ -1082,8 +1185,15 @@ def build_jpeg_rgb_progressive(pixels: np.ndarray, subsample: bool = False) -> b
         bh, bw = _comp_block_dims(h, w, hi, vi, hmax, vmax)
         wtr = _BitWriter()
         aw = _AcProgWriter(wtr, ac_codes)
+        bi = 0
+        ridx = 0
         for by in range(bh):
             for bx in range(bw):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    aw.flush_eob()
+                    wtr.restart_marker(ridx)
+                    ridx = (ridx + 1) % 8
+                bi += 1
                 _encode_ac_refine_block(aw, grids[ci][by, bx], 1, 63, 0)
         aw.flush_eob()
         out += sos([(ci + 1, 0x10)], 1, 63, 1, 0)

@@ -195,8 +195,9 @@ def extract_features(assets: DataFrame, *, fake: bool = True, mode: str | None =
       grayscale, and the real-world-default 4:2:0/4:2:2 subsampled
       layouts (r6 baseline, r8 progressive/SOF2 with successive
       approximation — functions/jpeg_codec.py, full Huffman + IDCT in
-      numpy); only OUT-OF-PROFILE JPEG (arithmetic coding, >2×2
-      sampling, 12-bit, restart markers) raises NotImplementedError —
+      numpy, restart intervals included); only OUT-OF-PROFILE JPEG
+      (arithmetic coding, >2×2 sampling, 12-bit) raises
+      NotImplementedError —
       unverifiable without a reference decoder in this container, so
       refused rather than shipped.
 

@@ -333,3 +333,40 @@ def test_progressive_truncation_and_fuzz_never_crash():
     for _ in range(100):
         blob = bytes(rng.integers(0, 256, int(rng.integers(4, 300))))
         decode_jpeg_pixels(b"\xff\xd8" + blob)
+
+
+def test_restart_intervals_both_profiles_bit_exact():
+    """DRI/RSTn support: restart markers every 1..17 MCUs (byte-aligned,
+    DC predictors and EOB runs reset) must reproduce the unrestarted
+    decode bit-for-bit in BOTH profiles — interval 1 maximizes marker
+    density, the off-aligned intervals exercise the mid-row resets."""
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (45, 61, 3), dtype=np.uint8)
+    for sub in (False, True):
+        want = decode_jpeg_pixels(build_jpeg_rgb(img, subsample=sub))
+        for ri in (1, 3, 17):
+            got_b = decode_jpeg_pixels(
+                build_jpeg_rgb(img, subsample=sub, restart_interval=ri)
+            )
+            got_p = decode_jpeg_pixels(
+                build_jpeg_rgb_progressive(img, subsample=sub, restart_interval=ri)
+            )
+            assert got_b is not None and np.array_equal(got_b, want), (ri, sub)
+            assert got_p is not None and np.array_equal(got_p, want), (ri, sub)
+
+
+def test_restart_marker_missing_fails_closed():
+    """A DRI header whose stream lacks the promised RSTn must return
+    None (decode refuses), never silently misalign."""
+    img = np.full((24, 24, 3), 99, dtype=np.uint8)
+    b = bytearray(build_jpeg_rgb(img, restart_interval=1))
+    # strip every RST marker from the entropy stream (FF D0-D7)
+    out = bytearray()
+    i = 0
+    while i < len(b):
+        if b[i] == 0xFF and i + 1 < len(b) and 0xD0 <= b[i + 1] <= 0xD7:
+            i += 2
+            continue
+        out.append(b[i])
+        i += 1
+    assert decode_jpeg_pixels(bytes(out)) is None
