@@ -4867,11 +4867,18 @@ def multimodal_jpeg_decode_q(spark, sf_dir):
                     r, c = divmod(b, 2)
                     px[r * 8 : (r + 1) * 8, c * 8 : (c + 1) * 8, :] = v
                 # 4:2:0 — the real-world-default subsampled MCU layout.
-                # Alternating docs containerize as PROGRESSIVE (SOF2, r8):
+                # Every 4th doc containerizes as PROGRESSIVE (SOF2, r8):
                 # same quantized coefficients, so the exact DCT oracle
                 # holds unchanged while the driver gate live-fires the
-                # successive-approximation decode path too.
-                enc = build_jpeg_rgb_progressive if (did // 7) % 2 else build_jpeg_rgb
+                # successive-approximation decode path too (18 of 72 docs
+                # at sf0.01; a half share measured 1.95x the query's
+                # first-recorded bench time — the multi-scan pure-Python
+                # encode, not the decode, is the cost).
+                enc = (
+                    build_jpeg_rgb_progressive
+                    if (did // 7) % 4 == 1
+                    else build_jpeg_rgb
+                )
                 payloads.append(enc(px, subsample=True))
             yield pd.DataFrame(
                 {"asset_id": pdf["doc_id"], "mime": "image/jpeg", "payload": payloads}
