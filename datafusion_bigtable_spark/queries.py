@@ -2303,6 +2303,69 @@ def dedup_embedding_ivf_q(spark, sf_dir):
 
 
 @query(
+    "dedup_semantic_prune",
+    """
+    WITH RECURSIVE seeds AS (
+      SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS sv
+      FROM embeddings WHERE vec_id < 16),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, s.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.sv) DESC,
+                          s.cell) AS rn
+        FROM embeddings e CROSS JOIN seeds s) t
+      WHERE rn = 1),
+    pairs AS (
+      SELECT a.vec_id AS pa, b.vec_id AS pb
+      FROM embeddings a
+        JOIN assign aa ON aa.vec_id = a.vec_id
+        JOIN assign ba ON ba.cell = aa.cell AND ba.vec_id > a.vec_id
+        JOIN embeddings b ON b.vec_id = ba.vec_id
+      WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6) >= 0.4),
+    edges AS (SELECT pa AS a, pb AS b FROM pairs UNION SELECT pb, pa FROM pairs),
+    reach AS (
+      SELECT a AS id, b AS r FROM edges
+      UNION
+      SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+    comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id)
+    SELECT e.vec_id, (c.id IS NULL OR c.component = e.vec_id) AS keep
+    FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+    """,
+)
+def dedup_semantic_prune_q(spark, sf_dir):
+    # SemDeDup (Abbas et al. 2023, arXiv:2303.09540) re-expressed on the
+    # engine's existing primitives: cluster embeddings into IVF cells
+    # (the paper's k-means step — same broadcast-codebook assignment as
+    # sim_topk_ivf_cells), pair up near-duplicates WITHIN each cell by
+    # cosine (Σ|cell|², the blocked self-join), connect the pair graph,
+    # and keep one representative per semantic cluster (min vec_id —
+    # the paper keeps the lowest-centroid-distance item; min-id is the
+    # deterministic twin the oracle can reproduce).  Output is a keep
+    # flag per vector — the shape a curation pipeline joins back onto
+    # the corpus as an anti-join.
+    #
+    # Scale shape: one cell-key shuffle for pairing, O(cluster diameter)
+    # label-propagation shuffles (near-cliques converge in 2-4), one
+    # broadcast join of the (tiny) dropped set — raw vectors shuffle
+    # exactly once.  n_cells is the block-size dial (SCALE.md r8).
+    from datafusion_bigtable_spark.operators.dedup import embedding_dup_pairs_ivf
+    from datafusion_bigtable_spark.operators.graph import connected_components
+
+    e = load(spark, sf_dir, "embeddings")
+    pairs = embedding_dup_pairs_ivf(e, threshold=0.4, n_cells=16)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    return e.select("vec_id").join(
+        F.broadcast(comp), F.col("vec_id") == F.col("id"), "left"
+    ).select(
+        "vec_id",
+        (F.col("id").isNull() | (F.col("component") == F.col("vec_id"))).alias("keep"),
+    )
+
+
+@query(
     "sim_topk_bruteforce",
     """
     WITH scored AS (
