@@ -1,9 +1,9 @@
 """Baseline + progressive JPEG codec — pure Python/numpy, no PIL.
 
 Closes the media gate: baseline sequential JPEG (SOF0, Huffman, 8-bit)
-ENCODES and DECODES natively here — 4:4:4, grayscale, and the
-real-world-default 4:2:0/4:2:2 MCU-interleaved subsampled layouts (any
-sampling factors up to 2×2) — and, since r8, PROGRESSIVE JPEG (SOF2,
+ENCODES and DECODES natively here — 4:4:4, grayscale, and subsampled
+MCU-interleaved layouts with any {1,2,4} sampling factors (4:2:0,
+4:2:2, 4:1:1, 4:4:0, mixed) — and, since r8, PROGRESSIVE JPEG (SOF2,
 spec G): spectral selection, successive approximation (DC and AC first
 + refinement scans, EOB runs with correction bits), both directions.
 The progressive decoder reconstructs the SAME quantized coefficients a
@@ -12,7 +12,7 @@ decode(baseline(img))` BIT-EXACTLY — the cross-profile identity
 tests/test_jpeg_codec.py pins.  Restart intervals (DRI + RSTn markers,
 byte-aligned predictor/EOB-run resets) encode and decode in both
 profiles.  What stays gated (decode returns None): arithmetic coding,
-sampling factors beyond 2×2, and 12-bit precision.
+non-power-of-two sampling factors, and 12-bit precision.
 
 Everything is spec constants + linear algebra:
 
@@ -387,16 +387,32 @@ def _pad_plane(c: np.ndarray, ph: int, pw: int) -> np.ndarray:
     return p
 
 
+def _box_downsample(plane: np.ndarray, fh: int, fv: int) -> np.ndarray:
+    """Box-average a component plane by integer factors (edge-padded)."""
+    if fh == 1 and fv == 1:
+        return plane
+    h, w = plane.shape
+    eh, ew = -(-h // fv) * fv, -(-w // fh) * fh
+    p = _pad_plane(plane, eh, ew)
+    return p.reshape(eh // fv, fv, ew // fh, fh).mean(axis=(1, 3))
+
+
 def build_jpeg_rgb(
-    pixels: np.ndarray, subsample: bool = False, restart_interval: int = 0
+    pixels: np.ndarray,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    samps: list[tuple[int, int]] | None = None,
 ) -> bytes:
     """Spec-valid baseline sequential JPEG with the Annex K tables.
     ``subsample=False`` → 4:4:4; ``subsample=True`` → 4:2:0 (2×2 luma
     sampling, box-averaged chroma) — the MCU-interleaved layout real-world
     encoders emit.  ``restart_interval`` > 0 emits a DRI segment and an
     RSTn every that-many MCUs (byte-aligned, DC predictors reset) — the
-    error-resilience feature real encoders turn on.  All profiles are
-    what ``decode_jpeg_pixels`` decodes."""
+    error-resilience feature real encoders turn on.  ``samps`` overrides
+    the (luma, cb, cr) sampling factors with any {1,2,4} combination
+    (e.g. ``[(4,1),(1,1),(1,1)]`` = 4:1:1, ``[(1,2),(1,1),(1,1)]`` =
+    vertical 4:4:0) — chroma box-averages by the factor ratio.  All
+    profiles are what ``decode_jpeg_pixels`` decodes."""
     px = np.asarray(pixels, dtype=np.uint8)
     h, w = px.shape[:2]
     gray = px.ndim == 2 or px.shape[2] == 1
@@ -407,16 +423,17 @@ def build_jpeg_rgb(
     else:
         ycc = _rgb_to_ycbcr(px[:, :, :3])
         y, cb, cr = (ycc[..., i] - 128.0 for i in range(3))
-        if subsample:
-            # box-average 2×2 chroma (pad to even first)
-            eh, ew = (h + 1) & ~1, (w + 1) & ~1
-            cbp, crp = _pad_plane(cb, eh, ew), _pad_plane(cr, eh, ew)
-            cb = cbp.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
-            cr = crp.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
-            samps = [(2, 2), (1, 1), (1, 1)]
-        else:
-            samps = [(1, 1), (1, 1), (1, 1)]
-        planes = [y, cb, cr]
+        if samps is None:
+            samps = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1), (1, 1), (1, 1)]
+        for hi, vi in samps:
+            if hi not in (1, 2, 4) or vi not in (1, 2, 4):
+                raise ValueError(f"sampling factors must be in {{1,2,4}}, got {samps}")
+        smax_h = max(x[0] for x in samps)
+        smax_v = max(x[1] for x in samps)
+        planes = [
+            _box_downsample(pl, smax_h // hi, smax_v // vi)
+            for pl, (hi, vi) in zip([y, cb, cr], samps)
+        ]
         quants = [QUANT_LUMA, QUANT_CHROMA, QUANT_CHROMA]
 
     hmax = max(s[0] for s in samps)
@@ -488,12 +505,12 @@ def build_jpeg_rgb(
 
 def decode_jpeg_pixels(b: bytes) -> np.ndarray | None:
     """(h, w, 3) uint8 RGB from a baseline sequential (SOF0/1) or
-    PROGRESSIVE (SOF2) JPEG — 4:4:4, grayscale, or 4:2:0/4:2:2
-    subsampled (sampling factors ≤ 2×2), spectral-selection +
-    successive-approximation scan scripts and restart intervals
-    included.  Returns None outside that profile (12-bit, arithmetic,
-    >2×2 sampling) — refused rather than shipped untested; see module
-    doc.
+    PROGRESSIVE (SOF2) JPEG — 4:4:4, grayscale, or subsampled with any
+    {1,2,4} sampling factors (4:2:0/4:2:2/4:1:1/4:4:0/...), spectral-
+    selection + successive-approximation scan scripts and restart
+    intervals included.  Returns None outside that profile (12-bit,
+    arithmetic, non-power-of-two sampling) — refused rather than
+    shipped untested; see module doc.
     Malformed containers (e.g. the header-only bench fixtures) also
     return None, never raise."""
     try:
@@ -566,8 +583,8 @@ def _decode_jpeg(b: bytes) -> np.ndarray | None:
             for c in range(n):
                 cid, samp, tq = payload[6 + 3 * c : 9 + 3 * c]
                 hi, vi = samp >> 4, samp & 0xF
-                if not (1 <= hi <= 2 and 1 <= vi <= 2):
-                    return None  # beyond 2×2 sampling: out of profile
+                if hi not in (1, 2, 4) or vi not in (1, 2, 4):
+                    return None  # non-power-of-two sampling: out of profile
                 comps.append((cid, samp, tq))
             if marker == 0xC2:
                 progressive = True

@@ -20,10 +20,10 @@ ffmpeg — ``decode_pixels`` returns an (h, w, 3) uint8 array,
 ``resample_nearest`` is a real nearest-neighbor image resampler.
 Baseline JPEG (incl. 4:2:0/4:2:2) decodes natively too (functions/jpeg_codec.py),
 as do single-frame GIFs (real LZW, ``decode_gif_pixels``);
-Progressive JPEG and restart intervals decode natively too since r8;
-only out-of-profile JPEG (arithmetic coding, >2×2 sampling, 12-bit)
-stays behind the honest ``NotImplementedError`` gate in
-functions/multimodal.py.
+Progressive JPEG, restart intervals, and all {1,2,4} sampling factors
+decode natively too since r8; only out-of-profile JPEG (arithmetic
+coding, non-power-of-two sampling, 12-bit) stays behind the honest
+``NotImplementedError`` gate in functions/multimodal.py.
 
 ``build_*`` constructs real, spec-valid containers so synthetic corpora
 exercise the genuine parse/decode path; ``parse_media`` sniffs by magic.
@@ -392,7 +392,7 @@ def decode_pixels(b: bytes) -> np.ndarray | None:
     PPM, 8-bit PNG (stdlib zlib) and baseline + progressive JPEG
     incl. 4:2:0/4:2:2 subsampling (functions/jpeg_codec.py: full Huffman
     + IDCT pipeline, r6; SOF2 successive approximation r8).  None for
-    out-of-profile JPEGs (arithmetic / >2×2 sampling / 12-bit —
+    out-of-profile JPEGs (arithmetic / non-pow2 sampling / 12-bit —
     jpeg_codec module doc) and non-images."""
     if b[:2] == b"BM":
         return decode_bmp_pixels(b)

@@ -195,9 +195,9 @@ def extract_features(assets: DataFrame, *, fake: bool = True, mode: str | None =
       grayscale, and the real-world-default 4:2:0/4:2:2 subsampled
       layouts (r6 baseline, r8 progressive/SOF2 with successive
       approximation — functions/jpeg_codec.py, full Huffman + IDCT in
-      numpy, restart intervals included); only OUT-OF-PROFILE JPEG
-      (arithmetic coding, >2×2 sampling, 12-bit) raises
-      NotImplementedError —
+      numpy, restart intervals and any {1,2,4} sampling factors
+      included); only OUT-OF-PROFILE JPEG (arithmetic coding,
+      non-power-of-two sampling, 12-bit) raises NotImplementedError —
       unverifiable without a reference decoder in this container, so
       refused rather than shipped.
 
@@ -334,7 +334,7 @@ def resize_images(
                     if px is None:
                         raise NotImplementedError(
                             "full resize of an out-of-profile JPEG (arithmetic/"
-                            ">2x2-sampled/12-bit) requires PIL; BMP/PPM/PNG/"
+                            "non-pow2-sampled/12-bit) requires PIL; BMP/PPM/PNG/"
                             "baseline+progressive-JPEG resample natively"
                         )
                     rows["resized"].append(mc.resample_nearest(px, width, height).tobytes())

@@ -370,3 +370,30 @@ def test_restart_marker_missing_fails_closed():
         out.append(b[i])
         i += 1
     assert decode_jpeg_pixels(bytes(out)) is None
+
+
+def test_sampling_factors_1_2_4():
+    """{1,2,4} sampling layouts (4:1:1, vertical 4:4:0, 4x4, mixed):
+    a flat image decodes exactly under every layout, and a constant-
+    chroma image must decode BIT-IDENTICAL to its 4:4:4 encoding — the
+    luma path is untouched by chroma sampling, and box-average +
+    replication of constant chroma is the identity."""
+    layouts = [
+        [(4, 1), (1, 1), (1, 1)],  # 4:1:1
+        [(1, 2), (1, 1), (1, 1)],  # 4:4:0 (vertical)
+        [(4, 4), (1, 1), (1, 1)],
+        [(4, 2), (2, 1), (1, 1)],  # mixed ratios
+    ]
+    flat = np.full((37, 51, 3), 99, dtype=np.uint8)
+    ref = decode_jpeg_pixels(build_jpeg_rgb(flat))
+    rng = np.random.default_rng(4)
+    lum = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+    gray_rgb = np.stack([lum, lum, lum], axis=2)  # cb = cr = 128 constant
+    want = decode_jpeg_pixels(build_jpeg_rgb(gray_rgb))
+    for sm in layouts:
+        got = decode_jpeg_pixels(build_jpeg_rgb(flat, samps=sm))
+        assert got is not None and np.array_equal(got, ref), sm
+        got = decode_jpeg_pixels(build_jpeg_rgb(gray_rgb, samps=sm))
+        assert got is not None and np.array_equal(got, want), sm
+    with pytest.raises(ValueError):
+        build_jpeg_rgb(flat, samps=[(3, 1), (1, 1), (1, 1)])
