@@ -1,0 +1,104 @@
+"""Character-trigram language-model perplexity — the declarative twin of
+CCNet/RedPajama's KenLM perplexity filter for corpus curation
+(Wenzek et al. 2020, arXiv:1911.00359: keep/bucket documents by LM
+perplexity; gibberish and boilerplate score high, fluent text low).
+
+No reference analogue (connector); LLM-pipeline tier.
+
+The model is a char-TRIGRAM add-one model over the corpus itself:
+``P(c3 | c1 c2) = (count(c1 c2 c3) + 1) / (count(c1 c2 ·) + |A|)`` with
+``|A| = 37`` (a-z, 0-9, space after normalization).  Character level is
+the scale-defining choice: the vocabulary is bounded by the ALPHABET
+(37³ ≈ 50k trigrams, 37² contexts) no matter how many petabytes train
+it — so the model legitimately broadcasts, with none of the corpus-
+relative growth that made the boilerplate set's forced broadcast a
+hazard (VERDICT r7 #3).  A word-level KenLM would need the
+external-model seam instead.
+
+Scale shape (100 TB):
+- one gram shuffle builds the model (map-side partial counts into ≤50k
+  keys), one tiny aggregate derives the 37²-row context table;
+- scoring re-tokenizes the corpus and equi-joins BOTH tables broadcast
+  (bounded, see above), then one (doc_id, two sums) aggregate — raw
+  text shuffles zero times;
+- the deliberate tokenize-twice (model pass + scoring pass) is the
+  boilerplate module's same measured tradeoff: the gram stream is
+  corpus-sized, so materializing it costs more than the second scan.
+
+Training on the corpus being scored is the standard self-perplexity
+demo setup and keeps the whole operator oracle-checkable; production
+CCNet trains the LM on a held-out high-quality corpus — same plan
+shape, the model tables just come from a different DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+ALPHABET_SIZE = 37  # a-z, 0-9, space
+
+
+def char_trigrams(text: Column) -> Column:
+    """Array of character trigrams of the normalized text (lowercase,
+    non-alphanumeric runs collapsed to single spaces); empty below 3
+    chars."""
+    t = F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(t) - 2),
+        lambda i: t.substr(i, F.lit(3)),
+    )
+    return F.when(F.length(t) >= 3, grams).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_perplexity(
+    docs: DataFrame,
+    model_docs: DataFrame | None = None,
+    threshold: float = 3.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document average negative log-likelihood under the trigram
+    model (= ln perplexity), for every document with ≥1 trigram.
+
+    Returns ``(id_col, n_trigrams, avg_nll, high_perplexity)`` with
+    ``avg_nll`` rounded to 4 decimals and ``high_perplexity`` comparing
+    the ROUNDED value against ``threshold`` (so engine and oracle agree
+    exactly at the flag boundary).  ``model_docs`` defaults to ``docs``
+    (self-perplexity; see module doc).
+    """
+    def grams_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col), F.explode(char_trigrams(F.col(text_col))).alias("tri")
+        )
+
+    tg_model = grams_of(model_docs if model_docs is not None else docs)
+    m = tg_model.groupBy("tri").agg(F.count(F.lit(1)).alias("c"))
+    px = (
+        m.select(F.substring("tri", 1, 2).alias("ctx"), "c")
+        .groupBy("ctx")
+        .agg(F.sum("c").alias("cc"))
+    )
+    tg = grams_of(docs).withColumn("ctx", F.substring("tri", 1, 2))
+    # both model tables are alphabet-bounded (<= 37^3 / 37^2 rows): the
+    # broadcast hints are safe at ANY corpus size by construction
+    scored = (
+        tg.join(F.broadcast(m), "tri", "left")
+        .join(F.broadcast(px), "ctx", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum(
+                -F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                    / (F.coalesce(F.col("cc"), F.lit(0)) + F.lit(float(ALPHABET_SIZE)))
+                )
+            ).alias("_nll"),
+        )
+    )
+    avg = F.round(F.col("_nll") / F.col("n_trigrams"), 4)
+    return scored.select(
+        F.col(id_col),
+        "n_trigrams",
+        avg.alias("avg_nll"),
+        (avg > F.lit(float(threshold))).alias("high_perplexity"),
+    )

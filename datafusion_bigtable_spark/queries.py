@@ -2303,6 +2303,48 @@ def dedup_embedding_ivf_q(spark, sf_dir):
 
 
 @query(
+    "text_ngram_perplexity",
+    """
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+      FROM documents),
+    tg AS (
+      SELECT doc_id, substr(t, i, 3) AS tri
+      FROM n, LATERAL (SELECT unnest(generate_series(1, length(t) - 2)) AS i) s
+      WHERE length(t) >= 3),
+    m AS (SELECT tri, COUNT(*) AS c FROM tg GROUP BY tri),
+    px AS (SELECT substr(tri, 1, 2) AS ctx, SUM(c) AS cc FROM m GROUP BY 1),
+    sc AS (
+      SELECT tg.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+             SUM(-ln((COALESCE(m.c, 0) + 1.0) / (COALESCE(px.cc, 0) + 37.0))) AS nll
+      FROM tg
+        LEFT JOIN m USING (tri)
+        LEFT JOIN px ON px.ctx = substr(tg.tri, 1, 2)
+      GROUP BY tg.doc_id)
+    SELECT doc_id, n_trigrams,
+           ROUND(nll / n_trigrams, 4) AS avg_nll,
+           ROUND(nll / n_trigrams, 4) > 0.84 AS high_perplexity
+    FROM sc
+    """,
+)
+def text_perplexity_q(spark, sf_dir):
+    # CCNet-style LM-perplexity curation (operators/perplexity.py):
+    # char-trigram add-one model whose vocabulary is ALPHABET-bounded
+    # (37³), so the model broadcasts legitimately at any corpus size —
+    # the scale property a word-level KenLM doesn't have without an
+    # external-model seam.  One gram shuffle trains; scoring is two
+    # broadcast equi-joins + one per-doc aggregate; the flag compares
+    # the ROUNDED avg-NLL so engine and oracle agree at the boundary.
+    from datafusion_bigtable_spark.operators.perplexity import ngram_perplexity
+
+    # 0.84 sits at the ~97th percentile of this corpus's avg-NLL
+    # (measured 0.67-0.88 at sf0.01): the flag carries real signal
+    return ngram_perplexity(load(spark, sf_dir, "documents"), threshold=0.84)
+
+
+@query(
     "dedup_semantic_prune",
     """
     WITH RECURSIVE seeds AS (

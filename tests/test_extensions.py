@@ -873,3 +873,25 @@ def test_grouped_exact_percentiles_tiny_groups(spark):
         ("c", 0.5): 5.0,  # null ignored
         ("c", 1.0): 5.0,
     }
+
+
+def test_ngram_perplexity_orders_gibberish_above_fluent(spark):
+    """The perplexity filter's whole point: text unlike the training
+    corpus scores higher.  Train on repetitions of a fluent phrase; a
+    gibberish doc must flag while in-distribution docs don't, and a doc
+    below 3 normalized chars is absent."""
+    from datafusion_bigtable_spark.operators.perplexity import ngram_perplexity
+
+    fluent = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, fluent) for i in range(1, 9)] + [
+        (9, "zxq jvk wpf qqz xkj vvw zzp qqf"),  # trigrams the model never saw
+        (10, "a!"),  # 1 normalized char -> no trigrams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # tiny corpus: add-one smoothing floors fluent docs near 1.53 (counts
+    # ~8 against the +37 denominator); gibberish lands ~2.95
+    out = {r.doc_id: r for r in ngram_perplexity(docs, threshold=2.0).collect()}
+    assert 10 not in out
+    assert all(not out[i].high_perplexity for i in range(1, 9))
+    assert out[9].high_perplexity
+    assert out[9].avg_nll > out[1].avg_nll + 1.0

@@ -373,3 +373,14 @@ def test_grouped_exact_quantiles_no_global_window(spark, sf_dir):
     for line in plan.splitlines():
         if "Window [row_number()" in line:
             assert "_pid" in line and "_g" in line, line
+
+
+def test_perplexity_model_joins_broadcast(spark, sf_dir):
+    """ngram_perplexity's scale property: BOTH model tables are
+    alphabet-bounded (37^3 trigrams, 37^2 contexts), so they broadcast —
+    the gram stream must never shuffle for the scoring joins."""
+    plan = _plan(spark, _q(spark, sf_dir, "text_ngram_perplexity"))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line or "ShuffledHashJoin" in line:
+            raise AssertionError(f"scoring join shuffled the gram stream:\n{line}")
