@@ -2303,6 +2303,43 @@ def dedup_embedding_ivf_q(spark, sf_dir):
 
 
 @query(
+    "text_bpe_tokenize",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(64 AS BIGINT) AS n_merges,
+           TRUE AS round_trip_ok, TRUE AS compresses
+    FROM documents
+    WHERE length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) > 0
+    """,
+)
+def text_bpe_q(spark, sf_dir):
+    # REAL byte-pair encoding (operators/bpe.py): greedy merges trained
+    # on a bounded md5-ordered sample (driver-side, the codebook
+    # pattern), then one shuffle-free Arrow-batched apply over the
+    # corpus with broadcast merge ranks and a per-word memo.  Training
+    # is greedy-sequential — not SQL-expressible — so the oracle asserts
+    # DECLARATIVE INVARIANTS instead (the trained-codebook pattern):
+    # every doc detokenizes back to its normalized text EXACTLY
+    # (lossless, bit-wise), the merged encoding is strictly shorter than
+    # character-level corpus-wide, and the vocabulary carries exactly
+    # the requested 64 merges (the synthetic corpus saturates — every
+    # distinct word fully collapsed — at 93, so 64 keeps the exact-count
+    # invariant meaningful).  A wrong merge table, a broken apply
+    # loop, or a lossy word-marker convention each flip a boolean.
+    from datafusion_bigtable_spark.operators.bpe import bpe_token_stats, train_bpe
+
+    docs = load(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=64)
+    stats = bpe_token_stats(docs, merges)
+    return stats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.lit(len(merges)).cast("long").alias("n_merges"),
+        F.min(F.col("round_trip_ok")).alias("round_trip_ok"),
+        (F.sum("n_tokens") < F.sum("n_chars")).alias("compresses"),
+    )
+
+
+@query(
     "text_ngram_perplexity",
     """
     WITH n AS (

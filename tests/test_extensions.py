@@ -895,3 +895,37 @@ def test_ngram_perplexity_orders_gibberish_above_fluent(spark):
     assert all(not out[i].high_perplexity for i in range(1, 9))
     assert out[9].high_perplexity
     assert out[9].avg_nll > out[1].avg_nll + 1.0
+
+
+def test_bpe_train_apply_round_trip(spark):
+    """Classic BPE sanity on a hand-checkable corpus: frequent pairs
+    merge first (deterministic lexicographic tie-break), application
+    uses merge RANK order, and detokenization is exactly lossless."""
+    from datafusion_bigtable_spark.operators.bpe import (
+        bpe_token_stats,
+        encode_word,
+        train_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "low lower newer newest new")],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(docs, n_merges=4)
+    assert len(merges) == 4
+    # "lo" is the most frequent pair (appears in every 'low*' word)
+    assert merges[0] == ("l", "o")
+    ranks = {p: i for i, p in enumerate(merges)}
+    # encoding uses ranks, never re-counts; unknown words fall back to chars
+    assert "".join(encode_word("low", ranks)).replace("</w>", "") == "low"
+    assert encode_word("zzz", ranks) == ["z", "z", "z</w>"]
+
+    stats = {r.doc_id: r for r in bpe_token_stats(docs, merges).collect()}
+    assert all(r.round_trip_ok for r in stats.values())
+    assert all(r.n_tokens < r.n_chars for r in stats.values())
+    assert stats[1].n_words == 5
+
+    # more merges can only shorten (or keep) every document's encoding
+    merges8 = train_bpe(docs, n_merges=8)
+    stats8 = {r.doc_id: r.n_tokens for r in bpe_token_stats(docs, merges8).collect()}
+    assert all(stats8[d] <= stats[d].n_tokens for d in stats8)

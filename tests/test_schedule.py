@@ -36,10 +36,10 @@ def test_registry_size_and_full_green_fold():
     # bt_value_pushdown_service, text_boilerplate_ngrams,
     # embedding_cluster_outliers, bt_read_rows_wire, bt_wire_sharded_scan,
     # dedup_substring_spans)
-    # + 5 r8 additions (dedup_embedding_cosine_ivf,
+    # + 6 r8 additions (dedup_embedding_cosine_ivf,
     # exact_quantiles_distributed, grouped_exact_quantiles,
-    # dedup_semantic_prune, text_ngram_perplexity).
-    assert len(q.REGISTRY) == 126
+    # dedup_semantic_prune, text_ngram_perplexity, text_bpe_tokenize).
+    assert len(q.REGISTRY) == 127
     sched = q._schedule()
     for name in (n for n in q.REGISTRY if n not in q._LAST_GREEN):
         assert sched.index(name) < 50, f"new query {name} outside driver window"
