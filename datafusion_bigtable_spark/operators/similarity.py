@@ -170,6 +170,7 @@ def build_ivf_index(
     codebook: list[list[float]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    persist: bool = True,
 ) -> IvfIndex:
     """Assign every vector its top-``nprobe`` codebook cells and persist
     the result — the build half of IVF, separated from search so the
@@ -179,6 +180,13 @@ def build_ivf_index(
     once; n_cells folds per row).  The persist is what makes the search's
     self-join read the scan+assignment subtree once instead of planning it
     twice (measured 2× at sf0.1).
+
+    ``persist=False`` skips the cache: the assignment is deterministic
+    (argmax with a fixed cell tie-break), so both join sides recomputing
+    it independently is CORRECT, just one extra scan+fold pass.  Use it
+    for throwaway indexes whose unpersist nobody owns — a lazily-returned
+    DataFrame can't unpersist after itself, and leaked storage blocks
+    accumulate across a long session (ADVICE r8).
     """
     base = embeddings.withColumn("_dv", as_double_vec(F.col(vec_col))).withColumn(
         "_n", norm(F.col(vec_col))
@@ -201,8 +209,9 @@ def build_ivf_index(
         .withColumn("_rn", F.row_number().over(aw))
         .filter(F.col("_rn") <= max(1, nprobe))
         .select(id_col, "cell", "_rn", "_dv", "_n")
-        .persist()
     )
+    if persist:
+        ranked = ranked.persist()
     return IvfIndex(ranked, nprobe=max(1, nprobe))
 
 
