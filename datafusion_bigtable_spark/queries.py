@@ -1874,7 +1874,66 @@ _R7_GREEN = (
     "tpch_q3_shipping_priority",
     "set_ops_multiset",
 )
-# Later rounds override earlier ones; every name absent from all seven
+# CORRECTNESS_r08.json — all 50 window entries green (first window for the
+# exact-quantile pair, the protobuf wire queries, and the r8 boilerplate /
+# progressive-JPEG / approx-agg rebuilds).
+_R8_GREEN = (
+    "exact_quantiles_distributed",
+    "grouped_exact_quantiles",
+    "bt_limit_pushdown",
+    "bt_ts_range_prune",
+    "bt_value_filter_pushdown",
+    "bt_value_regex_pushdown",
+    "bt_int_key_prune",
+    "bt_read_rows_wire",
+    "bt_wire_sharded_scan",
+    "dedup_embedding_cosine_ivf",
+    "text_bpe_tokenize",
+    "text_ngram_perplexity",
+    "dedup_semantic_prune",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_pixel_stats",
+    "multimodal_video_frames",
+    "approx_aggregates",
+    "winsorize_prices",
+    "multimodal_png_decode",
+    "multimodal_jpeg_decode",
+    "multimodal_audio_spectral",
+    "text_boilerplate_ngrams",
+    "unpivot_cell_metrics",
+    "bt_asof_snapshot",
+    "dedup_ngram_jaccard",
+    "sim_topk_ivf_cells",
+    "sim_topk_ivf_nprobe",
+    "embedding_quantize_int8",
+    "dedup_keep_canonical",
+    "events_moving_window_range",
+    "sim_topk_pq_adc",
+    "sim_topk_ivfpq",
+    "pipeline_curated_corpus",
+    "corpus_mixing_weights",
+    "text_quality",
+    "text_token_counts",
+    "text_fingerprint",
+    "decontaminate_vs_benchmark",
+    "text_chunk_documents",
+    "corpus_pack_sequences",
+    "union_all_entities",
+    "skew_salted_aggregation",
+    "grouping_sets_mixed",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "deterministic_hash_sample",
+)
+# CORRECTNESS_r09.json — all 50 green, but the r9 window was byte-identical
+# to r8's (the fold below was skipped in round 9 — VERDICT r9 "what's wrong
+# #1"), so the same tuple serves both rounds.
+_R9_GREEN = _R8_GREEN
+# Later rounds override earlier ones; every name absent from all nine
 # tuples carries 0.
 _LAST_GREEN: dict[str, int] = {
     **{n: 1 for n in _R1_GREEN},
@@ -1884,6 +1943,8 @@ _LAST_GREEN: dict[str, int] = {
     **{n: 5 for n in _R5_GREEN},
     **{n: 6 for n in _R6_GREEN},
     **{n: 7 for n in _R7_GREEN},
+    **{n: 8 for n in _R8_GREEN},
+    **{n: 9 for n in _R9_GREEN},
 }
 
 # ---------------------------------------------------------------------------
@@ -2005,27 +2066,37 @@ def query_deps(name: str) -> frozenset[str]:
     return _module_closure(_callable_direct_deps(fn, {fn}))
 
 
-# Round 8: package modules with BEHAVIOR-CHANGING edits this round (their
-# dependents reset to 0) and query functions edited in this file this round.
+# Rounds 9+10: package modules with BEHAVIOR-CHANGING edits since the last
+# folded driver window (their dependents reset to 0) and query functions
+# edited in this file over the same span.  Round 9 skipped this fold
+# entirely (VERDICT r9 #1), so its changes — the `_sim_query_pred` absolute
+# bound mirrored into the sim-family oracles, `target_block_size`, and the
+# persist=False throwaway indexes — are covered here alongside round 10's.
 # Policy (amended per ADVICE r5): purely ADDITIVE module changes — a new
 # function no existing query calls — do not reset dependents; any edit to
 # code an existing query executes does.  Verified against `git diff` before
-# the fold.  (operators.dedup gained embedding_dup_pairs_ivf this round —
-# additive, no reset; its docstring-only df_cap note is non-behavioral.)
+# the fold.
 _TOUCHED_MODULES: frozenset[str] = frozenset(
     {
-        f"{_PKG}.operators.stats",  # driver-safe order-statistic selection (r8)
-        f"{_PKG}.operators.boilerplate",  # AQE-sized boiler join + min_df_frac (r8)
-        f"{_PKG}.sources.wire",  # protobuf framing replaces tagged-JSON (r8)
-        f"{_PKG}.sources.proto",  # new protobuf codec the wire depends on (r8)
-        f"{_PKG}.functions.jpeg_codec",  # progressive (SOF2) decode+encode (r8)
+        f"{_PKG}.operators.dedup",  # target_block_size dial + owned IVF index (r9/r10)
+        f"{_PKG}.operators.similarity",  # persist ownership for throwaway indexes (r9/r10)
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset(
     {
-        "approx_aggregates",  # two-pass rank-check verification form (r8)
-        "text_boilerplate_ngrams",  # corpus-relative min_df (r8)
-        "multimodal_jpeg_decode",  # alternating progressive fixtures (r8)
+        # r9 `_sim_query_pred` absolute bound, mirrored in each oracle —
+        # three of these (bruteforce, lsh_bucketed, trained_codebook_recall)
+        # sat OUTSIDE the stuck r9 window and have no post-change
+        # driver-green (ADVICE r9); they must lead the r10 window.
+        "sim_topk_bruteforce",
+        "sim_topk_lsh_bucketed",
+        "sim_trained_codebook_recall",
+        "sim_topk_ivf_cells",
+        "sim_topk_ivf_nprobe",
+        "sim_topk_pq_adc",
+        "sim_topk_ivfpq",
+        "dedup_embedding_cosine_ivf",  # r9 dial plumbing + r10 wiring
+        "dedup_semantic_prune",  # r9 unpersisted index + r10 wiring
     }
 )
 

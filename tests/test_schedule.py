@@ -122,6 +122,48 @@ def test_module_touch_resets_dependents(monkeypatch):
         q.query_deps.cache_clear()
 
 
+def test_every_correctness_artifact_is_folded():
+    """r9 skipped the fold and the driver window froze (VERDICT r9 #1).
+
+    Pin: for EVERY committed CORRECTNESS_r{N}.json, an ``_R{N}_GREEN``
+    tuple must exist in queries.py and every fully-green query in the
+    artifact must carry ``_LAST_GREEN[name] >= N`` (a later round may
+    override upward; a touched-this-round reset happens in
+    ``_last_green()``, not in the dict).  Forgetting the fold for a new
+    round now fails here instead of silently repeating the window.
+    """
+    import json
+    from pathlib import Path
+
+    repo = Path(q.__file__).resolve().parents[1]
+    artifacts = sorted(repo.glob("CORRECTNESS_r*.json"))
+    assert artifacts, "no correctness artifacts found next to the package"
+    for art in artifacts:
+        n = int(art.stem.split("_r")[1])
+        tup = getattr(q, f"_R{n}_GREEN", None)
+        assert tup is not None, f"{art.name} not folded: no _R{n}_GREEN tuple"
+        rec = json.loads(art.read_text())
+        greens = {
+            name
+            for name, r in rec.items()
+            if r.get("rows_match") and r.get("schema_match")
+        }
+        missing = {
+            name
+            for name in greens
+            if name in q.REGISTRY and q._LAST_GREEN.get(name, 0) < n
+        }
+        assert missing == set(), f"{art.name} greens unfolded: {sorted(missing)}"
+
+
+def test_touched_queries_lead_current_window():
+    # Explicitly-touched queries (green=0 by fiat) must sit inside the
+    # 50-slot driver window — they are the round's highest-risk entries.
+    sched = q._schedule()
+    for name in q._TOUCHED_QUERIES:
+        assert sched.index(name) < 50, f"touched query {name} outside window"
+
+
 def test_transitive_module_imports_followed():
     # operators.dedup imports operators.graph only indirectly through the
     # keep-canonical path; closure must include it for CC-based queries even
