@@ -2336,9 +2336,12 @@ def dedup_embedding_q(spark, sf_dir):
 @query(
     "dedup_embedding_cosine_ivf",
     """
-    WITH seeds AS (
+    WITH nc AS (
+      SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 128.0) AS BIGINT)) AS n
+      FROM embeddings),
+    seeds AS (
       SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS sv
-      FROM embeddings WHERE vec_id < 16),
+      FROM embeddings WHERE vec_id < (SELECT n FROM nc)),
     assign AS (
       SELECT vec_id, cell FROM (
         SELECT e.vec_id, s.cell,
@@ -2364,12 +2367,24 @@ def dedup_embedding_ivf_q(spark, sf_dir):
     # prescribes (VERDICT r7 #8): the blocking key is the vector's own
     # IVF cell (argmax cosine over the deterministic seed codebook, same
     # assignment as sim_topk_ivf_cells) instead of the metadata label —
-    # Σ|cell|² with per-cell size dialed by n_cells, for corpora with no
-    # label at all.  One cell-key shuffle; centroids broadcast.
+    # Σ|cell|² for corpora with no label at all.  One cell-key shuffle;
+    # centroids broadcast.
+    #
+    # target_block_size=128 is the CORPUS-RELATIVE dial (VERDICT r8 #2 /
+    # r9 #2): n_cells = max(16, ceil(corpus/128)), so expected block
+    # size — and per-cell pair cost — stays ~128 at any corpus size
+    # (linear total, vs quadratic at any fixed n_cells).  At the tested
+    # SFs (500/500/2000 vectors) the floor wins and the derived value is
+    # exactly 16, so every recorded hash is preserved; at sf1 (20k) it
+    # derives 157 cells.  The oracle mirrors the derivation in its `nc`
+    # CTE — the seed codebook stays `vec_id < derived`, SQL-expressible.
     from datafusion_bigtable_spark.operators.dedup import embedding_dup_pairs_ivf
 
     return embedding_dup_pairs_ivf(
-        load(spark, sf_dir, "embeddings"), threshold=0.4, n_cells=16
+        load(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        n_cells=16,
+        target_block_size=128,
     )
 
 
@@ -2455,9 +2470,12 @@ def text_perplexity_q(spark, sf_dir):
 @query(
     "dedup_semantic_prune",
     """
-    WITH RECURSIVE seeds AS (
+    WITH RECURSIVE nc AS (
+      SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 128.0) AS BIGINT)) AS n
+      FROM embeddings),
+    seeds AS (
       SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS sv
-      FROM embeddings WHERE vec_id < 16),
+      FROM embeddings WHERE vec_id < (SELECT n FROM nc)),
     assign AS (
       SELECT vec_id, cell FROM (
         SELECT e.vec_id, s.cell,
@@ -2500,12 +2518,14 @@ def dedup_semantic_prune_q(spark, sf_dir):
     # Scale shape: one cell-key shuffle for pairing, O(cluster diameter)
     # label-propagation shuffles (near-cliques converge in 2-4), one
     # broadcast join of the (tiny) dropped set — raw vectors shuffle
-    # exactly once.  n_cells is the block-size dial (SCALE.md r8).
+    # exactly once.  target_block_size=128 keeps blocks corpus-relative
+    # (n_cells = max(16, ceil(corpus/128)) — identical to 16 at every
+    # tested SF, so hashes hold; the oracle's nc CTE mirrors it).
     from datafusion_bigtable_spark.operators.dedup import embedding_dup_pairs_ivf
     from datafusion_bigtable_spark.operators.graph import connected_components
 
     e = load(spark, sf_dir, "embeddings")
-    pairs = embedding_dup_pairs_ivf(e, threshold=0.4, n_cells=16)
+    pairs = embedding_dup_pairs_ivf(e, threshold=0.4, n_cells=16, target_block_size=128)
     comp = connected_components(pairs.select("id_a", "id_b"))
     return e.select("vec_id").join(
         F.broadcast(comp), F.col("vec_id") == F.col("id"), "left"

