@@ -15,9 +15,15 @@ is what makes the operator oracle-checkable (DuckDB computes the same
 fixpoint via a recursive CTE transitive closure).
 
 Scale notes:
-- each round = one join (edges ⋈ labels, shuffle on vertex id) + one
-  groupBy min; AQE sizes the exchanges.  Rounds ≈ diameter; dup clusters
-  are near-cliques, so 2-4 rounds in practice (max_iter bounds ANY input).
+- each round = propagate (edges ⋈ labels, shuffle on vertex id, groupBy
+  min) + SHORTCUT (labels ⋈ labels on the propagated label — pointer
+  doubling); AQE sizes the exchanges.  The shortcut is what bounds
+  rounds at O(log n) on ANY topology (VERDICT r8 #5: plain propagation
+  is O(diameter), and a 1000-vertex chain blew past max_iter=25):
+  after round k a vertex's label has "looked back" 2^(k+1)-2 hops, so a
+  path needs ~log2(n) rounds, while near-clique dup graphs still
+  converge in 2-3.  One extra self-join per round buys the exponential
+  worst-case cut.
 - ``localCheckpoint`` truncates lineage each round — without it the plan
   doubles per iteration and the driver chokes on analysis long before the
   executors break a sweat (the classic iterative-Spark trap).
@@ -59,7 +65,17 @@ def connected_components(
     max_iter: int = 25,
 ) -> DataFrame:
     """(vertex, component) for every vertex in ``pairs``; component is the
-    MIN vertex id reachable (undirected).  Deterministic fixpoint."""
+    MIN vertex id reachable (undirected).  Deterministic fixpoint.
+
+    Each round propagates the min label one hop, then SHORTCUTS by
+    looking the propagated label up at its own vertex (pointer doubling,
+    Shiloach-Vishkin style): ``L'(v) = min(P(v), P(P(v)))``.  Both steps
+    only ever move a label to another vertex of the same component
+    (propagation via an edge; doubling via transitivity), labels are
+    monotone non-increasing and bounded below by the component minimum,
+    and at any fixpoint the whole component carries that minimum — the
+    same fixpoint plain propagation reaches, in O(log n) rounds instead
+    of O(diameter)."""
     edges = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     )
@@ -81,13 +97,20 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("dst_label").alias("nbr_min"))
         )
+        prop = labels.join(nbr_min, "src", "left").select(
+            "src",
+            F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias("p"),
+        )
+        # pointer doubling: fetch the propagated label AT the vertex the
+        # label names (P(v) is a vertex id of the same component, always
+        # in the label table's domain; "left" is belt-and-braces).  One
+        # shuffle on the label id.
+        hop = prop.select(F.col("src").alias("_at"), F.col("p").alias("pp"))
         new_labels = (
-            labels.join(nbr_min, "src", "left")
+            prop.join(hop, prop["p"] == hop["_at"], "left")
             .select(
                 "src",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias(
-                    "label"
-                ),
+                F.least(F.col("p"), F.coalesce(F.col("pp"), F.col("p"))).alias("label"),
             )
             .localCheckpoint()  # truncate lineage BEFORE the convergence action
         )
