@@ -6,16 +6,25 @@ where functions/text.py's regex token count is the cheap estimate).
 
 No reference analogue (connector); LLM-pipeline tier.
 
-Distributed-correct by SHAPE (the train_ivf_codebook pattern):
-- TRAINING is greedy-sequential by definition, so it runs driver-side
-  over a bounded, deterministic sample (md5-ordered docs, default 2048)
-  — the "train small, broadcast, apply wide" split every production
-  tokenizer pipeline uses;
+Distributed-correct by SHAPE:
+- TRAINING splits into a DISTRIBUTED word-frequency count (explode →
+  map-side-combined groupBy → TakeOrdered top-``max_vocab``; one
+  shuffle over the WHOLE corpus — VERDICT r8 #3: the previous
+  2048-document sample made merges reflect sample, not corpus,
+  frequencies) and a DRIVER-side greedy merge loop over that bounded
+  word->count table.  Merges are a pure function of word frequencies,
+  so counting corpus-wide then looping driver-side is exactly
+  equivalent to re-aggregating the corpus every round — at one job
+  instead of ``n_merges`` jobs.  The top-``max_vocab`` cap is the
+  bounded-collect contract (vocabulary is sublinear in corpus size;
+  tail words contribute ~nothing to pair counts and real tokenizer
+  trainers cap identically);
 - APPLICATION broadcasts the merge ranks (a few hundred pairs) and maps
   the corpus through one Arrow-batched ``mapInPandas`` with a per-word
   memo cache (word shapes repeat heavily; the cache turns per-token
-  work into per-distinct-word work).  No shuffle at all — tokenization
-  is embarrassingly parallel;
+  work into per-distinct-word work, and is CAPPED per task so a
+  pathological all-distinct corpus cannot grow it unboundedly — r8 #8).
+  No shuffle at all — tokenization is embarrassingly parallel;
 - training is order-dependent and therefore not SQL-expressible; the
   registered query reduces the guarantees to DECLARATIVE INVARIANTS
   the oracle can assert (the sim_trained_codebook_recall pattern):
@@ -31,7 +40,7 @@ merges never cross word boundaries and detokenization is unambiguous.
 
 from __future__ import annotations
 
-from collections import Counter
+from collections import Counter, defaultdict
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -42,60 +51,95 @@ def _word_syms(word: str) -> tuple[str, ...]:
     return tuple(word[:-1]) + (word[-1] + EOW,)
 
 
+def _merge_word(syms: tuple[str, ...], pair: tuple[str, str], merged: str) -> tuple[str, ...]:
+    """Replace every non-overlapping left-to-right occurrence of *pair*."""
+    out: list[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == pair[0] and syms[i + 1] == pair[1]:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _greedy_merges(vocab: dict, n_merges: int) -> list[tuple[str, str]]:
+    """Greedy BPE merge loop over a word->count table with INCREMENTAL
+    pair-count maintenance: each round re-tokenizes only the words that
+    contain the merged pair (tracked per pair) instead of rescanning the
+    whole vocabulary — the tokenizer-trainer scheme that keeps a
+    65536-word vocab tractable.  Exactly equivalent to recounting from
+    scratch each round (pinned by test); ties on pair frequency break
+    toward the lexicographically larger pair, so the result is
+    reproducible across runs and dict orderings."""
+    vocab = dict(vocab)
+    pair_counts: Counter = Counter()
+    pair_words: dict = defaultdict(set)
+    for syms, cnt in vocab.items():
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += cnt
+            pair_words[p].add(syms)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = None
+        for p, c in pair_counts.items():
+            if c > 0 and (best is None or (c, p) > (pair_counts[best], best)):
+                best = p
+        if best is None:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        for syms in pair_words.pop(best, ()):
+            cnt = vocab.pop(syms, None)
+            if cnt is None:
+                continue  # stale membership: this word was rewritten earlier
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] -= cnt
+                if p != best:
+                    pair_words[p].discard(syms)
+            new = _merge_word(syms, best, merged)
+            vocab[new] = vocab.get(new, 0) + cnt
+            for p in zip(new, new[1:]):
+                pair_counts[p] += cnt
+                pair_words[p].add(new)
+        pair_counts.pop(best, None)
+    return merges
+
+
 def train_bpe(
     docs: DataFrame,
     n_merges: int = 200,
-    sample: int = 2048,
-    id_col: str = "doc_id",
+    max_vocab: int = 1 << 16,
     text_col: str = "text",
 ) -> list[tuple[str, str]]:
-    """Greedy merge list from a deterministic md5-ordered document
-    sample (bounded driver collect, like train_ivf_codebook).  Ties on
-    pair frequency break lexicographically so the result is reproducible
-    across partitionings and runs."""
+    """Greedy merge list from CORPUS-WIDE word frequencies (VERDICT r8
+    #3 — previously a 2048-document sample, so rare-in-sample but
+    frequent-in-corpus pairs merged in the wrong order).
+
+    One distributed job: explode words, map-side-combined count, keep
+    the top ``max_vocab`` by (count desc, word) via TakeOrdered — a
+    bounded, deterministic driver collect.  The greedy loop is then a
+    pure function of that table, so it runs driver-side without losing
+    corpus-wide fidelity (merges depend on word frequencies only, never
+    on document structure).  Ties on pair frequency break
+    lexicographically so the result is reproducible across
+    partitionings and runs."""
     from datafusion_bigtable_spark.functions.text import words
 
     rows = (
-        docs.select(
-            F.md5(F.col(id_col).cast("string")).alias("_h"),
-            words(F.col(text_col)).alias("_w"),
-        )
-        .orderBy("_h")
-        .limit(sample)
+        docs.select(F.explode(words(F.col(text_col))).alias("_w"))
+        .filter(F.length("_w") > 0)
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("_w"))
+        .limit(max_vocab)
         .collect()
     )
-    vocab: Counter = Counter()
-    for r in rows:
-        for w in r["_w"] or ():
-            if w:
-                vocab[_word_syms(w)] += 1
-    vocab = dict(vocab)
-    merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        pairs: Counter = Counter()
-        for syms, cnt in vocab.items():
-            for a, b in zip(syms, syms[1:]):
-                pairs[(a, b)] += cnt
-        if not pairs:
-            break
-        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))[0]
-        merges.append(best)
-        merged = best[0] + best[1]
-        new_vocab: dict = {}
-        for syms, cnt in vocab.items():
-            out = []
-            i = 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == best[0] and syms[i + 1] == best[1]:
-                    out.append(merged)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            key = tuple(out)
-            new_vocab[key] = new_vocab.get(key, 0) + cnt
-        vocab = new_vocab
-    return merges
+    vocab = {_word_syms(r["_w"]): int(r["_c"]) for r in rows}
+    return _greedy_merges(vocab, n_merges)
 
 
 def encode_word(word: str, ranks: dict) -> list[str]:
@@ -120,12 +164,19 @@ def bpe_token_stats(
     merges: list[tuple[str, str]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    memo_cap: int = 1 << 16,
 ) -> DataFrame:
     """Per-document ``(id_col, n_words, n_tokens, n_chars, round_trip_ok)``
     for documents with ≥1 word: BPE token count under ``merges``, the
     character-level symbol count it compresses from, and the EXACT
     detokenization check (concatenating the tokens and stripping the
-    word markers must reproduce the normalized text bit-for-bit)."""
+    word markers must reproduce the normalized text bit-for-bit).
+
+    ``memo_cap`` bounds the per-task distinct-word encode cache (r8 #8):
+    past the cap, words are still encoded — just not remembered — so a
+    pathological all-distinct corpus costs CPU, never unbounded task
+    memory.  Zipf reality: the cap's worth of frequent words covers the
+    overwhelming share of tokens."""
     from pyspark.sql import types as T
 
     spark = docs.sparkSession
@@ -161,7 +212,8 @@ def bpe_token_stats(
                     toks = memo.get(w)
                     if toks is None:
                         toks = encode_word(w, ranks)
-                        memo[w] = toks
+                        if len(memo) < memo_cap:
+                            memo[w] = toks
                     n_tokens += len(toks)
                     n_chars += len(w) + 1  # the char-level symbol count incl. EOW
                     rebuilt.append("".join(toks))

@@ -2081,6 +2081,7 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         f"{_PKG}.operators.dedup",  # target_block_size dial + owned IVF index (r9/r10)
         f"{_PKG}.operators.similarity",  # persist ownership for throwaway indexes (r9/r10)
         f"{_PKG}.operators.graph",  # pointer-doubling shortcut in CC rounds (r10)
+        f"{_PKG}.operators.bpe",  # corpus-wide merge counting + memo cap (r10)
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset(
