@@ -29,6 +29,18 @@ Training on the corpus being scored is the standard self-perplexity
 demo setup and keeps the whole operator oracle-checkable; production
 CCNet trains the LM on a held-out high-quality corpus — same plan
 shape, the model tables just come from a different DataFrame.
+
+:func:`word_perplexity` (VERDICT r8 #4) is the word-level sibling: a
+top-``vocab_size`` word BIGRAM model with an explicit ``<unk>`` bucket.
+Word models carry far more curation signal than character models
+(CCNet's actual KenLM is word/BPE-level), but a raw word vocabulary is
+corpus-relative — the exact broadcast hazard the trigram model exists
+to avoid.  The ``<unk>`` mapping restores the bound: every model table
+is keyed by the top-V vocab plus one bucket, so model rows ≤ (V+1)² by
+construction and the broadcasts stay legitimate at any corpus size.
+The vocabulary itself is a trained artifact (the codebook pattern): one
+distributed count, top-V by (count desc, word) — deterministic —
+collected bounded to the driver and broadcast back.
 """
 
 from __future__ import annotations
@@ -111,6 +123,130 @@ def ngram_perplexity(
     return scored.select(
         F.col(id_col),
         "n_trigrams",
+        avg.alias("avg_nll"),
+        (avg > F.lit(float(threshold))).alias("high_perplexity"),
+    )
+
+
+UNK = "<unk>"
+
+
+def word_perplexity(
+    docs: DataFrame,
+    model_docs: DataFrame | None = None,
+    vocab_size: int = 512,
+    threshold: float = 6.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document average negative log-likelihood under a top-V word
+    bigram add-one model with an ``<unk>`` OOV bucket, for every
+    document with ≥2 words.
+
+    ``P(w2 | w1) = (count(w1 w2) + 1) / (count(w1 ·) + V_eff + 1)``
+    after mapping every word outside the top-``vocab_size`` vocabulary
+    (by corpus frequency, ties toward the lexicographically smaller
+    word) to ``<unk>``; ``V_eff`` is the realized vocabulary size
+    (< ``vocab_size`` on small corpora), so the smoothing denominator
+    is exactly the number of possible next-token types.
+
+    Returns ``(id_col, n_bigrams, avg_nll, high_perplexity)``; the flag
+    compares the ROUNDED avg-NLL so engine and oracle agree at the
+    boundary.  ``model_docs`` defaults to ``docs`` (self-perplexity).
+
+    Scale shape: one distributed word-count shuffle + bounded top-V
+    collect trains the vocabulary; one bigram-key shuffle counts the
+    model (≤ (V+1)² keys); scoring is FOUR broadcast joins (two vocab
+    maps, two model tables — all V-bounded) + one per-doc aggregate.
+    The corpus text itself never shuffles.
+    """
+    spark = docs.sparkSession
+    model = model_docs if model_docs is not None else docs
+
+    def bigrams_of(df: DataFrame) -> DataFrame:
+        base = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_t"))
+        arr = base.select(
+            F.col(id_col),
+            F.when(F.length("_t") > 0, F.split("_t", " "))
+            .otherwise(F.array().cast("array<string>"))
+            .alias("_ws"),
+        )
+        # pairs of adjacent words, built scan-side from the array (no
+        # window, no shuffle); _ws[] is 0-based in Spark SQL
+        return (
+            arr.filter(F.size("_ws") >= 2)
+            .select(
+                F.col(id_col),
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(_ws) - 1), "
+                        "i -> struct(_ws[i-1] AS w1, _ws[i] AS w2))"
+                    )
+                ).alias("_b"),
+            )
+            .select(F.col(id_col), F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+        )
+
+    # ---- vocabulary: trained artifact, bounded collect (codebook pattern)
+    toks = (
+        model.select(normalize_text(F.col(text_col)).alias("_t"))
+        .filter(F.length("_t") > 0)
+        .select(F.explode(F.split("_t", " ")).alias("word"))
+    )
+    top = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("word"))
+        .limit(vocab_size)
+        .collect()
+    )
+    vocab_words = [r["word"] for r in top]
+    v_eff = len(vocab_words)
+    vdf = spark.createDataFrame([(w,) for w in vocab_words], "word STRING")
+
+    def mapped(bg: DataFrame) -> DataFrame:
+        out = (
+            bg.join(
+                F.broadcast(vdf.select(F.col("word").alias("w1"), F.lit(1).alias("_in1"))),
+                "w1",
+                "left",
+            )
+            .join(
+                F.broadcast(vdf.select(F.col("word").alias("w2"), F.lit(1).alias("_in2"))),
+                "w2",
+                "left",
+            )
+        )
+        return out.select(
+            F.col(id_col),
+            F.when(F.col("_in1").isNull(), F.lit(UNK)).otherwise(F.col("w1")).alias("m1"),
+            F.when(F.col("_in2").isNull(), F.lit(UNK)).otherwise(F.col("w2")).alias("m2"),
+        )
+
+    # ---- model: bigram + context counts over the (V+1)-bounded key space
+    m = mapped(bigrams_of(model)).groupBy("m1", "m2").agg(F.count(F.lit(1)).alias("c"))
+    px = m.groupBy("m1").agg(F.sum("c").alias("cc"))
+
+    denom_types = float(v_eff + 1)  # top-V plus the <unk> bucket
+    scored = (
+        mapped(bigrams_of(docs))
+        .join(F.broadcast(m), ["m1", "m2"], "left")
+        .join(F.broadcast(px), "m1", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                -F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                    / (F.coalesce(F.col("cc"), F.lit(0)) + F.lit(denom_types))
+                )
+            ).alias("_nll"),
+        )
+    )
+    avg = F.round(F.col("_nll") / F.col("n_bigrams"), 4)
+    return scored.select(
+        F.col(id_col),
+        "n_bigrams",
         avg.alias("avg_nll"),
         (avg > F.lit(float(threshold))).alias("high_perplexity"),
     )

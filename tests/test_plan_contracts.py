@@ -394,3 +394,17 @@ def test_perplexity_model_joins_broadcast(spark, sf_dir):
     for line in plan.splitlines():
         if "SortMergeJoin" in line or "ShuffledHashJoin" in line:
             raise AssertionError(f"scoring join shuffled the gram stream:\n{line}")
+
+
+def test_word_perplexity_joins_all_broadcast(spark, sf_dir):
+    """word_perplexity's scale property (VERDICT r8 #4): the <unk>
+    mapping bounds every model table by top-V ∪ {<unk>}, so all four
+    scoring-side joins (two vocab maps, bigram model, context model)
+    must be broadcast — the corpus bigram stream never shuffles for a
+    join.  (The model's own groupBy counts are the one legitimate
+    bigram-key exchange.)"""
+    plan = _plan(spark, _q(spark, sf_dir, "text_word_perplexity"))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line or "ShuffledHashJoin" in line:
+            raise AssertionError(f"scoring join shuffled the bigram stream:\n{line}")
