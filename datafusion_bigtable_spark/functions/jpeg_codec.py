@@ -757,7 +757,7 @@ def _entropy_end(b: bytes, i: int) -> int:
     while i + 1 < len(b):
         if b[i] == 0xFF and b[i + 1] != 0x00:
             if 0xD0 <= b[i + 1] <= 0xD7:
-                i += 2  # restart marker inside entropy (we refuse via DRI)
+                i += 2  # restart marker inside entropy: skip it (DRI streams decode since r8)
                 continue
             return i
         i += 1

@@ -12,12 +12,15 @@ needs on Spark:
   ``mapInPandas`` stages: executors stream Arrow batches through pandas,
   so memory is bounded by batch size, not partition size, and the ops
   parallelize per input split like any scan,
-- REAL decode for uncompressed containers: BMP/PPM pixels and WAV PCM
-  samples decode with pure numpy (functions/media_codecs.py) —
+- REAL decode across the container set (functions/media_codecs.py,
+  functions/jpeg_codec.py): BMP/PPM pixels and WAV PCM with pure numpy,
+  PNG deflate (stdlib zlib + all five filter types), GIF (LZW), and
+  baseline + progressive (SOF0/SOF2, restart-interval-aware) JPEG DCT —
   ``mode="full"`` emits genuine pixel/sample statistics and
-  ``resize_images`` does genuine nearest-neighbor resampling.  Only the
-  compressed profiles (PNG deflate, JPEG DCT) stay behind an honest
-  ``NotImplementedError`` gate — they need PIL/ffmpeg, absent here.
+  ``resize_images`` does genuine nearest-neighbor resampling.  Only
+  out-of-profile JPEG (arithmetic coding, 12-bit precision, sampling
+  factors outside {1,2,4}) and true video codecs stay behind honest
+  ``NotImplementedError`` gates.
 """
 
 from __future__ import annotations

@@ -42,7 +42,17 @@ def order_statistics_df(df: DataFrame, col: str, ranks: list[int]) -> DataFrame:
     any global sort, single-partition window, or driver-side top-k
     (see module doc for the plan shape).  Ranks beyond n are absent.
     Ties are broken arbitrarily within the window, which cannot change
-    the VALUE at any rank (order statistics are tie-invariant)."""
+    the VALUE at any rank (order statistics are tie-invariant).
+
+    Correctness contract (ADVICE r9): ``_pid`` is read by TWO branches
+    (the counts/offsets aggregate and the rank join), and range
+    partitioning samples its boundaries at runtime — the branches MUST
+    share one exchange or their pids could disagree.  Spark's exchange
+    reuse provides exactly that (the identical subplan is planned once;
+    the second consumer gets a ReusedExchange), and
+    tests/test_plan_contracts.py pins the final plan to one
+    rangepartitioning exchange + ReusedExchange so a regression fails
+    loudly instead of skewing ranks."""
     spark = df.sparkSession
     p_conf = spark.conf.get("spark.sql.shuffle.partitions", "32")
     num_parts = int(p_conf) if str(p_conf).isdigit() else 32

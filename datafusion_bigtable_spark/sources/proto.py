@@ -356,6 +356,16 @@ def encode_read_rows_response(rows: list[tuple[str, list]]) -> bytes:
     """
     out = b""
     for row_key, cells in rows:
+        if not cells:
+            # ADVICE r9: a celless row would previously VANISH from the
+            # stream (the chunk loop emits nothing, so no commit_row) —
+            # an encoder bug upstream would read as "row filtered".
+            # The protocol cannot represent an empty committed row; fail
+            # loud at the boundary instead.
+            raise ValueError(
+                f"encode_read_rows_response: row {row_key!r} has no cells — "
+                "a committed row must carry at least one chunk"
+            )
         prev_fam = prev_qual = None
         for i, (family, qualifier, ts, value) in enumerate(cells):
             chunk = b""

@@ -366,6 +366,33 @@ def test_embedding_dedup_ivf_blocks_on_cell(spark, sf_dir):
             assert "BuildRight" in l, f"unexpected nested loop:\n{l}"
 
 
+def test_order_statistics_single_shared_range_exchange(spark, sf_dir):
+    """ADVICE r9 (stats.py): ``_pid`` comes from spark_partition_id()
+    AFTER repartitionByRange, and two branches (per-partition counts,
+    final rank join) consume it.  Range partitioning samples boundaries
+    at runtime, so if each branch recomputed its own exchange the pids
+    could disagree and ranks would silently skew — correctness DEPENDS
+    on the exchange being shared.  Pin it: the FINAL adaptive plan must
+    contain exactly one rangepartitioning exchange on the value stream
+    plus a ReusedExchange for the second consumer."""
+    from datafusion_bigtable_spark.operators.stats import order_statistics_df
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = order_statistics_df(li, "l_extendedprice", [10, 500])
+    rows = df.collect()  # reuse is only visible in the executed final plan
+    assert [int(r["_rk"]) for r in rows] == [10, 500]
+    final = df._jdf.queryExecution().executedPlan().toString().split(
+        "+- == Initial Plan =="
+    )[0]
+    n_range = sum(
+        1
+        for l in final.splitlines()
+        if "Exchange rangepartitioning" in l and "ReusedExchange" not in l
+    )
+    assert n_range == 1, f"value stream repartitioned {n_range}x:\n{final}"
+    assert "ReusedExchange" in final, f"second consumer did not reuse:\n{final}"
+
+
 def test_grouped_exact_quantiles_no_global_window(spark, sf_dir):
     """grouped_exact_percentiles' 100 TB property: the VALUE stream is
     range-partitioned and ranked per (group, partition) — never a global

@@ -121,6 +121,14 @@ def test_chunk_carry_over_within_row():
     asm.finish()
 
 
+def test_encode_rejects_celless_row():
+    """ADVICE r9: a row with no cells cannot be represented (no chunk ->
+    no commit_row) — it must fail loud, never silently vanish from the
+    stream as if filtered."""
+    with pytest.raises(ValueError, match="no cells"):
+        proto.encode_read_rows_response([("r1", [("cf", "a", 1, b"x")]), ("r2", [])])
+
+
 def test_reassembler_rejects_mid_row_stream_end():
     rows = [("r", [("cf", "a", 1, b"x"), ("cf", "a", 2, b"y")])]
     buf = proto.encode_read_rows_response(rows)
