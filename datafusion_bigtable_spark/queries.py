@@ -2082,6 +2082,10 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         f"{_PKG}.operators.similarity",  # persist ownership for throwaway indexes (r9/r10)
         f"{_PKG}.operators.graph",  # pointer-doubling shortcut in CC rounds (r10)
         f"{_PKG}.operators.bpe",  # corpus-wide merge counting + memo cap (r10)
+        f"{_PKG}.sources.wire",  # pooled connections + 600s timeout + stream resume (r10)
+        f"{_PKG}.sources.proto",  # celless-row fail-loud in the response encoder (r10)
+        f"{_PKG}.operators.perplexity",  # word_perplexity addition is additive, but
+        # ngram_perplexity's module gained code — conservative reset (r10)
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset(

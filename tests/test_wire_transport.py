@@ -264,11 +264,169 @@ def test_truncated_stream_raises_not_short_result():
 
     t = threading.Thread(target=dying_server, daemon=True)
     t.start()
-    client = WireBigtableClient(*lst.getsockname())
+    # retries disabled: this pins the RAISE contract itself (the resume
+    # path has its own test below)
+    client = WireBigtableClient(*lst.getsockname(), max_stream_retries=0)
     with pytest.raises((ConnectionError, OSError)):
         list(client.read_rows(build_read_rows_request(_config(), [])))
     t.join(timeout=5)
     lst.close()
+
+
+# --- tier 4b: session robustness (VERDICT r9 #9) -----------------------------
+
+
+class _FlakyReadRows:
+    """Delegates to a real service but kills the FIRST ReadRows stream
+    after ``die_after`` rows (BrokenPipeError → the wire handler drops
+    the connection without a trailer, exactly a mid-stream network cut).
+    Records every request it sees so resumption can be asserted."""
+
+    def __init__(self, inner, die_after: int):
+        self._inner = inner
+        self._die_after = die_after
+        self.requests: list[dict] = []
+        self.failed = False
+
+    def read_rows(self, request):
+        self.requests.append(request)
+        first = not self.failed
+        n = 0
+        for row in self._inner.read_rows(request):
+            yield row
+            n += 1
+            if first and n >= self._die_after:
+                self.failed = True
+                raise BrokenPipeError("simulated mid-stream cut")
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+def test_stream_resume_recovers_mid_stream_disconnect(inproc, monkeypatch):
+    """A stream cut mid-scan resumes strictly after the last delivered
+    row: the final row set equals the uncut scan exactly — no duplicates,
+    no holes — and the retry request's RowSet is trimmed, not a re-read
+    from the top."""
+    import datafusion_bigtable_spark.sources.wire as wire_mod
+
+    monkeypatch.setattr(wire_mod, "BATCH_ROWS", 1)  # flush every row
+    req = build_read_rows_request(_config(), [])
+    expect = [(k, list(c)) for k, c in inproc.read_rows(req)]
+    assert len(expect) >= 5, "fixture too small to exercise resumption"
+
+    flaky = _FlakyReadRows(inproc, die_after=3)
+    with WireBigtableServer(flaky) as srv:
+        client = WireBigtableClient(*srv.address)
+        got = [(k, list(c)) for k, c in client.read_rows(req)]
+    assert got == expect
+    assert flaky.failed and len(flaky.requests) == 2
+    resumed = flaky.requests[1]["rows"]
+    # 3 rows reached the client (BATCH_ROWS=1 flushes each) before the
+    # cut; the resume starts open AFTER the 3rd row's key
+    assert resumed["row_ranges"] == [{"start_key_open": expect[2][0].encode()}]
+
+
+def test_connection_reuse_after_trailer(inproc, monkeypatch):
+    """A call consumed to its trailer returns its socket to the pool and
+    the next call reuses it — exactly one TCP connect across repeated
+    clean calls (including a WireError call, which also ends at a frame
+    boundary)."""
+    import socket as _socket
+
+    connects = []
+    real = _socket.create_connection
+
+    def counting(addr, *a, **kw):
+        connects.append(addr)
+        return real(addr, *a, **kw)
+
+    monkeypatch.setattr(_socket, "create_connection", counting)
+    req = build_read_rows_request(_config(), [])
+    with WireBigtableServer(inproc) as srv:
+        client = WireBigtableClient(*srv.address)
+        first = [(k, list(c)) for k, c in client.read_rows(req)]
+        assert len(client._idle) == 1
+        for _ in range(3):
+            assert [(k, list(c)) for k, c in client.read_rows(req)] == first
+        assert len(connects) == 1, f"expected one connect, saw {len(connects)}"
+        client.close()
+        assert client._idle == []
+
+    # a WireError arrives in a trailer — the stream ends at a frame
+    # boundary, so that socket is reusable too (no reconnect per error)
+    connects.clear()
+    err_svc = InProcessBigtableService([], table_name="projects/p/instances/i/tables/real")
+    with WireBigtableServer(err_svc) as srv:
+        client = WireBigtableClient(*srv.address)
+        for _ in range(3):
+            with pytest.raises(WireError):
+                list(client.read_rows({"table_name": "projects/p/instances/i/tables/wrong"}))
+        assert len(connects) == 1, f"expected one connect, saw {len(connects)}"
+        client.close()
+
+
+def test_frame_timeout_raises(monkeypatch):
+    """A server that accepts but never answers must fail within the
+    explicit inactivity timeout, not hang for the transfer's lifetime."""
+    import socket as _socket
+    import time
+
+    lst = _socket.socket()
+    lst.bind(("127.0.0.1", 0))
+    lst.listen(1)
+    stop = threading.Event()
+
+    def silent_server():
+        conn, _ = lst.accept()
+        stop.wait(5)
+        conn.close()
+
+    t = threading.Thread(target=silent_server, daemon=True)
+    t.start()
+    client = WireBigtableClient(*lst.getsockname(), timeout=0.3, max_stream_retries=0)
+    t0 = time.monotonic()
+    with pytest.raises((TimeoutError, ConnectionError, OSError)):
+        list(client.read_rows(build_read_rows_request(_config(), [])))
+    assert time.monotonic() - t0 < 5
+    stop.set()
+    t.join(timeout=5)
+    lst.close()
+
+
+def test_resume_request_rowset_algebra():
+    """resume_read_rows_request unit pins: key filtering, range
+    trimming/dropping, full-scan resumption, rows_limit decrement."""
+    from datafusion_bigtable_spark.sources.wire import resume_read_rows_request
+
+    base = {
+        "table_name": "t",
+        "rows": {
+            "row_keys": [b"a", b"m", b"z"],
+            "row_ranges": [
+                {"start_key_closed": b"a", "end_key_open": b"f"},   # wholly before m: drop
+                {"start_key_closed": b"b", "end_key_closed": b"m"}, # closed end == m: drop
+                {"start_key_closed": b"k", "end_key_open": b"q"},   # straddles: trim start
+                {"start_key_open": b"m", "end_key_closed": b"r"},   # starts AT m open: keep as-is
+                {"start_key_closed": b"t"},                          # after m, no end: keep
+            ],
+        },
+        "rows_limit": 10,
+    }
+    out = resume_read_rows_request(base, "m", 4)
+    assert out["rows_limit"] == 6
+    assert out["rows"]["row_keys"] == [b"z"]
+    assert out["rows"]["row_ranges"] == [
+        {"start_key_open": b"m", "end_key_open": b"q"},
+        {"start_key_open": b"m", "end_key_closed": b"r"},
+        {"start_key_closed": b"t"},
+    ]
+    # full scan → open-start range; nothing yielded → request unchanged
+    assert resume_read_rows_request({"table_name": "t"}, "m", 0)["rows"] == {
+        "row_keys": [],
+        "row_ranges": [{"start_key_open": b"m"}],
+    }
+    assert resume_read_rows_request(base, None, 0) == base
 
 
 # --- tier 5: hypothesis differential — random stores, random requests --------
