@@ -219,6 +219,18 @@ def build_ivf_index(
     base = embeddings.withColumn("_dv", as_double_vec(F.col(vec_col))).withColumn(
         "_n", norm(F.col(vec_col))
     )
+    # Hash-distribute the corpus on id BEFORE the cross join (one
+    # corpus-sized exchange).  Two birds: (a) the n × n_cells cosine
+    # folds — the dominant cost at a corpus-relative n_cells — run at
+    # full cluster parallelism even when the scan yields few partitions
+    # (sf1 measured 24 s on a 2-partition scan vs ~2 s distributed);
+    # (b) both ranking paths need hashpartitioning(id) anyway (groupBy /
+    # window), so this REPLACES the post-crossJoin exchange of
+    # n × n_cells full-vector rows with an n-row one — strictly less
+    # shuffle, never more.
+    spark = embeddings.sparkSession
+    p_conf = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    base = base.repartition(int(p_conf) if str(p_conf).isdigit() else 32, F.col(id_col))
     if codebook is None:
         seeds = base.filter(F.col(id_col) < n_cells).select(
             F.col(id_col).alias("cell"), F.col("_dv").alias("sv"), F.col("_n").alias("sn")
@@ -229,15 +241,44 @@ def build_ivf_index(
             [(i, list(map(float, v))) for i, v in enumerate(codebook)], "cell LONG, sv ARRAY<DOUBLE>"
         ).withColumn("sn", norm(F.col("sv")))
     cs = dot_raw(F.col("_dv"), F.col("sv")) / (F.col("_n") * F.col("sn"))
-    aw = W.partitionBy(id_col).orderBy(F.desc("_cs"), F.asc("cell"))
-    ranked = (
-        # deliberate cross join: |codebook| = n_cells (tiny, broadcast)
-        base.crossJoin(F.broadcast(seeds))
-        .withColumn("_cs", cs)
-        .withColumn("_rn", F.row_number().over(aw))
-        .filter(F.col("_rn") <= max(1, nprobe))
-        .select(id_col, "cell", "_rn", "_dv", "_n")
-    )
+    # deliberate cross join: |codebook| = n_cells (tiny, broadcast)
+    scored_cells = base.crossJoin(F.broadcast(seeds)).withColumn("_cs", cs)
+    if max(1, nprobe) == 1:
+        # Top-1 via max_by, NOT a window: the crossJoin emits
+        # corpus × n_cells rows each carrying the full vector, and a
+        # row_number window SHUFFLES all of them on id — at a
+        # corpus-relative n_cells (target_block_size) that is an
+        # O(n²/target) full-vector exchange and measured 26 s at sf1
+        # (20k × 157 cells) vs ~3 s for this shape.  groupBy max_by
+        # partial-aggregates map-side (every vector's cells are local to
+        # its scan partition under the broadcast cross join), so only
+        # one combined row per vector reaches the exchange.  The
+        # (cosine, -cell) ordering struct reproduces the window's
+        # (desc _cs, asc cell) winner exactly — same assignment, same
+        # oracle hashes.
+        ranked = (
+            scored_cells.groupBy(F.col(id_col))
+            .agg(
+                F.max_by(
+                    F.struct(F.col("cell"), F.col("_dv"), F.col("_n")),
+                    F.struct(F.col("_cs"), (-F.col("cell")).alias("_nc")),
+                ).alias("_top")
+            )
+            .select(
+                id_col,
+                F.col("_top.cell").alias("cell"),
+                F.lit(1).alias("_rn"),
+                F.col("_top._dv").alias("_dv"),
+                F.col("_top._n").alias("_n"),
+            )
+        )
+    else:
+        aw = W.partitionBy(id_col).orderBy(F.desc("_cs"), F.asc("cell"))
+        ranked = (
+            scored_cells.withColumn("_rn", F.row_number().over(aw))
+            .filter(F.col("_rn") <= max(1, nprobe))
+            .select(id_col, "cell", "_rn", "_dv", "_n")
+        )
     if persist:
         ranked = ranked.persist()
     return IvfIndex(ranked, nprobe=max(1, nprobe))

@@ -86,6 +86,25 @@ def test_target_block_size_derivation(spark, sf_dir):
         df.unpersist()
 
 
+def test_nprobe1_maxby_assignment_matches_window_path(spark, sf_dir):
+    """The nprobe=1 fast path (groupBy max_by — map-side-combinable, no
+    corpus x n_cells full-vector window shuffle) must assign every
+    vector the IDENTICAL cell the nprobe>1 window path ranks first:
+    same (desc cosine, asc cell) winner, so same oracle hashes."""
+    e = load(spark, sf_dir, "embeddings")
+    with build_ivf_index(e, n_cells=20, nprobe=1) as fast:
+        with build_ivf_index(e, n_cells=20, nprobe=2) as windowed:
+            a = {
+                (r["vec_id"], r["cell"])
+                for r in fast.assignments.filter("_rn = 1").select("vec_id", "cell").collect()
+            }
+            b = {
+                (r["vec_id"], r["cell"])
+                for r in windowed.assignments.filter("_rn = 1").select("vec_id", "cell").collect()
+            }
+    assert a == b and len(a) == 500
+
+
 def test_target_block_size_rejects_external_codebook_and_index(spark, sf_dir):
     """ADVICE r9: an explicit codebook/index enumerates its own cells, so
     a target would be silently inert — fail loud instead."""
