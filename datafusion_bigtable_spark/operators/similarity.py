@@ -664,6 +664,66 @@ def topk_lsh(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+_JL_A, _JL_B, _JL_SHIFT = 2654435761, 987654323, 7
+
+
+def jl_signs(in_dims: int, out_dims: int) -> list[list[float]]:
+    """Deterministic ±1 Johnson-Lindenstrauss sign matrix (Achlioptas
+    2003 two-point form, unit variance).  The sign comes from bit 7 of
+    an integer mix of (i, j) — pure arithmetic, no RNG state — so both
+    engines (and any future run) reproduce the matrix from the formula
+    alone.  Bit 0 would degenerate to the checkerboard parity of i+j
+    (odd multipliers preserve parity); a mid bit mixes."""
+    return [
+        [
+            1.0 if ((i * _JL_A + (j + 1) * _JL_B) >> _JL_SHIFT) & 1 else -1.0
+            for i in range(in_dims)
+        ]
+        for j in range(out_dims)
+    ]
+
+
+def random_projection(
+    embeddings: DataFrame,
+    out_dims: int = 16,
+    in_dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """JL random projection — the dimensionality-reduction prep a 100 TB
+    embedding pipeline runs before ANN/dedup when the native dimension
+    is too wide: ``p[j] = Σ_i v[i]·s(i,j) / √out_dims`` with a ±1 sign
+    matrix, which preserves pairwise distances within (1±ε) for
+    ε ≈ √(8·ln n / out_dims) (Johnson-Lindenstrauss; Achlioptas 2003
+    shows the two-point ±1 distribution suffices).
+
+    Matrix-free and shuffle-free: the sign matrix is a deterministic
+    arithmetic formula (:func:`jl_signs`) inlined as array literals, so
+    the whole operator is a per-row Catalyst fold fused into the scan —
+    zero exchanges, zero Python, nothing broadcast.  Output is one
+    ROUNDED double column per target dim (``p0..p{k-1}``), the
+    hash-comparable shape (array-typed doubles stringify with repr
+    noise; top-level floats round cleanly on both engines).
+
+    Left-to-right fold (F.aggregate ≡ DuckDB list_reduce) keeps the
+    float arithmetic bit-reproducible across engines — the
+    embedding_normalize_trunc contract.
+    """
+    import math
+
+    signs = jl_signs(in_dims, out_dims)
+    scale = math.sqrt(out_dims)
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cols = []
+    for j in range(out_dims):
+        sgn = F.array(*[F.lit(s) for s in signs[j]])
+        dot = F.aggregate(
+            F.zip_with(dv, sgn, lambda x, s: x * s), F.lit(0.0), lambda a, b: a + b
+        )
+        cols.append(F.round(dot / F.lit(scale), 6).alias(f"p{j}"))
+    return embeddings.select(F.col(id_col), *cols)
+
+
 def centroid_outlier_scores(
     embeddings: DataFrame,
     threshold: float = 0.0,

@@ -4867,6 +4867,44 @@ def embedding_normalize_trunc_q(spark, sf_dir):
     )
 
 
+def _jl_oracle_sql(in_dims: int = 64, out_dims: int = 16) -> str:
+    """DuckDB twin of operators/similarity.py::random_projection,
+    generated from the SAME deterministic sign matrix (jl_signs) so the
+    two engines cannot drift — the literal-inlined analogue of the
+    broadcast codebook pattern."""
+    import math
+
+    from datafusion_bigtable_spark.operators.similarity import jl_signs
+
+    scale = repr(math.sqrt(out_dims))
+    cols = []
+    for j, row in enumerate(jl_signs(in_dims, out_dims)):
+        lits = ", ".join("1.0" if s > 0 else "-1.0" for s in row)
+        cols.append(
+            f"ROUND(list_reduce(list_transform(generate_series(1, {in_dims}), "
+            f"i -> v[i] * ([{lits}][i])), (a, b) -> a + b) / {scale}, 6) AS p{j}"
+        )
+    return (
+        "WITH dv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)\n"
+        "SELECT vec_id,\n  " + ",\n  ".join(cols) + "\nFROM dv"
+    )
+
+
+@query("embedding_random_projection", _jl_oracle_sql())
+def embedding_random_projection_q(spark, sf_dir):
+    # Johnson-Lindenstrauss ±1 projection 64 -> 16 dims
+    # (operators/similarity.py::random_projection) — the standard
+    # dimensionality-reduction prep before ANN/dedup at scale.
+    # Matrix-free (deterministic sign formula inlined as literals on
+    # both engines), shuffle-free (per-row Catalyst folds fused into
+    # the scan), left-to-right float folds for bit-reproducibility;
+    # one rounded double column per target dim keeps the hash compare
+    # on top-level floats.
+    from datafusion_bigtable_spark.operators.similarity import random_projection
+
+    return random_projection(load(spark, sf_dir, "embeddings"), out_dims=16, in_dims=64)
+
+
 @query(
     "fk_orphan_audit",
     """

@@ -423,6 +423,36 @@ def test_perplexity_model_joins_broadcast(spark, sf_dir):
             raise AssertionError(f"scoring join shuffled the gram stream:\n{line}")
 
 
+def test_random_projection_scan_fused_and_norm_preserving(spark, sf_dir):
+    """JL projection contracts: (a) the whole operator fuses into the
+    scan — zero exchanges, zero Python; (b) with unit-variance ±1/√k
+    entries, E‖p‖² = ‖v‖², so per-vector norm ratios concentrate near 1
+    (k=16 → loose per-vector band, tight mean)."""
+    import math
+
+    from datafusion_bigtable_spark.operators.similarity import random_projection
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = random_projection(e, out_dims=16, in_dims=64)
+    plan = _plan(spark, df)
+    assert "Exchange" not in plan, f"projection should be scan-fused:\n{plan}"
+    assert "Python" not in plan
+
+    orig = {r["vec_id"]: r["embedding"] for r in e.limit(64).collect()}
+    proj = {r["vec_id"]: [r[f"p{j}"] for j in range(16)] for r in df.limit(64).collect()}
+    ratios = []
+    for vid, v in orig.items():
+        nv = math.sqrt(sum(float(x) ** 2 for x in v))
+        np_ = math.sqrt(sum(x**2 for x in proj[vid]))
+        ratios.append(np_ / nv)
+    mean = sum(ratios) / len(ratios)
+    assert 0.85 < mean < 1.2, mean
+    # k=16 concentration is loose per-vector (measured band on this
+    # fixed matrix + corpus: 0.287 .. 1.914); the pin is "no collapse,
+    # no blow-up", the tight invariant is the mean
+    assert all(0.2 < r < 2.5 for r in ratios), (min(ratios), max(ratios))
+
+
 def test_word_perplexity_joins_all_broadcast(spark, sf_dir):
     """word_perplexity's scale property (VERDICT r8 #4): the <unk>
     mapping bounds every model table by top-V ∪ {<unk>}, so all four
