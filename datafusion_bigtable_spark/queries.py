@@ -4867,8 +4867,9 @@ def embedding_normalize_trunc_q(spark, sf_dir):
     )
 
 
-def _jl_oracle_sql(in_dims: int = 64, out_dims: int = 16) -> str:
-    """DuckDB twin of operators/similarity.py::random_projection,
+def _jl_col_exprs(in_dims: int = 64, out_dims: int = 16) -> list[str]:
+    """The per-target-dim DuckDB expressions (over a DOUBLE[] column
+    ``v``) mirroring operators/similarity.py::random_projection,
     generated from the SAME deterministic sign matrix (jl_signs) so the
     two engines cannot drift — the literal-inlined analogue of the
     broadcast codebook pattern."""
@@ -4877,13 +4878,18 @@ def _jl_oracle_sql(in_dims: int = 64, out_dims: int = 16) -> str:
     from datafusion_bigtable_spark.operators.similarity import jl_signs
 
     scale = repr(math.sqrt(out_dims))
-    cols = []
-    for j, row in enumerate(jl_signs(in_dims, out_dims)):
+    exprs = []
+    for row in jl_signs(in_dims, out_dims):
         lits = ", ".join("1.0" if s > 0 else "-1.0" for s in row)
-        cols.append(
+        exprs.append(
             f"ROUND(list_reduce(list_transform(generate_series(1, {in_dims}), "
-            f"i -> v[i] * ([{lits}][i])), (a, b) -> a + b) / {scale}, 6) AS p{j}"
+            f"i -> v[i] * ([{lits}][i])), (a, b) -> a + b) / {scale}, 6)"
         )
+    return exprs
+
+
+def _jl_oracle_sql(in_dims: int = 64, out_dims: int = 16) -> str:
+    cols = [f"{e} AS p{j}" for j, e in enumerate(_jl_col_exprs(in_dims, out_dims))]
     return (
         "WITH dv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)\n"
         "SELECT vec_id,\n  " + ",\n  ".join(cols) + "\nFROM dv"
@@ -4903,6 +4909,46 @@ def embedding_random_projection_q(spark, sf_dir):
     from datafusion_bigtable_spark.operators.similarity import random_projection
 
     return random_projection(load(spark, sf_dir, "embeddings"), out_dims=16, in_dims=64)
+
+
+def _jl_topk_oracle_sql() -> str:
+    proj_list = ", ".join(_jl_col_exprs(64, 16))
+    return f"""
+    WITH dv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pr AS (SELECT vec_id, [{proj_list}] AS p FROM dv),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.p, c.p), 6) AS score
+      FROM pr q JOIN pr c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id % 100 = 0 AND q.vec_id < 2000)
+    SELECT query_id, neighbor_id, score, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rk
+      FROM scored) t
+    WHERE rk <= 5
+    """
+
+
+@query("sim_topk_projected", _jl_topk_oracle_sql())
+def sim_topk_projected_q(spark, sf_dir):
+    # The composition embedding_random_projection exists FOR: exact
+    # cosine top-k in the 16-dim JL space — 4x fewer multiplies per
+    # scored pair (and 4x less candidate shuffle traffic when composed
+    # with the bucketed paths) at JL-bounded recall loss vs the 64-dim
+    # search.  Scoring runs on the ROUNDED projections so engine and
+    # oracle see bit-identical inputs; the query set carries the same
+    # absolute bound as the rest of the sim family.
+    from datafusion_bigtable_spark.operators.similarity import (
+        random_projection,
+        topk_bruteforce,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    proj = random_projection(e, out_dims=16, in_dims=64)
+    pe = proj.select(
+        "vec_id", F.array(*[F.col(f"p{j}") for j in range(16)]).alias("embedding")
+    )
+    return topk_bruteforce(pe, _sim_query_pred(), k=5)
 
 
 @query(
