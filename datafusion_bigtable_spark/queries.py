@@ -3260,6 +3260,60 @@ def mixing_weights_q(spark, sf_dir):
 
 
 @query(
+    "corpus_mixing_alpha",
+    """
+    WITH per AS (
+      SELECT source, COUNT(*) AS n,
+             SUM(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x != ''))) AS toks
+      FROM documents GROUP BY source),
+    tot AS (SELECT SUM(toks) AS t FROM per),
+    raw AS (
+      SELECT source, n, toks, toks / CAST(t AS DOUBLE) AS p,
+             POWER(toks / CAST(t AS DOUBLE), 0.3) AS qraw
+      FROM per, tot),
+    z AS (SELECT SUM(qraw) AS z FROM raw)
+    SELECT source, n, toks,
+           ROUND(p, 4) AS p_share,
+           ROUND(qraw / z, 4) AS q_share,
+           ROUND((qraw / z) / p, 4) AS resample_factor
+    FROM raw, z
+    """,
+)
+def mixing_alpha_q(spark, sf_dir):
+    # Temperature-sampled mixing (alpha sampling, Conneau & Lample 2019 /
+    # mT5 alpha=0.3): q_s proportional to p_s^alpha flattens the source
+    # distribution — low-resource sources upsample, head sources
+    # downsample — without the full equalization corpus_mixing_weights
+    # applies.  TOKEN-weighted (p from per-source token mass, the unit a
+    # sampler actually draws), not doc-counted.  One scan + one tiny
+    # source-key shuffle; the normalizations are empty-window aggregates
+    # over the |sources|-row table.  POWER is libm-backed on both
+    # engines, so derived columns round at 4 (the ln-based perplexity
+    # precedent), not 6.
+    from datafusion_bigtable_spark.functions import text as X
+
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum(F.size(X.words(F.col("text")))).alias("toks"),
+    )
+    t = F.sum("toks").over(W.partitionBy())
+    with_p = per.withColumn("p", F.col("toks").cast("double") / t).withColumn(
+        "qraw", F.pow(F.col("p"), F.lit(0.3))
+    )
+    z = F.sum("qraw").over(W.partitionBy())
+    return with_p.select(
+        "source",
+        "n",
+        "toks",
+        F.round("p", 4).alias("p_share"),
+        F.round(F.col("qraw") / z, 4).alias("q_share"),
+        F.round((F.col("qraw") / z) / F.col("p"), 4).alias("resample_factor"),
+    )
+
+
+@query(
     "text_quality",
     """
     WITH t AS (
