@@ -284,6 +284,109 @@ def build_ivf_index(
     return IvfIndex(ranked, nprobe=max(1, nprobe))
 
 
+def build_ivf_index_two_level(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    persist: bool = True,
+) -> IvfIndex:
+    """Hierarchical (coarse→fine) IVF assignment — the scale path past
+    flat assignment's n × n_cells cosine folds (SCALE.md r10: with
+    n_cells ∝ corpus/target the flat form is O(n²/target) COMPUTE even
+    though its shuffle is linear).
+
+    Two levels, both deterministic seed codebooks: coarse =
+    first ⌈√n_cells⌉ vectors by id, fine = first n_cells.  Each fine
+    seed maps to its argmax-cosine coarse seed (tiny, broadcast); each
+    vector finds its coarse cell (n × √n_cells folds), then its fine
+    cell among ONLY that coarse bucket's fine seeds (n × ~√n_cells
+    folds) — ~2·n·√n_cells total, the classic two-level quantizer
+    trade.  The result is a full partition into fine cells (every
+    coarse bucket contains at least its own seed; every vector lands in
+    exactly one fine cell), DIFFERENT from flat assignment near coarse
+    boundaries — which is why this is a separate builder with its own
+    oracle-checked query, not a flag that silently changes hashes.
+    Ties break toward the smaller cell id at both levels, so the whole
+    assignment is SQL-expressible and hash-checkable.
+
+    Returns an :class:`IvfIndex` (nprobe=1) whose ``assignments`` have
+    the same (id, cell, _rn, _dv, _n) shape the pair/search operators
+    consume — the two-level build swaps in transparently.
+    """
+    import math
+
+    c = math.ceil(math.sqrt(n_cells))
+    base = embeddings.withColumn("_dv", as_double_vec(F.col(vec_col))).withColumn(
+        "_n", norm(F.col(vec_col))
+    )
+    spark = embeddings.sparkSession
+    p_conf = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    base = base.repartition(int(p_conf) if str(p_conf).isdigit() else 32, F.col(id_col))
+    fine = base.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.col("_dv").alias("fv"), F.col("_n").alias("fn")
+    )
+    coarse = base.filter(F.col(id_col) < c).select(
+        F.col(id_col).alias("ccell"), F.col("_dv").alias("cv"), F.col("_n").alias("cn")
+    )
+
+    # fine seed -> coarse bucket (n_cells × √n_cells — tiny)
+    f2c = (
+        fine.crossJoin(F.broadcast(coarse))
+        .withColumn("_cs", dot_raw(F.col("fv"), F.col("cv")) / (F.col("fn") * F.col("cn")))
+        .groupBy("cell")
+        .agg(
+            F.max_by(
+                F.struct(F.col("ccell")), F.struct(F.col("_cs"), (-F.col("ccell")).alias("_nc"))
+            ).alias("_t")
+        )
+        .select("cell", F.col("_t.ccell").alias("ccell"))
+    )
+
+    # vector -> coarse cell (n × √n_cells folds, map-side combined)
+    vc = (
+        base.crossJoin(F.broadcast(coarse))
+        .withColumn("_cs", dot_raw(F.col("_dv"), F.col("cv")) / (F.col("_n") * F.col("cn")))
+        .groupBy(F.col(id_col))
+        .agg(
+            F.max_by(
+                F.struct(F.col("ccell"), F.col("_dv").alias("dv"), F.col("_n").alias("nn")),
+                F.struct(F.col("_cs"), (-F.col("ccell")).alias("_nc")),
+            ).alias("_t")
+        )
+        .select(
+            id_col,
+            F.col("_t.ccell").alias("ccell"),
+            F.col("_t.dv").alias("_dv"),
+            F.col("_t.nn").alias("_n"),
+        )
+    )
+
+    # vector -> fine cell among its coarse bucket's seeds only
+    cand = f2c.join(fine, "cell").select("ccell", "cell", "fv", "fn")
+    ranked = (
+        vc.join(F.broadcast(cand), "ccell")
+        .withColumn("_cs", dot_raw(F.col("_dv"), F.col("fv")) / (F.col("_n") * F.col("fn")))
+        .groupBy(F.col(id_col))
+        .agg(
+            F.max_by(
+                F.struct(F.col("cell"), F.col("_dv").alias("dv"), F.col("_n").alias("nn")),
+                F.struct(F.col("_cs"), (-F.col("cell")).alias("_nc")),
+            ).alias("_t")
+        )
+        .select(
+            id_col,
+            F.col("_t.cell").alias("cell"),
+            F.lit(1).alias("_rn"),
+            F.col("_t.dv").alias("_dv"),
+            F.col("_t.nn").alias("_n"),
+        )
+    )
+    if persist:
+        ranked = ranked.persist()
+    return IvfIndex(ranked, nprobe=1)
+
+
 def topk_ivf(
     embeddings: DataFrame,
     query_pred: Column,

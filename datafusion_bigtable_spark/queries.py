@@ -2395,6 +2395,84 @@ def dedup_embedding_ivf_q(spark, sf_dir):
 
 
 @query(
+    "dedup_embedding_cosine_ivf2",
+    """
+    WITH nc AS (
+      SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 128.0) AS BIGINT)) AS n
+      FROM embeddings),
+    cc AS (SELECT CAST(CEIL(SQRT(n)) AS BIGINT) AS c FROM nc),
+    fine AS (
+      SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS fv
+      FROM embeddings WHERE vec_id < (SELECT n FROM nc)),
+    coarse AS (
+      SELECT vec_id AS ccell, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < (SELECT c FROM cc)),
+    f2c AS (
+      SELECT cell, ccell FROM (
+        SELECT f.cell, s.ccell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY f.cell
+                 ORDER BY list_cosine_similarity(f.fv, s.cv) DESC, s.ccell) AS rn
+        FROM fine f CROSS JOIN coarse s) t
+      WHERE rn = 1),
+    vc AS (
+      SELECT vec_id, ccell FROM (
+        SELECT e.vec_id, s.ccell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.cv) DESC,
+                          s.ccell) AS rn
+        FROM embeddings e CROSS JOIN coarse s) t
+      WHERE rn = 1),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, f.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]), f.fv) DESC,
+                          f.cell) AS rn
+        FROM vc v
+          JOIN f2c m ON m.ccell = v.ccell
+          JOIN fine f ON f.cell = m.cell
+          JOIN embeddings e2 ON e2.vec_id = v.vec_id) t
+      WHERE rn = 1)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings a
+      JOIN assign aa ON aa.vec_id = a.vec_id
+      JOIN assign ba ON ba.cell = aa.cell AND ba.vec_id > a.vec_id
+      JOIN embeddings b ON b.vec_id = ba.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+    """,
+)
+def dedup_embedding_ivf2_q(spark, sf_dir):
+    # Two-level (coarse -> fine) IVF blocking — the hierarchical
+    # quantizer that removes flat assignment's n x n_cells fold cost
+    # (O(n^2/target) compute at a corpus-relative cell count; SCALE.md
+    # r10): coarse = first ceil(sqrt(n_cells)) seeds, fine = first
+    # n_cells, each vector pays ~2*sqrt(n_cells) folds instead of
+    # n_cells.  The assignment DIFFERS from the flat one near coarse
+    # boundaries, so this is its own oracle-checked query (the oracle
+    # reproduces both ranking levels declaratively), not a silent flag
+    # on dedup_embedding_cosine_ivf.  Same derived n_cells dial; same
+    # owned-index materialization discipline.
+    from datafusion_bigtable_spark.operators.dedup import embedding_dup_pairs_ivf
+    from datafusion_bigtable_spark.operators.similarity import (
+        build_ivf_index_two_level,
+        materialize_owned,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    n = e.select("vec_id").count()
+    n_cells = max(16, -(-n // 128))
+    idx = build_ivf_index_two_level(e, n_cells=n_cells)
+    pairs = embedding_dup_pairs_ivf(e, threshold=0.4, index=idx)
+    return materialize_owned(pairs, idx)
+
+
+@query(
     "text_bpe_tokenize",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,

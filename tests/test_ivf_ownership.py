@@ -105,6 +105,28 @@ def test_nprobe1_maxby_assignment_matches_window_path(spark, sf_dir):
     assert a == b and len(a) == 500
 
 
+def test_two_level_assignment_is_valid_partition(spark, sf_dir):
+    """Two-level IVF (coarse→fine) must still PARTITION the corpus:
+    every vector in exactly one cell, every cell id a fine-seed id, and
+    each fine seed assigned to ITSELF (cos(x,x)=1 is the unique max
+    through its own coarse bucket)."""
+    from datafusion_bigtable_spark.operators.similarity import build_ivf_index_two_level
+
+    e = load(spark, sf_dir, "embeddings")
+    idx = build_ivf_index_two_level(e, n_cells=20)
+    try:
+        rows = idx.assignments.select("vec_id", "cell").collect()
+        assert len(rows) == 500
+        assert len({r["vec_id"] for r in rows}) == 500
+        cells = {r["cell"] for r in rows}
+        assert cells <= set(range(20))
+        by_id = {r["vec_id"]: r["cell"] for r in rows}
+        for seed in range(20):
+            assert by_id[seed] == seed, f"fine seed {seed} not in its own cell"
+    finally:
+        idx.unpersist(blocking=True)
+
+
 def test_target_block_size_rejects_external_codebook_and_index(spark, sf_dir):
     """ADVICE r9: an explicit codebook/index enumerates its own cells, so
     a target would be silently inert — fail loud instead."""
