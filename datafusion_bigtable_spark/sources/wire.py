@@ -264,7 +264,7 @@ def _key_bytes(k) -> bytes:
     return k.encode("utf-8") if isinstance(k, str) else bytes(k)
 
 
-def resume_read_rows_request(request: dict, last_key, yielded: int) -> dict:
+def resume_read_rows_request(request: dict, last_key, yielded: int):
     """The original request trimmed to strictly AFTER ``last_key`` — the
     Bigtable-documented ReadRows resumption semantics a client applies
     when a response stream dies mid-scan: re-reading from the top would
@@ -277,6 +277,12 @@ def resume_read_rows_request(request: dict, last_key, yielded: int) -> dict:
     - an empty/absent RowSet (full scan) resumes as the single open-start
       range after last_key;
     - ``rows_limit`` decrements by the rows already delivered.
+
+    Returns ``None`` when NOTHING remains (a non-empty RowSet trims to
+    empty) — the hypothesis sweep caught that returning the trimmed-
+    empty RowSet would be a request that protobuf-semantically means
+    FULL SCAN, the exact opposite of "done".  Callers must treat None
+    as stream-complete, never send it.
     """
     req = dict(request)
     if yielded and req.get("rows_limit"):
@@ -304,6 +310,8 @@ def resume_read_rows_request(request: dict, last_key, yielded: int) -> dict:
             nr.pop("start_key_open", None)
             nr["start_key_open"] = lk
         ranges.append(nr)
+    if not keys and not ranges:
+        return None  # RowSet exhausted: an empty RowSet would mean FULL SCAN
     req["rows"] = {"row_keys": keys, "row_ranges": ranges}
     return req
 
@@ -433,7 +441,7 @@ class WireBigtableClient:
                 if attempts > self._max_stream_retries:
                     raise
                 req = resume_read_rows_request(request, last_key, yielded)
-                if last_key is not None and not req["rows"]["row_keys"] and not req["rows"]["row_ranges"]:
+                if req is None:
                     return  # the RowSet is exhausted — nothing left to resume
 
     def mutate_rows(self, request: dict) -> Iterator[dict]:

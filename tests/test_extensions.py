@@ -1033,6 +1033,31 @@ def test_bpe_distributed_training_matches_in_memory(spark):
         assert _greedy_merges(vocab, n) == _naive_merges(vocab, n), n
 
 
+def test_bpe_incremental_matches_naive_on_random_vocabs():
+    """Hypothesis sweep: the incremental merge loop equals the
+    from-scratch recount on arbitrary word multisets — including
+    overlapping pairs, repeated characters, and saturation."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from datafusion_bigtable_spark.operators.bpe import _greedy_merges, _word_syms
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        words=st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=6), min_size=1, max_size=12
+        ),
+        n=st.integers(min_value=0, max_value=30),
+    )
+    def prop(words, n):
+        vocab = Counter(_word_syms(w) for w in words)
+        assert _greedy_merges(vocab, n) == _naive_merges(dict(vocab), n)
+
+    prop()
+
+
 def test_bpe_memo_cap_output_identical(spark):
     """r8 #8: the per-task encode memo is a CACHE — capping it (here far
     below the distinct-word count) must not change a single output row."""

@@ -475,3 +475,60 @@ def test_wire_equals_inprocess_for_random_requests(
     )
     expect = [(k, list(cs)) for k, cs in svc.read_rows(req)]
     assert [(k, list(cs)) for k, cs in client.read_rows(req)] == expect
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    keys=st.lists(st.sampled_from([bytes([c]) for c in range(97, 107)]), max_size=4),
+    ranges=st.lists(
+        st.tuples(
+            st.sampled_from(["start_key_closed", "start_key_open", None]),
+            st.sampled_from([bytes([c]) for c in range(97, 107)]),
+            st.sampled_from(["end_key_closed", "end_key_open", None]),
+            st.sampled_from([bytes([c]) for c in range(97, 107)]),
+        ),
+        max_size=3,
+    ),
+    lk=st.sampled_from([bytes([c]) for c in range(97, 107)]),
+)
+def test_resume_request_covers_exactly_the_remainder(keys, ranges, lk):
+    """Property: against a brute-force membership model over a small key
+    universe, the resumed RowSet covers EXACTLY the original's keys
+    strictly after last_key — no duplicates (re-covered keys), no holes
+    (dropped keys)."""
+    from datafusion_bigtable_spark.sources.wire import resume_read_rows_request
+
+    universe = [bytes([c]) for c in range(96, 108)]  # spills past the sampled band
+
+    def covered(rows):
+        if not rows or (not rows.get("row_keys") and not rows.get("row_ranges")):
+            return set(universe)
+        out = {bytes(k) for k in rows.get("row_keys", ())}
+        for rr in rows.get("row_ranges", ()):
+            for k in universe:
+                if "start_key_closed" in rr and k < bytes(rr["start_key_closed"]):
+                    continue
+                if "start_key_open" in rr and k <= bytes(rr["start_key_open"]):
+                    continue
+                if "end_key_closed" in rr and k > bytes(rr["end_key_closed"]):
+                    continue
+                if "end_key_open" in rr and k >= bytes(rr["end_key_open"]):
+                    continue
+                out.add(k)
+        return out
+
+    rs = {"row_keys": list(keys), "row_ranges": []}
+    for skind, sk, ekind, ek in ranges:
+        rr = {}
+        if skind:
+            rr[skind] = sk
+        if ekind:
+            rr[ekind] = ek
+        rs["row_ranges"].append(rr)
+    req = {"table_name": "t", "rows": rs}
+    resumed = resume_read_rows_request(req, lk.decode(), 1)
+    want = {k for k in covered(rs) if k > lk}
+    got = set() if resumed is None else covered(resumed["rows"])
+    assert got == want
+    if resumed is None:
+        assert want == set()  # None only when truly exhausted
