@@ -2689,7 +2689,9 @@ def _sim_query_pred():
     scale factors (max vec_id: 499/499/1999 at sf0.001/0.01/0.1) it
     changes nothing, so every oracle hash is preserved, while sf1+ cost
     becomes linear in corpus.  Mirrored verbatim in each oracle's
-    `AND q.vec_id < 2000`.
+    `AND q.vec_id < 2000`.  MEASURED at sf1 (r10, BENCH_SF1.json):
+    brute-force 28 s -> 3.1 s, PQ-ADC 37 s -> 4.0 s, trained recall
+    127 s -> 15.6 s — the predicted linearity, confirmed.
     """
     return (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000)
 
