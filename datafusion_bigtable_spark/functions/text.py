@@ -106,6 +106,28 @@ def normalized_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "), " +", " "))
 
 
+def curation_reason(col: Column) -> Column:
+    """The curation gate's keep/drop verdict as ONE first-failing-reason
+    expression ('keep' when every rule passes) — pure Catalyst, fuses
+    into the scan.  Shared by the batch query (text_curation_filter),
+    the pipeline gate, and the streaming twin, so the decision cannot
+    drift between them.  Rules: length window [120, 10000], ≥20 BPE-ish
+    pretokens, punctuation ratio < 0.1, known language."""
+    chars = F.length(col)
+    tokens = bpe_ish_token_count(col)
+    punct_ratio = F.size(F.regexp_extract_all(col, F.lit(r"([,.;:!?])"), 1)).cast(
+        "double"
+    ) / F.greatest(chars, F.lit(1))
+    return (
+        F.when(chars < 120, "too_short")
+        .when(chars > 10000, "too_long")
+        .when(tokens < 20, "too_few_tokens")
+        .when(punct_ratio >= 0.1, "punct_soup")
+        .when(langid(col) == "und", "lang_unknown")
+        .otherwise("keep")
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text."""
     return F.md5(normalized_text(col))

@@ -2083,6 +2083,8 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         f"{_PKG}.operators.graph",  # pointer-doubling shortcut in CC rounds (r10)
         f"{_PKG}.operators.bpe",  # corpus-wide merge counting + memo cap (r10)
         f"{_PKG}.sources.wire",  # pooled connections + 600s timeout + stream resume (r10)
+        f"{_PKG}.streaming.cells_stream",  # curation branch in the shared runner (r10;
+        # conservative — the new elif does not alter existing agg paths)
         f"{_PKG}.sources.proto",  # celless-row fail-loud in the response encoder (r10)
         f"{_PKG}.operators.perplexity",  # word_perplexity addition is additive, but
         # ngram_perplexity's module gained code — conservative reset (r10)
@@ -2103,6 +2105,7 @@ _TOUCHED_QUERIES: frozenset[str] = frozenset(
         "sim_topk_ivfpq",
         "dedup_embedding_cosine_ivf",  # r9 dial plumbing + r10 wiring
         "dedup_semantic_prune",  # r9 unpersisted index + r10 wiring
+        "text_curation_filter",  # r10: gate refactored onto shared curation_reason
     }
 )
 
@@ -3174,30 +3177,35 @@ def _curation_oracle() -> str:
 def text_curation_q(spark, sf_dir):
     # The curation DECISION operator: compose the text signals into a
     # keep/drop verdict + first-failing reason — the gate every training-
-    # data pipeline runs between raw crawl and tokenizer.  All pure
-    # Catalyst expressions fused into the scan; per-doc decisions are
+    # data pipeline runs between raw crawl and tokenizer.  One shared
+    # Catalyst expression (functions.text.curation_reason — also the
+    # streaming twin's gate) fused into the scan; per-doc decisions are
     # exact integer/ratio comparisons so both engines agree bit-for-bit.
-    from datafusion_bigtable_spark.functions import text as X
+    from datafusion_bigtable_spark.functions.text import curation_reason
 
     d = load(spark, sf_dir, "documents")
-    chars = F.length("text")
-    tokens = X.bpe_ish_token_count(F.col("text"))
-    punct_ratio = F.size(F.regexp_extract_all("text", F.lit(r"([,.;:!?])"), 1)).cast(
-        "double"
-    ) / F.greatest(chars, F.lit(1))
-    lang = X.langid(F.col("text"))
-    reason = (
-        F.when(chars < 120, "too_short")
-        .when(chars > 10000, "too_long")
-        .when(tokens < 20, "too_few_tokens")
-        .when(punct_ratio >= 0.1, "punct_soup")
-        .when(lang == "und", "lang_unknown")
-        .otherwise("keep")
-    )
+    reason = curation_reason(F.col("text"))
     return d.select("doc_id", reason.alias("reason"), (reason == "keep").alias("keep"))
 
 
 REGISTRY["text_curation_filter"] = QuerySpec(text_curation_q, _curation_oracle())
+
+
+@query("streaming_curation_filter", None)  # real SQL bound below
+def streaming_curation_q(spark, sf_dir):
+    # The curation gate ON THE STREAM — the first stage a crawl feed
+    # wants before anything lands in the corpus store.  Stateless (no
+    # watermark, no state store, append mode), so the streamed verdicts
+    # equal the batch gate exactly: the oracle IS text_curation_filter's
+    # SQL.  Scale shape: a pure map over the firehose; throughput is
+    # scan-bound, state is zero.
+    from datafusion_bigtable_spark.streaming import run_events_stream_to_memory
+
+    name = "dbs_stream_curation_" + str(abs(hash(sf_dir)) % 10**8)
+    return run_events_stream_to_memory(spark, sf_dir, agg="curation", query_name=name)
+
+
+REGISTRY["streaming_curation_filter"] = QuerySpec(streaming_curation_q, _curation_oracle())
 
 
 def _pipeline_oracle() -> str:

@@ -128,6 +128,44 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", decode("ts"))
 
 
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table as a file stream — the shape of a crawl feed
+    landing in object storage.  Declared schema (file streams require
+    one); no timestamp decode needed."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("source", T.StringType(), True),
+            T.StructField("n_chars", T.LongType(), True),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def streaming_curation_filter(docs: DataFrame) -> DataFrame:
+    """Streaming curation gate: the scan-fused keep/drop verdict
+    (functions.text.curation_reason — the SAME expression the batch
+    query and the pipeline use, so the decision cannot drift) applied
+    per micro-batch.  Stateless — no watermark, no state store, append
+    mode — so the streamed output equals the batch gate EXACTLY and the
+    operator scales as a pure map over the firehose: curation is the
+    first stage a crawl pipeline wants ON the stream, dropping junk
+    before it ever lands in the corpus store."""
+    from datafusion_bigtable_spark.functions.text import curation_reason
+
+    reason = curation_reason(F.col("text"))
+    return docs.select(
+        "doc_id", reason.alias("reason"), (reason == "keep").alias("keep")
+    )
+
+
 def streaming_hourly_agg(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour window per event_type: count + sum(value).
 
@@ -323,6 +361,10 @@ def run_events_stream_to_memory(
 
             dim = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
             plan, mode = streaming_enriched_counts(events, dim), "complete"
+        elif agg == "curation":
+            # stateless map over a DOCUMENTS stream (events unused)
+            docs = read_documents_stream(spark, sf_dir)
+            plan, mode = streaming_curation_filter(docs), "append"
         else:
             plan, mode = streaming_session_window(events), "complete"
         # Streaming state-store cost scales with the shuffle-partition count

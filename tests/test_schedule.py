@@ -39,9 +39,10 @@ def test_registry_size_and_full_green_fold():
     # + 6 r8 additions (dedup_embedding_cosine_ivf,
     # exact_quantiles_distributed, grouped_exact_quantiles,
     # dedup_semantic_prune, text_ngram_perplexity, text_bpe_tokenize)
-    # + 5 r10 additions (text_word_perplexity, embedding_random_projection,
-    # sim_topk_projected, corpus_mixing_alpha, dedup_embedding_cosine_ivf2).
-    assert len(q.REGISTRY) == 132
+    # + 6 r10 additions (text_word_perplexity, embedding_random_projection,
+    # sim_topk_projected, corpus_mixing_alpha, dedup_embedding_cosine_ivf2,
+    # streaming_curation_filter).
+    assert len(q.REGISTRY) == 133
     sched = q._schedule()
     for name in (n for n in q.REGISTRY if n not in q._LAST_GREEN):
         assert sched.index(name) < 50, f"new query {name} outside driver window"
