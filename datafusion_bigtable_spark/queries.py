@@ -1933,7 +1933,63 @@ _R8_GREEN = (
 # to r8's (the fold below was skipped in round 9 — VERDICT r9 "what's wrong
 # #1"), so the same tuple serves both rounds.
 _R9_GREEN = _R8_GREEN
-# Later rounds override earlier ones; every name absent from all nine
+# CORRECTNESS_r10.json — 49/50 green.  The one non-green, corpus_mixing_alpha
+# (rows+schema matched, hash did not: DuckDB SUM(BIGINT) is HUGEINT, which
+# the driver's pandas conversion renders float64 "1435.0" vs Spark's bigint
+# "1435"), is deliberately ABSENT here so it re-verifies at slot 0 in r11
+# after the CAST(... AS BIGINT) oracle fix.
+_R10_GREEN = (
+    "bt_limit_pushdown",
+    "bt_ts_range_prune",
+    "bt_value_filter_pushdown",
+    "bt_value_regex_pushdown",
+    "bt_int_key_prune",
+    "bt_read_rows_wire",
+    "bt_wire_sharded_scan",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_substring_spans",
+    "dedup_minhash_lsh",
+    "dedup_connected_components",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_ivf",
+    "dedup_embedding_cosine_ivf2",
+    "text_bpe_tokenize",
+    "text_ngram_perplexity",
+    "text_word_perplexity",
+    "dedup_semantic_prune",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh_bucketed",
+    "sim_topk_ivf_cells",
+    "sim_topk_ivf_nprobe",
+    "sim_trained_codebook_recall",
+    "dedup_keep_canonical",
+    "sim_topk_pq_adc",
+    "sim_topk_ivfpq",
+    "text_curation_filter",
+    "streaming_curation_filter",
+    "pipeline_curated_corpus",
+    "decontaminate_vs_benchmark",
+    "streaming_window_counts",
+    "streaming_dedup_pairs",
+    "streaming_attribution_join",
+    "streaming_enriched_counts",
+    "streaming_stateful_user_totals",
+    "streaming_session_windows",
+    "dedup_multi_signal",
+    "embedding_random_projection",
+    "sim_topk_projected",
+    "embedding_cluster_outliers",
+    "tpch_q8_market_share",
+    "tpch_q22_idle_rich_customers",
+    "text_top_bigrams",
+    "events_funnel_analysis",
+    "tpch_q15_top_supplier",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_revenue_change",
+)
+# Later rounds override earlier ones; every name absent from all ten
 # tuples carries 0.
 _LAST_GREEN: dict[str, int] = {
     **{n: 1 for n in _R1_GREEN},
@@ -1945,6 +2001,7 @@ _LAST_GREEN: dict[str, int] = {
     **{n: 7 for n in _R7_GREEN},
     **{n: 8 for n in _R8_GREEN},
     **{n: 9 for n in _R9_GREEN},
+    **{n: 10 for n in _R10_GREEN},
 }
 
 # ---------------------------------------------------------------------------
@@ -2078,34 +2135,18 @@ def query_deps(name: str) -> frozenset[str]:
 # the fold.
 _TOUCHED_MODULES: frozenset[str] = frozenset(
     {
-        f"{_PKG}.operators.dedup",  # target_block_size dial + owned IVF index (r9/r10)
-        f"{_PKG}.operators.similarity",  # persist ownership for throwaway indexes (r9/r10)
-        f"{_PKG}.operators.graph",  # pointer-doubling shortcut in CC rounds (r10)
-        f"{_PKG}.operators.bpe",  # corpus-wide merge counting + memo cap (r10)
-        f"{_PKG}.sources.wire",  # pooled connections + 600s timeout + stream resume (r10)
-        f"{_PKG}.streaming.cells_stream",  # curation branch in the shared runner (r10;
-        # conservative — the new elif does not alter existing agg paths)
-        f"{_PKG}.sources.proto",  # celless-row fail-loud in the response encoder (r10)
-        f"{_PKG}.operators.perplexity",  # word_perplexity addition is additive, but
-        # ngram_perplexity's module gained code — conservative reset (r10)
+        f"{_PKG}.operators.similarity",  # r11: two-level-IVF assignment-loss guard
+        # (ADVICE r10 #1) + random_projection dimension-drift fail-loud (#5)
+        f"{_PKG}.sources.wire",  # r11: free reconnect for a zero-frame reused
+        # pooled socket (ADVICE r10 #2)
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset(
     {
-        # r9 `_sim_query_pred` absolute bound, mirrored in each oracle —
-        # three of these (bruteforce, lsh_bucketed, trained_codebook_recall)
-        # sat OUTSIDE the stuck r9 window and have no post-change
-        # driver-green (ADVICE r9); they must lead the r10 window.
-        "sim_topk_bruteforce",
-        "sim_topk_lsh_bucketed",
-        "sim_trained_codebook_recall",
-        "sim_topk_ivf_cells",
-        "sim_topk_ivf_nprobe",
-        "sim_topk_pq_adc",
-        "sim_topk_ivfpq",
-        "dedup_embedding_cosine_ivf",  # r9 dial plumbing + r10 wiring
-        "dedup_semantic_prune",  # r9 unpersisted index + r10 wiring
-        "text_curation_filter",  # r10: gate refactored onto shared curation_reason
+        # r10's single non-green: hash mismatch from DuckDB HUGEINT→float64
+        # in the driver's pandas path; oracle now CASTs toks AS BIGINT —
+        # must lead the r11 window for its first driver-green.
+        "corpus_mixing_alpha",
     }
 )
 
@@ -3352,8 +3393,8 @@ def mixing_weights_q(spark, sf_dir):
     """
     WITH per AS (
       SELECT source, COUNT(*) AS n,
-             SUM(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                                 x -> x != ''))) AS toks
+             CAST(SUM(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      x -> x != ''))) AS BIGINT) AS toks
       FROM documents GROUP BY source),
     tot AS (SELECT SUM(toks) AS t FROM per),
     raw AS (

@@ -62,7 +62,35 @@ def _normalize(rows, colnames):
     return out
 
 
+_INTEGRAL_SPARK = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _check_dtype_kinds(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
+    # The driver hashes values AFTER a pandas conversion, where DuckDB's
+    # HUGEINT (e.g. SUM over BIGINT) lands as float64 — so an oracle column
+    # that is integral on the Spark side but floating in pandas hashes
+    # "1435.0" vs "1435" and fails the driver even though fetchall() (used
+    # for the value compare below) returns int on both sides.  Catch that
+    # drift here: any Spark-integral column must be integral in the
+    # oracle's pandas frame too (fix: CAST(... AS BIGINT) in the SQL).
+    # A column that CONTAINS nulls converts to float64 (NaN) on BOTH
+    # sides' pandas frames, so it hashes consistently — only a null-free
+    # integral column coming back floating marks the HUGEINT drift.
+    pdf = con.execute(sql).df()
+    spark_types = {f.name: f.dataType.simpleString() for f in spark_df.schema.fields}
+    for col, styp in spark_types.items():
+        if styp in _INTEGRAL_SPARK and col in pdf.columns:
+            s = pdf[col]
+            if s.dtype.kind == "f" and not s.isna().any():
+                raise AssertionError(
+                    f"column {col!r}: spark type {styp} but null-free oracle "
+                    f"pandas dtype {s.dtype} — driver hash will mismatch "
+                    f"('1435.0' vs '1435'); CAST the oracle expression AS BIGINT"
+                )
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
+    _check_dtype_kinds(spark_df, con, sql)
     duck = con.execute(sql)
     duck_cols = [d[0] for d in duck.description]
     duck_rows = duck.fetchall()
