@@ -362,10 +362,19 @@ def build_ivf_index_two_level(
         )
     )
 
-    # vector -> fine cell among its coarse bucket's seeds only
+    # vector -> fine cell among its coarse bucket's seeds only.  LEFT
+    # join + fail-loud guard (ADVICE r10): in exact arithmetic every
+    # coarse bucket holds at least its own seed as a fine seed
+    # (cos(s,s)=1 is the unique max), but f2c computes cos(s,s) as
+    # dot/(n·n) in floats — if near-duplicate seeds let a cross score
+    # tie-or-beat the self score, a coarse bucket can end up with zero
+    # fine seeds while still winning some vector's argmax.  An inner
+    # join would silently DROP those vectors from the partition (and
+    # from every downstream dedup pair); the left join keeps them as a
+    # null-cell row that _cell_or_raise turns into a loud error.
     cand = f2c.join(fine, "cell").select("ccell", "cell", "fv", "fn")
     ranked = (
-        vc.join(F.broadcast(cand), "ccell")
+        vc.join(F.broadcast(cand), "ccell", "left")
         .withColumn("_cs", dot_raw(F.col("_dv"), F.col("fv")) / (F.col("_n") * F.col("fn")))
         .groupBy(F.col(id_col))
         .agg(
@@ -376,7 +385,7 @@ def build_ivf_index_two_level(
         )
         .select(
             id_col,
-            F.col("_t.cell").alias("cell"),
+            _cell_or_raise(F.col("_t.cell")).alias("cell"),
             F.lit(1).alias("_rn"),
             F.col("_t.dv").alias("_dv"),
             F.col("_t.nn").alias("_n"),
@@ -385,6 +394,24 @@ def build_ivf_index_two_level(
     if persist:
         ranked = ranked.persist()
     return IvfIndex(ranked, nprobe=1)
+
+
+def _cell_or_raise(cell: Column) -> Column:
+    """Pass a non-null cell assignment through; raise (executor-side,
+    lazily, zero extra jobs) on null — the marker the two-level build's
+    left join leaves when a vector's argmax coarse bucket has no fine
+    seeds.  Assignment LOSS must surface as an error, never as rows
+    silently missing from the index (the codebase's fail-loud
+    convention; ADVICE r10)."""
+    return F.when(cell.isNotNull(), cell).otherwise(
+        F.raise_error(
+            F.lit(
+                "two-level IVF assignment lost a vector: its argmax coarse "
+                "bucket has no fine seeds (floating-point near-duplicate "
+                "coarse seeds); use build_ivf_index (flat) for this corpus"
+            )
+        )
+    )
 
 
 def topk_ivf(
@@ -816,7 +843,23 @@ def random_projection(
 
     signs = jl_signs(in_dims, out_dims)
     scale = math.sqrt(out_dims)
-    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # zip_with pads the shorter side with nulls, so a corpus whose
+    # embedding length drifts from in_dims would otherwise emit all-null
+    # projection columns; dimension drift must fail loud instead
+    # (ADVICE r10 — the codebase's stated convention).
+    vec = F.col(vec_col)
+    dv = F.when(
+        F.size(vec) == F.lit(in_dims),
+        F.transform(vec, lambda x: x.cast("double")),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("random_projection: embedding length "),
+                F.size(vec).cast("string"),
+                F.lit(f" != in_dims={in_dims}"),
+            )
+        )
+    )
     cols = []
     for j in range(out_dims):
         sgn = F.array(*[F.lit(s) for s in signs[j]])

@@ -331,7 +331,11 @@ class WireBigtableClient:
       half-consumed response must never corrupt the next request.  A
       pooled socket the server has since closed surfaces as a
       clean-EOF-before-trailer ConnectionError on its next use, which the
-      read path treats as a retryable stream failure (fresh socket).
+      read paths treat as POOL STALENESS, not a stream fault: an attempt
+      that delivered zero frames on a reused socket gets a free reconnect
+      (bounded by ``max_idle`` — each drains one stale socket) instead of
+      consuming one of ``max_stream_retries``, so one stale socket plus
+      one genuine mid-scan cut cannot exhaust the retry budget.
     - **Explicit timeout**: one inactivity budget (default 600 s — the
       operation timeout the reference pins, datasource.rs:25) applied to
       connect and to every frame read/write.
@@ -366,11 +370,13 @@ class WireBigtableClient:
 
     # -- connection pool ------------------------------------------------------
 
-    def _acquire(self) -> socket.socket:
+    def _acquire(self) -> tuple[socket.socket, bool]:
+        """Return ``(sock, reused)`` — reused marks a pooled socket, whose
+        first use may hit a server-side close accumulated while idle."""
         with self._lock:
             if self._idle:
-                return self._idle.pop()
-        return socket.create_connection(self._addr, timeout=self._timeout)
+                return self._idle.pop(), True
+        return socket.create_connection(self._addr, timeout=self._timeout), False
 
     def _release(self, sock: socket.socket) -> None:
         with self._lock:
@@ -387,29 +393,41 @@ class WireBigtableClient:
             s.close()
 
     def _call(self, method: str, request_buf: bytes) -> Iterator[bytes]:
-        sock = self._acquire()
+        sock, reused = self._acquire()
         clean = False  # stream consumed to a trailer → socket reusable
+        delivered = False  # any DATA frame arrived on this attempt
         try:
-            sock.sendall(
-                dump_frame(FLAG_HEADER, method.encode("utf-8"))
-                + dump_frame(FLAG_DATA, request_buf)
-            )
-            while True:
-                frame = read_frame(sock)
-                if frame is None:
-                    raise ConnectionError("server closed stream before trailer")
-                flag, payload = frame
-                if flag == FLAG_DATA:
-                    yield payload
-                elif flag == FLAG_TRAILER:
-                    clean = True
-                    status = proto.decode_status(payload)
-                    if status["code"]:
-                        remote_type, _, msg = status["message"].partition(": ")
-                        raise WireError(remote_type or "RemoteError", msg, status["code"])
-                    return
-                else:
-                    raise ConnectionError(f"unexpected frame flag {flag:#x}")
+            try:
+                sock.sendall(
+                    dump_frame(FLAG_HEADER, method.encode("utf-8"))
+                    + dump_frame(FLAG_DATA, request_buf)
+                )
+                while True:
+                    frame = read_frame(sock)
+                    if frame is None:
+                        raise ConnectionError("server closed stream before trailer")
+                    flag, payload = frame
+                    if flag == FLAG_DATA:
+                        delivered = True
+                        yield payload
+                    elif flag == FLAG_TRAILER:
+                        clean = True
+                        status = proto.decode_status(payload)
+                        if status["code"]:
+                            remote_type, _, msg = status["message"].partition(": ")
+                            raise WireError(remote_type or "RemoteError", msg, status["code"])
+                        return
+                    else:
+                        raise ConnectionError(f"unexpected frame flag {flag:#x}")
+            except (ConnectionError, TimeoutError) as e:
+                # A pooled socket the server closed while idle fails its
+                # FIRST use having delivered nothing — that is pool
+                # staleness, not a network fault; mark it so retrying
+                # callers grant a free reconnect instead of burning one
+                # of max_stream_retries (ADVICE r10).
+                if reused and not delivered:
+                    e.stale_pooled_socket = True
+                raise
         finally:
             if clean:
                 self._release(sock)
@@ -418,6 +436,7 @@ class WireBigtableClient:
 
     def read_rows(self, request: dict) -> Iterator[tuple[str, list[tuple[str, str, int, bytes]]]]:
         attempts = 0
+        free_reconnects = 0
         yielded = 0
         last_key = None
         req = request
@@ -433,13 +452,26 @@ class WireBigtableClient:
                         yield row
                 asm.finish()
                 return
-            except (ConnectionError, TimeoutError):
+            except (ConnectionError, TimeoutError) as e:
                 limit = request.get("rows_limit")
                 if limit and yielded >= limit:
                     return  # every requested row was delivered; only the trailer died
-                attempts += 1
-                if attempts > self._max_stream_retries:
-                    raise
+                if (
+                    getattr(e, "stale_pooled_socket", False)
+                    and free_reconnects < self._max_idle
+                ):
+                    # Pool staleness, not a stream fault: the reused
+                    # socket died before delivering a single frame.  The
+                    # retry budget is for genuine mid-scan cuts — grant a
+                    # free reconnect (bounded by pool size: each free use
+                    # drains one stale socket, and the replacement is a
+                    # fresh connection) so one stale socket + one real
+                    # cut cannot exhaust max_stream_retries (ADVICE r10).
+                    free_reconnects += 1
+                else:
+                    attempts += 1
+                    if attempts > self._max_stream_retries:
+                        raise
                 req = resume_read_rows_request(request, last_key, yielded)
                 if req is None:
                     return  # the RowSet is exhausted — nothing left to resume
@@ -451,7 +483,18 @@ class WireBigtableClient:
             yield from proto.decode_mutate_rows_response(payload)
 
     def sample_row_keys(self, request: dict) -> Iterator[dict]:
-        for payload in self._call(
-            METHOD_SAMPLE_ROW_KEYS, proto.encode_sample_row_keys_request(request)
-        ):
-            yield proto.decode_sample_row_keys_response(payload)
+        buf = proto.encode_sample_row_keys_request(request)
+        try:
+            for payload in self._call(METHOD_SAMPLE_ROW_KEYS, buf):
+                yield proto.decode_sample_row_keys_response(payload)
+        except (ConnectionError, TimeoutError) as e:
+            # Stale pooled socket (zero frames delivered): one free
+            # reconnect — the call is read-only and nothing was yielded.
+            # mutate_rows deliberately gets NO such retry: its request
+            # may have reached the server even though no response frame
+            # came back, and blind replay is only safe when the caller
+            # controls idempotence (see the class docstring).
+            if not getattr(e, "stale_pooled_socket", False):
+                raise
+            for payload in self._call(METHOD_SAMPLE_ROW_KEYS, buf):
+                yield proto.decode_sample_row_keys_response(payload)

@@ -139,3 +139,52 @@ def test_target_block_size_rejects_external_codebook_and_index(spark, sf_dir):
     with build_ivf_index(e, n_cells=16) as idx:
         with pytest.raises(ValueError, match="target_block_size"):
             embedding_dup_pairs_ivf(e, target_block_size=64, index=idx)
+
+
+def test_two_level_guard_passes_cells_and_raises_on_loss(spark):
+    """ADVICE r10: the two-level build's left join marks assignment loss
+    with a null cell; `_cell_or_raise` must pass real cells through
+    unchanged and fail LOUD on the null marker (never a silently
+    shrunken index).  The loss condition itself needs adversarial
+    floating-point seed geometry to trigger end-to-end, so the guard
+    mechanism is pinned directly."""
+    import pytest
+
+    from datafusion_bigtable_spark.operators.similarity import _cell_or_raise
+
+    df = spark.createDataFrame([(1, 5), (2, 7)], "id long, cell long")
+    got = {r.c for r in df.select(_cell_or_raise(F.col("cell")).alias("c")).collect()}
+    assert got == {5, 7}
+
+    lossy = spark.createDataFrame([(1, 5), (2, None)], "id long, cell long")
+    with pytest.raises(Exception, match="two-level IVF assignment lost"):
+        lossy.select(_cell_or_raise(F.col("cell")).alias("c")).collect()
+
+
+def test_two_level_assignment_preserves_every_vector(spark, sf_dir):
+    """Row-count preservation over the full fixture: the two-level index
+    partitions the corpus — no vector may vanish through the
+    coarse→fine candidate join (ADVICE r10)."""
+    from datafusion_bigtable_spark.operators.similarity import build_ivf_index_two_level
+
+    e = load(spark, sf_dir, "embeddings")
+    idx = build_ivf_index_two_level(e, n_cells=16)
+    try:
+        assert idx.assignments.count() == e.count()
+    finally:
+        idx.unpersist(blocking=True)
+
+
+def test_random_projection_dimension_drift_fails_loud(spark):
+    """ADVICE r10: zip_with pads a short/long vector with nulls, which
+    would surface as all-null projection columns; a corpus whose
+    embedding length differs from in_dims must error instead."""
+    import pytest
+
+    from datafusion_bigtable_spark.operators.similarity import random_projection
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 32)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="!= in_dims=64"):
+        random_projection(df, out_dims=4, in_dims=64).collect()

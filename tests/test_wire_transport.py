@@ -532,3 +532,88 @@ def test_resume_request_covers_exactly_the_remainder(keys, ranges, lk):
     assert got == want
     if resumed is None:
         assert want == set()  # None only when truly exhausted
+
+
+def test_stale_pooled_socket_gets_free_reconnect(inproc):
+    """ADVICE r10: a pooled socket the server closed while the client
+    idled fails its first use having delivered ZERO frames — that is
+    pool staleness, not a stream fault, and must not consume the
+    stream-retry budget.  With retries fully disabled the scan must
+    still complete via the free reconnect."""
+    import socket as _socket
+
+    req = build_read_rows_request(_config(), [])
+    with WireBigtableServer(inproc) as srv:
+        client = WireBigtableClient(*srv.address, max_stream_retries=0)
+        expect = [(k, list(c)) for k, c in client.read_rows(req)]
+        assert expect, "fixture scan returned nothing"
+
+        # plant a dead socket in the pool: its peer is already closed,
+        # exactly what a server-side idle-timeout leaves behind
+        client.close()
+        a, b = _socket.socketpair()
+        b.close()
+        client._idle.append(a)
+        got = [(k, list(c)) for k, c in client.read_rows(req)]
+        assert got == expect
+
+        # sample_row_keys (read-only) gets the same free reconnect
+        client.close()
+        a, b = _socket.socketpair()
+        b.close()
+        client._idle.append(a)
+        assert list(client.sample_row_keys({"table_name": req["table_name"]}))
+
+
+def test_zero_frame_failure_on_fresh_socket_still_counts(inproc):
+    """The free reconnect is for REUSED sockets only: a fresh connection
+    that dies before any frame is a genuine fault and must consume the
+    (here zero-sized) retry budget — otherwise a dead server would loop
+    forever."""
+    import socket as _socket
+
+    lst = _socket.socket()
+    lst.bind(("127.0.0.1", 0))
+    lst.listen(2)
+    accepted = []
+
+    def dead_server():
+        while True:
+            try:
+                conn, _ = lst.accept()
+            except OSError:
+                return
+            accepted.append(1)
+            conn.close()  # nothing delivered, ever
+
+    t = threading.Thread(target=dead_server, daemon=True)
+    t.start()
+    client = WireBigtableClient(*lst.getsockname(), max_stream_retries=0)
+    with pytest.raises((ConnectionError, OSError)):
+        list(client.read_rows(build_read_rows_request(_config(), [])))
+    assert len(accepted) == 1, "fresh-socket failure must not grant free retries"
+    lst.close()
+
+
+def test_stale_socket_plus_real_cut_within_budget(inproc, monkeypatch):
+    """The combination ADVICE r10 names: one stale pooled socket AND one
+    genuine mid-stream cut must succeed with max_stream_retries=1 — the
+    stale socket rides the free reconnect, the cut consumes the one
+    retry, and the rows come back exactly once."""
+    import socket as _socket
+
+    import datafusion_bigtable_spark.sources.wire as wire_mod
+
+    monkeypatch.setattr(wire_mod, "BATCH_ROWS", 1)
+    req = build_read_rows_request(_config(), [])
+    expect = [(k, list(c)) for k, c in inproc.read_rows(req)]
+    assert len(expect) >= 5
+
+    flaky = _FlakyReadRows(inproc, die_after=3)
+    with WireBigtableServer(flaky) as srv:
+        client = WireBigtableClient(*srv.address, max_stream_retries=1)
+        a, b = _socket.socketpair()
+        b.close()
+        client._idle.append(a)
+        got = [(k, list(c)) for k, c in client.read_rows(req)]
+    assert got == expect
