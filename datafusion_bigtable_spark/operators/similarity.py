@@ -58,6 +58,7 @@ def topk_bruteforce(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_pred: Column | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: rows matching ``query_pred`` are the queries.
 
@@ -67,6 +68,13 @@ def topk_bruteforce(
     candidate.  cosine = dot/(norm_q·norm_c) keeps the bit-exact formula
     the oracle uses.
 
+    ``corpus_pred`` makes this a metadata-FILTERED search: the candidate
+    side is restricted BEFORE scoring (pre-filter semantics — exact
+    recall within the filtered set at any selectivity, unlike
+    post-filtering a global top-k), while the query side still draws
+    from the full frame.  The predicate is a plain Catalyst filter, so
+    it pushes to the scan.
+
     Output: (query_id, neighbor_id, score, rk), rk 1..k, score rounded 6,
     deterministic tie-break on neighbor id.
     """
@@ -74,7 +82,8 @@ def topk_bruteforce(
     q = base.filter(query_pred).select(
         F.col(id_col).alias("query_id"), F.col("_dv").alias("qv"), norm(F.col(vec_col)).alias("qn")
     )
-    c = base.select(
+    cside = base.filter(corpus_pred) if corpus_pred is not None else base
+    c = cside.select(
         F.col(id_col).alias("neighbor_id"), F.col("_dv").alias("cv"), norm(F.col(vec_col)).alias("cn")
     )
     scored = (

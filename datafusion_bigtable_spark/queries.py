@@ -2136,9 +2136,12 @@ def query_deps(name: str) -> frozenset[str]:
 _TOUCHED_MODULES: frozenset[str] = frozenset(
     {
         f"{_PKG}.operators.similarity",  # r11: two-level-IVF assignment-loss guard
-        # (ADVICE r10 #1) + random_projection dimension-drift fail-loud (#5)
+        # (ADVICE r10 #1), random_projection dimension-drift fail-loud (#5),
+        # and the additive corpus_pred parameter on topk_bruteforce
         f"{_PKG}.sources.wire",  # r11: free reconnect for a zero-frame reused
         # pooled socket (ADVICE r10 #2)
+        f"{_PKG}.operators.dedup",  # r11: line_dedup addition is additive, but
+        # the module gained code — conservative reset
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset(
@@ -5613,3 +5616,141 @@ def embedding_cluster_outliers_q(spark, sf_dir):
     from datafusion_bigtable_spark.operators.similarity import centroid_outlier_scores
 
     return centroid_outlier_scores(load(spark, sf_dir, "embeddings"), threshold=0.0)
+
+
+# =========================================================================
+# Round-11 additions: line-level dedup rewrite, filtered ANN, pack report
+# =========================================================================
+
+
+@query(
+    "text_line_dedup",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS w
+      FROM documents),
+    tt AS (
+      SELECT doc_id, w, CAST(ceil(len(w) / 4.0) AS INT) AS n_lines
+      FROM t WHERE len(w) > 0),
+    seg AS (
+      SELECT doc_id, n_lines, i AS seg_idx,
+             array_to_string(w[(i*4+1):(i*4+4)], ' ') AS line
+      FROM tt, LATERAL (SELECT unnest(range(n_lines)) AS i) u),
+    counted AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY line) AS df FROM seg)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS kept_lines,
+           CAST(ANY_VALUE(n_lines) - COUNT(*) AS BIGINT) AS dropped_lines,
+           string_agg(line, ' ' ORDER BY seg_idx) AS kept_text
+    FROM counted WHERE df < 3
+    GROUP BY doc_id
+    """,
+)
+def text_line_dedup_q(spark, sf_dir):
+    # C4-style repeated-line removal (operators/dedup.py::line_dedup):
+    # every 4-word line occurring >= 3 times corpus-wide is cut from all
+    # its documents, and each document is rebuilt from its surviving
+    # lines in order (drops ~3% of lines at the tested SFs).  The
+    # REWRITE twin of text_boilerplate_ngrams' document GATE.  Two
+    # exchanges: one window count on the line key, one doc-key rebuild.
+    from datafusion_bigtable_spark.operators.dedup import line_dedup
+
+    return line_dedup(load(spark, sf_dir, "documents"), line_words=4, min_df=3)
+
+
+@query(
+    "sim_topk_filtered",
+    """
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS score
+      FROM embeddings q JOIN embeddings c
+        ON q.vec_id <> c.vec_id AND c.label = 3
+      WHERE q.vec_id % 100 = 0 AND q.vec_id < 2000)
+    SELECT query_id, neighbor_id, score, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rk
+      FROM scored) t
+    WHERE rk <= 5
+    """,
+)
+def sim_topk_filtered_q(spark, sf_dir):
+    # Metadata-filtered vector search — the retrieval shape every vector
+    # store serves ("top-k among label=3 only").  PRE-filter semantics:
+    # the corpus predicate is applied BEFORE scoring, so recall within
+    # the filtered set is exact at any selectivity (post-filtering a
+    # global top-k can return < k survivors).  The label predicate is a
+    # Catalyst filter pushed to the parquet scan; the exact scorer then
+    # runs on the ~10%-selectivity survivor set — linear in the filtered
+    # corpus with the absolute-bounded query set (_sim_query_pred).  At
+    # lower selectivity swap the scorer for topk_ivf on the SAME
+    # filtered frame (the operators compose); brute force on the
+    # filtered set is the exact baseline and the right default at <=
+    # few-million survivors.
+    from datafusion_bigtable_spark.operators.similarity import topk_bruteforce
+
+    e = load(spark, sf_dir, "embeddings")
+    return topk_bruteforce(e, _sim_query_pred(), k=5, corpus_pred=F.col("label") == 3)
+
+
+@query(
+    "corpus_pack_utilization",
+    """
+    WITH t AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS tokens
+      FROM documents),
+    c AS (
+      SELECT source, doc_id, tokens,
+             SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      FROM t),
+    packs AS (
+      SELECT source, CAST(FLOOR((cum - tokens) / 256.0) AS BIGINT) AS pack_id,
+             COUNT(*) AS n_docs, SUM(tokens) AS pack_tokens
+      FROM c GROUP BY source, pack_id)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_packs,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           ROUND(AVG(n_docs), 4) AS avg_docs_per_pack,
+           ROUND(AVG(pack_tokens), 4) AS avg_pack_tokens,
+           ROUND(AVG(pack_tokens) / 256.0, 4) AS fill_ratio,
+           ROUND(AVG(CASE WHEN pack_tokens > 256 THEN 1.0 ELSE 0.0 END), 4)
+             AS overflow_frac
+    FROM packs GROUP BY source
+    """,
+)
+def corpus_pack_utilization_q(spark, sf_dir):
+    # Packing-efficiency report over corpus_pack_sequences' assignment:
+    # per source, how full the 256-token packs run and how often a doc
+    # straddles the cap (the overflow a trainer either truncates or
+    # spills).  This is the diagnostic that picks the target sequence
+    # length BEFORE burning a 100 TB packing pass.  Same single window
+    # shuffle as the packer plus one tiny per-source aggregate.
+    from datafusion_bigtable_spark.functions.text import whitespace_token_count
+
+    d = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", whitespace_token_count(F.col("text")).alias("tokens")
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    packs = (
+        d.withColumn("cum", F.sum("tokens").over(w))
+        .select(
+            "source",
+            F.floor((F.col("cum") - F.col("tokens")) / 256.0).cast("long").alias("pack_id"),
+            "tokens",
+        )
+        .groupBy("source", "pack_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("tokens").alias("pack_tokens"))
+    )
+    return packs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_packs"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.round(F.avg("n_docs"), 4).alias("avg_docs_per_pack"),
+        F.round(F.avg("pack_tokens"), 4).alias("avg_pack_tokens"),
+        F.round(F.avg("pack_tokens") / 256.0, 4).alias("fill_ratio"),
+        F.round(
+            F.avg(F.when(F.col("pack_tokens") > 256, F.lit(1.0)).otherwise(F.lit(0.0))), 4
+        ).alias("overflow_frac"),
+    )

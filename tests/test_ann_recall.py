@@ -83,3 +83,30 @@ def test_ivfpq_composes_without_collapse(emb, pred, truth):
     # (recall ~1/corpus → ~0.005), not a weak one.
     r = _recall(S.topk_ivfpq(emb, pred, k=K), truth)
     assert r >= 0.08, f"ivfpq recall@10 {r:.3f} — raise nprobe/m; compounding approximations, see COVERAGE.md §ANN"
+
+
+def test_filtered_topk_prefilter_semantics(spark):
+    """corpus_pred (r11): neighbors come ONLY from the filtered set, the
+    query side still draws from the full frame, and the top-k is exact
+    within the filtered set — including when the global (unfiltered)
+    top-1 fails the filter."""
+    from datafusion_bigtable_spark.operators.similarity import topk_bruteforce
+
+    rows = [
+        # query vector (id 0) points along +x
+        (0, [1.0, 0.0], 0),
+        # global best match, but label 9 — must NOT appear
+        (1, [1.0, 0.01], 9),
+        # filtered candidates, decreasing alignment
+        (2, [1.0, 0.2], 3),
+        (3, [1.0, 0.9], 3),
+        (4, [-1.0, 0.0], 3),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = topk_bruteforce(
+        e, F.col("vec_id") == 0, k=2, corpus_pred=F.col("label") == 3
+    ).collect()
+    assert [(r["neighbor_id"], r["rk"]) for r in sorted(got, key=lambda r: r["rk"])] == [
+        (2, 1),
+        (3, 2),
+    ]

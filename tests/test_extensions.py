@@ -1077,3 +1077,31 @@ def test_bpe_memo_cap_output_identical(spark):
 
     assert rows(2) == rows(1 << 16)
     assert len(rows(2)) == 50
+
+
+def test_line_dedup_drops_frequent_lines_and_rebuilds_in_order(spark):
+    """C4-style line dedup (r11): a 2-word line shared by >= 3 docs is
+    cut from ALL of them, surviving lines rebuild in original order,
+    and a document made entirely of boilerplate drops out."""
+    from datafusion_bigtable_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta unique one gamma delta"),
+            (2, "alpha beta unique two gamma delta"),
+            (3, "alpha beta unique three gamma delta"),
+            (4, "alpha beta gamma delta"),  # all lines boilerplate → drops out
+            (5, "solo words here only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["kept_lines"], r["dropped_lines"], r["kept_text"])
+        for r in line_dedup(docs, line_words=2, min_df=3).collect()
+    }
+    # 'alpha beta' and 'gamma delta' appear in docs 1-4 (df=4): dropped.
+    assert out[1] == (1, 2, "unique one")
+    assert out[2] == (1, 2, "unique two")
+    assert out[3] == (1, 2, "unique three")
+    assert 4 not in out
+    assert out[5] == (2, 0, "solo words here only")
