@@ -5754,3 +5754,70 @@ def corpus_pack_utilization_q(spark, sf_dir):
             F.avg(F.when(F.col("pack_tokens") > 256, F.lit(1.0)).otherwise(F.lit(0.0))), 4
         ).alias("overflow_frac"),
     )
+
+
+@query(
+    "dedup_keep_best_quality",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    mh AS (
+      SELECT id, s.seed, MIN(md5(CAST(s.seed AS VARCHAR) || '|' || shingle)) AS minhash
+      FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS seed) s
+      GROUP BY id, s.seed),
+    banded AS (
+      SELECT id, CAST(seed // 2 AS INT) AS band,
+             string_agg(minhash, ',' ORDER BY minhash) AS band_sig
+      FROM mh GROUP BY id, seed // 2),
+    pairs AS (
+      SELECT DISTINCT a.id AS pa, b.id AS pb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id),
+    edges AS (SELECT pa AS a, pb AS b FROM pairs UNION SELECT pb, pa FROM pairs),
+    reach AS (
+      SELECT a AS id, b AS r FROM edges
+      UNION
+      SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+    comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id),
+    member AS (
+      SELECT d.doc_id, d.n_chars, COALESCE(c.component, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+    SELECT cluster, n_members, doc_id AS kept_doc_id, kept_chars FROM (
+      SELECT cluster, doc_id, n_chars AS kept_chars,
+             CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_members,
+             ROW_NUMBER() OVER (PARTITION BY cluster
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM member) t WHERE rn = 1
+    """,
+)
+def dedup_keep_best_quality_q(spark, sf_dir):
+    # Quality-ranked canonical selection — the OTHER dedup output policy
+    # next to dedup_keep_canonical's min-id: keep each near-dup cluster's
+    # LONGEST member (RefinedWeb/FineWeb keep-best; n_chars is the
+    # deterministic cross-engine quality score, ties to min doc_id).
+    # Composition of shipped operators: LSH candidate pairs → connected
+    # components → per-cluster argmax.  Singletons are their own cluster
+    # via a broadcast left join of the (tiny — dup members only) component
+    # map; the argmax is one window shuffle on the cluster key, whose
+    # groups are near-dup clusters (bounded small by construction).
+    from datafusion_bigtable_spark.operators.dedup import lsh_candidate_pairs
+    from datafusion_bigtable_spark.operators.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, bands=4, rows_per_band=2, k=3)
+    comp = connected_components(pairs)
+    member = docs.select("doc_id", "n_chars").join(
+        F.broadcast(comp), F.col("doc_id") == F.col("id"), "left"
+    ).select(
+        "doc_id", "n_chars", F.coalesce("component", F.col("doc_id")).alias("cluster")
+    )
+    w = W.partitionBy("cluster").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = member.select(
+        "cluster",
+        "doc_id",
+        F.col("n_chars").alias("kept_chars"),
+        F.count("*").over(W.partitionBy("cluster")).cast("long").alias("n_members"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster", "n_members", F.col("doc_id").alias("kept_doc_id"), "kept_chars"
+    )
