@@ -465,3 +465,31 @@ def test_word_perplexity_joins_all_broadcast(spark, sf_dir):
     for line in plan.splitlines():
         if "SortMergeJoin" in line or "ShuffledHashJoin" in line:
             raise AssertionError(f"scoring join shuffled the bigram stream:\n{line}")
+
+
+def test_filtered_topk_label_pushdown(spark, sf_dir):
+    """sim_topk_filtered (r11): the corpus_pred label filter must reach
+    the parquet scan (PushedFilters), the query side must broadcast,
+    and no Python appears anywhere in the plan."""
+    df = _q(spark, sf_dir, "sim_topk_filtered")
+    plan = _plan(spark, df, "formatted")
+    assert "Python" not in plan
+    assert "PushedFilters" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "label" in l]
+    assert pushed, f"label filter not pushed to the scan:\n{plan}"
+    assert "BroadcastExchange" in plan or "Broadcast" in plan
+
+
+def test_line_dedup_combined_count_and_antijoin(spark, sf_dir):
+    """text_line_dedup (r11): the corpus-wide line frequency must be a
+    partial+final aggregate (map-side combine BEFORE the exchange —
+    the reason the groupBy form beat the window form at scale), the
+    frequent-line join must be an anti-join, and no Python anywhere."""
+    df = _q(spark, sf_dir, "text_line_dedup")
+    plan = _plan(spark, df, "simple")
+    assert "Python" not in plan
+    assert "LeftAnti" in plan, f"expected an anti-join against the frequent set:\n{plan}"
+    # partial+final HashAggregate pair around the line-key exchange
+    assert plan.count("HashAggregate") >= 2, plan
+    # the line-frequency side must NOT be computed through a Window
+    assert "windowspecdefinition(line" not in plan.lower(), plan
