@@ -222,6 +222,37 @@ def _minhash_wide(docs: DataFrame, num_hashes: int, k: int, text_col: str, id_co
     )
 
 
+def _band_signatures(
+    docs: DataFrame,
+    bands: int,
+    rows_per_band: int,
+    k: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, band, band_sig): LSH band signatures assembled row-locally
+    from the per-seed minhash columns (no groupBy beyond the minhash
+    aggregation itself)."""
+    sig = _minhash_wide(docs, bands * rows_per_band, k, text_col, id_col)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    F.array_sort(
+                        F.array(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)])
+                    ),
+                ).alias("band_sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("id", F.explode(band_structs).alias("x")).select(
+        "id", F.col("x.band").alias("band"), F.col("x.band_sig").alias("band_sig")
+    )
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     bands: int = 4,
@@ -237,25 +268,7 @@ def lsh_candidate_pairs(
     Band signatures are assembled row-locally from the per-seed minhash
     columns (no groupBy), so the only shuffle is the candidate join.
     """
-    num_hashes = bands * rows_per_band
-    sig = _minhash_wide(docs, num_hashes, k, text_col, id_col)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ",",
-                    F.array_sort(
-                        F.array(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)])
-                    ),
-                ).alias("band_sig"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select("id", F.explode(band_structs).alias("x")).select(
-        "id", F.col("x.band").alias("band"), F.col("x.band_sig").alias("band_sig")
-    )
+    banded = _band_signatures(docs, bands, rows_per_band, k, text_col, id_col)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -677,4 +690,77 @@ def line_dedup(
         "kept_lines",
         (F.col("n_lines") - F.col("kept_lines")).alias("dropped_lines"),
         "kept_text",
+    )
+
+
+# ------------------------------------------------- incremental ingestion --
+
+
+def incremental_ingest_dedup(
+    docs: DataFrame,
+    batch_pred,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingestion-time dedup: which INCOMING documents near-duplicate the
+    EXISTING corpus — the shape a continuously-fed 100 TB pipeline runs
+    on every batch (dedup-within-corpus answers a different question:
+    this is new-vs-index, the LSH analogue of decontaminate's exact
+    anti-join).
+
+    ``batch_pred`` splits ``docs`` into the incoming batch (pred true)
+    and the index (pred false) — two DISJOINT subsets, so the shingle +
+    minhash work totals ONE corpus pass split across two scans, each
+    with the predicate pushed down.  Band signatures join batch→index on
+    (band, band_sig) — the batch side is small by nature and AQE
+    broadcasts it, so the INDEX NEVER SHUFFLES (the property that makes
+    per-batch cost O(batch + collisions), not O(corpus)); candidates
+    then verify with exact Jaccard computed only over candidate ids'
+    shingle sets.
+
+    Output: (new_doc_id, matched_doc_id, jaccard ≥ threshold, rounded 4)
+    — the keep/drop evidence an ingest gate acts on.
+    """
+    newb = _band_signatures(docs.filter(batch_pred), bands, rows_per_band, k, text_col, id_col)
+    idx = _band_signatures(docs.filter(~batch_pred), bands, rows_per_band, k, text_col, id_col)
+    cand = (
+        newb.alias("a")
+        .join(
+            idx.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.band_sig") == F.col("b.band_sig")),
+        )
+        .select(F.col("a.id").alias("nid"), F.col("b.id").alias("xid"))
+        .distinct()
+    )
+    sh_new = shingles(docs.filter(batch_pred), k, text_col, id_col)
+    sh_idx = shingles(docs.filter(~batch_pred), k, text_col, id_col)
+    inter = (
+        cand.join(sh_new.select(F.col("id").alias("nid"), "shingle"), "nid")
+        .join(sh_idx.select(F.col("id").alias("xid"), "shingle"), ["xid", "shingle"])
+        .groupBy("nid", "xid")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes_new = sh_new.groupBy("id").agg(F.count("*").alias("n_a"))
+    sizes_idx = sh_idx.groupBy("id").agg(F.count("*").alias("n_b"))
+    return (
+        inter.join(sizes_new.select(F.col("id").alias("nid"), "n_a"), "nid")
+        .join(sizes_idx.select(F.col("id").alias("xid"), "n_b"), "xid")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("nid").alias("new_doc_id"),
+            F.col("xid").alias("matched_doc_id"),
+            "jaccard",
+        )
     )

@@ -5821,3 +5821,47 @@ def dedup_keep_best_quality_q(spark, sf_dir):
     return ranked.filter(F.col("rn") == 1).select(
         "cluster", "n_members", F.col("doc_id").alias("kept_doc_id"), "kept_chars"
     )
+
+
+@query(
+    "dedup_incremental_ingest",
+    f"""
+    WITH {_SHINGLES_CTE},
+    mh AS (
+      SELECT id, s.seed, MIN(md5(CAST(s.seed AS VARCHAR) || '|' || shingle)) AS minhash
+      FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS seed) s
+      GROUP BY id, s.seed),
+    banded AS (
+      SELECT id, CAST(seed // 2 AS INT) AS band,
+             string_agg(minhash, ',' ORDER BY minhash) AS band_sig
+      FROM mh GROUP BY id, seed // 2),
+    cand AS (
+      SELECT DISTINCT a.id AS nid, b.id AS xid
+      FROM banded a JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.id % 10 = 0 AND b.id % 10 <> 0),
+    inter AS (
+      SELECT c.nid, c.xid, COUNT(*) AS n_inter
+      FROM cand c
+        JOIN sh sa ON sa.id = c.nid
+        JOIN sh sb ON sb.id = c.xid AND sb.shingle = sa.shingle
+      GROUP BY c.nid, c.xid),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id)
+    SELECT nid AS new_doc_id, xid AS matched_doc_id,
+           ROUND(n_inter / CAST(na.n + nb.n - n_inter AS DOUBLE), 4) AS jaccard
+    FROM inter JOIN sizes na ON na.id = nid JOIN sizes nb ON nb.id = xid
+    WHERE ROUND(n_inter / CAST(na.n + nb.n - n_inter AS DOUBLE), 4) >= 0.5
+    """,
+)
+def dedup_incremental_ingest_q(spark, sf_dir):
+    # Ingestion-time dedup (operators/dedup.py::incremental_ingest_dedup):
+    # which INCOMING docs (doc_id % 10 == 0 stands in for the day's batch)
+    # near-duplicate the EXISTING corpus — the new-vs-index LSH analogue
+    # of decontaminate_vs_benchmark's exact anti-join.  Band signatures
+    # join batch→index (AQE broadcasts the small batch side: the index
+    # never shuffles, so per-batch cost is O(batch + collisions), not
+    # O(corpus)); candidates verify with exact Jaccard over candidate
+    # shingle sets only.
+    from datafusion_bigtable_spark.operators.dedup import incremental_ingest_dedup
+
+    d = load(spark, sf_dir, "documents")
+    return incremental_ingest_dedup(d, F.col("doc_id") % 10 == 0, threshold=0.5)

@@ -1105,3 +1105,31 @@ def test_line_dedup_drops_frequent_lines_and_rebuilds_in_order(spark):
     assert out[3] == (1, 2, "unique three")
     assert 4 not in out
     assert out[5] == (2, 0, "solo words here only")
+
+
+def test_incremental_ingest_dedup_crosses_sides_only(spark):
+    """Ingestion dedup (r11): pairs are strictly batch→index — a near-dup
+    WITHIN the batch or WITHIN the index must not appear; an exact
+    cross-side duplicate must, at jaccard 1.0."""
+    from datafusion_bigtable_spark.operators.dedup import incremental_ingest_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (10, base),                      # batch (id % 10 == 0)
+            (20, base + " extra tail word"), # batch: near-dup of 10 — must NOT pair
+            (3, base),                       # index: exact dup of 10/20
+            (7, base),                       # index: exact dup — within-index, no pair
+            (5, "completely different text about spark shuffles and parquet"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["new_doc_id"], r["matched_doc_id"]): r["jaccard"]
+        for r in incremental_ingest_dedup(
+            docs, F.col("doc_id") % 10 == 0, threshold=0.3
+        ).collect()
+    }
+    assert (10, 3) in got and got[(10, 3)] == 1.0
+    assert (10, 7) in got and (20, 3) in got
+    assert all(n % 10 == 0 and x % 10 != 0 for n, x in got), got
