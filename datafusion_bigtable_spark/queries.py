@@ -5865,3 +5865,82 @@ def dedup_incremental_ingest_q(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return incremental_ingest_dedup(d, F.col("doc_id") % 10 == 0, threshold=0.5)
+
+
+@query(
+    "table_profile_lineitem",
+    """
+    SELECT 'l_quantity' AS column_name, COUNT(*) AS n_rows,
+           CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           ROUND(MIN(l_quantity), 2) AS min_num, ROUND(MAX(l_quantity), 2) AS max_num
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*),
+           CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+           CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+           ROUND(MIN(l_extendedprice), 2), ROUND(MAX(l_extendedprice), 2)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*),
+           CAST(COUNT(*) - COUNT(l_discount) AS BIGINT),
+           CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+           ROUND(MIN(l_discount), 2), ROUND(MAX(l_discount), 2)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', COUNT(*),
+           CAST(COUNT(*) - COUNT(l_tax) AS BIGINT),
+           CAST(COUNT(DISTINCT l_tax) AS BIGINT),
+           ROUND(MIN(l_tax), 2), ROUND(MAX(l_tax), 2)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', COUNT(*),
+           CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT),
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT), NULL, NULL
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linestatus', COUNT(*),
+           CAST(COUNT(*) - COUNT(l_linestatus) AS BIGINT),
+           CAST(COUNT(DISTINCT l_linestatus) AS BIGINT), NULL, NULL
+    FROM lineitem
+    """,
+)
+def table_profile_q(spark, sf_dir):
+    # Data-profiling pass (the Deequ/TFDV-style pre-training audit):
+    # per-column row count, null count, EXACT distinct count, and rounded
+    # numeric min/max — the report a pipeline reads before trusting a new
+    # table drop.  One aggregation EXPRESSION, planned by Spark's
+    # distinct-rewrite as an Expand x |distinct columns| leg plus a plain
+    # min/max/count leg (measured plan at sf0.1: 2 scans, 4 exchanges —
+    # NOT the 7-scan union of per-column jobs the naive form costs; the
+    # r3 mixed-sketch trap does not apply since no imperative sketch
+    # buffers share the expand).  The single wide row unpivots via
+    # stack().  At 100 TB swap the exact distincts for
+    # approx_count_distinct (the profile tools' own default), which also
+    # collapses the expand leg back into one scan.
+    num_cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    str_cols = ["l_returnflag", "l_linestatus"]
+    li = load(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in num_cols + str_cols:
+        aggs.append(F.count(F.col(c)).alias(f"cnt__{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"nd__{c}"))
+    for c in num_cols:
+        aggs.append(F.round(F.min(c), 2).alias(f"mn__{c}"))
+        aggs.append(F.round(F.max(c), 2).alias(f"mx__{c}"))
+    wide = li.agg(*aggs)
+    parts = []
+    for c in num_cols:
+        parts.append(
+            f"'{c}', n_rows, CAST(n_rows - cnt__{c} AS BIGINT), nd__{c}, mn__{c}, mx__{c}"
+        )
+    for c in str_cols:
+        parts.append(
+            f"'{c}', n_rows, CAST(n_rows - cnt__{c} AS BIGINT), nd__{c}, "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
+        )
+    n = len(parts)
+    return wide.selectExpr(
+        f"stack({n}, {', '.join(parts)}) AS "
+        "(column_name, n_rows, n_null, n_distinct, min_num, max_num)"
+    )
