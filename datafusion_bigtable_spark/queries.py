@@ -5944,3 +5944,25 @@ def table_profile_q(spark, sf_dir):
         f"stack({n}, {', '.join(parts)}) AS "
         "(column_name, n_rows, n_null, n_distinct, min_num, max_num)"
     )
+
+
+@query("streaming_ingest_dedup", None)  # oracle bound below (= batch twin's)
+def streaming_ingest_dedup_q(spark, sf_dir):
+    # Ingestion dedup ON THE STREAM (streaming/cells_stream.py::
+    # streaming_ingest_dedup): the incoming-doc feed (doc_id % 10) LSH-
+    # matched per micro-batch against the static corpus index.  The
+    # minhash pipeline is re-expressed as stateless per-row array
+    # expressions (identical md5 minima to the batch explode+groupBy
+    # form), candidates come from a stream-static band join, Jaccard
+    # verifies per row via array_intersect, and the only state is the
+    # pair-key dropDuplicates — so the streamed matches equal the batch
+    # operator EXACTLY: the oracle IS dedup_incremental_ingest's SQL.
+    from datafusion_bigtable_spark.streaming import run_events_stream_to_memory
+
+    name = "dbs_stream_ingest_" + str(abs(hash(sf_dir)) % 10**8)
+    return run_events_stream_to_memory(spark, sf_dir, agg="ingest_dedup", query_name=name)
+
+
+REGISTRY["streaming_ingest_dedup"] = QuerySpec(
+    streaming_ingest_dedup_q, REGISTRY["dedup_incremental_ingest"].sql
+)

@@ -6,6 +6,7 @@ from datafusion_bigtable_spark.streaming.cells_stream import (
     streaming_distinct_pairs_watermarked,
     streaming_enriched_counts,
     streaming_hourly_agg,
+    streaming_ingest_dedup,
     streaming_session_window,
     streaming_user_totals_stateful,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "streaming_distinct_pairs_watermarked",
     "streaming_enriched_counts",
     "streaming_hourly_agg",
+    "streaming_ingest_dedup",
     "streaming_session_window",
     "streaming_user_totals_stateful",
 ]

@@ -166,6 +166,109 @@ def streaming_curation_filter(docs: DataFrame) -> DataFrame:
     )
 
 
+def streaming_ingest_dedup(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Streaming twin of ``operators.dedup.incremental_ingest_dedup``:
+    the incoming-doc STREAM matched against a STATIC corpus index — the
+    production shape of ingestion dedup (the feed arrives continuously;
+    the index is yesterday's corpus).
+
+    Per-row streaming side, no stateful aggregation anywhere: the
+    minhash pipeline that batch code runs as explode+groupBy is
+    re-expressed as pure array expressions (shingle array → per-seed
+    ``array_min`` of md5 — identical strings, identical minima), so band
+    signatures are a narrow map over the stream.  Candidates come from a
+    stream-static equi join on (band, band_sig) against the
+    batch-computed index signatures; Jaccard verifies per row via
+    ``array_intersect`` with the index doc's (distinct) shingle array —
+    again stateless.  The only state is the final ``dropDuplicates`` on
+    the pair key (a candidate can collide on several bands): bounded by
+    matched-pair cardinality; at 100 TB/day use
+    ``dropDuplicatesWithinWatermark`` keyed on arrival time, as
+    streaming_distinct_pairs documents.
+
+    Emits (new_doc_id, matched_doc_id, jaccard ≥ threshold, rounded 4) —
+    byte-equal to the batch operator over the same document set, which
+    is exactly what the oracle pins.
+    """
+    from datafusion_bigtable_spark.functions.text import words
+    from datafusion_bigtable_spark.operators.dedup import _band_signatures, shingles
+
+    num_hashes = bands * rows_per_band
+    base = new_docs.select("doc_id", words(F.col("text")).alias("_w"))
+    sh_arr = F.when(
+        F.size("_w") >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_w") - (k - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("_w", i + j) for j in range(k)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    with_sh = base.select("doc_id", sh_arr.alias("_sh")).filter(F.size("_sh") > 0)
+    mh = [
+        F.array_min(
+            F.transform(F.col("_sh"), lambda x: F.md5(F.concat(F.lit(f"{s}|"), x)))
+        ).alias(f"mh_{s}")
+        for s in range(num_hashes)
+    ]
+    sig = with_sh.select("doc_id", "_sh", *mh)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    F.array_sort(
+                        F.array(
+                            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        )
+                    ),
+                ).alias("band_sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    stream_banded = sig.select(
+        F.col("doc_id").alias("nid"), "_sh", F.explode(band_structs).alias("x")
+    ).select("nid", "_sh", F.col("x.band").alias("band"), F.col("x.band_sig").alias("band_sig"))
+
+    idx_banded = _band_signatures(index_docs, bands, rows_per_band, k, "text", "doc_id").select(
+        F.col("id").alias("xid"), "band", "band_sig"
+    )
+    idx_arrays = (
+        shingles(index_docs, k, "text", "doc_id")
+        .groupBy("id")
+        .agg(F.collect_list("shingle").alias("_xsh"))
+        .select(F.col("id").alias("xid"), "_xsh")
+    )
+    cand = stream_banded.join(idx_banded, ["band", "band_sig"]).select("nid", "xid", "_sh")
+    inter = F.size(F.array_intersect(F.col("_sh"), F.col("_xsh")))
+    jac = F.round(
+        inter.cast("double")
+        / (F.size("_sh") + F.size("_xsh") - inter).cast("double"),
+        4,
+    )
+    return (
+        cand.join(idx_arrays, "xid")
+        .select(
+            F.col("nid").alias("new_doc_id"),
+            F.col("xid").alias("matched_doc_id"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .dropDuplicates(["new_doc_id", "matched_doc_id"])
+    )
+
+
 def streaming_hourly_agg(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour window per event_type: count + sum(value).
 
@@ -365,6 +468,15 @@ def run_events_stream_to_memory(
             # stateless map over a DOCUMENTS stream (events unused)
             docs = read_documents_stream(spark, sf_dir)
             plan, mode = streaming_curation_filter(docs), "append"
+        elif agg == "ingest_dedup":
+            # incoming-batch stream (doc_id % 10) vs static corpus index
+            import os
+
+            docs = read_documents_stream(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+            index = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).filter(
+                F.col("doc_id") % 10 != 0
+            )
+            plan, mode = streaming_ingest_dedup(docs, index), "append"
         else:
             plan, mode = streaming_session_window(events), "complete"
         # Streaming state-store cost scales with the shuffle-partition count
