@@ -2140,8 +2140,11 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         # and the additive corpus_pred parameter on topk_bruteforce
         f"{_PKG}.sources.wire",  # r11: free reconnect for a zero-frame reused
         # pooled socket (ADVICE r10 #2)
-        f"{_PKG}.operators.dedup",  # r11: line_dedup addition is additive, but
-        # the module gained code — conservative reset
+        f"{_PKG}.operators.dedup",  # r11: line_dedup + incremental_ingest_dedup
+        # additions and the _band_signatures factoring — conservative reset
+        f"{_PKG}.streaming.cells_stream",  # r11: streaming_ingest_dedup builder +
+        # runner branch (existing agg paths untouched; conservative reset —
+        # in practice already implied transitively via operators.dedup)
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset(
