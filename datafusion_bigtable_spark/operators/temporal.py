@@ -63,3 +63,68 @@ def changelog_to_scd2(
         changes.withColumn("valid_from", F.col(ts))
         .withColumn("valid_to", F.lead(ts).over(w))
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: Sequence[str],
+    right_tie: str,
+) -> DataFrame:
+    """Distributed as-of join (pandas ``merge_asof`` at cluster scale):
+    each left row picks up ``right_values`` from the LATEST right row of
+    the same key with ``right_ts <= left_ts`` — ties on right_ts broken
+    toward the greatest ``right_tie`` — or NULLs when no right row
+    precedes it.
+
+    Shape (the reason this form, not a range join, is the 100 TB as-of):
+    UNION both sides tagged, ONE window over (key) ordered by
+    (ts, side, tie) with ``last(value, ignorenulls=True)`` carrying the
+    most recent right values forward, then keep the left rows.  One
+    shuffle on the key, zero join blowup — a range/interval join
+    materializes |left| × |overlapping right| candidate pairs first,
+    which for "latest prior" semantics is all dominated work, while the
+    window form is O(n log n) sort per partition and emits exactly
+    |left| rows.  Right rows sort BEFORE left rows at an equal
+    timestamp, so an order landing at the exact event instant is
+    visible to that event ("on or before").
+
+    ``left_ts``/``right_ts`` must be mutually comparable (pass epoch-µs
+    longs when the sides carry different timestamp flavors — union
+    coercion of ntz/ltz mixes is engine-dependent, integers are not).
+    """
+    rtypes = dict(zip(right.schema.names, [f.dataType for f in right.schema.fields]))
+    ltypes = dict(zip(left.schema.names, [f.dataType for f in left.schema.fields]))
+    lcols = list(left.columns)
+
+    l_side = left.select(
+        F.col(left_key).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_is_l"),
+        F.lit(None).cast(rtypes[right_tie]).alias("_tie"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(rtypes[c]).alias(f"_rv_{c}") for c in right_values],
+    )
+    r_side = right.select(
+        F.col(right_key).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_is_l"),
+        F.col(right_tie).alias("_tie"),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_rv_{c}") for c in right_values],
+    )
+    u = l_side.unionByName(r_side)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_is_l", "_tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = [
+        F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(c) for c in right_values
+    ]
+    return u.select(*lcols, F.col("_is_l"), *filled).filter(F.col("_is_l") == 1).drop("_is_l")

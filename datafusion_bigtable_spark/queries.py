@@ -5969,3 +5969,70 @@ def streaming_ingest_dedup_q(spark, sf_dir):
 REGISTRY["streaming_ingest_dedup"] = QuerySpec(
     streaming_ingest_dedup_q, REGISTRY["dedup_incremental_ingest"].sql
 )
+
+
+@query(
+    "events_asof_last_order",
+    """
+    WITH u AS (
+      SELECT user_id AS k, epoch_us(ts) AS t, 1 AS is_l, event_id,
+             CAST(NULL AS BIGINT) AS okey, CAST(NULL AS DOUBLE) AS tot
+      FROM events
+      UNION ALL
+      SELECT o_custkey, epoch_us(o_orderdate), 0, NULL, o_orderkey, o_totalprice
+      FROM orders),
+    f AS (
+      SELECT *,
+        LAST_VALUE(okey IGNORE NULLS) OVER (
+          PARTITION BY k ORDER BY t, is_l, okey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a_key,
+        LAST_VALUE(tot IGNORE NULLS) OVER (
+          PARTITION BY k ORDER BY t, is_l, okey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a_tot
+      FROM u)
+    SELECT event_id, k AS user_id, t AS ts_us,
+           a_key AS asof_order_key, ROUND(a_tot, 2) AS asof_total
+    FROM f WHERE is_l = 1
+    """,
+)
+def events_asof_last_order_q(spark, sf_dir):
+    # Distributed as-of join (operators/temporal.py::asof_join — the
+    # pandas merge_asof shape at cluster scale): each event picks up the
+    # user's LATEST order on-or-before the event instant (ties toward the
+    # greatest orderkey), NULLs when no order precedes.  The union+window
+    # form costs ONE key shuffle and emits exactly |events| rows — a
+    # range join would materialize every (event, earlier-order) pair
+    # first, all dominated work for "latest prior" semantics.  Timestamps
+    # cross the union as epoch-µs longs (ntz/ltz-mix coercion is
+    # engine-dependent; integers are not).
+    from datafusion_bigtable_spark.operators.temporal import asof_join
+
+    epoch = "TIMESTAMP_NTZ'1970-01-01 00:00:00'"
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.timestamp_diff("MICROSECOND", F.expr(epoch), F.col("ts")).alias("ts_us"),
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.timestamp_diff("MICROSECOND", F.expr(epoch), F.col("o_orderdate")).alias("o_us"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    out = asof_join(
+        ev,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts_us",
+        right_ts="o_us",
+        right_values=("o_orderkey", "o_totalprice"),
+        right_tie="o_orderkey",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("o_orderkey").alias("asof_order_key"),
+        F.round("o_totalprice", 2).alias("asof_total"),
+    )

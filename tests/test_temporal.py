@@ -73,3 +73,37 @@ def test_scd2_equal_ts_tiebreak(spark):
     )
     out = changelog_to_scd2(df, key="user_id", ts="ts", value="seg", tie=("event_id",))
     assert _rows(out) == [(1, _t(0), _t(0), "b"), (1, _t(0), None, "a")]
+
+
+def test_asof_join_semantics(spark):
+    """asof_join (r11): latest on-or-before right row wins; an order at
+    the exact event instant IS visible; ties at one timestamp break
+    toward the greatest tie value; no prior right row → NULLs."""
+    from datafusion_bigtable_spark.operators.temporal import asof_join
+
+    ev = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 250), (3, 1, 300), (4, 2, 50)],
+        "event_id long, user_id long, ts_us long",
+    )
+    orders = spark.createDataFrame(
+        [
+            (10, 1, 100, 5.0),   # at event 1's exact instant — visible to it
+            (11, 1, 200, 7.0),   # tie pair at t=200 ...
+            (12, 1, 200, 9.0),   # ... greatest orderkey (12) must win
+            (13, 2, 60, 3.0),    # AFTER user 2's only event — invisible
+        ],
+        "o_orderkey long, o_custkey long, o_us long, o_totalprice double",
+    )
+    out = {
+        r["event_id"]: (r["o_orderkey"], r["o_totalprice"])
+        for r in asof_join(
+            ev, orders,
+            left_key="user_id", right_key="o_custkey",
+            left_ts="ts_us", right_ts="o_us",
+            right_values=("o_orderkey", "o_totalprice"), right_tie="o_orderkey",
+        ).collect()
+    }
+    assert out[1] == (10, 5.0)      # on-or-before includes the instant
+    assert out[2] == (12, 9.0)      # tie → greatest orderkey
+    assert out[3] == (12, 9.0)      # still latest at t=300
+    assert out[4] == (None, None)   # nothing precedes user 2's event
