@@ -107,3 +107,40 @@ def test_asof_join_semantics(spark):
     assert out[2] == (12, 9.0)      # tie → greatest orderkey
     assert out[3] == (12, 9.0)      # still latest at t=300
     assert out[4] == (None, None)   # nothing precedes user 2's event
+
+
+def test_asof_join_matches_bruteforce_reference(spark):
+    """Property check on a deterministic pseudo-random instance: the
+    window-form as-of equals the obvious per-event scan (latest
+    on-or-before, ties toward greatest orderkey)."""
+    import hashlib
+
+    from datafusion_bigtable_spark.operators.temporal import asof_join
+
+    def h(*xs):
+        return int.from_bytes(
+            hashlib.md5("|".join(map(str, xs)).encode()).digest()[:4], "big"
+        )
+
+    evs = [(i, h("k", i) % 5, h("t", i) % 97) for i in range(60)]
+    orders = [(100 + j, h("ok", j) % 5, h("ot", j) % 97, float(j)) for j in range(40)]
+
+    def expect(uid, ts):
+        best = None
+        for okey, ck, ot, tot in orders:
+            if ck == uid and ot <= ts:
+                cand = (ot, okey, tot)
+                if best is None or cand[:2] > best[:2]:
+                    best = cand
+        return (best[1], best[2]) if best else (None, None)
+
+    out = asof_join(
+        spark.createDataFrame(evs, "event_id long, user_id long, ts_us long"),
+        spark.createDataFrame(orders, "o_orderkey long, o_custkey long, o_us long, o_totalprice double"),
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts_us", right_ts="o_us",
+        right_values=("o_orderkey", "o_totalprice"), right_tie="o_orderkey",
+    ).collect()
+    assert len(out) == 60
+    for r in out:
+        assert (r["o_orderkey"], r["o_totalprice"]) == expect(r["user_id"], r["ts_us"]), r
