@@ -175,6 +175,80 @@ def jaccard_pairs(
     )
 
 
+# ------------------------------------------------------ shingle containment --
+
+
+def containment_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_cap: int | None = None,
+) -> DataFrame:
+    """DIRECTED near-containment: ``C(src→dst) = |S(src)∩S(dst)| / |S(src)|``
+    over word ``k``-gram shingle sets, keeping pairs with C ≥ ``threshold``.
+
+    Output: (src_id, dst_id, containment) — src's shingle set is mostly
+    covered by dst's.  Both directions of a candidate pair are scored
+    independently, so a short quote inside a long document surfaces as
+    (quote → document) even when their symmetric Jaccard is tiny — the
+    asymmetric-resemblance case Broder (1997) separates from resemblance,
+    and the practical "doc A is a fragment of doc B" detector a training
+    pipeline needs where Jaccard dedup goes blind (Jaccard ≤ |A|/|B| for
+    A ⊆ B, arbitrarily small for long B).
+
+    Scale shape: identical to :func:`jaccard_pairs` — one shingle-table
+    shuffle for the inverted-list candidate pairs (blocking key =
+    shingle, Σ|bucket|² bounded by ``df_cap``), one pair-count shuffle,
+    two size-table joins; the direction split is a row-local explode of
+    the undirected pair (no extra shuffle, no second pass).  Same capped
+    semantics: with ``df_cap`` set, numerator AND denominator come from
+    the same ≤-cap shingle universe, so the ratio stays self-consistent.
+    """
+    sh = shingles(docs, k, text_col, id_col)
+
+    if df_cap is not None:
+        wsh = W.partitionBy("shingle")
+        sh = sh.withColumn("_df", F.count("*").over(wsh)).filter(F.col("_df") <= df_cap).drop("_df")
+
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    lists = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = lists.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i+2, size(ids)-i-1), y -> struct(x AS id_a, y AS id_b))))"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    inter = pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter"))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    joined = inter.join(sa, "id_a").join(sb, "id_b")
+    directed = joined.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src_id"),
+                    F.col("id_b").alias("dst_id"),
+                    (F.col("n_inter").cast("double") / F.col("n_a")).alias("c"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src_id"),
+                    F.col("id_a").alias("dst_id"),
+                    (F.col("n_inter").cast("double") / F.col("n_b")).alias("c"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.src_id", "d.dst_id", F.round("d.c", 4).alias("containment"))
+    return directed.filter(F.col("containment") >= threshold)
+
+
 # --------------------------------------------------------- MinHash + LSH --
 
 

@@ -2240,6 +2240,39 @@ def dedup_jaccard_q(spark, sf_dir):
 
 
 @query(
+    "dedup_containment",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id),
+    j AS (SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+          FROM inter JOIN sizes sa ON sa.id = inter.id_a JOIN sizes sb ON sb.id = inter.id_b),
+    d AS (
+      SELECT id_a AS src_id, id_b AS dst_id,
+             ROUND(CAST(n_inter AS DOUBLE) / n_a, 4) AS containment FROM j
+      UNION ALL
+      SELECT id_b AS src_id, id_a AS dst_id,
+             ROUND(CAST(n_inter AS DOUBLE) / n_b, 4) AS containment FROM j)
+    SELECT src_id, dst_id, containment FROM d WHERE containment >= 0.6
+    """,
+)
+def dedup_containment_q(spark, sf_dir):
+    # Directed near-containment (Broder's asymmetric resemblance): finds
+    # "src is a fragment of dst" pairs that symmetric Jaccard structurally
+    # misses (J ≤ |A|/|B| for A ⊆ B).  Same blocked inverted-list shape as
+    # dedup_ngram_jaccard — df_cap bounds hot-shingle buckets at scale;
+    # measured max df 25 at sf0.1, so capped ≡ exact at every test SF.
+    from datafusion_bigtable_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        load(spark, sf_dir, "documents"), k=3, threshold=0.6, df_cap=1000
+    )
+
+
+@query(
     "dedup_substring_spans",
     """
     WITH w AS (

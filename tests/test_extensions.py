@@ -42,6 +42,59 @@ def test_jaccard_finds_near_dup(spark, near_dup_docs):
     assert (1, 4) not in pairs and (4, 5) not in pairs
 
 
+def test_containment_is_directed(spark):
+    """A short fragment of a long doc must surface as (fragment → doc)
+    with high containment while the reverse direction and symmetric
+    Jaccard stay low — the asymmetric case jaccard_pairs misses."""
+    from datafusion_bigtable_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+    frag = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    rows = [
+        (1, frag),  # fragment
+        (2, frag + " " + filler),  # superset doc
+        (3, "totally different words about storage engines and scans"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r.src_id, r.dst_id): r.containment
+        for r in containment_pairs(docs, k=3, threshold=0.9).collect()
+    }
+    assert got[(1, 2)] == 1.0  # every shingle of 1 appears in 2
+    assert (2, 1) not in got  # reverse containment is tiny
+    assert (3, 1) not in got and (1, 3) not in got
+
+    jac = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    }
+    assert (1, 2) not in jac  # symmetric Jaccard is blind to this pair
+
+
+def test_containment_df_cap_self_consistent(spark):
+    """With df_cap engaged, numerator and denominator come from the same
+    capped shingle universe: a shingle shared by every doc stops counting
+    toward either side, so containment over the surviving shingles is
+    still exact (never a mixed-universe underestimate)."""
+    from datafusion_bigtable_spark.operators.dedup import containment_pairs
+
+    hot = "common boiler plate header line"
+    rows = [(i, hot + f" unique{i} token{i} tail{i} end{i}") for i in range(8)]
+    rows.append((100, hot + " unique1 token1 tail1 extra more words here now"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = {
+        (r.src_id, r.dst_id): r.containment
+        for r in containment_pairs(docs, k=3, threshold=0.0, df_cap=5).collect()
+    }
+    # hot-header shingles (df=9 > cap) are out of the universe on BOTH
+    # sides; doc 1 vs 100 still share the 'unique1 token1 tail1' block
+    assert (1, 100) in capped and 0 < capped[(1, 100)] <= 1.0
+    # docs sharing ONLY the hot header produce no pair at all once capped
+    assert (2, 3) not in capped
+
+
 def test_minhash_lsh_candidates(spark, near_dup_docs):
     from datafusion_bigtable_spark.operators.dedup import lsh_candidate_pairs
 
