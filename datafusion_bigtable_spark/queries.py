@@ -4417,6 +4417,30 @@ def text_top_bigrams_q(spark, sf_dir):
 
 
 @query(
+    "text_heavy_hitters",
+    """
+    WITH w AS (
+      SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS w
+      FROM documents),
+    t AS (SELECT unnest(w) AS token FROM w),
+    c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token),
+    r AS (SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank, token, cnt FROM c)
+    SELECT rank, token, cnt FROM r WHERE rank <= 40
+    """,
+)
+def text_heavy_hitters_q(spark, sf_dir):
+    # EXACT top-40 tokens via the two-phase Misra-Gries plan
+    # (operators/heavyhitters.py): bounded-state candidate summaries per
+    # partition, then a broadcast-candidate exact recount whose shuffle is
+    # candidate-width, not vocabulary-width — with a proof-or-fallback
+    # guarantee, so the oracle (plain exact top-k) must match EXACTLY at
+    # every SF regardless of which path ran.
+    from datafusion_bigtable_spark.operators.heavyhitters import exact_top_tokens
+
+    return exact_top_tokens(load(spark, sf_dir, "documents"), k=40, summary_size=4096)
+
+
+@query(
     "events_funnel_analysis",
     """
     WITH steps AS (

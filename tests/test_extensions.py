@@ -1186,3 +1186,47 @@ def test_incremental_ingest_dedup_crosses_sides_only(spark):
     assert (10, 3) in got and got[(10, 3)] == 1.0
     assert (10, 7) in got and (20, 3) in got
     assert all(n % 10 == 0 and x % 10 != 0 for n, x in got), got
+
+
+def test_heavy_hitters_exact_on_skewed_corpus(spark):
+    """Top-k from the MG candidate path must equal the plain exact count
+    on a Zipf-ish corpus, including the (count desc, token asc) tie-break."""
+    from datafusion_bigtable_spark.operators.heavyhitters import exact_top_tokens
+
+    rows = []
+    for i in range(200):
+        toks = ["the"] * 5 + ["spark"] * 3 + ["row"] * 2 + [f"rare{i}"]
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = [(r.rank, r.token, r.cnt) for r in exact_top_tokens(docs, k=3).collect()]
+    assert got == [(1, "the", 1000), (2, "spark", 600), (3, "row", 400)]
+
+
+def test_heavy_hitters_fallback_matches_candidate_path(spark):
+    """A summary too small for the guarantee must fall back to the full
+    exact plan and return the identical answer (proof-or-fallback: the
+    dial can only change cost, never output)."""
+    from datafusion_bigtable_spark.operators.heavyhitters import exact_top_tokens
+
+    rows = [(i, " ".join(f"t{j}" for j in range(i % 17))) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    big = [tuple(r) for r in exact_top_tokens(docs, k=10, summary_size=4096).collect()]
+    tiny = [tuple(r) for r in exact_top_tokens(docs, k=10, summary_size=2).collect()]
+    assert big == tiny and len(big) == 10
+
+
+def test_mg_candidates_state_is_bounded(spark):
+    """Per-partition candidate rows never exceed summary_size, whatever
+    the vocabulary; the NULL meta rows carry the exact corpus token total."""
+    from datafusion_bigtable_spark.operators.heavyhitters import mg_candidates
+
+    rows = [(i, " ".join(f"u{i}x{j}" for j in range(30))) for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+
+    out = mg_candidates(docs, summary_size=16).collect()
+    cand = [r for r in out if r["token"] is not None]
+    meta = [r for r in out if r["token"] is None]
+    assert len(cand) <= 4 * 16
+    assert sum(r["part_total"] for r in meta) == 400 * 30
