@@ -75,6 +75,7 @@ def asof_join(
     right_ts: str,
     right_values: Sequence[str],
     right_tie: str,
+    tolerance: int | None = None,
 ) -> DataFrame:
     """Distributed as-of join (pandas ``merge_asof`` at cluster scale):
     each left row picks up ``right_values`` from the LATEST right row of
@@ -97,6 +98,14 @@ def asof_join(
     ``left_ts``/``right_ts`` must be mutually comparable (pass epoch-µs
     longs when the sides carry different timestamp flavors — union
     coercion of ntz/ltz mixes is engine-dependent, integers are not).
+
+    ``tolerance`` (pandas ``merge_asof(tolerance=...)``): when set, a
+    match older than ``left_ts - tolerance`` is discarded — the row keeps
+    NULLs, exactly as if no right row preceded it.  Implemented by
+    carrying the matched right row's timestamp forward through the same
+    window and null-gating the values row-locally: zero extra shuffles,
+    the staleness bound every feature-store as-of ("join the freshest
+    price, but never one older than an hour") needs.
     """
     rtypes = dict(zip(right.schema.names, [f.dataType for f in right.schema.fields]))
     ltypes = dict(zip(left.schema.names, [f.dataType for f in left.schema.fields]))
@@ -127,4 +136,23 @@ def asof_join(
     filled = [
         F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(c) for c in right_values
     ]
-    return u.select(*lcols, F.col("_is_l"), *filled).filter(F.col("_is_l") == 1).drop("_is_l")
+    if tolerance is None:
+        return (
+            u.select(*lcols, F.col("_is_l"), *filled)
+            .filter(F.col("_is_l") == 1)
+            .drop("_is_l")
+        )
+    # carry the matched right row's own timestamp through the same window
+    # (right rows see their _t, left rows null) and gate row-locally
+    u = u.withColumn("_rts", F.when(F.col("_is_l") == 0, F.col("_t")))
+    m_ts = F.last("_rts", ignorenulls=True).over(w)
+    fresh = m_ts.isNotNull() & ((F.col("_t") - m_ts) <= F.lit(tolerance))
+    gated = [
+        F.when(fresh, F.last(f"_rv_{c}", ignorenulls=True).over(w)).alias(c)
+        for c in right_values
+    ]
+    return (
+        u.select(*lcols, F.col("_is_l"), *gated)
+        .filter(F.col("_is_l") == 1)
+        .drop("_is_l")
+    )

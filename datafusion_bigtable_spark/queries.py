@@ -2142,9 +2142,15 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         # pooled socket (ADVICE r10 #2)
         f"{_PKG}.operators.dedup",  # r11: line_dedup + incremental_ingest_dedup
         # additions and the _band_signatures factoring — conservative reset
-        f"{_PKG}.streaming.cells_stream",  # r11: streaming_ingest_dedup builder +
-        # runner branch (existing agg paths untouched; conservative reset —
-        # in practice already implied transitively via operators.dedup)
+        # NOT streaming.cells_stream: `git diff adeb769 HEAD -- streaming/`
+        # shows the r10 change is purely ADDITIVE (streaming_ingest_dedup +
+        # its runner elif; zero existing lines modified), and the additive
+        # policy above says additions don't reset dependents.  The r10
+        # bookkeeping reset it conservatively anyway, which as of r11 (145
+        # queries, 51 would-be-zero-green) overflows the 50-slot window and
+        # would displace a genuinely-touched query; the new
+        # streaming_ingest_dedup query itself still leads the window via
+        # its absence from _LAST_GREEN.
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset(
@@ -2156,10 +2162,35 @@ _TOUCHED_QUERIES: frozenset[str] = frozenset(
     }
 )
 
+# Surgical false-positive exemptions from the module-closure reset.
+# Round-scoped: every entry must be re-justified (or deleted) at each
+# fold, and tests/test_schedule.py fails loud if an entry stops being
+# module-reset (stale exemption) or has no prior driver-green to fall
+# back on.  r11 entries: the five streaming AGGREGATION queries reach
+# operators.dedup/similarity only through streaming.cells_stream's module
+# closure (streaming_ingest_dedup's function-local imports), but `git
+# diff adeb769 HEAD -- streaming/` shows the whole r10/r11 streaming
+# delta is that added function plus its runner `elif` — no existing
+# branch modified — and no dedup/similarity code executes under their agg
+# modes.  Without the exemption the zero-green set (51) overflows the
+# 50-slot driver window and displaces a genuinely-touched query, which
+# the schedule ratchet rightly forbids.
+_RESET_EXEMPT_QUERIES: frozenset[str] = frozenset(
+    {
+        "streaming_window_counts",
+        "streaming_session_windows",
+        "streaming_stateful_user_totals",
+        "streaming_enriched_counts",
+        "streaming_attribution_join",
+    }
+)
+
 
 def _last_green(name: str) -> int:
     if name in _TOUCHED_QUERIES:
         return 0
+    if name in _RESET_EXEMPT_QUERIES and name in _LAST_GREEN:
+        return _LAST_GREEN[name]
     if _TOUCHED_MODULES and (query_deps(name) & _TOUCHED_MODULES):
         return 0
     return _LAST_GREEN.get(name, 0)
@@ -4441,6 +4472,49 @@ def text_heavy_hitters_q(spark, sf_dir):
 
 
 @query(
+    "corpus_zipf_slope",
+    """
+    WITH w AS (
+      SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS w
+      FROM documents),
+    t AS (SELECT unnest(w) AS token FROM w),
+    c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token),
+    r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank FROM c
+          ORDER BY cnt DESC, token LIMIT 1000)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_ranked,
+           ROUND(regr_slope(ln(cnt), ln(rank)), 4) AS zipf_slope
+    FROM r
+    """,
+)
+def corpus_zipf_slope_q(spark, sf_dir):
+    # Zipf's-law fit for corpus health auditing: OLS slope of ln(count)
+    # against ln(rank) over the top-1000 tokens (natural text sits near
+    # -1; a slope collapsing toward 0 flags boilerplate/spam floods, a
+    # steep one flags vocabulary collapse).  Scale shape: one map-side-
+    # combined token count shuffle, then TakeOrdered(1000) — never a
+    # vocabulary-wide global sort or window; the rank window runs on the
+    # 1000 survivors in one bounded partition.
+    from datafusion_bigtable_spark.functions.text import words
+
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(words(F.col("text"))).alias("token")
+    )
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(1000)
+    )
+    ranked = top.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("cnt"), F.asc("token")))
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_ranked"),
+        F.round(F.regr_slope(F.log("cnt"), F.log("rank")), 4).alias("zipf_slope"),
+    )
+
+
+@query(
     "events_funnel_analysis",
     """
     WITH steps AS (
@@ -6026,6 +6100,71 @@ def streaming_ingest_dedup_q(spark, sf_dir):
 REGISTRY["streaming_ingest_dedup"] = QuerySpec(
     streaming_ingest_dedup_q, REGISTRY["dedup_incremental_ingest"].sql
 )
+
+
+@query(
+    "events_asof_view_tolerance",
+    """
+    WITH c AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events WHERE event_type = 'click'),
+    v AS (SELECT user_id, epoch_us(ts) AS t, event_id, value FROM events WHERE event_type = 'view'),
+    u AS (
+      SELECT user_id AS k, t, 1 AS is_l, event_id,
+             CAST(NULL AS BIGINT) AS vid, CAST(NULL AS DOUBLE) AS vval
+      FROM c
+      UNION ALL
+      SELECT user_id, t, 0, NULL, event_id, value FROM v),
+    f AS (
+      SELECT *,
+        LAST_VALUE(vid IGNORE NULLS) OVER w AS a_vid,
+        LAST_VALUE(vval IGNORE NULLS) OVER w AS a_vval,
+        LAST_VALUE(CASE WHEN is_l = 0 THEN t END IGNORE NULLS) OVER w AS a_ts
+      FROM u
+      WINDOW w AS (PARTITION BY k ORDER BY t, is_l, vid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_id AS click_id, k AS user_id, t AS ts_us,
+           CASE WHEN a_ts IS NOT NULL AND t - a_ts <= 21600000000 THEN a_vid END AS view_id,
+           CASE WHEN a_ts IS NOT NULL AND t - a_ts <= 21600000000
+                THEN ROUND(a_vval, 4) END AS view_value
+    FROM f WHERE is_l = 1
+    """,
+)
+def events_asof_view_tolerance_q(spark, sf_dir):
+    # As-of join with a STALENESS BOUND (pandas merge_asof tolerance= at
+    # cluster scale): each click attributes to the user's latest prior
+    # view only if it is at most 6 h old — older matches revert to NULL,
+    # the feature-store "freshest value, but never stale" contract.  Same
+    # one-shuffle union+window shape as events_asof_last_order; the bound
+    # is a row-local gate on a carried matched-timestamp, zero extra
+    # shuffles (operators/temporal.py::asof_join tolerance=).
+    from datafusion_bigtable_spark.operators.temporal import asof_join
+
+    epoch = "TIMESTAMP_NTZ'1970-01-01 00:00:00'"
+    ev = load(spark, sf_dir, "events")
+    us = F.timestamp_diff("MICROSECOND", F.expr(epoch), F.col("ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", us.alias("ts_us")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", us.alias("v_us"), F.col("event_id").alias("view_id"), F.col("value")
+    )
+    out = asof_join(
+        clicks,
+        views,
+        left_key="user_id",
+        right_key="user_id",
+        left_ts="ts_us",
+        right_ts="v_us",
+        right_values=("view_id", "value"),
+        right_tie="view_id",
+        tolerance=6 * 3600 * 1_000_000,
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        "ts_us",
+        "view_id",
+        F.round("value", 4).alias("view_value"),
+    )
 
 
 @query(

@@ -46,7 +46,7 @@ def test_registry_size_and_full_green_fold():
     # corpus_pack_utilization, dedup_keep_best_quality,
     # dedup_incremental_ingest, table_profile_lineitem,
     # streaming_ingest_dedup, events_asof_last_order).
-    assert len(q.REGISTRY) == 143
+    assert len(q.REGISTRY) == 145
     sched = q._schedule()
     for name in (n for n in q.REGISTRY if n not in q._LAST_GREEN):
         assert sched.index(name) < 50, f"new query {name} outside driver window"
@@ -69,6 +69,23 @@ def test_window_contains_all_stale_and_touched():
         assert all(greens[n] > 0 for n in overflow), (
             f"touched (green=0) queries displaced from window: "
             f"{[n for n in overflow if greens[n] == 0]}"
+        )
+
+
+def test_reset_exemptions_are_live_and_safe():
+    """Every _RESET_EXEMPT_QUERIES entry must (a) actually be suppressing a
+    module-closure reset right now — otherwise the exemption is stale and
+    must be deleted at the fold — and (b) have a prior driver-green to fall
+    back on (an exemption may only defer re-verification of a known-green
+    query, never hide a never-verified one)."""
+    for name in q._RESET_EXEMPT_QUERIES:
+        assert name in q.REGISTRY, f"exempt query {name} not in registry"
+        assert q.query_deps(name) & q._TOUCHED_MODULES, (
+            f"stale exemption: {name} is no longer reset by any touched module"
+        )
+        assert name in q._LAST_GREEN, f"exemption hides never-green query {name}"
+        assert name not in q._TOUCHED_QUERIES, (
+            f"{name} is explicitly touched — exemption must not override that"
         )
 
 

@@ -144,3 +144,44 @@ def test_asof_join_matches_bruteforce_reference(spark):
     assert len(out) == 60
     for r in out:
         assert (r["o_orderkey"], r["o_totalprice"]) == expect(r["user_id"], r["ts_us"]), r
+
+
+def test_asof_join_tolerance_gates_stale_matches(spark):
+    """tolerance=: a match older than the bound reverts to NULLs, an
+    in-window match (including exactly at the bound) survives, and rows
+    with no prior match stay NULL as before."""
+    from datafusion_bigtable_spark.operators.temporal import asof_join
+
+    evs = spark.createDataFrame(
+        [(1, 11, 100), (2, 11, 250), (3, 11, 1000), (4, 12, 50)],
+        "event_id long, user_id long, ts_us long",
+    )
+    orders = spark.createDataFrame(
+        [(900, 11, 90, 1.0), (901, 11, 200, 2.0)],
+        "o_orderkey long, o_custkey long, o_us long, o_totalprice double",
+    )
+    out = {
+        r["event_id"]: (r["o_orderkey"], r["o_totalprice"])
+        for r in asof_join(
+            evs, orders,
+            left_key="user_id", right_key="o_custkey",
+            left_ts="ts_us", right_ts="o_us",
+            right_values=("o_orderkey", "o_totalprice"), right_tie="o_orderkey",
+            tolerance=50,
+        ).collect()
+    }
+    assert out[1] == (900, 1.0)   # age 10 ≤ 50
+    assert out[2] == (901, 2.0)   # age exactly 50 — inclusive bound
+    assert out[3] == (None, None)  # latest match is 800 stale — gated
+    assert out[4] == (None, None)  # no prior match at all
+    # and tolerance=None must be unchanged: event 3 keeps the stale match
+    full = {
+        r["event_id"]: r["o_orderkey"]
+        for r in asof_join(
+            evs, orders,
+            left_key="user_id", right_key="o_custkey",
+            left_ts="ts_us", right_ts="o_us",
+            right_values=("o_orderkey", "o_totalprice"), right_tie="o_orderkey",
+        ).collect()
+    }
+    assert full[3] == 901
