@@ -428,3 +428,120 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(op, FRAME_SCHEMA)
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("b0", T.LongType(), True),
+        T.StructField("b1", T.LongType(), True),
+        T.StructField("b2", T.LongType(), True),
+        T.StructField("b3", T.LongType(), True),
+    ]
+)
+
+
+def image_ahash_bands(assets: DataFrame, grid: int = 8) -> DataFrame:
+    """64-bit average-hash (aHash) per decodable image, emitted as four
+    16-bit band integers (b0..b3) for multi-index hamming search.
+
+    The perceptual-hash family's simplest member: downsample to a
+    ``grid``×``grid`` cell map, threshold each cell against the image
+    mean, pack the bits.  Everything is INTEGER arithmetic — each cell
+    is the int64 sum of its pixel block over all channels, and the bit is
+    ``cell · grid² > total`` (division-free mean comparison), so the hash
+    is exactly reproducible by closed-form SQL on generated images and
+    immune to float rounding on any engine.  Decoding is the REAL
+    container path (media_codecs.decode_pixels — PNG/BMP/PPM/JPEG);
+    Arrow-batched mapInPandas, zero shuffle, embarrassingly parallel.
+
+    Images must divide evenly into the grid (undefined cells would make
+    the hash silently depend on edge-handling); fail loud otherwise.
+    """
+
+    def op(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from datafusion_bigtable_spark.functions import media_codecs as mc
+
+        for pdf in batches:
+            out = {k: [] for k in ("asset_id", "b0", "b1", "b2", "b3")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                out["asset_id"].append(aid)
+                px = mc.decode_pixels(bytes(payload)) if payload is not None else None
+                if px is None:
+                    for j in range(4):
+                        out[f"b{j}"].append(None)
+                    continue
+                h, w = px.shape[0], px.shape[1]
+                if h % grid or w % grid:
+                    raise ValueError(
+                        f"image {h}x{w} does not divide into a {grid}x{grid} grid"
+                    )
+                ch, cw = h // grid, w // grid
+                cells = (
+                    px.astype(np.int64)
+                    .reshape(grid, ch, grid, cw, -1)
+                    .sum(axis=(1, 3, 4))
+                    .ravel()
+                )
+                bits = (cells * (grid * grid) > cells.sum()).astype(np.int64)
+                for j in range(4):
+                    out[f"b{j}"].append(
+                        int((bits[16 * j : 16 * j + 16] << np.arange(16)).sum())
+                    )
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(op, AHASH_SCHEMA)
+
+
+def ahash_dup_pairs(assets: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(id_a, id_b, hamming) for every image pair within ``max_hamming``
+    bits of 64-bit aHash distance — near-duplicate image detection.
+
+    Multi-index recall guarantee (pigeonhole): a pair within 3 bits must
+    agree EXACTLY on at least one of the four 16-bit bands, so candidates
+    come from four bucketed equi self-joins on (band, value) — the
+    sub-quadratic SimHash-style shape, never an all-pairs scan — and the
+    exact hamming filter (JVM ``bit_count(xor)``) keeps no false
+    positives.  ``max_hamming`` must stay < number of bands (4) or the
+    band index loses recall; fail loud rather than silently undercount.
+    """
+    if max_hamming >= 4:
+        raise ValueError("max_hamming must be < 4 for the 4-band index to be exact")
+    hv = image_ahash_bands(assets).filter(F.col("b0").isNotNull())
+    long = hv.select(
+        "asset_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("band"), F.col(f"b{j}").alias("val"))
+                    for j in range(4)
+                ]
+            )
+        ).alias("x"),
+    ).select("asset_id", F.col("x.band").alias("band"), F.col("x.val").alias("val"))
+    cand = (
+        long.alias("a")
+        .join(
+            long.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(F.col("a.asset_id").alias("id_a"), F.col("b.asset_id").alias("id_b"))
+        .distinct()
+    )
+    ha = hv.select(F.col("asset_id").alias("id_a"), *[F.col(f"b{j}").alias(f"a{j}") for j in range(4)])
+    hb = hv.select(F.col("asset_id").alias("id_b"), *[F.col(f"b{j}").alias(f"x{j}") for j in range(4)])
+    ham = sum(
+        F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"x{j}"))) for j in range(4)
+    )
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -5510,6 +5510,109 @@ def multimodal_png_decode_q(spark, sf_dir):
 
 
 @query(
+    "multimodal_ahash_dedup",
+    """
+    WITH base AS (
+      SELECT doc_id,
+        list_transform(range(0, 64), i ->
+          (strpos('0123456789abcdef', substr(md5(CAST(doc_id // 4 AS VARCHAR)
+              || CASE WHEN doc_id % 4 = 3 THEN '|alt|' ELSE '|' END
+              || CAST(i // 16 AS VARCHAR)), 2 * (i % 16) + 1, 1)) - 1) * 16
+          + strpos('0123456789abcdef', substr(md5(CAST(doc_id // 4 AS VARCHAR)
+              || CASE WHEN doc_id % 4 = 3 THEN '|alt|' ELSE '|' END
+              || CAST(i // 16 AS VARCHAR)), 2 * (i % 16) + 2, 1)) - 1
+        ) AS cells
+      FROM documents),
+    pert AS (
+      SELECT doc_id,
+        list_transform(range(0, 64), i ->
+          CASE WHEN doc_id % 4 = 1 AND i = 0 THEN LEAST(255, cells[i + 1] + 1)
+               WHEN doc_id % 4 = 2 AND i % 7 = 0 THEN LEAST(255, cells[i + 1] + 96)
+               ELSE cells[i + 1] END) AS cells
+      FROM base),
+    hb AS (SELECT doc_id, cells, list_sum(cells) AS tot FROM pert),
+    bands AS (
+      SELECT doc_id, j.j AS band,
+        CAST(list_sum(list_transform(range(0, 16), t ->
+          CASE WHEN cells[j.j * 16 + t + 1] * 64 > tot
+               THEN (CAST(1 AS BIGINT) << t) ELSE 0 END)) AS BIGINT) AS band_val
+      FROM hb, LATERAL (SELECT unnest(generate_series(0, 3)) AS j) j),
+    hv AS (SELECT doc_id, list(band_val ORDER BY band) AS bv FROM bands GROUP BY doc_id),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(ha.bv[1], hx.bv[1])) + bit_count(xor(ha.bv[2], hx.bv[2]))
+              + bit_count(xor(ha.bv[3], hx.bv[3])) + bit_count(xor(ha.bv[4], hx.bv[4]))
+             AS BIGINT) AS hamming
+    FROM cand c JOIN hv ha ON ha.doc_id = c.id_a JOIN hv hx ON hx.doc_id = c.id_b
+    WHERE bit_count(xor(ha.bv[1], hx.bv[1])) + bit_count(xor(ha.bv[2], hx.bv[2]))
+        + bit_count(xor(ha.bv[3], hx.bv[3])) + bit_count(xor(ha.bv[4], hx.bv[4])) <= 3
+    """,
+)
+def multimodal_ahash_dedup_q(spark, sf_dir):
+    # Near-duplicate IMAGE detection end-to-end through the Spark surface:
+    # per doc a 32x32 grayscale PNG is ENCODED from md5-derived 4x4 cells
+    # (docs in the same doc_id//4 group are planted variants: v1 = one
+    # cell +1, v2 = every 7th cell +96, v3 = unrelated), DECODED by the
+    # real stdlib-zlib+numpy PNG path, average-hashed with division-free
+    # integer thresholds (functions/multimodal.py::image_ahash_bands),
+    # and paired by the 4-band multi-index hamming join (pigeonhole-exact
+    # for hamming <= 3, never an all-pairs scan).  The oracle recomputes
+    # hash and pairs closed-form from the same digest arithmetic — a
+    # wrong filter inversion, a dropped byte, a float mean, or a recall
+    # hole in the band index all hash-mismatch.
+    import hashlib as _hl
+
+    import numpy as _np
+
+    from pyspark.sql import types as T
+
+    from datafusion_bigtable_spark.functions.multimodal import ahash_dup_pairs
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        from datafusion_bigtable_spark.functions.media_codecs import build_png_rgb
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, v = did // 4, did % 4
+                salt = "|alt|" if v == 3 else "|"
+                raw = b"".join(
+                    _hl.md5(f"{g}{salt}{j}".encode()).digest() for j in range(4)
+                )
+                cells = _np.frombuffer(raw, dtype=_np.uint8).astype(_np.int64).copy()
+                if v == 1:
+                    cells[0] = min(255, cells[0] + 1)
+                elif v == 2:
+                    cells[::7] = _np.minimum(255, cells[::7] + 96)
+                px32 = _np.kron(
+                    cells.reshape(8, 8), _np.ones((4, 4), dtype=_np.int64)
+                ).astype(_np.uint8)
+                rgb = _np.stack([px32] * 3, axis=-1)
+                payloads.append(build_png_rgb(rgb, filters=[0, 1, 2, 3, 4]))
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "mime": "image/png", "payload": payloads}
+            )
+
+    assets = docs.mapInPandas(gen, schema)
+    return ahash_dup_pairs(assets, max_hamming=3)
+
+
+@query(
     "multimodal_jpeg_decode",
     """
     WITH v AS (

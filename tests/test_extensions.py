@@ -1230,3 +1230,73 @@ def test_mg_candidates_state_is_bounded(spark):
     meta = [r for r in out if r["token"] is None]
     assert len(cand) <= 4 * 16
     assert sum(r["part_total"] for r in meta) == 400 * 30
+
+
+def test_ahash_bands_and_dup_pairs(spark):
+    """Identical images hash identically (hamming 0); a one-cell tweak
+    stays within the near-dup bound; an inverted image is far; the band
+    join must find exactly the close pairs.  All through the REAL PNG
+    encode->decode path."""
+    import numpy as np
+
+    from datafusion_bigtable_spark.functions.media_codecs import build_png_rgb
+    from datafusion_bigtable_spark.functions.multimodal import (
+        ahash_dup_pairs,
+        image_ahash_bands,
+    )
+
+    base = (np.arange(64, dtype=np.int64).reshape(8, 8) * 4) % 256
+    tweak = base.copy()
+    tweak[0, 0] = min(255, tweak[0, 0] + 2)
+    far = 255 - base
+
+    def png(cells):
+        px = np.kron(cells, np.ones((4, 4), dtype=np.int64)).astype(np.uint8)
+        return build_png_rgb(np.stack([px] * 3, axis=-1))
+
+    assets = spark.createDataFrame(
+        [(1, "image/png", png(base)), (2, "image/png", png(base)),
+         (3, "image/png", png(tweak)), (4, "image/png", png(far))],
+        "asset_id long, mime string, payload binary",
+    )
+    hv = {r["asset_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+          for r in image_ahash_bands(assets).collect()}
+    assert hv[1] == hv[2]
+    ham13 = sum(bin(a ^ b).count("1") for a, b in zip(hv[1], hv[3]))
+    ham14 = sum(bin(a ^ b).count("1") for a, b in zip(hv[1], hv[4]))
+    assert 0 <= ham13 <= 3 < ham14
+
+    pairs = {(r.id_a, r.id_b): r.hamming for r in ahash_dup_pairs(assets).collect()}
+    assert pairs[(1, 2)] == 0
+    assert ((1, 3) in pairs) == (ham13 <= 3)
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_ahash_fails_loud_on_bad_inputs(spark):
+    import numpy as np
+    import pytest as _pt
+
+    from datafusion_bigtable_spark.functions.media_codecs import build_png_rgb
+    from datafusion_bigtable_spark.functions.multimodal import (
+        ahash_dup_pairs,
+        image_ahash_bands,
+    )
+
+    # non-divisible dims: 9x9 image into an 8x8 grid must raise, not guess
+    odd = build_png_rgb(np.zeros((9, 9, 3), dtype=np.uint8))
+    assets = spark.createDataFrame(
+        [(1, "image/png", odd)], "asset_id long, mime string, payload binary"
+    )
+    with _pt.raises(Exception, match="does not divide"):
+        image_ahash_bands(assets).collect()
+
+    # a hamming bound the 4-band index cannot certify must raise eagerly
+    with _pt.raises(ValueError, match="max_hamming"):
+        ahash_dup_pairs(assets, max_hamming=4)
+
+    # undecodable payloads drop out (null bands filtered), no crash
+    junk = spark.createDataFrame(
+        [(1, "text/plain", b"not an image")],
+        "asset_id long, mime string, payload binary",
+    )
+    assert ahash_dup_pairs(junk).collect() == []

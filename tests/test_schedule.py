@@ -46,7 +46,7 @@ def test_registry_size_and_full_green_fold():
     # corpus_pack_utilization, dedup_keep_best_quality,
     # dedup_incremental_ingest, table_profile_lineitem,
     # streaming_ingest_dedup, events_asof_last_order).
-    assert len(q.REGISTRY) == 145
+    assert len(q.REGISTRY) == 146
     sched = q._schedule()
     for name in (n for n in q.REGISTRY if n not in q._LAST_GREEN):
         assert sched.index(name) < 50, f"new query {name} outside driver window"
