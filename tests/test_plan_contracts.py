@@ -493,3 +493,50 @@ def test_line_dedup_combined_count_and_antijoin(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2, plan
     # the line-frequency side must NOT be computed through a Window
     assert "windowspecdefinition(line" not in plan.lower(), plan
+
+
+def test_heavy_hitters_recount_broadcasts_candidates(spark, sf_dir):
+    """The exact recount's 100 TB property: the candidate set joins the
+    token stream as a BROADCAST (map-side filter — the shuffle carries at
+    most candidate-width partial counts, never the vocabulary), and the
+    top-k is TakeOrdered, not a global sort."""
+    from pyspark.sql import functions as F
+
+    from datafusion_bigtable_spark.functions.text import words
+    from datafusion_bigtable_spark.queries import load
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(words(F.col("text"))).alias("token"))
+    cand = spark.createDataFrame([("the",), ("agg",)], "token string")
+    counted = (
+        toks.join(F.broadcast(cand), "token").groupBy("token").agg(F.count("*").alias("cnt"))
+    )
+    plan = _plan(spark, counted.orderBy(F.desc("cnt"), F.asc("token")).limit(40))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_zipf_slope_no_vocabulary_global_sort(spark, sf_dir):
+    """corpus_zipf_slope must reach the rank window through TakeOrdered
+    (top-1000 survivors), never Sort+Window over the whole vocabulary."""
+    plan = _plan(spark, _q(spark, sf_dir, "corpus_zipf_slope"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ahash_pairs_band_bucketed_not_allpairs(spark, sf_dir):
+    """The hamming candidate join must be an EQUI join on (band, value) —
+    never a cartesian/nested-loop all-pairs comparison of images."""
+    plan = _plan(spark, _q(spark, sf_dir, "multimodal_ahash_dedup"))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_same_blocked_shape_as_jaccard(spark, sf_dir):
+    """Directed containment inherits jaccard_pairs' blocking: candidate
+    pairs come from the shingle inverted list (one shuffle on shingle),
+    no self-join of the documents table, no cartesian."""
+    plan = _plan(spark, _q(spark, sf_dir, "dedup_containment"))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the direction split is row-local: exactly one explode-side generator
+    # over the pair array, not a union of two scans of the pair table
+    assert plan.count("Generate explode") >= 1
