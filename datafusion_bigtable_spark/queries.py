@@ -3622,6 +3622,58 @@ def decontaminate_q(spark, sf_dir):
 
 
 @query(
+    "decontaminate_bloom",
+    f"""
+    WITH {_SHINGLES_CTE},
+    b AS (SELECT DISTINCT shingle FROM sh WHERE id % 97 = 0),
+    c AS (SELECT * FROM sh WHERE id % 97 != 0),
+    bits AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5('bf' || i || '|' || shingle), 1, 8)) AS INT64) % 65536 AS pos
+      FROM b, LATERAL (SELECT unnest([0, 1, 2]) AS i) t),
+    probes AS (
+      SELECT c.id, c.shingle,
+             CAST(('0x' || substr(md5('bf' || i || '|' || c.shingle), 1, 8)) AS INT64) % 65536 AS pos
+      FROM c, LATERAL (SELECT unnest([0, 1, 2]) AS i) t),
+    mem AS (
+      SELECT id, shingle, COUNT(bits.pos) = 3 AS in_bloom
+      FROM probes LEFT JOIN bits USING (pos)
+      GROUP BY id, shingle),
+    scored AS (
+      SELECT id, COUNT(*) AS n_shingles,
+             CAST(SUM(CAST(in_bloom AS INT)) AS BIGINT) AS n_hit
+      FROM mem GROUP BY id)
+    SELECT id AS doc_id, n_shingles, n_hit,
+           ROUND(n_hit * 1.0 / n_shingles, 4) AS bloom_overlap,
+           n_hit * 1.0 / n_shingles >= 0.5 AS flagged
+    FROM scored
+    """,
+)
+def decontaminate_bloom_q(spark, sf_dir):
+    # Bloom-screened decontamination (operators/bloom.py): same benchmark
+    # slice and shingling as decontaminate_vs_benchmark, but membership is
+    # tested against a FIXED-SIZE bit set (m=65536 here, deliberately small
+    # so false positives actually occur at the driver's sf0.01 and the
+    # oracle hash-verifies them bit-for-bit — the probes are portable
+    # md5-derived positions both engines compute identically).  At 100 TB
+    # the broadcast payload is bounded at m ints regardless of benchmark
+    # size; `flagged` is a guaranteed superset of the exact `contaminated`
+    # set (no false negatives — pinned in tests/test_bloom.py).
+    from datafusion_bigtable_spark.operators.bloom import decontaminate_bloom
+
+    d = load(spark, sf_dir, "documents")
+    out = decontaminate_bloom(
+        d.filter(F.col("doc_id") % 97 != 0),
+        d.filter(F.col("doc_id") % 97 == 0),
+        k=3,
+        threshold=0.5,
+        m=65536,
+        k_hashes=3,
+    )
+    return out.select(F.col("id").alias("doc_id"), "n_shingles", "n_hit", "bloom_overlap", "flagged")
+
+
+@query(
     "text_chunk_documents",
     """
     SELECT doc_id,

@@ -48,7 +48,7 @@ def test_registry_size_and_full_green_fold():
     # streaming_ingest_dedup, events_asof_last_order, dedup_containment,
     # text_heavy_hitters, corpus_zipf_slope, events_asof_view_tolerance,
     # multimodal_ahash_dedup).
-    assert len(q.REGISTRY) == 146
+    assert len(q.REGISTRY) == 147
     sched = q._schedule()
     for name in (n for n in q.REGISTRY if n not in q._LAST_GREEN):
         assert sched.index(name) < 50, f"new query {name} outside driver window"
