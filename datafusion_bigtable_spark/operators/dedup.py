@@ -357,6 +357,139 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_estimated_pairs(
+    docs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidates verified from the SIGNATURES ALONE: estimated
+    Jaccard = fraction of agreeing minhash positions (the unbiased
+    estimator E[1{mh_a=mh_b}] = J from Broder's theorem).
+
+    This is the at-scale verify path: ``lsh_candidate_pairs`` followed by
+    an EXACT Jaccard re-join touches the shingle table a second time —
+    a second corpus-sized pass whose join fan-out is the candidate count.
+    Here the full signature array (bands·rows_per_band md5 strings,
+    ~32 B each) rides the banding explode, so every candidate pair
+    already holds both signatures when the bucket join emits it and the
+    estimate is a row-local zip — zero joins after candidate generation,
+    and the raw text/shingles are never revisited.  The price is
+    estimator variance ~ sqrt(J(1-J)/n); at scale you buy accuracy by
+    raising num_hashes (linear map-side cost), never with another pass.
+
+    Output: (id_a, id_b, n_agree, est_jaccard, est_dup).
+    """
+    n = bands * rows_per_band
+    sig = _minhash_wide(docs, n, k, text_col, id_col)
+    full_sig = F.array(*[F.col(f"mh_{s}") for s in range(n)])
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    F.array_sort(
+                        F.array(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)])
+                    ),
+                ).alias("band_sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("id", full_sig.alias("sig"), F.explode(band_structs).alias("x")).select(
+        "id", "sig", F.col("x.band").alias("band"), F.col("x.band_sig").alias("band_sig")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()  # a pair can match in >1 band; sig is functionally dependent on id
+    )
+    n_agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("long")
+    est = F.col("n_agree") / F.lit(float(n))
+    return pairs.select("id_a", "id_b", n_agree.alias("n_agree")).select(
+        "id_a",
+        "id_b",
+        "n_agree",
+        F.round(est, 4).alias("est_jaccard"),
+        (est >= F.lit(threshold)).alias("est_dup"),
+    )
+
+
+def lsh_dup_rate_sample(
+    docs: DataFrame,
+    sample_mod: int = 20,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus near-dup RATE audit from a deterministic hash sample: the
+    fraction of sampled docs with at least one LSH band partner anywhere
+    in the FULL corpus.
+
+    The scale contract: the full-corpus banding pass is linear and
+    unavoidable (a dup partner can be anywhere), but pair ENUMERATION is
+    not — the probe side is the md5-sampled 1/sample_mod slice, the join
+    is a LEFT SEMI on the band bucket (short-circuits at first partner,
+    emits no pair rows), so cost is one corpus pass + a sample-sized
+    probe instead of Σ|bucket|² pair fan-out + connected components.
+    This is the number a curation team wants BEFORE committing to a full
+    dedup run at 100 TB.
+
+    Output: one row (n_sampled, n_with_dup, dup_rate) over the universe
+    of docs that carry ≥1 shingle (k-1 fewer words ⇒ no signature, same
+    universe both engines).
+    """
+    banded = _band_signatures(docs, bands, rows_per_band, k, text_col, id_col)
+    sample_pred = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("s1"), F.col("id").cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % sample_mod
+        == 0
+    )
+    probes = banded.filter(sample_pred)
+    hit_ids = (
+        probes.alias("s")
+        .join(
+            banded.alias("c"),
+            (F.col("s.band") == F.col("c.band"))
+            & (F.col("s.band_sig") == F.col("c.band_sig"))
+            & (F.col("s.id") != F.col("c.id")),
+            "left_semi",
+        )
+        .select("id")
+        .distinct()
+    )
+    flags = probes.select("id").distinct().join(
+        hit_ids.withColumn("_hit", F.lit(1)), "id", "left"
+    )
+    return flags.agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.count("_hit").cast("long").alias("n_with_dup"),
+        F.round(F.count("_hit") / F.count("*"), 4).alias("dup_rate"),
+    )
+
+
 # --------------------------------------------------------------- SimHash --
 
 

@@ -2373,6 +2373,90 @@ def dedup_minhash_q(spark, sf_dir):
 
 
 @query(
+    "dedup_minhash_estimate",
+    f"""
+    WITH {_SHINGLES_CTE},
+    mh AS (
+      SELECT id, s.seed, MIN(md5(CAST(s.seed AS VARCHAR) || '|' || shingle)) AS minhash
+      FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS seed) s
+      GROUP BY id, s.seed),
+    banded AS (
+      SELECT id, CAST(seed // 2 AS INT) AS band,
+             string_agg(minhash, ',' ORDER BY minhash) AS band_sig
+      FROM mh GROUP BY id, seed // 2),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id),
+    est AS (
+      SELECT p.id_a, p.id_b,
+             CAST(SUM(CASE WHEN x.minhash = y.minhash THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+      FROM pairs p
+      JOIN mh x ON x.id = p.id_a
+      JOIN mh y ON y.id = p.id_b AND y.seed = x.seed
+      GROUP BY p.id_a, p.id_b)
+    SELECT id_a, id_b, n_agree,
+           ROUND(n_agree / 8.0, 4) AS est_jaccard,
+           n_agree / 8.0 >= 0.5 AS est_dup
+    FROM est
+    """,
+)
+def dedup_minhash_estimate_q(spark, sf_dir):
+    # Signature-only near-dup verify (operators/dedup.py::lsh_estimated_pairs):
+    # LSH candidates scored by the fraction of agreeing minhash positions
+    # (Broder: P[mh_a = mh_b] = Jaccard), so verification never re-joins the
+    # shingle table — the second corpus pass the exact-verify path pays.
+    # The oracle recomputes the estimate the SLOW way (pairs × seeds join);
+    # the Spark plan carries both signature arrays through the band join
+    # and zips them row-locally — identical numbers, zero post-join work.
+    from datafusion_bigtable_spark.operators.dedup import lsh_estimated_pairs
+
+    return lsh_estimated_pairs(
+        load(spark, sf_dir, "documents"), bands=4, rows_per_band=2, k=3, threshold=0.5
+    )
+
+
+@query(
+    "dedup_sampled_rate",
+    f"""
+    WITH {_SHINGLES_CTE},
+    mh AS (
+      SELECT id, s.seed, MIN(md5(CAST(s.seed AS VARCHAR) || '|' || shingle)) AS minhash
+      FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS seed) s
+      GROUP BY id, s.seed),
+    banded AS (
+      SELECT id, CAST(seed // 2 AS INT) AS band,
+             string_agg(minhash, ',' ORDER BY minhash) AS band_sig
+      FROM mh GROUP BY id, seed // 2),
+    probes AS (
+      SELECT * FROM banded
+      WHERE CAST(('0x' || substr(md5('s1' || CAST(id AS VARCHAR)), 1, 8)) AS INT64) % 20 = 0),
+    hit_ids AS (
+      SELECT DISTINCT s.id
+      FROM probes s JOIN banded c
+        ON s.band = c.band AND s.band_sig = c.band_sig AND s.id != c.id),
+    flags AS (
+      SELECT p.id, h.id IS NOT NULL AS has_dup
+      FROM (SELECT DISTINCT id FROM probes) p LEFT JOIN hit_ids h ON p.id = h.id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(CASE WHEN has_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_with_dup,
+           ROUND(SUM(CASE WHEN has_dup THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS dup_rate
+    FROM flags
+    """,
+)
+def dedup_sampled_rate_q(spark, sf_dir):
+    # Corpus dup-rate audit (operators/dedup.py::lsh_dup_rate_sample): the
+    # md5-sampled 1/20 slice probes the FULL corpus band index via a LEFT
+    # SEMI join (short-circuits at first partner, no pair rows emitted) —
+    # one linear banding pass + a sample-sized probe instead of pair
+    # enumeration + connected components.  The pre-commit sizing number
+    # for a full dedup run.
+    from datafusion_bigtable_spark.operators.dedup import lsh_dup_rate_sample
+
+    return lsh_dup_rate_sample(load(spark, sf_dir, "documents"), sample_mod=20)
+
+
+@query(
     "dedup_connected_components",
     f"""
     WITH RECURSIVE {_SHINGLES_CTE},

@@ -103,6 +103,47 @@ def test_minhash_lsh_candidates(spark, near_dup_docs):
     assert (4, 5) not in cands  # unrelated docs shouldn't collide with 8 hashes
 
 
+def test_lsh_estimated_pairs_signature_verify(spark, near_dup_docs):
+    from datafusion_bigtable_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        lsh_estimated_pairs,
+    )
+
+    est = {
+        (r.id_a, r.id_b): r
+        for r in lsh_estimated_pairs(near_dup_docs, bands=4, rows_per_band=2, k=3).collect()
+    }
+    # pair universe is exactly the LSH candidate set (same banding)
+    cands = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(near_dup_docs, bands=4, rows_per_band=2).collect()}
+    assert set(est) == cands
+    # identical docs: every minhash position agrees
+    assert est[(1, 2)].n_agree == 8 and est[(1, 2)].est_jaccard == 1.0 and est[(1, 2)].est_dup
+    # the estimator tracks exact Jaccard on the near-dup within sampling
+    # noise (n=8 positions → worst-case granularity 1/8)
+    exact = {(r.id_a, r.id_b): r.jaccard for r in jaccard_pairs(near_dup_docs, k=3, threshold=0.0).collect()}
+    for pair, row in est.items():
+        if pair in exact:
+            assert abs(row.est_jaccard - exact[pair]) <= 0.5, (pair, row.est_jaccard, exact[pair])
+
+
+def test_lsh_dup_rate_sample_bounds(spark, near_dup_docs):
+    from datafusion_bigtable_spark.operators.dedup import lsh_dup_rate_sample
+
+    # sample_mod=1 probes every doc: exactly the docs with an LSH partner
+    # count as dups (ids 1 and 2 here); deterministic across runs.
+    full = lsh_dup_rate_sample(near_dup_docs, sample_mod=1, bands=4, rows_per_band=2).collect()[0]
+    assert full.n_sampled == 5
+    assert full.n_with_dup >= 2  # the exact pair always shares every band
+    again = lsh_dup_rate_sample(near_dup_docs, sample_mod=1, bands=4, rows_per_band=2).collect()[0]
+    assert (full.n_sampled, full.n_with_dup, full.dup_rate) == (
+        again.n_sampled,
+        again.n_with_dup,
+        again.dup_rate,
+    )
+    assert full.dup_rate == round(full.n_with_dup / full.n_sampled, 4)
+
+
 def test_simhash_identical_docs_same_fingerprint(spark, near_dup_docs):
     from datafusion_bigtable_spark.operators.dedup import simhash_fingerprints
 
