@@ -490,6 +490,51 @@ def lsh_dup_rate_sample(
     )
 
 
+def lsh_quality_report(
+    docs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    k: int = 3,
+    threshold: float = 0.5,
+    df_cap: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Precision/recall of the LSH candidate set against exact-Jaccard
+    ground truth — the tuning report that justifies a (bands,
+    rows_per_band) choice BEFORE a full-corpus run.
+
+    The theoretical S-curve (P[candidate] = 1-(1-J^r)^b) predicts recall
+    at the threshold; this measures it on the actual corpus, where the
+    shingle distribution decides how tight the bound is.  At 100 TB you
+    run this on a hash-sampled slice (compose with
+    ``sampling.deterministic_hash_sample``), pick the banding, then pay
+    for the full pass once.
+
+    Output: one row (n_truth, n_candidates, n_true_positive, precision,
+    recall); precision/recall are NULL when their denominator is empty.
+    """
+    truth = jaccard_pairs(docs, k=k, threshold=threshold, df_cap=df_cap, text_col=text_col, id_col=id_col).select(
+        "id_a", "id_b", F.lit(1).alias("_t")
+    )
+    cand = lsh_candidate_pairs(docs, bands, rows_per_band, k, text_col, id_col).select(
+        "id_a", "id_b", F.lit(1).alias("_c")
+    )
+    both = truth.join(cand, ["id_a", "id_b"], "full")
+    tp = F.sum((F.col("_t").isNotNull() & F.col("_c").isNotNull()).cast("int")).cast("long")
+    return both.agg(
+        F.count("_t").cast("long").alias("n_truth"),
+        F.count("_c").cast("long").alias("n_candidates"),
+        tp.alias("n_true_positive"),
+    ).select(
+        "n_truth",
+        "n_candidates",
+        "n_true_positive",
+        F.round(F.col("n_true_positive") / F.col("n_candidates"), 4).alias("precision"),
+        F.round(F.col("n_true_positive") / F.col("n_truth"), 4).alias("recall"),
+    )
+
+
 # --------------------------------------------------------------- SimHash --
 
 

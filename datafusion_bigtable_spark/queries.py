@@ -2182,6 +2182,22 @@ _RESET_EXEMPT_QUERIES: frozenset[str] = frozenset(
         "streaming_stateful_user_totals",
         "streaming_enriched_counts",
         "streaming_attribution_join",
+        # The five parquet-cells-store pushdown queries reach sources.wire
+        # ONLY through datasource.py's function-local `WireBigtableClient`
+        # imports (lines 614/757/1039), which execute solely under wire
+        # transport mode — these queries run the DefaultSource cells path
+        # end to end and never construct a socket.  The r11 wire diff (free
+        # reconnect for a zero-frame reused pooled socket, ADVICE r10 #2)
+        # cannot alter their behavior; all five are r10 driver-green.
+        # Without the exemption the zero-green set (56 with this round's 17
+        # additions) overflows the 50-slot window.  The two queries that DO
+        # exercise the wire client (bt_read_rows_wire, bt_wire_sharded_scan)
+        # stay reset and lead the window.
+        "bt_limit_pushdown",
+        "bt_ts_range_prune",
+        "bt_value_filter_pushdown",
+        "bt_value_regex_pushdown",
+        "bt_int_key_prune",
     }
 )
 
@@ -2413,6 +2429,60 @@ def dedup_minhash_estimate_q(spark, sf_dir):
 
     return lsh_estimated_pairs(
         load(spark, sf_dir, "documents"), bands=4, rows_per_band=2, k=3, threshold=0.5
+    )
+
+
+@query(
+    "dedup_lsh_quality",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id),
+    truth AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON sa.id = inter.id_a JOIN sizes sb ON sb.id = inter.id_b
+      WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5),
+    mh AS (
+      SELECT id, s.seed, MIN(md5(CAST(s.seed AS VARCHAR) || '|' || shingle)) AS minhash
+      FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS seed) s
+      GROUP BY id, s.seed),
+    banded AS (
+      SELECT id, CAST(seed // 2 AS INT) AS band,
+             string_agg(minhash, ',' ORDER BY minhash) AS band_sig
+      FROM mh GROUP BY id, seed // 2),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id),
+    comb AS (
+      SELECT COALESCE(t.id_a, c.id_a) AS id_a, COALESCE(t.id_b, c.id_b) AS id_b,
+             t.id_a IS NOT NULL AS is_t, c.id_a IS NOT NULL AS is_c
+      FROM truth t FULL JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b),
+    agg AS (
+      SELECT CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+             CAST(SUM(CASE WHEN is_c THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+             CAST(SUM(CASE WHEN is_t AND is_c THEN 1 ELSE 0 END) AS BIGINT) AS n_true_positive
+      FROM comb)
+    SELECT n_truth, n_candidates, n_true_positive,
+           ROUND(n_true_positive * 1.0 / n_candidates, 4) AS precision,
+           ROUND(n_true_positive * 1.0 / n_truth, 4) AS recall
+    FROM agg
+    """,
+)
+def dedup_lsh_quality_q(spark, sf_dir):
+    # LSH banding quality report (operators/dedup.py::lsh_quality_report):
+    # measured precision/recall of the (4 bands × 2 rows) candidate set
+    # against exact-Jaccard-≥0.5 ground truth — the number that justifies
+    # a banding choice before committing a full-corpus dedup pass.  At
+    # 100 TB this runs on a hash-sampled slice; here the whole table IS
+    # the slice.
+    from datafusion_bigtable_spark.operators.dedup import lsh_quality_report
+
+    return lsh_quality_report(
+        load(spark, sf_dir, "documents"), bands=4, rows_per_band=2, k=3, threshold=0.5, df_cap=1000
     )
 
 

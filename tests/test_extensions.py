@@ -144,6 +144,24 @@ def test_lsh_dup_rate_sample_bounds(spark, near_dup_docs):
     assert full.dup_rate == round(full.n_with_dup / full.n_sampled, 4)
 
 
+def test_lsh_quality_report_counts(spark, near_dup_docs):
+    from datafusion_bigtable_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        lsh_quality_report,
+    )
+
+    rep = lsh_quality_report(near_dup_docs, bands=4, rows_per_band=2, k=3, threshold=0.5).collect()[0]
+    n_truth = jaccard_pairs(near_dup_docs, k=3, threshold=0.5).count()
+    n_cand = lsh_candidate_pairs(near_dup_docs, bands=4, rows_per_band=2).count()
+    assert rep.n_truth == n_truth and rep.n_candidates == n_cand
+    assert rep.n_true_positive <= min(n_truth, n_cand)
+    if rep.n_candidates:
+        assert rep.precision == round(rep.n_true_positive / rep.n_candidates, 4)
+    if rep.n_truth:
+        assert rep.recall == round(rep.n_true_positive / rep.n_truth, 4)
+
+
 def test_simhash_identical_docs_same_fingerprint(spark, near_dup_docs):
     from datafusion_bigtable_spark.operators.dedup import simhash_fingerprints
 
