@@ -912,6 +912,64 @@ def _build_events_cells_store(sf_dir: str, tag_prefix: str, key_fn) -> str:
     return path
 
 
+def _documents_jsonl_fixture(sf_dir: str) -> str:
+    """Build-once JSONL export of `documents` with 3 deliberately corrupt
+    lines injected into shard 0 — the ingestion fixture for
+    `ingest_jsonl_documents`.  Driver-side fixture prep (same rationale
+    as ``_build_events_cells_store``); 4 shard files keep the read
+    parallel.  Cache key = source identity, so a regenerated
+    documents.parquet never reuses a stale export."""
+    import hashlib
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(f"jsonl1|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()).hexdigest()[:12]
+    path = f"/tmp/dbs_jsonl_{os.path.basename(os.path.normpath(sf_dir))}_{tag}"
+    done = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(done):
+        t = pq.read_table(src).to_pandas()
+        os.makedirs(path, exist_ok=True)
+        n = len(t)
+        bounds = [n * i // 4 for i in range(5)]
+        cols = list(t.columns)
+        for i in range(4):
+            with open(os.path.join(path, f"documents-{i:03d}.jsonl"), "w") as f:
+                if i == 0:  # structurally invalid lines → PERMISSIVE quarantine
+                    f.write('{"doc_id": 1, "text": "unterminated\n')
+                    f.write("this line is not json at all\n")
+                    f.write('{"doc_id":, "text": "missing value"}\n')
+                for rec in t.iloc[bounds[i] : bounds[i + 1]].to_dict("records"):
+                    f.write(json.dumps({c: rec[c] for c in cols}, default=int))
+                    f.write("\n")
+        open(done, "w").close()
+    return path
+
+
+@query(
+    "ingest_jsonl_documents",
+    """
+    SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5 FROM documents
+    """,
+)
+def ingest_jsonl_documents_q(spark, sf_dir):
+    # JSONL ingestion boundary (sources/jsonl.py): the documents table
+    # exported as JSON Lines (with 3 corrupt lines injected), read back
+    # with an EXPLICIT schema (no inference pass — the 2× read trap at
+    # 100 TB), PERMISSIVE corrupt-record quarantine, and hash-verified
+    # byte-for-byte against the parquet original — corrupt input is
+    # contained, clean input is untouched.  Quarantine accounting
+    # (clean + corrupt == lines) is pinned in tests/test_jsonl.py.
+    from datafusion_bigtable_spark.sources.jsonl import read_documents_jsonl, split_corrupt
+
+    path = _documents_jsonl_fixture(sf_dir)
+    clean, _ = split_corrupt(read_documents_jsonl(spark, path))
+    return clean.select("doc_id", "lang", "source", "n_chars", F.md5("text").alias("text_md5"))
+
+
 def _bt_events_store(spark: SparkSession, sf_dir: str) -> str:
     """String-keyed connector fixture: row_key = uid#eid (zero-padded,
     unique per event)."""
