@@ -28,6 +28,8 @@ LANG_ORDER = ("en", "de", "fr", "es")
 
 WORD_RE = "[^a-z0-9]+"
 TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+PUNCT_RE = r"([,.;:!?'\"()\[\]{}-])"
+SENT_PUNCT_RE = r"([,.;:!?])"
 
 
 def words(col: Column) -> Column:
@@ -65,7 +67,7 @@ def n_chars(col: Column) -> Column:
 
 
 def punct_count(col: Column) -> Column:
-    return F.size(F.regexp_extract_all(col, F.lit(r"([,.;:!?'\"()\[\]{}-])"), 1))
+    return F.size(F.regexp_extract_all(col, F.lit(PUNCT_RE), 1))
 
 
 def avg_word_len(col: Column) -> Column:
@@ -115,7 +117,7 @@ def curation_reason(col: Column) -> Column:
     pretokens, punctuation ratio < 0.1, known language."""
     chars = F.length(col)
     tokens = bpe_ish_token_count(col)
-    punct_ratio = F.size(F.regexp_extract_all(col, F.lit(r"([,.;:!?])"), 1)).cast(
+    punct_ratio = F.size(F.regexp_extract_all(col, F.lit(SENT_PUNCT_RE), 1)).cast(
         "double"
     ) / F.greatest(chars, F.lit(1))
     return (

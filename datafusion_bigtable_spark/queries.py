@@ -3514,6 +3514,32 @@ def text_curation_q(spark, sf_dir):
 REGISTRY["text_curation_filter"] = QuerySpec(text_curation_q, _curation_oracle())
 
 
+@query("text_curation_sql", None)  # real SQL bound below
+def text_curation_sql_q(spark, sf_dir):
+    # The same gate through the SQL SURFACE (functions/sqlapi.py): the
+    # reference's user model is register-then-SQL, so the curation
+    # toolkit is exposed as session-scoped SQL scalar functions and this
+    # query is pure SQL text.  SQL functions macro-expand at analysis —
+    # the executed plan is the identical codegen'd expression as
+    # text_curation_filter's Column form (pinned in tests/test_sqlapi.py:
+    # no Python eval node, same verdicts per function).  Third surface,
+    # same oracle: batch Column / streaming / SQL cannot drift apart.
+    from datafusion_bigtable_spark.functions.sqlapi import register_sql_functions
+
+    register_sql_functions(spark)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("dbs_sqlapi_documents")
+    return spark.sql(
+        """
+        WITH r AS (SELECT doc_id, dbs_curation_reason(text) AS reason
+                   FROM dbs_sqlapi_documents)
+        SELECT doc_id, reason, reason = 'keep' AS keep FROM r
+        """
+    )
+
+
+REGISTRY["text_curation_sql"] = QuerySpec(text_curation_sql_q, _curation_oracle())
+
+
 @query("streaming_curation_filter", None)  # real SQL bound below
 def streaming_curation_q(spark, sf_dir):
     # The curation gate ON THE STREAM — the first stage a crawl feed
