@@ -2198,6 +2198,14 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         # and the additive corpus_pred parameter on topk_bruteforce
         f"{_PKG}.sources.wire",  # r11: free reconnect for a zero-frame reused
         # pooled socket (ADVICE r10 #2)
+        # NOT functions.text: the r11 edit hoists the punct regexes into
+        # PUNCT_RE/SENT_PUNCT_RE constants with VERBATIM-identical strings
+        # (pure refactor, zero behavior change) — proven by the sf0.01
+        # oracle drives of text_curation_filter/text_curation_sql in the
+        # same commit and the per-function SQL==Column pins in
+        # tests/test_sqlapi.py.  Resetting text's ~20 dependents for a
+        # constant hoist would displace genuinely-touched queries from the
+        # 50-slot window.
         f"{_PKG}.operators.dedup",  # r11: line_dedup + incremental_ingest_dedup
         # additions and the _band_signatures factoring — conservative reset
         # NOT streaming.cells_stream: `git diff adeb769 HEAD -- streaming/`
@@ -2542,6 +2550,35 @@ def dedup_lsh_quality_q(spark, sf_dir):
     return lsh_quality_report(
         load(spark, sf_dir, "documents"), bands=4, rows_per_band=2, k=3, threshold=0.5, df_cap=1000
     )
+
+
+@query(
+    "dedup_prefix_filter",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id)
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM inter JOIN sizes sa ON sa.id = inter.id_a JOIN sizes sb ON sb.id = inter.id_b
+    WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.6
+    """,
+)
+def dedup_prefix_filter_q(spark, sf_dir):
+    # Prefix-filtering exact threshold join (operators/dedup.py::
+    # prefix_filter_pairs, SSJoin/PPJoin): candidates from an inverted
+    # index over each doc's RAREST |S|-⌈t|S|⌉+1 shingles only — exact
+    # recall by theorem, sub-quadratic by economics (hot boilerplate
+    # shingles land in suffixes, never indexed).  The oracle is the plain
+    # exact all-pairs join with NO prefix logic: a single pair lost to
+    # the filter would hash-mismatch, so driver correctness IS the
+    # zero-false-negative proof.
+    from datafusion_bigtable_spark.operators.dedup import prefix_filter_pairs
+
+    return prefix_filter_pairs(load(spark, sf_dir, "documents"), k=3, threshold=0.6)
 
 
 @query(

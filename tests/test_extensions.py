@@ -162,6 +162,21 @@ def test_lsh_quality_report_counts(spark, near_dup_docs):
         assert rep.recall == round(rep.n_true_positive / rep.n_truth, 4)
 
 
+def test_prefix_filter_equals_exact_jaccard(spark, near_dup_docs, sf_dir):
+    from datafusion_bigtable_spark.operators.dedup import jaccard_pairs, prefix_filter_pairs
+
+    # exact recall by theorem: prefix-filtered result == all-pairs result,
+    # on the crafted near-dups AND on real documents, at two thresholds
+    for df, t in ((near_dup_docs, 0.5), (near_dup_docs, 0.8)):
+        exact = {tuple(r) for r in jaccard_pairs(df, k=3, threshold=t).collect()}
+        pf = {tuple(r) for r in prefix_filter_pairs(df, k=3, threshold=t).collect()}
+        assert pf == exact, f"threshold {t}: {pf ^ exact}"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {tuple(r) for r in jaccard_pairs(docs, k=3, threshold=0.6).collect()}
+    pf = {tuple(r) for r in prefix_filter_pairs(docs, k=3, threshold=0.6).collect()}
+    assert pf == exact
+
+
 def test_simhash_identical_docs_same_fingerprint(spark, near_dup_docs):
     from datafusion_bigtable_spark.operators.dedup import simhash_fingerprints
 
