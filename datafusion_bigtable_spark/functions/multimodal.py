@@ -496,7 +496,7 @@ def image_ahash_bands(assets: DataFrame, grid: int = 8) -> DataFrame:
     return assets.mapInPandas(op, AHASH_SCHEMA)
 
 
-def ahash_dup_pairs(assets: DataFrame, max_hamming: int = 3) -> DataFrame:
+def ahash_dup_pairs(assets: DataFrame, max_hamming: int = 3, materialize: bool = True) -> DataFrame:
     """(id_a, id_b, hamming) for every image pair within ``max_hamming``
     bits of 64-bit aHash distance — near-duplicate image detection.
 
@@ -507,10 +507,24 @@ def ahash_dup_pairs(assets: DataFrame, max_hamming: int = 3) -> DataFrame:
     exact hamming filter (JVM ``bit_count(xor)``) keeps no false
     positives.  ``max_hamming`` must stay < number of bands (4) or the
     band index loses recall; fail loud rather than silently undercount.
+
+    Cache ownership (the ``materialize_owned`` pattern,
+    operators/similarity.py:175): the hash table is referenced FOUR
+    times in this DAG (both band-join sides + both hamming-verify
+    sides), and without a cache each reference replays the image DECODE
+    — the dominant cost (measured 4× at sf0.1: 39.2 s unpersisted vs
+    ~10 s owned).  The hash table is 5 ints/image — persisting it is
+    free; the bounded pair RESULT is persisted+counted to materialize
+    while the cache backs the joins, then the hash cache is dropped
+    synchronously.  ``materialize=False`` keeps the plan fully lazy for
+    callers composing further (they accept the recompute or persist
+    upstream themselves).
     """
     if max_hamming >= 4:
         raise ValueError("max_hamming must be < 4 for the 4-band index to be exact")
     hv = image_ahash_bands(assets).filter(F.col("b0").isNotNull())
+    if materialize:
+        hv = hv.persist()
     long = hv.select(
         "asset_id",
         F.explode(
@@ -538,10 +552,16 @@ def ahash_dup_pairs(assets: DataFrame, max_hamming: int = 3) -> DataFrame:
     ham = sum(
         F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"x{j}"))) for j in range(4)
     )
-    return (
+    result = (
         cand.join(ha, "id_a")
         .join(hb, "id_b")
         .withColumn("hamming", ham.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    if not materialize:
+        return result
+    out = result.persist()
+    out.count()  # materialize while the hash cache still backs the joins
+    hv.unpersist(blocking=True)
+    return out

@@ -2198,6 +2198,12 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         # and the additive corpus_pred parameter on topk_bruteforce
         f"{_PKG}.sources.wire",  # r11: free reconnect for a zero-frame reused
         # pooled socket (ADVICE r10 #2)
+        # NOT functions.multimodal: the r11 edit adds the owned-cache
+        # materialize path to ahash_dup_pairs (and nothing else), and the
+        # ONLY registry query executing that function is
+        # multimodal_ahash_dedup — never-green, already leading the
+        # window (grep-verified; the other multimodal queries run
+        # extract_features/decode paths untouched this round).
         # NOT functions.text: the r11 edit hoists the punct regexes into
         # PUNCT_RE/SENT_PUNCT_RE constants with VERBATIM-identical strings
         # (pure refactor, zero behavior change) — proven by the sf0.01
@@ -5898,7 +5904,21 @@ def multimodal_ahash_dedup_q(spark, sf_dir):
 
     from datafusion_bigtable_spark.functions.multimodal import ahash_dup_pairs
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    # One parquet input split at these sizes and the expensive encode/
+    # decode generator inherits it — 1 of 32 cores doing all the pixel
+    # work (measured: 30 s of this query's 39 s at sf0.1).  Repartition
+    # the SMALL doc_id stream (hash on doc_id: deterministic placement
+    # under task retries) before the heavy map.  At real corpus scale the
+    # scan has thousands of splits and this is a harmless no-op-sized
+    # shuffle; at bench SFs it is the difference between 1-core and
+    # 32-core pixel work.  The sibling generator queries (pixel stats,
+    # audio spectral) keep the narrow scan: their per-doc work is light
+    # (<1 s total) and the split count self-heals at scale.
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     schema = T.StructType(
         [
             T.StructField("asset_id", T.LongType()),

@@ -1346,6 +1346,39 @@ def test_ahash_bands_and_dup_pairs(spark):
     assert (1, 4) not in pairs and (2, 4) not in pairs
 
 
+def test_ahash_owned_cache_no_leak(spark):
+    """ahash_dup_pairs persists the 5-int/image hash table while its four
+    DAG references compute (one decode pass, not four — the r11 39 s →
+    ~10 s fix), then drops it synchronously: only the bounded result's
+    own reclaimable cache entry may remain (materialize_owned pattern)."""
+    import numpy as np
+
+    from datafusion_bigtable_spark.functions.media_codecs import build_png_rgb
+    from datafusion_bigtable_spark.functions.multimodal import ahash_dup_pairs
+
+    def png(seed):
+        cells = (np.arange(64, dtype=np.int64).reshape(8, 8) * seed) % 256
+        px = np.kron(cells, np.ones((4, 4), dtype=np.int64)).astype(np.uint8)
+        return build_png_rgb(np.stack([px] * 3, axis=-1))
+
+    assets = spark.createDataFrame(
+        [(i, "image/png", png(3 + (i % 2))) for i in range(6)],
+        "asset_id long, mime string, payload binary",
+    )
+    spark.catalog.clearCache()
+    base = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    out = ahash_dup_pairs(assets, max_hamming=3)
+    assert out.count() > 0
+    grew = len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) - base
+    assert grew <= 1, f"hash cache leaked: {grew} extra storage entries"
+    out.unpersist(blocking=True)
+    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == base
+    # lazy path keeps no cache at all
+    lazy = ahash_dup_pairs(assets, max_hamming=3, materialize=False)
+    assert lazy.count() > 0
+    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == base
+
+
 def test_ahash_fails_loud_on_bad_inputs(spark):
     import numpy as np
     import pytest as _pt
