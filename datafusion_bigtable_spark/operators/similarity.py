@@ -293,6 +293,44 @@ def build_ivf_index(
     return IvfIndex(ranked, nprobe=max(1, nprobe))
 
 
+def save_ivf_index(index: IvfIndex, path: str) -> None:
+    """Persist a built IVF index as a parquet table PARTITIONED BY CELL,
+    plus a meta sidecar (nprobe, column order, the id column name).
+
+    This is the build-once-search-forever shape: at 100 TB the
+    assignment pass (one corpus scan × n_cells cosine folds) is the
+    expensive half, and it is identical for every search that follows —
+    sessions should read it back, not rebuild it.  ``partitionBy(cell)``
+    makes each cell a directory, so a loaded index's nprobe-cell search
+    prunes to exactly the probed cells at the FILE level (partition
+    pruning, pinned in tests) — the on-disk analogue of the in-memory
+    index's one-shuffle-on-cell layout.
+    """
+    import json
+    import os
+
+    df = index.assignments
+    df.write.mode("overwrite").partitionBy("cell").parquet(path)
+    meta = {"nprobe": index.nprobe, "columns": df.columns}
+    with open(os.path.join(path, "_ivf_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_ivf_index(spark, path: str) -> IvfIndex:
+    """Read a :func:`save_ivf_index` table back as a live
+    :class:`IvfIndex`.  The frame is parquet-backed — no persist needed
+    (every search rereads only its probed cell directories), and
+    ``unpersist()`` on it is a safe no-op, so the context-manager
+    lifecycle keeps working unchanged."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_meta.json")) as f:
+        meta = json.load(f)
+    df = spark.read.parquet(path).select(*meta["columns"])
+    return IvfIndex(df, nprobe=meta["nprobe"])
+
+
 def build_ivf_index_two_level(
     embeddings: DataFrame,
     n_cells: int = 16,

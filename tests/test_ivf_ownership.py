@@ -27,6 +27,44 @@ def _pairs(df):
     return {(r.id_a, r.id_b, r.cosine) for r in df.collect()}
 
 
+def test_ivf_index_save_load_roundtrip(spark, sf_dir, tmp_path):
+    """Saved index == built index for search purposes: identical topk
+    results, cell-directory partition pruning in the loaded plan, and
+    the context-manager lifecycle intact on the parquet-backed frame."""
+    from datafusion_bigtable_spark.operators.similarity import (
+        build_ivf_index,
+        load_ivf_index,
+        save_ivf_index,
+        topk_ivf,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    pred = (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000)
+    path = str(tmp_path / "ivf_index")
+    with build_ivf_index(e, n_cells=16, nprobe=4) as idx:
+        save_ivf_index(idx, path)
+        built = {tuple(r) for r in topk_ivf(e, pred, k=3, nprobe=4, index=idx).collect()}
+    loaded = load_ivf_index(spark, path)
+    assert loaded.nprobe == 4
+    got = {tuple(r) for r in topk_ivf(e, pred, k=3, nprobe=4, index=loaded).collect()}
+    assert got == built and len(got) > 0
+    # nprobe-widening still fails loud on a loaded index
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        topk_ivf(e, pred, k=3, nprobe=8, index=loaded)
+    # file-level cell pruning: filtering the loaded assignments to one
+    # cell must show a partition filter, not a post-scan filter only
+    plan = (
+        loaded.assignments.filter(F.col("cell") == 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(cell" in plan, plan[:500]
+    loaded.unpersist()  # safe no-op on the parquet-backed frame
+
+
 def test_throwaway_paths_leave_no_storage(spark, sf_dir):
     """Each index=None call materializes its bounded result, drops the
     corpus-sized assignment cache before returning, and leaves the

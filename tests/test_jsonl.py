@@ -65,6 +65,26 @@ def test_roundtrip_hostile_text(spark, tmp_path):
     assert got == orig
 
 
+def test_gzip_jsonl_reads_transparently(spark, tmp_path):
+    # .jsonl.gz decompresses transparently through the text reader (the
+    # common crawl-delivery format).  Caveat pinned here: one gz file is
+    # ONE partition (gzip is not splittable) — at scale you want many
+    # moderate .gz shards or a seekable codec, never one giant file.
+    import gzip
+    import os
+
+    p = tmp_path / "feed"
+    os.makedirs(p)
+    with gzip.open(p / "part-0.jsonl.gz", "wt") as f:
+        for i in range(4):
+            f.write('{"doc_id": %d, "text": "zipped doc %d", "lang": "en", "source": "s", "n_chars": 1}\n' % (i, i))
+        f.write("corrupt line\n")
+    raw = read_documents_jsonl(spark, str(p))
+    clean, quarantine = split_corrupt(raw)
+    assert clean.count() == 4 and quarantine.count() == 1
+    assert raw.rdd.getNumPartitions() == 1  # the non-splittability caveat, pinned
+
+
 def test_registered_query_matches_oracle(spark, sf_dir):
     from datafusion_bigtable_spark.queries import REGISTRY, _documents_jsonl_fixture
     from tests.oracle_harness import compare, duck_connection
