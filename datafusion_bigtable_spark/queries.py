@@ -2588,6 +2588,70 @@ def dedup_prefix_filter_q(spark, sf_dir):
 
 
 @query(
+    "corpus_leakage_safe_split",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    mh AS (
+      SELECT id, s.seed, MIN(md5(CAST(s.seed AS VARCHAR) || '|' || shingle)) AS minhash
+      FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS seed) s
+      GROUP BY id, s.seed),
+    banded AS (
+      SELECT id, CAST(seed // 2 AS INT) AS band,
+             string_agg(minhash, ',' ORDER BY minhash) AS band_sig
+      FROM mh GROUP BY id, seed // 2),
+    pairs AS (
+      SELECT DISTINCT a.id AS pa, b.id AS pb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id),
+    edges AS (SELECT pa AS a, pb AS b FROM pairs UNION SELECT pb, pa FROM pairs),
+    reach AS (
+      SELECT a AS id, b AS r FROM edges
+      UNION
+      SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+    comp AS (SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id),
+    lab AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+    s AS (
+      SELECT doc_id, component,
+             CAST(('0x' || substr(md5('split|' || CAST(component AS VARCHAR)), 1, 8)) AS INT64) % 100 AS h
+      FROM lab)
+    SELECT doc_id, component,
+           CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'valid' ELSE 'test' END AS split
+    FROM s
+    """,
+)
+def corpus_leakage_safe_split_q(spark, sf_dir):
+    # Leakage-safe train/valid/test split: the classic eval-contamination
+    # bug is a random PER-DOC split that puts two near-duplicates on
+    # opposite sides of the train/test line.  Here the split key is the
+    # near-dup CLUSTER (LSH pairs → connected components; singletons are
+    # their own cluster), so a cluster lands wholly in one split by
+    # construction — md5 of the component id buckets 80/10/10.  Scale
+    # shape: the component map covers dup members only (small — it
+    # AQE-broadcasts into the left join), everything upstream is the
+    # audited LSH+CC pipeline, and the split decision is one scan-fused
+    # hash per doc.
+    from datafusion_bigtable_spark.operators.dedup import lsh_candidate_pairs
+    from datafusion_bigtable_spark.operators.graph import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    comp = connected_components(lsh_candidate_pairs(d, bands=4, rows_per_band=2, k=3))
+    lab = d.select("doc_id").join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+    component = F.coalesce(F.col("component"), F.col("doc_id")).cast("long")
+    h = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("split|"), component.cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return lab.select(
+        "doc_id",
+        component.alias("component"),
+        F.when(h < 80, "train").when(h < 90, "valid").otherwise("test").alias("split"),
+    )
+
+
+@query(
     "dedup_sampled_rate",
     f"""
     WITH {_SHINGLES_CTE},

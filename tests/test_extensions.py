@@ -177,6 +177,27 @@ def test_prefix_filter_equals_exact_jaccard(spark, near_dup_docs, sf_dir):
     assert pf == exact
 
 
+def test_leakage_safe_split_is_cluster_atomic(spark, sf_dir):
+    from datafusion_bigtable_spark.queries import REGISTRY
+
+    rows = REGISTRY["corpus_leakage_safe_split"].fn(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    # every doc appears exactly once
+    assert len({r.doc_id for r in rows}) == n
+    # cluster-atomic: one split per component — the leakage guarantee
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_comp.values())
+    # all three splits realized and roughly 80/10/10 at corpus size
+    from collections import Counter
+
+    c = Counter(r.split for r in rows)
+    assert set(c) == {"train", "valid", "test"}
+    assert 0.6 < c["train"] / n < 0.95
+
+
 def test_simhash_identical_docs_same_fingerprint(spark, near_dup_docs):
     from datafusion_bigtable_spark.operators.dedup import simhash_fingerprints
 

@@ -42,14 +42,14 @@ def test_registry_size_and_full_green_fold():
     # + 6 r10 additions (text_word_perplexity, embedding_random_projection,
     # sim_topk_projected, corpus_mixing_alpha, dedup_embedding_cosine_ivf2,
     # streaming_curation_filter)
-    # + 20 r11 additions (text_line_dedup, sim_topk_filtered,
+    # + 21 r11 additions (text_line_dedup, sim_topk_filtered,
     # corpus_pack_utilization, dedup_keep_best_quality,
     # dedup_incremental_ingest, table_profile_lineitem,
     # streaming_ingest_dedup, events_asof_last_order, dedup_containment,
     # text_heavy_hitters, corpus_zipf_slope, events_asof_view_tolerance,
     # multimodal_ahash_dedup, decontaminate_bloom, dedup_minhash_estimate,
-    # dedup_sampled_rate, dedup_lsh_quality, ingest_jsonl_documents, text_curation_sql, dedup_prefix_filter).
-    assert len(q.REGISTRY) == 153
+    # dedup_sampled_rate, dedup_lsh_quality, ingest_jsonl_documents, text_curation_sql, dedup_prefix_filter, corpus_leakage_safe_split).
+    assert len(q.REGISTRY) == 154
     sched = q._schedule()
     for name in (n for n in q.REGISTRY if n not in q._LAST_GREEN):
         assert sched.index(name) < 50, f"new query {name} outside driver window"
