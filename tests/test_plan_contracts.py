@@ -540,3 +540,48 @@ def test_containment_same_blocked_shape_as_jaccard(spark, sf_dir):
     # the direction split is row-local: exactly one explode-side generator
     # over the pair array, not a union of two scans of the pair table
     assert plan.count("Generate explode") >= 1
+
+
+def test_bloom_bits_broadcast_and_bounded(spark, sf_dir):
+    # the whole POINT of the Bloom screen is a constant-size broadcast:
+    # the set-bit table must broadcast (explicitly hinted) and the corpus
+    # probe side must never be the build side of a shuffle join
+    plan = _plan(spark, _q(spark, sf_dir, "decontaminate_bloom"))
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_minhash_estimate_no_shingle_revisit(spark, sf_dir):
+    # signature-only verify: after candidate generation there must be NO
+    # further join (the estimate is a row-local zip over arrays carried
+    # through the band join) — a join back to the shingle table would be
+    # the second corpus pass this operator exists to avoid.  The plan has
+    # exactly one join: the band-bucket self-join.
+    plan = _plan(spark, _q(spark, sf_dir, "dedup_minhash_estimate"))
+    njoins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count("BroadcastHashJoin")
+    assert njoins == 1, f"expected exactly the band self-join, got {njoins} joins:\n{plan[:800]}"
+
+
+def test_jsonl_ingest_single_text_scan_no_inference(spark, sf_dir):
+    # one text scan feeding from_json (no native-JSON double scan, no
+    # schema-inference pass); the quarantine split is a filter, not a join
+    from datafusion_bigtable_spark.queries import REGISTRY
+
+    df = REGISTRY["ingest_jsonl_documents"].fn(spark, sf_dir)
+    plan = _plan(spark, df)
+    assert plan.count("FileScan text") == 1, plan[:600]
+    assert "from_json" in plan
+    assert "Join" not in plan
+
+
+def test_leakage_split_component_map_broadcasts(spark, sf_dir):
+    # the component map covers dup members only (tiny) — it must reach
+    # the per-doc labeling join as a broadcast, never reshuffle documents.
+    # The map side is an ExistingRDD (the CC fixpoint), so the static plan
+    # has no size stats and plans SMJ; the broadcast is AQE's runtime
+    # replan — assert on the EXECUTED plan.
+    df = _q(spark, sf_dir, "corpus_leakage_safe_split")
+    df.collect()  # a write/count plans a CLONE; collect finalizes THIS plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:600]
+    assert "CartesianProduct" not in plan
