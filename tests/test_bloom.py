@@ -99,3 +99,23 @@ def test_registered_query_matches_oracle(spark, sf_dir):
 
     spec = REGISTRY["decontaminate_bloom"]
     compare(spec.fn(spark, sf_dir), duck_connection(sf_dir), spec.sql)
+
+
+def test_bloom_no_false_negatives_property(spark):
+    """Hypothesis sweep of the zero-false-negative guarantee: random key
+    sets and filter sizes, every member must test positive."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        keys=st.lists(st.text(alphabet="abcdef ", min_size=1, max_size=12), min_size=1, max_size=12, unique=True),
+        m=st.sampled_from([8, 64, 1024]),
+        k_hashes=st.integers(min_value=1, max_value=4),
+    )
+    def run(keys, m, k_hashes):
+        kdf = spark.createDataFrame([(k,) for k in keys], "shingle string")
+        bits = build_bloom_positions(kdf, m=m, k_hashes=k_hashes)
+        mem = bloom_membership(kdf, bits, m=m, k_hashes=k_hashes)
+        assert mem.filter(~F.col("in_bloom")).count() == 0
+
+    run()

@@ -585,3 +585,13 @@ def test_leakage_split_component_map_broadcasts(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:600]
     assert "CartesianProduct" not in plan
+
+
+def test_sampled_rate_probe_is_left_semi(spark, sf_dir):
+    # the audit's whole economics: the sample probes the band index via
+    # LEFT SEMI (short-circuits at first partner, emits no pair rows) —
+    # an inner/outer join here would materialize the pair fan-out the
+    # operator exists to avoid
+    plan = _plan(spark, _q(spark, sf_dir, "dedup_sampled_rate"))
+    assert "LeftSemi" in plan, plan[:600]
+    assert "CartesianProduct" not in plan
