@@ -1,0 +1,75 @@
+"""CSV corpus ingestion — the other common delivery format at the
+pipeline boundary (annotation exports, metadata sidecars, tabular
+crawls).  Same contract as :mod:`.jsonl`: explicit schema (never an
+inference pass), PERMISSIVE corrupt-record quarantine with exact
+accounting, one text scan.
+
+No reference analogue (the reference reads Bigtable rows,
+src/datasource.rs); LLM-pipeline ingestion tier.
+
+Same text+from_csv construction as jsonl's text+from_json, for the
+same reason: the native CSV source refuses plans that read only the
+internal corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and
+quarantine ``count()`` prunes to exactly that.  One honest caveat the
+JSONL twin does not have: a CSV record may legally contain EMBEDDED
+NEWLINES inside quoted fields (``multiLine``), which a line-based scan
+cannot reassemble — this reader is for one-line-one-record CSV, the
+only kind that splits across executors anyway (multiLine CSV is
+single-partition by construction, the non-splittable trap).  Writers
+that need newlines in fields should JSON-escape (use JSONL) rather
+than quote-wrap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from datafusion_bigtable_spark.sources.jsonl import CORRUPT_COL, DOCUMENTS_SCHEMA
+
+__all__ = ["read_documents_csv", "write_csv", "split_corrupt"]
+
+# re-exported so both ingestion modules present one quarantine API
+from datafusion_bigtable_spark.sources.jsonl import split_corrupt  # noqa: E402
+
+
+def _ddl_with_corrupt(schema: StructType) -> str:
+    full = StructType(schema.fields + [StructField(CORRUPT_COL, StringType())])
+    return full.simpleString()[len("struct<") : -1].replace(":", " ")
+
+
+def read_documents_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType = DOCUMENTS_SCHEMA,
+    header: bool = False,
+) -> DataFrame:
+    """Schema-enforced PERMISSIVE one-line-one-record CSV read with the
+    corrupt-record column appended; use :func:`split_corrupt`.
+
+    ``header=True`` drops the first line of EVERY file by value match
+    against the schema's column-name row — the standard per-file header
+    convention (each shard carries its own header)."""
+    lines = spark.read.text(str(path)).filter(F.length("value") > 0)
+    if header:
+        header_line = ",".join(f.name for f in schema.fields)
+        lines = lines.filter(F.col("value") != header_line)
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL}
+    parsed = lines.select(F.from_csv("value", _ddl_with_corrupt(schema), opts).alias("c"))
+    return parsed.select("c.*")
+
+
+def write_csv(df: DataFrame, path: str, partitions: int | None = None) -> None:
+    """Write one-line-one-record CSV (quoted fields; the reader above
+    cannot reassemble embedded newlines — fail loud rather than emit
+    records a line-based scan would silently corrupt)."""
+    for field in df.schema.fields:
+        if field.dataType.simpleString() == "string":
+            bad = df.filter(F.col(field.name).contains("\n") | F.col(field.name).contains("\r"))
+            if bad.limit(1).count() > 0:
+                raise ValueError(
+                    f"column {field.name!r} contains embedded newlines — "
+                    "quoted-multiline CSV breaks line-based splitting; use JSONL"
+                )
+    out = df.repartition(partitions) if partitions else df
+    out.write.mode("overwrite").csv(path)
