@@ -1,0 +1,77 @@
+"""Training-shard sink: materialize a curated corpus as shard-partitioned,
+size-governed parquet plus a one-file manifest.
+
+No reference analogue (the reference is read-only over Bigtable,
+src/datasource.rs); this is the LAST stage of the pipeline tier — after
+ingest → curate → dedup → pack, the corpus has to land on disk in the
+layout a training job reads: one directory per shard (so a data-loader
+rank opens exactly its shard, nothing else), files capped at a bounded
+record count (so no single file serializes a reader), and a manifest
+that answers "how many rows/files per shard" by reading ONE small
+parquet instead of listing and footer-probing O(files) objects — the
+same planning economics as the cells-store manifest
+(sources/cells.py::write_manifest).
+
+Scale shape: one hash repartition on the shard column (the write's only
+shuffle), then ``partitionBy(shard)`` + ``maxRecordsPerFile`` — the
+writer never sorts globally and never funnels through one task.
+Determinism: shard membership comes from the caller's shard column
+(e.g. ``corpus_shard_assign``'s md5-derived id), so a re-run writes the
+same rows to the same shard directories.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+MANIFEST_DIR = "_shard_manifest"
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    shard_col: str = "shard_id",
+    max_records_per_file: int = 100_000,
+) -> None:
+    """Write ``df`` as ``path/<shard_col>=N/part-*.parquet`` with a
+    manifest at ``path/_shard_manifest``.  One shuffle (hash on the
+    shard column); file count per shard = ⌈rows/max_records_per_file⌉."""
+    (
+        df.repartition(F.col(shard_col))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(shard_col)
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    # input_file_name() is nondeterministic and may not sit INSIDE an
+    # aggregate — project it first, then count distinct over the column
+    written = spark.read.parquet(path).select(
+        shard_col, F.input_file_name().alias("_file")
+    )
+    manifest = (
+        written.groupBy(shard_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.col("_file")).alias("n_files"),
+        )
+        .orderBy(shard_col)
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/{MANIFEST_DIR}")
+
+
+def read_shard_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """The per-shard (shard, n_rows, n_files) table — ONE small read."""
+    return spark.read.parquet(f"{path}/{MANIFEST_DIR}")
+
+
+def read_training_shards(
+    spark: SparkSession, path: str, shards: list[int] | None = None
+) -> DataFrame:
+    """Read back all shards, or only ``shards`` — the filter is on the
+    partition column, so pruning happens at the FILE level (a rank
+    reading shard 3 opens only ``shard_id=3/``; pinned in tests)."""
+    df = spark.read.parquet(path)
+    if shards is not None:
+        df = df.filter(F.col("shard_id").isin([int(s) for s in shards]))
+    return df
