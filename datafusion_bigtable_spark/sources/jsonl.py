@@ -75,6 +75,22 @@ def read_documents_jsonl(
     return lines.select(F.from_json("value", full, opts).alias("j")).select("j.*")
 
 
+def read_documents_jsonl_stream(
+    spark: SparkSession, path: str, schema: StructType = DOCUMENTS_SCHEMA
+) -> DataFrame:
+    """The STREAMING twin of :func:`read_documents_jsonl` — a crawl feed
+    landing JSONL files in a directory is the canonical Structured
+    Streaming file source.  Identical parse (same from_json options, so
+    stream == batch row-for-row, quarantine included); new files are
+    picked up per micro-batch and each file is processed exactly once
+    per checkpoint.  Schema is mandatory here not just for the 2×-read
+    reason: a streaming source cannot infer at all."""
+    full = StructType(schema.fields + [StructField(CORRUPT_COL, StringType())])
+    lines = spark.readStream.text(str(path)).filter(F.length("value") > 0)
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL}
+    return lines.select(F.from_json("value", full, opts).alias("j")).select("j.*")
+
+
 def split_corrupt(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean, quarantine): clean drops the corrupt column; quarantine
     keeps the full row (typed columns are null, the raw offending line

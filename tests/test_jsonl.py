@@ -85,6 +85,54 @@ def test_gzip_jsonl_reads_transparently(spark, tmp_path):
     assert raw.rdd.getNumPartitions() == 1  # the non-splittability caveat, pinned
 
 
+def test_streaming_ingest_equals_batch_and_is_incremental(spark, tmp_path):
+    """The streaming file-source twin: (1) stream result == batch read
+    row-for-row including quarantine; (2) a second availableNow run on
+    the same checkpoint processes ONLY files that landed in between —
+    exactly-once per file, the property a continuously-landing crawl
+    feed needs."""
+    import os
+
+    from datafusion_bigtable_spark.sources.jsonl import read_documents_jsonl_stream
+
+    feed = tmp_path / "feed"
+    os.makedirs(feed)
+    line = '{"doc_id": %d, "text": "doc %d", "lang": "en", "source": "s", "n_chars": 5}\n'
+    with open(feed / "a.jsonl", "w") as f:
+        for i in range(3):
+            f.write(line % (i, i))
+        f.write("broken\n")
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            read_documents_jsonl_stream(spark, str(feed))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    first = run_once()
+    batch = read_documents_jsonl(spark, str(feed))
+    key = lambda rows: sorted(tuple(str(v) for v in r) for r in rows)
+    assert key(first.collect()) == key(batch.collect())
+    assert first.filter(F.col(CORRUPT_COL).isNotNull()).count() == 1
+
+    with open(feed / "b.jsonl", "w") as f:
+        f.write(line % (100, 100))
+    second = run_once()
+    # same checkpoint -> exactly the NEW file's single row appended
+    assert second.count() == first.count() + 1
+    assert second.filter(F.col("doc_id") == 100).count() == 1
+
+
 def test_registered_query_matches_oracle(spark, sf_dir):
     from datafusion_bigtable_spark.queries import REGISTRY, _documents_jsonl_fixture
     from tests.oracle_harness import compare, duck_connection
