@@ -36,6 +36,19 @@ def write_training_shards(
     """Write ``df`` as ``path/<shard_col>=N/part-*.parquet`` with a
     manifest at ``path/_shard_manifest``.  One shuffle (hash on the
     shard column); file count per shard = ⌈rows/max_records_per_file⌉."""
+    if df.limit(1).count() == 0:
+        # a zero-row split is legitimate (cluster-granular 80/10/10 on a
+        # small corpus); partitionBy on empty input writes NO footers and
+        # the directory becomes unreadable — write a plain empty parquet
+        # (schema-carrying footer, minus the partition column the data
+        # write would have moved into the path) plus an empty manifest so
+        # readers see a valid, empty table either way
+        df.write.mode("overwrite").parquet(path)
+        empty_manifest = df.select(shard_col).groupBy(shard_col).agg(
+            F.count(F.lit(1)).alias("n_rows"), F.count(F.lit(1)).alias("n_files")
+        )
+        empty_manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/{MANIFEST_DIR}")
+        return
     (
         df.repartition(F.col(shard_col))
         .write.mode("overwrite")
