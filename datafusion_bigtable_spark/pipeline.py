@@ -88,3 +88,65 @@ def build_training_corpus(
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("split", "shard_id")
     )
+
+
+def build_embedding_store(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    out_path: str,
+    dup_threshold: float = 0.95,
+    target_block_size: int | None = 2000,
+    n_shards: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The embedding-side build: near-dup prune (SemDeDup-style,
+    IVF-cell-blocked pairs → min-id canonical) → shard-partitioned
+    vector store at ``out_path/vectors`` → searchable IVF index saved
+    cell-partitioned at ``out_path/ivf`` (built from the SURVIVORS, so
+    a later :func:`~datafusion_bigtable_spark.operators.similarity.
+    load_ivf_index` + ``topk_ivf`` never returns a pruned duplicate).
+
+    Scale shape: one IVF assignment pass for the dedup (cell-blocked
+    pairs, corpus-relative ``target_block_size`` keeps block cost flat),
+    one anti-join against the (small) dropped-id set, one more
+    assignment pass for the survivors' index, one shard shuffle at the
+    write.  Returns (shard_id, n_vectors).
+    """
+    from datafusion_bigtable_spark.operators.dedup import embedding_dup_pairs_ivf
+    from datafusion_bigtable_spark.operators.similarity import build_ivf_index, save_ivf_index
+    from datafusion_bigtable_spark.sources.shards import write_training_shards
+
+    pairs = embedding_dup_pairs_ivf(
+        embeddings,
+        threshold=dup_threshold,
+        target_block_size=target_block_size,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    # min-id canonical: the HIGHER id of every near-dup pair is dropped
+    # (id_a < id_b by construction, so id_b is always the loser)
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    survivors = embeddings.join(dropped, id_col, "left_anti")
+
+    shard_h = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("vshard|"), F.col(id_col).cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % n_shards
+    ).cast("int")
+    write_training_shards(
+        survivors.withColumn("shard_id", shard_h), f"{out_path}/vectors"
+    )
+    if target_block_size:
+        # corpus-relative cell count, same derivation as the dedup stage
+        n_cells = max(2, -(-survivors.count() // target_block_size))
+    else:
+        n_cells = 16
+    with build_ivf_index(survivors, n_cells, id_col=id_col, vec_col=vec_col) as idx:
+        save_ivf_index(idx, f"{out_path}/ivf")
+    return (
+        spark.read.parquet(f"{out_path}/vectors")
+        .groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("shard_id")
+    )

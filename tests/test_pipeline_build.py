@@ -27,6 +27,31 @@ def _doc(i, text):
     )
 
 
+def test_build_embedding_store_end_to_end(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from datafusion_bigtable_spark.operators.similarity import load_ivf_index, topk_ivf
+    from datafusion_bigtable_spark.pipeline import build_embedding_store
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # plant one exact duplicate vector under a new id — it must be pruned
+    dup = e.filter(F.col("vec_id") == 0).withColumn("vec_id", F.lit(999_999).cast("long"))
+    planted = e.unionByName(dup)
+    out = str(tmp_path / "estore")
+    summary = build_embedding_store(spark, planted, out, dup_threshold=0.999, n_shards=4)
+    total = sum(r.n_vectors for r in summary.collect())
+    survivors = spark.read.parquet(f"{out}/vectors")
+    assert total == survivors.count()
+    # the planted duplicate (higher id) is gone, the original remains
+    assert survivors.filter(F.col("vec_id") == 999_999).count() == 0
+    assert survivors.filter(F.col("vec_id") == 0).count() == 1
+    # the saved index searches the survivor set and never returns a pruned id
+    idx = load_ivf_index(spark, f"{out}/ivf")
+    res = topk_ivf(survivors, F.col("vec_id") < 100, k=3, index=idx)
+    rows = res.collect()
+    assert rows and all(r.neighbor_id != 999_999 for r in rows)
+
+
 def test_build_training_corpus_end_to_end(spark, tmp_path):
     feed = tmp_path / "feed"
     os.makedirs(feed)
