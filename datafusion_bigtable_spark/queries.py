@@ -2047,7 +2047,60 @@ _R10_GREEN = (
     "tpch_q5_local_supplier_volume",
     "tpch_q6_revenue_change",
 )
-# Later rounds override earlier ones; every name absent from all ten
+# CORRECTNESS_r11.json — 50/50 green (rows + schema + hash, zero err).
+_R11_GREEN = (
+    "ingest_jsonl_documents",
+    "bt_read_rows_wire",
+    "bt_wire_sharded_scan",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_substring_spans",
+    "dedup_minhash_lsh",
+    "dedup_minhash_estimate",
+    "dedup_lsh_quality",
+    "dedup_prefix_filter",
+    "corpus_leakage_safe_split",
+    "dedup_sampled_rate",
+    "dedup_connected_components",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_ivf",
+    "dedup_embedding_cosine_ivf2",
+    "dedup_semantic_prune",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh_bucketed",
+    "sim_topk_ivf_cells",
+    "sim_topk_ivf_nprobe",
+    "sim_trained_codebook_recall",
+    "dedup_keep_canonical",
+    "sim_topk_pq_adc",
+    "sim_topk_ivfpq",
+    "text_curation_sql",
+    "streaming_curation_filter",
+    "pipeline_curated_corpus",
+    "corpus_mixing_alpha",
+    "decontaminate_vs_benchmark",
+    "decontaminate_bloom",
+    "streaming_dedup_pairs",
+    "dedup_multi_signal",
+    "text_heavy_hitters",
+    "corpus_zipf_slope",
+    "embedding_random_projection",
+    "sim_topk_projected",
+    "multimodal_ahash_dedup",
+    "embedding_cluster_outliers",
+    "text_line_dedup",
+    "sim_topk_filtered",
+    "corpus_pack_utilization",
+    "dedup_keep_best_quality",
+    "dedup_incremental_ingest",
+    "table_profile_lineitem",
+    "streaming_ingest_dedup",
+    "events_asof_view_tolerance",
+    "events_asof_last_order",
+)
+# Later rounds override earlier ones; every name absent from all eleven
 # tuples carries 0.
 _LAST_GREEN: dict[str, int] = {
     **{n: 1 for n in _R1_GREEN},
@@ -2060,6 +2113,7 @@ _LAST_GREEN: dict[str, int] = {
     **{n: 8 for n in _R8_GREEN},
     **{n: 9 for n in _R9_GREEN},
     **{n: 10 for n in _R10_GREEN},
+    **{n: 11 for n in _R11_GREEN},
 }
 
 # ---------------------------------------------------------------------------
@@ -2181,56 +2235,23 @@ def query_deps(name: str) -> frozenset[str]:
     return _module_closure(_callable_direct_deps(fn, {fn}))
 
 
-# Rounds 9+10: package modules with BEHAVIOR-CHANGING edits since the last
-# folded driver window (their dependents reset to 0) and query functions
-# edited in this file over the same span.  Round 9 skipped this fold
-# entirely (VERDICT r9 #1), so its changes — the `_sim_query_pred` absolute
-# bound mirrored into the sim-family oracles, `target_block_size`, and the
-# persist=False throwaway indexes — are covered here alongside round 10's.
-# Policy (amended per ADVICE r5): purely ADDITIVE module changes — a new
-# function no existing query calls — do not reset dependents; any edit to
-# code an existing query executes does.  Verified against `git diff` before
-# the fold.
+# Round 12: package modules with BEHAVIOR-CHANGING edits since the r11 fold
+# (their dependents reset to 0) and query functions edited in this file over
+# the same span.  Policy (amended per ADVICE r5): purely ADDITIVE module
+# changes — a new function no existing query calls — do not reset
+# dependents; any edit to code an existing query executes does.  Verified
+# against `git diff` before the fold.
 _TOUCHED_MODULES: frozenset[str] = frozenset(
     {
-        f"{_PKG}.operators.similarity",  # r11: two-level-IVF assignment-loss guard
-        # (ADVICE r10 #1), random_projection dimension-drift fail-loud (#5),
-        # and the additive corpus_pred parameter on topk_bruteforce
-        f"{_PKG}.sources.wire",  # r11: free reconnect for a zero-frame reused
-        # pooled socket (ADVICE r10 #2)
-        # NOT functions.multimodal: the r11 edit adds the owned-cache
-        # materialize path to ahash_dup_pairs (and nothing else), and the
-        # ONLY registry query executing that function is
-        # multimodal_ahash_dedup — never-green, already leading the
-        # window (grep-verified; the other multimodal queries run
-        # extract_features/decode paths untouched this round).
-        # NOT functions.text: the r11 edit hoists the punct regexes into
-        # PUNCT_RE/SENT_PUNCT_RE constants with VERBATIM-identical strings
-        # (pure refactor, zero behavior change) — proven by the sf0.01
-        # oracle drives of text_curation_filter/text_curation_sql in the
-        # same commit and the per-function SQL==Column pins in
-        # tests/test_sqlapi.py.  Resetting text's ~20 dependents for a
-        # constant hoist would displace genuinely-touched queries from the
-        # 50-slot window.
-        f"{_PKG}.operators.dedup",  # r11: line_dedup + incremental_ingest_dedup
-        # additions and the _band_signatures factoring — conservative reset
-        # NOT streaming.cells_stream: `git diff adeb769 HEAD -- streaming/`
-        # shows the r10 change is purely ADDITIVE (streaming_ingest_dedup +
-        # its runner elif; zero existing lines modified), and the additive
-        # policy above says additions don't reset dependents.  The r10
-        # bookkeeping reset it conservatively anyway, which as of r11 (145
-        # queries, 51 would-be-zero-green) overflows the 50-slot window and
-        # would displace a genuinely-touched query; the new
-        # streaming_ingest_dedup query itself still leads the window via
-        # its absence from _LAST_GREEN.
+        # Empty at fold time — entries are added in the SAME commit as each
+        # behavior-changing module edit this round, so the set is truthful
+        # against `git diff <fold>..HEAD` at every commit.
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset(
     {
-        # r10's single non-green: hash mismatch from DuckDB HUGEINT→float64
-        # in the driver's pandas path; oracle now CASTs toks AS BIGINT —
-        # must lead the r11 window for its first driver-green.
-        "corpus_mixing_alpha",
+        # r12 additions lead the window via their absence from _LAST_GREEN;
+        # nothing else was edited by-hand in this file this round.
     }
 )
 
@@ -2238,40 +2259,12 @@ _TOUCHED_QUERIES: frozenset[str] = frozenset(
 # Round-scoped: every entry must be re-justified (or deleted) at each
 # fold, and tests/test_schedule.py fails loud if an entry stops being
 # module-reset (stale exemption) or has no prior driver-green to fall
-# back on.  r11 entries: the five streaming AGGREGATION queries reach
-# operators.dedup/similarity only through streaming.cells_stream's module
-# closure (streaming_ingest_dedup's function-local imports), but `git
-# diff adeb769 HEAD -- streaming/` shows the whole r10/r11 streaming
-# delta is that added function plus its runner `elif` — no existing
-# branch modified — and no dedup/similarity code executes under their agg
-# modes.  Without the exemption the zero-green set (51) overflows the
-# 50-slot driver window and displaces a genuinely-touched query, which
-# the schedule ratchet rightly forbids.
-_RESET_EXEMPT_QUERIES: frozenset[str] = frozenset(
-    {
-        "streaming_window_counts",
-        "streaming_session_windows",
-        "streaming_stateful_user_totals",
-        "streaming_enriched_counts",
-        "streaming_attribution_join",
-        # The five parquet-cells-store pushdown queries reach sources.wire
-        # ONLY through datasource.py's function-local `WireBigtableClient`
-        # imports (lines 614/757/1039), which execute solely under wire
-        # transport mode — these queries run the DefaultSource cells path
-        # end to end and never construct a socket.  The r11 wire diff (free
-        # reconnect for a zero-frame reused pooled socket, ADVICE r10 #2)
-        # cannot alter their behavior; all five are r10 driver-green.
-        # Without the exemption the zero-green set (56 with this round's 17
-        # additions) overflows the 50-slot window.  The two queries that DO
-        # exercise the wire client (bt_read_rows_wire, bt_wire_sharded_scan)
-        # stay reset and lead the window.
-        "bt_limit_pushdown",
-        "bt_ts_range_prune",
-        "bt_value_filter_pushdown",
-        "bt_value_regex_pushdown",
-        "bt_int_key_prune",
-    }
-)
+# back on.  r12: the ten r11 entries (5 streaming-agg + 5 cells-path bt_*)
+# are DELETED — their justification was r11 window overflow (51 and 56
+# zero-greens vs 50 slots); after the r11 fold the r12 zero-green set fits
+# the window with room, so every one of those queries re-verifies
+# normally whenever its module closure is touched again.
+_RESET_EXEMPT_QUERIES: frozenset[str] = frozenset()
 
 
 def _last_green(name: str) -> int:
