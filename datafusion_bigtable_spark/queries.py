@@ -1485,6 +1485,63 @@ def bt_wire_sharded_scan_q(spark, sf_dir):
 
 
 @query(
+    "bt_mutate_rows_wire",
+    """
+    SELECT LPAD(CAST(user_id AS VARCHAR), 4, '0') AS uid,
+           LPAD(CAST(event_id AS VARCHAR), 8, '0') AS eid,
+           event_type AS etype,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+    WHERE user_id = 31
+    """,
+)
+def bt_mutate_rows_wire_q(spark, sf_dir):
+    # r12 (VERDICT r11 #1): the WRITE transport in the rotation — a
+    # relational frame unpivots and pushes through MutateRows
+    # EXECUTOR-SIDE (BigtableTable.mutate: per-task wire connections, one
+    # Arrow batch per request group; the r11 toLocalIterator driver funnel
+    # is retired and pinned gone in tests/test_wire_transport.py), then
+    # the same store reads back over the socket so the driver oracle
+    # hash-checks the whole write→read round trip against the source
+    # parquet.  A fresh in-process service per call keeps the entry
+    # idempotent (re-runs rebuild an identical store; SetCell replays
+    # version-replace themselves).
+    from datafusion_bigtable_spark.config import BigtableTableConfig, ColumnSpec
+    from datafusion_bigtable_spark.plans.composer import Between as CBetween, Eq as CEq
+    from datafusion_bigtable_spark.sources.bigtable_table import BigtableTable
+    from datafusion_bigtable_spark.sources.fake_bigtable import InProcessBigtableService
+    from datafusion_bigtable_spark.sources.wire import WireBigtableClient, WireBigtableServer
+
+    rel = (
+        load(spark, sf_dir, "events")
+        .filter("user_id = 31")
+        .select(
+            F.lpad(F.col("user_id").cast("string"), 4, "0").alias("uid"),
+            F.lpad(F.col("event_id").cast("string"), 8, "0").alias("eid"),
+            F.col("ts").alias("_timestamp"),
+            F.col("event_type").alias("etype"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    cfg = BigtableTableConfig(
+        table="events_mut",
+        column_family="events",
+        columns=(ColumnSpec("etype", "string"), ColumnSpec("cents", "int64")),
+        table_partition_cols=("uid", "eid"),
+    )
+    svc = InProcessBigtableService([], table_name=None)
+    with WireBigtableServer(svc) as srv:
+        table = BigtableTable(cfg, service=WireBigtableClient(*srv.address))
+        table.mutate(rel)
+        df = table.to_df(
+            spark, predicates=[CEq("uid", "0031"), CBetween("eid", "00000000", "99999999")]
+        )
+        # service-path to_df materializes inside the `with` (the response
+        # frame is already local); returning after teardown is safe
+        return df.select("uid", "eid", "etype", "cents")
+
+
+@query(
     "events_sessionize",
     """
     WITH gaps AS (
@@ -2243,9 +2300,15 @@ def query_deps(name: str) -> frozenset[str]:
 # against `git diff` before the fold.
 _TOUCHED_MODULES: frozenset[str] = frozenset(
     {
-        # Empty at fold time — entries are added in the SAME commit as each
-        # behavior-changing module edit this round, so the set is truthful
-        # against `git diff <fold>..HEAD` at every commit.
+        # Entries are added in the SAME commit as each behavior-changing
+        # module edit this round, so the set is truthful against
+        # `git diff <fold>..HEAD` at every commit.
+        f"{_PKG}.sources.bigtable_table",  # r12: mutate() writes
+        # executor-side (per-task wire connections) instead of the driver
+        # toLocalIterator funnel (VERDICT r11 #1).
+        # NOT sources.wire: the r12 edit adds the read-only `address`
+        # property and nothing else (purely additive — no existing line
+        # modified; additive policy above).
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset(

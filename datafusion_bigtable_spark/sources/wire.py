@@ -368,6 +368,13 @@ class WireBigtableClient:
         self._idle: list = []
         self._lock = threading.Lock()
 
+    @property
+    def address(self) -> tuple[str, int]:
+        """The ``(host, port)`` this client dials — lets a caller hand the
+        ENDPOINT to executors (each task builds its own client; sockets
+        never cross process boundaries)."""
+        return self._addr
+
     # -- connection pool ------------------------------------------------------
 
     def _acquire(self) -> tuple[socket.socket, bool]:

@@ -48,8 +48,9 @@ def test_registry_size_and_full_green_fold():
     # streaming_ingest_dedup, events_asof_last_order, dedup_containment,
     # text_heavy_hitters, corpus_zipf_slope, events_asof_view_tolerance,
     # multimodal_ahash_dedup, decontaminate_bloom, dedup_minhash_estimate,
-    # dedup_sampled_rate, dedup_lsh_quality, ingest_jsonl_documents, text_curation_sql, dedup_prefix_filter, corpus_leakage_safe_split).
-    assert len(q.REGISTRY) == 154
+    # dedup_sampled_rate, dedup_lsh_quality, ingest_jsonl_documents, text_curation_sql, dedup_prefix_filter, corpus_leakage_safe_split)
+    # + r12 additions (bt_mutate_rows_wire).
+    assert len(q.REGISTRY) == 155
     sched = q._schedule()
     for name in (n for n in q.REGISTRY if n not in q._LAST_GREEN):
         assert sched.index(name) < 50, f"new query {name} outside driver window"

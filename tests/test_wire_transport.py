@@ -617,3 +617,86 @@ def test_stale_socket_plus_real_cut_within_budget(inproc, monkeypatch):
         client._idle.append(a)
         got = [(k, list(c)) for k, c in client.read_rows(req)]
     assert got == expect
+
+
+# --- distributed MutateRows (VERDICT r11 #1) ----------------------------------
+
+
+def test_mutate_is_executor_side_not_a_driver_funnel():
+    """Plan contract: the write path must never funnel rows through the
+    driver — r11's ``toLocalIterator`` loop encoded every cell on the
+    driver before pushing, a bottleneck by construction at cluster scale.
+    Pins the implementation to partition-side encode+push."""
+    import ast
+    import inspect
+    import textwrap
+
+    tree = ast.parse(textwrap.dedent(inspect.getsource(BigtableTable.mutate)))
+    code_names = {
+        n.attr for n in ast.walk(tree) if isinstance(n, ast.Attribute)
+    } | {n.id for n in ast.walk(tree) if isinstance(n, ast.Name)}
+    assert "toLocalIterator" not in code_names
+    assert "mapInArrow" in code_names
+    # only the bounded per-partition count frame (≤ one row per task) may
+    # collect — its receiver is the mapInArrow result, never the input df
+    collects = [
+        n
+        for n in ast.walk(tree)
+        if isinstance(n, ast.Call)
+        and isinstance(n.func, ast.Attribute)
+        and n.func.attr == "collect"
+    ]
+    assert len(collects) == 1
+    recv = collects[0].func.value
+    assert isinstance(recv, ast.Call) and recv.func.attr == "mapInArrow"
+
+
+def test_mutate_multi_partition_distributed(spark):
+    """A many-partition frame writes through per-task connections and the
+    union of all partitions lands — read-back equals input exactly."""
+    import pandas as pd
+
+    svc = InProcessBigtableService([], table_name=None)
+    with WireBigtableServer(svc) as srv:
+        client = WireBigtableClient(*srv.address)
+        cfg = _config(table_partition_cols=("_row_key",))
+        table = BigtableTable(cfg, service=client)
+        n = 97
+        pdf = pd.DataFrame(
+            {
+                "_row_key": [f"k{i:04d}" for i in range(n)],
+                "_timestamp": pd.to_datetime([1_000_000 * (i + 1) for i in range(n)], unit="us"),
+                "pressure": [i * 7 - 300 for i in range(n)],
+                "temperature": [f"t{i}" for i in range(n)],
+            }
+        )
+        df = spark.createDataFrame(pdf).repartition(8)
+        assert df.rdd.getNumPartitions() == 8
+        assert table.mutate(df) == n
+        out = table.to_df(spark).orderBy("_row_key").collect()
+        assert [(r["_row_key"], r["pressure"], r["temperature"]) for r in out] == [
+            (f"k{i:04d}", i * 7 - 300, f"t{i}") for i in range(n)
+        ]
+
+
+def test_mutate_bridges_inprocess_service_without_driver_encode(spark):
+    """A plain in-process service (no wire client) gets a job-lifetime
+    bridge: encoding still happens executor-side, and the bridge is torn
+    down after the job."""
+    import pandas as pd
+
+    svc = InProcessBigtableService([], table_name=None)
+    cfg = _config(table_partition_cols=("_row_key",))
+    table = BigtableTable(cfg, service=svc)
+    pdf = pd.DataFrame(
+        {
+            "_row_key": ["a", "b", "c"],
+            "_timestamp": pd.to_datetime([1, 2, 3], unit="ms"),
+            "pressure": [1, 2, 3],
+            "temperature": ["x", "y", "z"],
+        }
+    )
+    assert table.mutate(spark.createDataFrame(pdf).repartition(2)) == 3
+    got = {k: {(f, q) for f, q, _, _ in cells} for k, cells in svc._rows.items()}
+    assert set(got) == {"a", "b", "c"}
+    assert got["a"] == {(FAMILY, "pressure"), (FAMILY, "temperature")}
