@@ -594,19 +594,21 @@ def prefix_filter_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )
+    # Filter on the UNROUNDED jaccard (ADVICE r11 #1): the prefix theorem
+    # guarantees a shared prefix shingle only for true J >= threshold, so
+    # the final predicate must match that domain exactly — a pair with
+    # true J in [t−5e−5, t) would round UP past the threshold and pass a
+    # rounded filter here while (legitimately) sharing no prefix shingle,
+    # breaking the identical-to-exact-all-pairs contract.  Round only for
+    # output.
+    raw = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
     return (
         inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
         .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .filter(raw >= threshold)
+        .select("id_a", "id_b", F.round(raw, 4).alias("jaccard"))
     )
 
 
@@ -654,11 +656,28 @@ def embedding_dup_pairs(
     block_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_cap: int | None = None,
 ) -> DataFrame:
     """Same-block pairs with cosine ≥ threshold (double math, rounded 6).
 
     ``block_col`` is the blocking key (label here; an IVF cell id at
     scale) — it turns the n² self-join into Σ|block|².
+
+    ``block_cap`` bounds that sum (VERDICT r11 #2: a FIXED block count
+    means blocks grow with the corpus and Σ|block|² is quadratic again —
+    measured 3.0→283 s at sf0.1→sf1): each block splits into
+    deterministic sub-blocks of at most ``block_cap`` members, in
+    ``id_col`` order (``floor(rank/cap)`` — SQL-expressible, so the
+    oracle mirrors it exactly), and pairs are generated within
+    sub-blocks only.  Cost becomes ≤ n·cap, linear at any corpus size;
+    the trade is the same as every blocked pass — pairs straddling a
+    sub-block boundary are missed (a cap below the true duplicate-
+    cluster size splits clusters).  A block no larger than the cap is a
+    single sub-block, so capping is output-identical until blocks
+    outgrow it.  :func:`embedding_dup_pairs_ivf` with
+    ``target_block_size`` remains the prescribed corpus-scale form (its
+    blocking adapts to the vectors; this cap is a guardrail for the
+    metadata-label variant).
     """
     from datafusion_bigtable_spark.operators.similarity import as_double_vec, dot_raw, norm
 
@@ -667,13 +686,22 @@ def embedding_dup_pairs(
     withn = embeddings.withColumn("_norm", norm(F.col(vec_col))).withColumn(
         "_dv", as_double_vec(F.col(vec_col))
     )
+    join_keys = [block_col]
+    if block_cap is not None:
+        # One window shuffle on the block key (linear; the JOIN blowup is
+        # the quadratic killer this bounds).  rank is dense from 0 within
+        # each block in id order — deterministic for unique ids.
+        w = W.partitionBy(block_col).orderBy(id_col)
+        withn = withn.withColumn(
+            "_sub", F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(block_cap))
+        )
+        join_keys.append("_sub")
     a = withn.alias("a")
     b = withn.alias("b")
-    j = a.join(
-        b,
-        (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    )
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for k in join_keys:
+        cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
+    j = a.join(b, cond)
     c = F.round(
         dot_raw(F.col("a._dv"), F.col("b._dv")) / (F.col("a._norm") * F.col("b._norm")), 6
     )

@@ -2306,6 +2306,10 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         f"{_PKG}.sources.bigtable_table",  # r12: mutate() writes
         # executor-side (per-task wire connections) instead of the driver
         # toLocalIterator funnel (VERDICT r11 #1).
+        f"{_PKG}.operators.dedup",  # r12: embedding_dup_pairs grows the
+        # block_cap sub-blocking bound (VERDICT r11 #2, wired into
+        # dedup_embedding_cosine) and prefix_filter_pairs compares the
+        # UNROUNDED jaccard against the threshold (ADVICE r11 #1).
         # NOT sources.wire: the r12 edit adds the read-only `address`
         # property and nothing else (purely additive — no existing line
         # modified; additive policy above).
@@ -2626,7 +2630,7 @@ def dedup_lsh_quality_q(spark, sf_dir):
     SELECT id_a, id_b,
            ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
     FROM inter JOIN sizes sa ON sa.id = inter.id_a JOIN sizes sb ON sb.id = inter.id_b
-    WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.6
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
     """,
 )
 def dedup_prefix_filter_q(spark, sf_dir):
@@ -2814,18 +2818,32 @@ def dedup_simhash_q(spark, sf_dir):
 @query(
     "dedup_embedding_cosine",
     """
+    WITH r AS (
+      SELECT vec_id, label, embedding,
+             CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) - 1)
+                        / 128) AS BIGINT) AS sub
+      FROM embeddings)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                         CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-    FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM r a JOIN r b ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
     WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                        CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
     """,
 )
 def dedup_embedding_q(spark, sf_dir):
+    # The metadata-label blocking TEACHING entry, now bounded (VERDICT r11
+    # #2 — the registry's one remaining quadratic plan): block_cap=128
+    # splits each label block into deterministic id-ordered sub-blocks of
+    # ≤128, so Σ|block|² ≤ n·128 stays linear at any corpus size (sf1's
+    # 2180-member blocks cost 283 s uncapped).  At the driver's sf0.01 the
+    # largest label block is 59 < 128 — one sub-block per label — so the
+    # recorded hash is byte-identical to the uncapped history; the oracle's
+    # `r` CTE mirrors the floor(rank/cap) rule exactly.  The IVF variants
+    # below remain the prescribed corpus-scale blocking.
     from datafusion_bigtable_spark.operators.dedup import embedding_dup_pairs
 
-    return embedding_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.4)
+    return embedding_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.4, block_cap=128)
 
 
 @query(

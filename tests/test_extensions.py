@@ -1428,3 +1428,42 @@ def test_ahash_fails_loud_on_bad_inputs(spark):
         "asset_id long, mime string, payload binary",
     )
     assert ahash_dup_pairs(junk).collect() == []
+
+
+def test_embedding_block_cap_identity_and_bound(spark, sf_dir):
+    """block_cap (VERDICT r11 #2): capping is OUTPUT-IDENTICAL while every
+    block fits the cap, and with a small cap every emitted pair still sits
+    in one deterministic id-ordered sub-block (subset of the uncapped
+    pairs, never a new pair)."""
+    from datafusion_bigtable_spark.operators.dedup import embedding_dup_pairs
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    uncapped = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_dup_pairs(e, threshold=0.4).collect()
+    }
+    # cap larger than the largest label block → identical output
+    big_cap = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_dup_pairs(e, threshold=0.4, block_cap=10_000).collect()
+    }
+    assert big_cap == uncapped
+    # tiny cap → strict subset; every pair's members share a sub-block
+    # under floor(rank/cap) in vec_id order within the label
+    cap = 7
+    small = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_dup_pairs(e, threshold=0.4, block_cap=cap).collect()
+    }
+    assert small <= uncapped
+    import collections
+
+    by_label = collections.defaultdict(list)
+    for r in e.select("vec_id", "label").collect():
+        by_label[r.label].append(r.vec_id)
+    sub = {}
+    for ids in by_label.values():
+        for i, vid in enumerate(sorted(ids)):
+            sub[vid] = i // cap
+    expected = {(a, b, c) for a, b, c in uncapped if sub[a] == sub[b]}
+    assert small == expected
