@@ -133,26 +133,33 @@ def asof_join(
         .orderBy("_t", "_is_l", "_tie")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = [
-        F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(c) for c in right_values
-    ]
+    # ONE carried struct per row (ADVICE r11 #3): the matched right ROW —
+    # its timestamp and all its values — travels through a single
+    # last(ignorenulls) window, so the freshness gate and the emitted
+    # values always come from the same right row.  Independent per-column
+    # lasts diverge from pandas merge_asof when a right value column is
+    # NULL on the matched row: an older row's value would surface under
+    # the newer row's gate.  The struct is non-null on every right row
+    # (even one whose value fields are all NULL), exactly the row unit
+    # merge_asof matches.
+    u = u.withColumn(
+        "_rrow",
+        F.when(
+            F.col("_is_l") == 0,
+            F.struct(
+                F.col("_t").alias("_rts"),
+                *[F.col(f"_rv_{c}").alias(c) for c in right_values],
+            ),
+        ),
+    )
+    m = F.last("_rrow", ignorenulls=True).over(w)
     if tolerance is None:
-        return (
-            u.select(*lcols, F.col("_is_l"), *filled)
-            .filter(F.col("_is_l") == 1)
-            .drop("_is_l")
-        )
-    # carry the matched right row's own timestamp through the same window
-    # (right rows see their _t, left rows null) and gate row-locally
-    u = u.withColumn("_rts", F.when(F.col("_is_l") == 0, F.col("_t")))
-    m_ts = F.last("_rts", ignorenulls=True).over(w)
-    fresh = m_ts.isNotNull() & ((F.col("_t") - m_ts) <= F.lit(tolerance))
-    gated = [
-        F.when(fresh, F.last(f"_rv_{c}", ignorenulls=True).over(w)).alias(c)
-        for c in right_values
-    ]
+        picked = [m.getField(c).alias(c) for c in right_values]
+    else:
+        fresh = m.isNotNull() & ((F.col("_t") - m.getField("_rts")) <= F.lit(tolerance))
+        picked = [F.when(fresh, m.getField(c)).alias(c) for c in right_values]
     return (
-        u.select(*lcols, F.col("_is_l"), *gated)
+        u.select(*lcols, F.col("_is_l"), *picked)
         .filter(F.col("_is_l") == 1)
         .drop("_is_l")
     )

@@ -2310,6 +2310,10 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         # block_cap sub-blocking bound (VERDICT r11 #2, wired into
         # dedup_embedding_cosine) and prefix_filter_pairs compares the
         # UNROUNDED jaccard against the threshold (ADVICE r11 #1).
+        f"{_PKG}.operators.temporal",  # r12: asof_join carries the matched
+        # right ROW as one struct through a single last(ignorenulls), so
+        # the freshness gate and the emitted values come from the same
+        # row (ADVICE r11 #3; oracles mirrored to struct carry).
         # NOT sources.wire: the r12 edit adds the read-only `address`
         # property and nothing else (purely additive — no existing line
         # modified; additive policy above).
@@ -6703,16 +6707,15 @@ REGISTRY["streaming_ingest_dedup"] = QuerySpec(
       SELECT user_id, t, 0, NULL, event_id, value FROM v),
     f AS (
       SELECT *,
-        LAST_VALUE(vid IGNORE NULLS) OVER w AS a_vid,
-        LAST_VALUE(vval IGNORE NULLS) OVER w AS a_vval,
-        LAST_VALUE(CASE WHEN is_l = 0 THEN t END IGNORE NULLS) OVER w AS a_ts
+        LAST_VALUE(CASE WHEN is_l = 0 THEN {'rts': t, 'vid': vid, 'vval': vval} END
+                   IGNORE NULLS) OVER w AS m
       FROM u
       WINDOW w AS (PARTITION BY k ORDER BY t, is_l, vid
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
     SELECT event_id AS click_id, k AS user_id, t AS ts_us,
-           CASE WHEN a_ts IS NOT NULL AND t - a_ts <= 21600000000 THEN a_vid END AS view_id,
-           CASE WHEN a_ts IS NOT NULL AND t - a_ts <= 21600000000
-                THEN ROUND(a_vval, 4) END AS view_value
+           CASE WHEN m IS NOT NULL AND t - m.rts <= 21600000000 THEN m.vid END AS view_id,
+           CASE WHEN m IS NOT NULL AND t - m.rts <= 21600000000
+                THEN ROUND(m.vval, 4) END AS view_value
     FROM f WHERE is_l = 1
     """,
 )
@@ -6767,15 +6770,13 @@ def events_asof_view_tolerance_q(spark, sf_dir):
       FROM orders),
     f AS (
       SELECT *,
-        LAST_VALUE(okey IGNORE NULLS) OVER (
+        LAST_VALUE(CASE WHEN is_l = 0 THEN {'okey': okey, 'tot': tot} END
+                   IGNORE NULLS) OVER (
           PARTITION BY k ORDER BY t, is_l, okey
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a_key,
-        LAST_VALUE(tot IGNORE NULLS) OVER (
-          PARTITION BY k ORDER BY t, is_l, okey
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a_tot
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
       FROM u)
     SELECT event_id, k AS user_id, t AS ts_us,
-           a_key AS asof_order_key, ROUND(a_tot, 2) AS asof_total
+           m.okey AS asof_order_key, ROUND(m.tot, 2) AS asof_total
     FROM f WHERE is_l = 1
     """,
 )

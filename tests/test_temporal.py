@@ -185,3 +185,46 @@ def test_asof_join_tolerance_gates_stale_matches(spark):
         ).collect()
     }
     assert full[3] == 901
+
+
+def test_asof_join_null_valued_matched_row_is_row_semantic(spark):
+    """ADVICE r11 #3: when the MATCHED (latest prior) right row carries a
+    NULL value column, that NULL must be emitted — pandas merge_asof row
+    semantics — never an older row's non-null value surfacing under the
+    newer row's freshness gate.  Exercises both the tolerance gate and
+    the ungated path."""
+    from datafusion_bigtable_spark.operators.temporal import asof_join
+
+    evs = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 200)], "event_id long, user_id long, ts_us long"
+    )
+    # right rows: ts=90 has a NON-NULL price; ts=95 (the match) has NULL
+    orders = spark.createDataFrame(
+        [(1, 90, 900, 1.0), (1, 95, 901, None)],
+        "o_custkey long, o_us long, o_orderkey long, o_totalprice double",
+    )
+    for tol in (None, 1_000):
+        out = {
+            r["event_id"]: (r["o_orderkey"], r["o_totalprice"])
+            for r in asof_join(
+                evs, orders,
+                left_key="user_id", right_key="o_custkey",
+                left_ts="ts_us", right_ts="o_us",
+                right_values=("o_orderkey", "o_totalprice"), right_tie="o_orderkey",
+                tolerance=tol,
+            ).collect()
+        }
+        # matched row is (901, NULL): the NULL rides along, 1.0 must NOT
+        assert out[1] == (901, None), (tol, out)
+        assert out[2] == (901, None), (tol, out)
+    # pandas reference (merge_asof emits the matched row as a unit)
+    import pandas as pd
+
+    ref = pd.merge_asof(
+        pd.DataFrame({"ts": [100, 200], "user_id": [1, 1], "event_id": [1, 2]}).sort_values("ts"),
+        pd.DataFrame({"ts": [90, 95], "o_custkey": [1, 1], "o_orderkey": [900, 901],
+                      "o_totalprice": [1.0, None]}).sort_values("ts"),
+        on="ts", left_by="user_id", right_by="o_custkey",
+    )
+    assert list(ref["o_orderkey"]) == [901, 901]
+    assert ref["o_totalprice"].isna().all()
