@@ -67,19 +67,31 @@ def bloom_membership(
     """``candidates`` plus boolean ``in_bloom``: true iff ALL
     ``k_hashes`` probe positions of ``key_col`` are set in ``bits``.
 
-    Plan shape: explode the k probes (narrow, ×k row fan-out), one
+    Plan shape: posexplode the k probes (narrow, ×k row fan-out), one
     BROADCAST hash join against the bounded bit set, then re-group on
-    the candidate row.  Probe collisions within one key (two i landing
-    on the same pos) count per-probe on both engines, so parity holds
-    even in that corner."""
+    the candidate row.  Membership is decided by COUNT(DISTINCT probe
+    index among hits) == k_hashes (ADVICE r11 #2): a candidate row
+    duplicated d times contributes d rows per probe, but the distinct
+    index count is unaffected, so duplicates get the CORRECT membership
+    (they still collapse to one output row — membership is a function
+    of the key, so the collapse loses no information).  Probe collisions
+    within one key (two i landing on the same pos) also stay correct:
+    both indexes hit iff the shared position is set."""
     other = [c for c in candidates.columns if c != key_col]
     probes = candidates.select(
-        *other, key_col, F.explode(_probe_array(F.col(key_col), m, k_hashes)).alias("pos")
+        *other,
+        key_col,
+        F.posexplode(_probe_array(F.col(key_col), m, k_hashes)).alias("_i", "pos"),
     )
     return (
         probes.join(F.broadcast(bits.withColumn("_hit", F.lit(1))), "pos", "left")
         .groupBy(*other, key_col)
-        .agg((F.count("_hit") == k_hashes).alias("in_bloom"))
+        .agg(
+            (
+                F.count_distinct(F.when(F.col("_hit").isNotNull(), F.col("_i")))
+                == k_hashes
+            ).alias("in_bloom")
+        )
     )
 
 

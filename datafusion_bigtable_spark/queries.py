@@ -2314,6 +2314,11 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         # right ROW as one struct through a single last(ignorenulls), so
         # the freshness gate and the emitted values come from the same
         # row (ADVICE r11 #3; oracles mirrored to struct carry).
+        f"{_PKG}.operators.bloom",  # r12: bloom_membership decides by
+        # COUNT(DISTINCT probe index among hits) so duplicated candidate
+        # rows report correct membership (ADVICE r11 #2); provably
+        # output-identical for the distinct shingle inputs in-repo, reset
+        # anyway (one dependent: decontaminate_bloom).
         # NOT sources.wire: the r12 edit adds the read-only `address`
         # property and nothing else (purely additive — no existing line
         # modified; additive policy above).

@@ -47,13 +47,43 @@ def read_documents_csv(
     """Schema-enforced PERMISSIVE one-line-one-record CSV read with the
     corrupt-record column appended; use :func:`split_corrupt`.
 
-    ``header=True`` drops the first line of EVERY file by value match
-    against the schema's column-name row — the standard per-file header
-    convention (each shard carries its own header)."""
-    lines = spark.read.text(str(path)).filter(F.length("value") > 0)
+    ``header=True`` drops each file's FIRST line when it matches the
+    schema's column-name row — the standard per-file header convention
+    (each shard carries its own header).  POSITION-AWARE (ADVICE r11
+    #4): a data row mid-file that coincidentally serializes to the
+    header string is kept, where a pure value match silently lost it.
+    The first line is located without a corpus shuffle: rows in the
+    offset-0 split of each file (``_metadata.file_block_start = 0``)
+    carry partition-ordered ``monotonically_increasing_id``s, so
+    ``min(id)`` per file over that split IS the file's first line — a
+    map-side-combined aggregation of O(files) rows, broadcast back as
+    an anti-filter.  A headerless shard (first line is data) keeps its
+    first line, because it fails the value match."""
+    lines = spark.read.text(str(path))
     if header:
         header_line = ",".join(f.name for f in schema.fields)
-        lines = lines.filter(F.col("value") != header_line)
+        lines = lines.select(
+            "value",
+            F.col("_metadata.file_path").alias("_fp"),
+            F.col("_metadata.file_block_start").alias("_bs"),
+        ).withColumn("_mid", F.monotonically_increasing_id())
+        firsts = (
+            lines.filter(F.col("_bs") == 0)
+            .groupBy("_fp")
+            .agg(F.min("_mid").alias("_mid"))
+            .withColumn("_is_first", F.lit(True))
+        )
+        lines = (
+            lines.join(F.broadcast(firsts), ["_fp", "_mid"], "left")
+            .filter(
+                ~(
+                    F.coalesce(F.col("_is_first"), F.lit(False))
+                    & (F.col("value") == header_line)
+                )
+            )
+            .select("value")
+        )
+    lines = lines.filter(F.length("value") > 0)
     opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL}
     parsed = lines.select(F.from_csv("value", _ddl_with_corrupt(schema), opts).alias("c"))
     return parsed.select("c.*")

@@ -119,3 +119,31 @@ def test_bloom_no_false_negatives_property(spark):
         assert mem.filter(~F.col("in_bloom")).count() == 0
 
     run()
+
+
+def test_membership_correct_for_duplicate_candidates(spark):
+    """ADVICE r11 #2: a duplicated candidate row must report the SAME
+    membership as a single copy (the old count(_hit)==k collapsed d
+    copies into one row with count d*k and answered false)."""
+    from datafusion_bigtable_spark.operators.bloom import (
+        bloom_membership,
+        build_bloom_positions,
+    )
+
+    keys = spark.createDataFrame([("alpha",), ("beta",)], "shingle string")
+    bits = build_bloom_positions(keys)
+    dup = spark.createDataFrame(
+        [("alpha",), ("alpha",), ("alpha",), ("gamma",), ("gamma",)],
+        "shingle string",
+    )
+    got = {r["shingle"]: r["in_bloom"] for r in bloom_membership(dup, bits).collect()}
+    assert got["alpha"] is True
+    # gamma may be a false positive by construction, but must equal the
+    # single-copy answer
+    single = {
+        r["shingle"]: r["in_bloom"]
+        for r in bloom_membership(
+            spark.createDataFrame([("gamma",)], "shingle string"), bits
+        ).collect()
+    }
+    assert got["gamma"] == single["gamma"]

@@ -62,3 +62,26 @@ def test_csv_roundtrip_and_newline_guard(spark, tmp_path):
     bad = spark.createDataFrame([(3, "line1\nline2", "en", "s", 0)], DOCUMENTS_SCHEMA)
     with pytest.raises(ValueError, match="embedded newline"):
         write_csv(bad, str(tmp_path / "bad"))
+
+
+def test_header_drop_is_position_aware(spark, tmp_path):
+    """ADVICE r11 #4: only each file's FIRST line may be dropped as a
+    header — a mid-file data row that serializes to the header string
+    must survive, and a headerless shard keeps its first line."""
+    from datafusion_bigtable_spark.sources.delimited import read_documents_csv
+    from datafusion_bigtable_spark.sources.jsonl import DOCUMENTS_SCHEMA
+
+    hdr = ",".join(f.name for f in DOCUMENTS_SCHEMA.fields)
+    d = tmp_path / "csv"
+    d.mkdir()
+    # file A: header + a data row that EQUALS the header string + normal row
+    (d / "a.csv").write_text(f"{hdr}\n{hdr}\n1,alpha text,en,0.5,11\n")
+    # file B: headerless shard — first line is data and must be kept
+    (d / "b.csv").write_text("2,beta text,de,0.7,12\n3,gamma,fr,0.9,13\n")
+    out = read_documents_csv(spark, str(d), header=True)
+    rows = out.collect()
+    assert len(rows) == 4  # 1 header dropped; header-valued data row kept
+    # the header-string data row parses with text = the second column
+    # name ("text") and a NULL doc_id — present, not silently lost
+    texts = {r["text"] for r in rows if r["text"] is not None}
+    assert {"alpha text", "beta text", "gamma"} <= texts
