@@ -2314,6 +2314,10 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         # right ROW as one struct through a single last(ignorenulls), so
         # the freshness gate and the emitted values come from the same
         # row (ADVICE r11 #3; oracles mirrored to struct carry).
+        f"{_PKG}.sources.grpc_transport",  # r12: fetch_cells/push_cells
+        # real path rebuilt on the RealSdkBigtableService seam adapter
+        # (emulator-optional, VERDICT r11 #4); service-path callers are
+        # semantically unchanged but the executed lines moved — reset.
         f"{_PKG}.operators.bloom",  # r12: bloom_membership decides by
         # COUNT(DISTINCT probe index among hits) so duplicated candidate
         # rows report correct membership (ADVICE r11 #2); provably

@@ -304,11 +304,9 @@ def push_cells(
     container — same gate as fetch_cells).
     """
     if service is None:
-        raise NotImplementedError(
-            "google-cloud-bigtable is not installed in this environment; "
-            "write through the parquet cells store (df.write.format('bigtable')) "
-            "or pass an in-process service"
-        )
+        # Real transport (same adapter seam as fetch_cells) — emulator-
+        # or credential-backed depending on BIGTABLE_EMULATOR_HOST.
+        service = real_sdk_service(config)
     # group into per-row entries, preserving input order within a row
     grouped: dict[str, list] = {}
     for row_key, family, qualifier, ts, value in cells:
@@ -367,39 +365,195 @@ def fetch_cells(
     Without a service this is the real transport, gated on
     ``google-cloud-bigtable`` (not in this container).
     """
-    if service is not None:
-        request = build_read_rows_request(
-            config, ranges, projected_qualifiers, as_of_us, value_preds, rows_limit
-        )
-        for row_key, cells in service.read_rows(request):
-            for family, qualifier, ts, value in cells:
-                yield (row_key, family, qualifier, ts, value)
-        return
-    try:
-        from google.cloud import bigtable  # type: ignore[import-not-found]
-        from google.cloud.bigtable.row_set import RowSet  # type: ignore[import-not-found]
-    except ImportError as exc:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "google-cloud-bigtable is not installed in this environment; "
-            "use a parquet cells store (cells_path) — the rest of the engine "
-            "is transport-agnostic"
-        ) from exc
+    if service is None:
+        # Real transport: the SDK adapter implements the same seam, so the
+        # FULL request (ranges + filter chain + rows_limit) is pushed —
+        # the old inline path shipped only the RowSet.  Honors
+        # BIGTABLE_EMULATOR_HOST (reference Makefile:15, rust.yml:11).
+        service = real_sdk_service(config)
+    request = build_read_rows_request(
+        config, ranges, projected_qualifiers, as_of_us, value_preds, rows_limit
+    )
+    for row_key, cells in service.read_rows(request):
+        for family, qualifier, ts, value in cells:
+            yield (row_key, family, qualifier, ts, value)
 
-    client = bigtable.Client(project=config.project, admin=False)  # pragma: no cover
-    table = client.instance(config.instance).table(config.table)  # pragma: no cover
-    row_set = RowSet()  # pragma: no cover
-    for r in ranges:  # pragma: no cover
-        row_set.add_row_range_from_keys(
-            start_key=r.start.encode(), end_key=r.end.encode(), end_inclusive=True
+
+# --- real-SDK service adapter (emulator-optional) ---------------------------
+
+#: the reference's emulator switch (Makefile:15 `BIGTABLE_EMULATOR_HOST=
+#: localhost:8086 cargo test`, .github/workflows/rust.yml:22-38) — the
+#: google SDK reads it natively: when set, the client dials the emulator
+#: with anonymous credentials over an insecure channel.
+BIGTABLE_EMULATOR_ENV = "BIGTABLE_EMULATOR_HOST"
+
+
+def _us_to_dt(us: int):
+    import datetime as _dt
+
+    return _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc) + _dt.timedelta(
+        microseconds=int(us)
+    )
+
+
+def sdk_row_filter(node: dict, rf):
+    """Translate one engine filter dict (the grammar build_filter_chain /
+    build_value_pred_filter emit) into the SDK RowFilter tree.  ``rf`` is
+    the ``google.cloud.bigtable.row_filters`` module (injected so the
+    translation is unit-testable without the SDK installed)."""
+    ((kind, payload),) = node.items()
+    if kind == "chain":
+        return rf.RowFilterChain(filters=[sdk_row_filter(f, rf) for f in payload["filters"]])
+    if kind == "interleave":
+        return rf.RowFilterUnion(filters=[sdk_row_filter(f, rf) for f in payload["filters"]])
+    if kind == "family_name_regex_filter":
+        return rf.FamilyNameRegexFilter(payload)
+    if kind == "cells_per_column_limit_filter":
+        return rf.CellsColumnLimitFilter(int(payload))
+    if kind == "column_qualifier_regex_filter":
+        return rf.ColumnQualifierRegexFilter(payload)
+    if kind == "value_regex_filter":
+        return rf.ValueRegexFilter(payload)
+    if kind == "timestamp_range_filter":
+        start = payload.get("start_timestamp_micros")
+        end = payload.get("end_timestamp_micros")
+        return rf.TimestampRangeFilter(
+            rf.TimestampRange(
+                start=_us_to_dt(start) if start is not None else None,
+                end=_us_to_dt(end) if end is not None else None,
+            )
         )
-    for row in table.read_rows(row_set=row_set, limit=rows_limit):  # pragma: no cover
-        for family, cells in row.cells.items():
-            for qualifier, versions in cells.items():
-                for cell in versions:
-                    yield (
-                        row.row_key.decode("utf-8"),
-                        family,
-                        qualifier.decode("utf-8"),
-                        int(cell.timestamp.timestamp() * 1_000_000),
-                        bytes(cell.value),
-                    )
+    if kind == "value_range_filter":
+        kw = {}
+        lo, lo_open = payload.get("start_value_closed"), payload.get("start_value_open")
+        hi, hi_open = payload.get("end_value_closed"), payload.get("end_value_open")
+        if lo is not None or lo_open is not None:
+            kw["start_value"] = lo if lo is not None else lo_open
+            kw["inclusive_start"] = lo_open is None
+        if hi is not None or hi_open is not None:
+            kw["end_value"] = hi if hi is not None else hi_open
+            kw["inclusive_end"] = hi_open is None
+        return rf.ValueRangeFilter(**kw)
+    raise NotImplementedError(f"unsupported filter for SDK translation: {kind!r}")
+
+
+class RealSdkBigtableService:
+    """google-cloud-bigtable adapter for the SERVICE SEAM — the same
+    ``read_rows``/``mutate_rows``/``sample_row_keys`` request-dict
+    interface the in-process fake (sources/fake_bigtable.py) and the wire
+    client (sources/wire.py) implement, so every consumer — BigtableTable,
+    the DS endpoint scan, the wire bridge — runs unchanged against a real
+    service or the emulator (reference Makefile:1-15 runs its whole suite
+    that way).  The client is built lazily on first use;
+    ``BIGTABLE_EMULATOR_HOST`` is honored by the SDK itself.
+
+    Precision note: the service stores cell timestamps at millisecond
+    granularity — µs-precision fixtures must stick to whole milliseconds
+    to round-trip bit-identically.
+    """
+
+    def __init__(self, config: BigtableTableConfig, admin: bool = False):
+        self.config = config
+        self._admin = admin
+        self._table = None
+
+    def _modules(self):
+        from google.cloud import bigtable  # type: ignore[import-not-found]
+        from google.cloud.bigtable import row_filters  # type: ignore[import-not-found]
+        from google.cloud.bigtable import row_set as row_set_mod  # type: ignore[import-not-found]
+
+        return bigtable, row_filters, row_set_mod
+
+    def table(self):  # pragma: no cover - needs SDK
+        if self._table is None:
+            bigtable, _, _ = self._modules()
+            client = bigtable.Client(project=self.config.project, admin=self._admin)
+            self._table = client.instance(self.config.instance).table(self.config.table)
+        return self._table
+
+    def read_rows(self, request: dict):  # pragma: no cover - needs SDK/emulator
+        _, rf, rs_mod = self._modules()
+        table = self.table()
+        kwargs = {}
+        rows = request.get("rows") or {}
+        rset = rs_mod.RowSet()
+        any_sel = False
+        for rr in rows.get("row_ranges", ()):
+            rset.add_row_range_from_keys(
+                start_key=rr["start_key_closed"],
+                end_key=rr["end_key_closed"],
+                end_inclusive=True,
+            )
+            any_sel = True
+        for rk in rows.get("row_keys", ()):
+            rset.add_row_key(rk)
+            any_sel = True
+        if any_sel:
+            kwargs["row_set"] = rset
+        if request.get("filter"):
+            kwargs["filter_"] = sdk_row_filter(request["filter"], rf)
+        if request.get("rows_limit"):
+            kwargs["limit"] = int(request["rows_limit"])
+        for row in table.read_rows(**kwargs):
+            out = []
+            for family, quals in row.cells.items():
+                for qualifier, versions in quals.items():
+                    for cell in versions:
+                        out.append(
+                            (
+                                family,
+                                qualifier.decode("utf-8"),
+                                int(cell.timestamp.timestamp() * 1_000_000),
+                                bytes(cell.value),
+                            )
+                        )
+            yield (row.row_key.decode("utf-8"), out)
+
+    def mutate_rows(self, request: dict):  # pragma: no cover - needs SDK/emulator
+        table = self.table()
+        sdk_rows = []
+        for entry in request.get("entries", ()):
+            rk = entry["row_key"]
+            r = table.direct_row(rk if isinstance(rk, bytes) else rk.encode("utf-8"))
+            for m in entry.get("mutations", ()):
+                sc = m["set_cell"]
+                qual = sc["column_qualifier"]
+                r.set_cell(
+                    sc["family_name"],
+                    qual if isinstance(qual, bytes) else qual.encode("utf-8"),
+                    bytes(sc["value"]),
+                    timestamp=_us_to_dt(int(sc["timestamp_micros"])),
+                )
+            sdk_rows.append(r)
+        for i, status in enumerate(table.mutate_rows(sdk_rows)):
+            yield {"index": i, "status": {"code": int(getattr(status, "code", 0))}}
+
+    def sample_row_keys(self, request: dict):  # pragma: no cover - needs SDK/emulator
+        for s in self.table().sample_row_keys():
+            yield {
+                "row_key": s.row_key.decode("utf-8"),
+                "offset_bytes": int(s.offset_bytes),
+            }
+
+
+def real_sdk_service(config: BigtableTableConfig, admin: bool = False) -> RealSdkBigtableService:
+    """Build the real-SDK seam adapter, failing loud (with the emulator
+    hint) when ``google-cloud-bigtable`` is absent."""
+    import os
+
+    try:
+        import google.cloud.bigtable  # type: ignore[import-not-found]  # noqa: F401
+    except ImportError as exc:
+        emu = os.environ.get(BIGTABLE_EMULATOR_ENV)
+        hint = (
+            f" ({BIGTABLE_EMULATOR_ENV}={emu} is set — install the SDK to reach the emulator)"
+            if emu
+            else ""
+        )
+        raise NotImplementedError(
+            "google-cloud-bigtable is not installed in this environment"
+            + hint
+            + "; use a parquet cells store (cells_path), the in-process fake, "
+            "or the wire transport — the rest of the engine is transport-agnostic"
+        ) from exc
+    return RealSdkBigtableService(config, admin=admin)
