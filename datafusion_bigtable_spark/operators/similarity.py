@@ -154,13 +154,18 @@ class IvfIndex:
     on exit.
     """
 
-    def __init__(self, assignments: DataFrame, nprobe: int = 1):
+    def __init__(self, assignments: DataFrame, nprobe: int = 1, centroids: DataFrame | None = None):
         self.assignments = assignments
         #: the nprobe this index was BUILT with — searches may probe
         #: narrower, never wider (the rows simply don't exist); recorded so
         #: a widening request fails loudly instead of silently degrading
         #: recall (review finding).
         self.nprobe = nprobe
+        #: the (cell, sv, sn) centroid frame the assignment used — a LAZY
+        #: attribute attach (no plan change, nothing computed); persisted
+        #: by save_ivf_index so a saved store can assign NEW vectors with
+        #: the ORIGINAL centroids (upsert_ivf_index, VERDICT r11 #5).
+        self.centroids = centroids
 
     def unpersist(self, blocking: bool = False) -> None:
         self.assignments.unpersist(blocking)
@@ -290,7 +295,7 @@ def build_ivf_index(
         )
     if persist:
         ranked = ranked.persist()
-    return IvfIndex(ranked, nprobe=max(1, nprobe))
+    return IvfIndex(ranked, nprobe=max(1, nprobe), centroids=seeds)
 
 
 def save_ivf_index(index: IvfIndex, path: str) -> None:
@@ -311,6 +316,14 @@ def save_ivf_index(index: IvfIndex, path: str) -> None:
 
     df = index.assignments
     df.write.mode("overwrite").partitionBy("cell").parquet(path)
+    if index.centroids is not None:
+        # centroids ride along as their own parquet table (n_cells rows —
+        # a json sidecar would not scale to corpus-relative cell counts),
+        # so the store can assign NEW vectors with the ORIGINAL centroids
+        # across ingestion rounds (upsert_ivf_index)
+        index.centroids.write.mode("overwrite").parquet(
+            os.path.join(path, "_centroids")
+        )
     meta = {"nprobe": index.nprobe, "columns": df.columns}
     with open(os.path.join(path, "_ivf_meta.json"), "w") as f:
         json.dump(meta, f)
@@ -328,7 +341,100 @@ def load_ivf_index(spark, path: str) -> IvfIndex:
     with open(os.path.join(path, "_ivf_meta.json")) as f:
         meta = json.load(f)
     df = spark.read.parquet(path).select(*meta["columns"])
-    return IvfIndex(df, nprobe=meta["nprobe"])
+    cb_path = os.path.join(path, "_centroids")
+    centroids = spark.read.parquet(cb_path) if os.path.isdir(cb_path) else None
+    return IvfIndex(df, nprobe=meta["nprobe"], centroids=centroids)
+
+
+def upsert_ivf_index(
+    spark,
+    path: str,
+    new_embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Append assignments for NEW ids into a saved IVF store — the
+    index-maintenance half of incremental ingestion (VERDICT r11 #5:
+    ``dedup_incremental_ingest`` matches new batches against a static
+    index; this keeps that index current across rounds without a
+    corpus-wide rebuild).
+
+    Contracts:
+
+    - **Old ids are bit-stable**: append-only — existing parquet files
+      are never rewritten, so every previously stored (id, cell, vector)
+      row survives byte-identical (pinned in tests/test_ivf_ownership).
+    - **Same centroids as the original build** (the ``_centroids`` table
+      :func:`save_ivf_index` persists): a vector assigns to the same cell
+      whether it arrived in the base build or any later round, so search
+      recall semantics never drift with ingestion order.
+    - **Idempotent**: ids already present anti-join out before the
+      append — re-shipping a batch appends nothing.
+
+    Cost shape: one anti-join against the store's id column (parquet
+    column prune — only ``id_col`` is read), one assignment pass over the
+    genuinely-new rows (broadcast centroids, map-side max_by — the same
+    shape as build_ivf_index), one partitioned append.  Returns the
+    number of new ids appended.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_meta.json")) as f:
+        meta = json.load(f)
+    cb_path = os.path.join(path, "_centroids")
+    if not os.path.isdir(cb_path):
+        raise ValueError(
+            "IVF store has no _centroids table — rebuild it with "
+            "save_ivf_index on an index built by build_ivf_index (which "
+            "records its centroids); without the original centroids an "
+            "upsert would assign new vectors against a DIFFERENT codebook"
+        )
+    seeds = spark.read.parquet(cb_path)
+    existing = spark.read.parquet(path).select(id_col)
+    fresh = new_embeddings.join(existing, id_col, "left_anti")
+    base = (
+        fresh.withColumn("_dv", as_double_vec(F.col(vec_col)))
+        .withColumn("_n", norm(F.col(vec_col)))
+    )
+    # same assignment shape as build_ivf_index: broadcast centroids,
+    # map-side max_by for top-1, window only when the stored index probes
+    # wider (see build_ivf_index for why max_by, not a window, at top-1)
+    cs = dot_raw(F.col("_dv"), F.col("sv")) / (F.col("_n") * F.col("sn"))
+    scored = base.crossJoin(F.broadcast(seeds)).withColumn("_cs", cs)
+    nprobe = int(meta.get("nprobe", 1))
+    if nprobe == 1:
+        ranked = (
+            scored.groupBy(F.col(id_col))
+            .agg(
+                F.max_by(
+                    F.struct(F.col("cell"), F.col("_dv"), F.col("_n")),
+                    F.struct(F.col("_cs"), (-F.col("cell")).alias("_nc")),
+                ).alias("_top")
+            )
+            .select(
+                id_col,
+                F.col("_top.cell").alias("cell"),
+                F.lit(1).alias("_rn"),
+                F.col("_top._dv").alias("_dv"),
+                F.col("_top._n").alias("_n"),
+            )
+        )
+    else:
+        aw = W.partitionBy(id_col).orderBy(F.desc("_cs"), F.asc("cell"))
+        ranked = (
+            scored.withColumn("_rn", F.row_number().over(aw))
+            .filter(F.col("_rn") <= nprobe)
+            .select(id_col, "cell", "_rn", "_dv", "_n")
+        )
+    ranked = ranked.select(*meta["columns"]).persist()  # stored column order
+    try:
+        n_new = ranked.count()  # one compute backs both the count and the write
+        if n_new:
+            ranked.write.mode("append").partitionBy("cell").parquet(path)
+    finally:
+        ranked.unpersist()
+    return n_new
 
 
 def build_ivf_index_two_level(

