@@ -148,13 +148,34 @@ def main() -> None:
         "queries": dict(sorted(timings.items(), key=lambda kv: kv[1])),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    try:
-        local = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
-        with open(local, "w") as fh:
-            json.dump(result, fh, indent=1)
-            fh.write("\n")
-    except OSError:
-        pass  # read-only checkout: the stdout line still carries the result
+    # Artifact routing (VERDICT r11 #5 procedural): the DRIVER's bare
+    # invocation keeps landing the complete artifact in BENCH_LOCAL.json
+    # (stdout is tail-truncated; the committed file is how every timing
+    # survives into history), but a MANUAL run should not dirty the
+    # working tree — pass --out PATH (or SPARK_GRAFT_BENCH_OUT=PATH) to
+    # redirect it, e.g. an sf1 run writing straight to /tmp.
+    # --record-baseline forces the BENCH_LOCAL.json write even with --out.
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    record = "--record-baseline" in sys.argv
+    for i, a in enumerate(sys.argv):
+        if a == "--out" and i + 1 < len(sys.argv):
+            out_path = sys.argv[i + 1]
+        elif a.startswith("--out="):
+            out_path = a.split("=", 1)[1]
+    targets = []
+    if out_path:
+        targets.append(out_path)
+    if record or not out_path:
+        targets.append(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+        )
+    for target in targets:
+        try:
+            with open(target, "w") as fh:
+                json.dump(result, fh, indent=1)
+                fh.write("\n")
+        except OSError:
+            pass  # read-only checkout: the stdout line still carries the result
     print(json.dumps(result))
 
 

@@ -75,6 +75,14 @@ class BigtableTableConfig:
     #: 100 TB store is refused by DEFAULT; pass allow_full_scan=True as a
     #: loud opt-in for genuinely-small tables or offline batch sweeps.
     allow_full_scan: bool = False
+    #: Planning posture for big stores (VERDICT r11 #6 / SCALE.md:18-21):
+    #: file-stat pruning reads the store's manifest when present and
+    #: silently falls back to a driver-side parquet-footer loop otherwise
+    #: — fine to ~10⁵ files, O(files) per plan beyond.  With
+    #: require_manifest=True a manifest miss (absent OR stale vs the
+    #: current file set) is an ERROR naming write_manifest as the fix,
+    #: so a 100 TB deployment can pin away the footer-loop cliff.
+    require_manifest: bool = False
     #: optional logical type per key component ("string" | "int64").  The
     #: reference deliberately restricts key literals to strings
     #: (composer.rs:175); "int64" is the extension: the component is stored

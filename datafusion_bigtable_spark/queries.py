@@ -2314,6 +2314,12 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         # right ROW as one struct through a single last(ignorenulls), so
         # the freshness gate and the emitted values come from the same
         # row (ADVICE r11 #3; oracles mirrored to struct carry).
+        f"{_PKG}.sources.datasource",  # r12: _file_stats grows the
+        # require_manifest error posture (VERDICT r11 #6) and
+        # _config_from_options parses the new option — defaults preserve
+        # behavior, reset is free (all 6 dependents already zero-green).
+        # NOT config: the new require_manifest field is additive with a
+        # default that preserves every existing construction.
         f"{_PKG}.sources.grpc_transport",  # r12: fetch_cells/push_cells
         # real path rebuilt on the RealSdkBigtableService seam adapter
         # (emulator-optional, VERDICT r11 #4); service-path callers are

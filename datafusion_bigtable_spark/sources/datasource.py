@@ -113,6 +113,7 @@ def _config_from_options(options) -> BigtableTableConfig:
         only_read_latest=(opt("only_read_latest", "true").lower() == "true"),
         cells_path=path,
         allow_full_scan=(opt("allow_full_scan", "false").lower() == "true"),
+        require_manifest=(opt("require_manifest", "false").lower() == "true"),
         key_types=key_types,
     )
 
@@ -500,12 +501,22 @@ class BigtableReader(DataSourceReader):
         emulation of Bigtable's tablet metadata.  Served from the store's
         manifest table when present (one small parquet read, written once
         by write_cells — sources/cells.py); falls back to the driver-side
-        footer loop, which is fine to ~10⁵ files but O(files) per plan."""
+        footer loop, which is fine to ~10⁵ files but O(files) per plan.
+        ``require_manifest=True`` turns a manifest miss (absent or stale)
+        into an error instead — the 100 TB posture (VERDICT r11 #6)."""
         from datafusion_bigtable_spark.sources.cells import footer_file_stats, read_manifest
 
         manifest = read_manifest(self.config.cells_path)
         if manifest is not None:
             return manifest
+        if self.config.require_manifest:
+            raise RuntimeError(
+                f"bigtable: no usable manifest under {self.config.cells_path!r} "
+                "(absent, or stale against the current *.parquet file set) and "
+                "require_manifest=true forbids the O(files) driver footer loop; "
+                "run sources.cells.write_manifest(path) after the last append/"
+                "compact, or drop the option for small stores"
+            )
         return footer_file_stats(self._files())
 
     @staticmethod

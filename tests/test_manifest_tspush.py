@@ -318,3 +318,40 @@ def test_pruned_scan_zero_footer_reads(two_file_store, monkeypatch):
     r.pushFilters([GreaterThanOrEqual(("_row_key",), "b"), LessThanOrEqual(("_row_key",), "c")])
     parts = r.partitions()
     assert [p.files for p in parts] == [(os.path.join(two_file_store, "part-b.parquet"),)]
+
+
+# --- require_manifest (VERDICT r11 #6) ---------------------------------------
+
+
+def test_manifest_present_means_zero_footer_reads(two_file_store, monkeypatch):
+    """Plan contract: with a manifest in place, planning must never touch
+    a parquet footer — the O(files) driver loop is the 10⁵-file cliff the
+    manifest exists to remove."""
+    from datafusion_bigtable_spark.sources import cells as cells_mod
+
+    write_manifest(two_file_store)
+
+    def _boom(files):
+        raise AssertionError(f"footer loop invoked for {files}")
+
+    monkeypatch.setattr(cells_mod, "footer_file_stats", _boom)
+    r = _reader(two_file_store, require_manifest="true")
+    r.pushFilters([GreaterThanOrEqual(("_row_key",), "b")])
+    parts = list(r.partitions())
+    assert parts  # planned entirely from the manifest
+
+
+def test_require_manifest_errors_on_miss(two_file_store):
+    r = _reader(two_file_store, require_manifest="true")
+    with pytest.raises(RuntimeError, match="write_manifest"):
+        r._file_stats()
+
+
+def test_require_manifest_errors_on_stale(two_file_store):
+    write_manifest(two_file_store)
+    _write_file(os.path.join(two_file_store, "part-z.parquet"), ["z1"], [JAN], [b"x"])
+    r = _reader(two_file_store, require_manifest="true")
+    with pytest.raises(RuntimeError, match="stale"):
+        r._file_stats()
+    # default posture still falls back silently
+    assert len(_reader(two_file_store)._file_stats()) == 3
