@@ -274,11 +274,14 @@ def compact_cells_store(
     writer, single-writer semantics are assumed (no concurrent compactors).
 
     NOT safe under a live streaming tail: the streaming source's offsets
-    are processed-FILE sets, and compaction renames every file — an
-    in-flight checkpoint replay would come back empty and the next batch
-    would re-emit the whole store as duplicates (the same property as
-    Spark's own file-stream source under file rewrites).  Stop tailing
-    queries and reset their checkpoints around a compaction.
+    are processed-FILE sets, and compaction renames every file (the same
+    property as Spark's own file-stream source under file rewrites).
+    Rather than silently duplicating, the swap bumps a COMPACTION EPOCH
+    sidecar the source records in its offsets — a tail that survives the
+    swap fails loud on its next micro-batch with reset instructions
+    (BigtableStreamReader.partitions; pinned in tests/test_stream_source).
+    Stop tailing queries around a compaction; restart them with a fresh
+    checkpoint after.
     """
     import os
     import shutil
@@ -307,6 +310,12 @@ def compact_cells_store(
     write_cells(df, tmp, num_ranges=num_ranges)
     if gc_watermark_us is not None:
         _write_gc_watermark_us(tmp, gc_watermark_us)
+    # Bump the compaction epoch (VERDICT r11 #8): the streaming source's
+    # offsets are processed-FILE sets, and this swap renames every file —
+    # the epoch lets a live tail FAIL LOUD on its next micro-batch
+    # instead of silently re-emitting the whole store as duplicates
+    # (BigtableStreamReader.partitions checks it).
+    _write_compaction_epoch(tmp, read_compaction_epoch(path) + 1)
     backup = path.rstrip("/") + "._compact_old"
     shutil.rmtree(backup, ignore_errors=True)
     os.rename(path, backup)
@@ -315,6 +324,30 @@ def compact_cells_store(
 
 
 _GC_SIDECAR = "_gc_watermark.json"
+_EPOCH_SIDECAR = "_compaction_epoch.json"
+
+
+def _write_compaction_epoch(path: str, epoch: int) -> None:
+    import json
+    import os
+
+    with open(os.path.join(path, _EPOCH_SIDECAR), "w") as fh:
+        json.dump({"compaction_epoch": int(epoch)}, fh)
+
+
+def read_compaction_epoch(path: str) -> int:
+    """How many times this store has been compacted (0 for a store that
+    never was — the sidecar is absent).  Streaming offsets record the
+    epoch they were taken at; a mismatch means every file name they
+    reference has been rewritten underneath the tail."""
+    import json
+    import os
+
+    p = os.path.join(path, _EPOCH_SIDECAR)
+    if not os.path.isdir(path) or not os.path.exists(p):
+        return 0
+    with open(p) as fh:
+        return int(json.load(fh)["compaction_epoch"])
 
 
 def _write_gc_watermark_us(path: str, watermark_us: int) -> None:

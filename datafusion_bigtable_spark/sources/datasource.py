@@ -1229,13 +1229,16 @@ class BigtableStreamReader(DataSourceStreamReader):
     (e.g. the DS writer's commits), so each micro-batch = the files that
     appeared since the last offset, pivoted to relational rows.
 
-    Offsets are the set of processed file names — ``partitions(start,
-    end)`` re-derives exactly the files in ``end − start``, which is what
-    deterministic checkpoint replay needs.  Corollary: renaming files
-    under a live tail (compact_cells_store, overwrite writes) invalidates
-    those offsets — replay comes back empty and the renamed store re-emits
-    as duplicates; stop the stream and reset its checkpoint around
-    compaction (documented there too).  Requires
+    Offsets are the set of processed file names plus the store's
+    COMPACTION EPOCH — ``partitions(start, end)`` re-derives exactly the
+    files in ``end − start``, which is what deterministic checkpoint
+    replay needs.  Renaming files under a live tail
+    (compact_cells_store, overwrite writes) invalidates those offsets;
+    rather than silently re-emitting the renamed store as duplicates,
+    the next micro-batch FAILS LOUD on the epoch mismatch (or on a
+    vanished referenced file, which catches rewrites that bump no
+    epoch), telling the operator to reset the checkpoint and re-read the
+    compacted store once (VERDICT r11 #8).  Requires
     ``only_read_latest=false``: a latest-version view is not incrementally
     computable batch-by-batch (a later file can carry a newer version of
     an already-emitted cell); the stream emits the honest version-unnest
@@ -1275,18 +1278,57 @@ class BigtableStreamReader(DataSourceStreamReader):
         return {os.path.basename(p): p}
 
     def initialOffset(self) -> dict:
-        return {"files": {}}
+        from datafusion_bigtable_spark.sources.cells import read_compaction_epoch
+
+        return {"files": {}, "epoch": read_compaction_epoch(self.config.cells_path)}
 
     def latestOffset(self) -> dict:
-        return {"files": {name: True for name in self._store_files()}}
+        from datafusion_bigtable_spark.sources.cells import read_compaction_epoch
+
+        return {
+            "files": {name: True for name in self._store_files()},
+            "epoch": read_compaction_epoch(self.config.cells_path),
+        }
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        from datafusion_bigtable_spark.sources.cells import footer_file_stats
+        from datafusion_bigtable_spark.sources.cells import (
+            footer_file_stats,
+            read_compaction_epoch,
+        )
 
         seen = start.get("files", {})
         target = end.get("files", {})
         current = self._store_files()
-        files = sorted(current[n] for n in target if n not in seen and n in current)
+        # Compaction detection (VERDICT r11 #8): offsets name FILES, and
+        # compact_cells_store renames every one — processing (or
+        # replaying) an offset taken before a compaction would re-emit
+        # the whole store as duplicates, silently.  Fail loud instead:
+        # epochs disagree, or a referenced file vanished (an overwrite
+        # write or out-of-band rewrite — same hazard, no epoch bump).
+        store_epoch = read_compaction_epoch(self.config.cells_path)
+        # START is the checkpointed high-water mark — the epoch the
+        # already-processed file names were taken at; END may have been
+        # minted just now (current epoch) or replayed from the checkpoint.
+        # Either one disagreeing with the store means the names no longer
+        # denote what was processed.
+        stale = [
+            e for e in (start.get("epoch", 0), end.get("epoch", 0)) if e != store_epoch
+        ]
+        missing = sorted(n for n in target if n not in seen and n not in current)
+        if stale or missing:
+            why = (
+                f"offset epoch {stale[0]} != store epoch {store_epoch} "
+                "(compact_cells_store ran under this tail)"
+                if stale
+                else f"offset references files no longer in the store: {missing}"
+            )
+            raise RuntimeError(
+                f"bigtable stream: {why}; the store's files were rewritten "
+                "underneath a live tail, so exactly-once pickup cannot "
+                "continue from this checkpoint — stop the query, delete its "
+                "checkpoint, and restart to re-read the compacted store once"
+            )
+        files = sorted(current[n] for n in target if n not in seen)
         if not files:
             # empty micro-batch still needs one partition for a stable,
             # correctly-typed empty result

@@ -479,3 +479,73 @@ def test_stream_sink_checkpoint_restart_live(registered, cells_path, tmp_path):
         assert back.count() == 7  # 5 original + 2 caught up, exactly once
     finally:
         q2.stop()
+
+
+# --- compaction under a live tail (VERDICT r11 #8) ----------------------------
+
+
+def test_compaction_under_live_tail_fails_loud_not_duplicates(registered, cells_path, tmp_path):
+    """compact_cells_store renames every file the stream's offsets refer
+    to.  Exactly-once pickup therefore CANNOT continue from the same
+    checkpoint — and the source must say so, not silently re-emit the
+    compacted store as duplicates."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from datafusion_bigtable_spark.sources.cells import compact_cells_store, read_compaction_epoch
+
+    dest = str(tmp_path / "compact_tail_store")
+    src = _write_initial(registered, cells_path, dest)
+    assert read_compaction_epoch(dest) == 0
+
+    stream = registered.readStream.format("bigtable").options(path=dest, **OPTS).load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_bt_compact_tail")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert registered.table("t_bt_compact_tail").count() == 5
+
+        compact_cells_store(registered, dest, num_ranges=2)
+        assert read_compaction_epoch(dest) == 1
+        # an append AFTER the compaction makes latestOffset advance, so
+        # the next micro-batch actually plans — and must fail loud
+        src.limit(1).selectExpr(
+            "region", "balloon_id", "event_minute",
+            "_timestamp + INTERVAL 2 HOUR AS _timestamp", "pressure", "temperature",
+        ).write.format("bigtable").options(path=dest, **OPTS).mode("append").save()
+        with pytest.raises(StreamingQueryException, match="epoch"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # documented recovery: fresh checkpoint → the compacted store re-reads
+    # EXACTLY ONCE (6 relational rows: 5 original + 1 appended)
+    stream2 = registered.readStream.format("bigtable").options(path=dest, **OPTS).load()
+    q2 = (
+        stream2.writeStream.format("memory")
+        .queryName("t_bt_compact_fresh")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+        assert registered.table("t_bt_compact_fresh").count() == 6
+    finally:
+        q2.stop()
+
+
+def test_replay_with_vanished_file_fails_loud(tmp_path, registered, cells_path):
+    """A replayed offset naming a file that no longer exists (out-of-band
+    rewrite, no epoch bump) must raise, never return a silently-empty
+    batch."""
+    dest = str(tmp_path / "vanish_store")
+    _write_initial(registered, cells_path, dest)
+    r = BigtableStreamReader(None, {"path": dest, **OPTS})
+    end = r.latestOffset()
+    with pytest.raises(RuntimeError, match="no longer in the store"):
+        r.partitions({"files": {}, "epoch": 0}, {**end, "files": {**end["files"], "ghost.parquet": True}})
