@@ -1390,7 +1390,17 @@ def test_ahash_owned_cache_no_leak(spark):
     base = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     out = ahash_dup_pairs(assets, max_hamming=3)
     assert out.count() > 0
-    grew = len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) - base
+    # getRDDStorageInfo is GLOBAL: under a full-suite run another test's
+    # async unpersist/ContextCleaner drain can add transient entries —
+    # give the cleaner a moment before calling it a leak (observed once
+    # as a cross-file flake; the owned-cache drop itself is blocking).
+    import time
+
+    for _ in range(20):
+        grew = len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) - base
+        if grew <= 1:
+            break
+        time.sleep(0.25)
     assert grew <= 1, f"hash cache leaked: {grew} extra storage entries"
     out.unpersist(blocking=True)
     assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == base
