@@ -6901,3 +6901,61 @@ def sim_index_upsert_q(spark, sf_dir):
     upsert_ivf_index(spark, path, batch)
     upsert_ivf_index(spark, path, batch)  # idempotent: appends 0 rows
     return load_ivf_index(spark, path).assignments.select("vec_id", "cell")
+
+
+@query(
+    "pipeline_embedding_store",
+    """
+    WITH nc AS (
+      SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 2000.0) AS BIGINT)) AS n FROM embeddings),
+    seeds AS (
+      SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS sv
+      FROM embeddings WHERE vec_id < (SELECT n FROM nc)),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, s.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.sv) DESC,
+                          s.cell) AS rn
+        FROM embeddings e CROSS JOIN seeds s) t
+      WHERE rn = 1),
+    dropped AS (
+      SELECT DISTINCT ba.vec_id
+      FROM embeddings a
+        JOIN assign aa ON aa.vec_id = a.vec_id
+        JOIN assign ba ON ba.cell = aa.cell AND ba.vec_id > a.vec_id
+        JOIN embeddings b ON b.vec_id = ba.vec_id
+      WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6) >= 0.95)
+    SELECT CAST(CAST(('0x' || substr(md5('vshard|' || CAST(vec_id AS VARCHAR)), 1, 8)) AS INT64)
+                % 8 AS INT) AS shard_id,
+           COUNT(*) AS n_vectors
+    FROM embeddings
+    WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def pipeline_embedding_store_q(spark, sf_dir):
+    # r12: the EMBEDDING-side end-to-end build (pipeline.py::
+    # build_embedding_store) in the rotation — SemDeDup-style IVF-blocked
+    # near-dup prune (min-id canonical), shard-partitioned vector store,
+    # survivor-built searchable IVF index saved cell-partitioned.  The
+    # oracle replays the whole decision chain in SQL — seed-codebook
+    # assignment, same-cell ≥0.95 pairs, id_b drops, md5 shard hash — so
+    # the driver hash checks the BUILD's semantics, not just row counts.
+    # Content-addressed out dir, rebuilt fresh per call (deterministic).
+    import hashlib
+    import os
+    import shutil
+
+    from datafusion_bigtable_spark.pipeline import build_embedding_store
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"estore1|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/dbs_estore_{os.path.basename(os.path.normpath(sf_dir))}_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    return build_embedding_store(spark, load(spark, sf_dir, "embeddings"), path)
