@@ -997,54 +997,64 @@ def line_dedup(
     narrow per-row fan-out fused into the scan; the corpus-wide line
     frequency is a map-side-combined groupBy (duplicate lines collapse
     BEFORE the wire — a window count would shuffle every seg row
-    uncombined), the surviving frequent-line set is naturally tiny
-    (boilerplate lines), and the anti-join against it is AQE-sized:
-    broadcast when it fits, line-key shuffle join as the fallback (the
-    boilerplate.py precedent, VERDICT r7 #3).  Plus one doc-key rebuild
-    shuffle.  No self-join, no driver state.
-
-    Measured trade (sf0.1, warm): a window count over the line key is
-    faster locally (1.45 s vs 2.5 s — one segmentation pass, and local
-    shuffles are memory-cheap) but ships the ENTIRE segmented corpus
-    uncombined over the line-key exchange; since the doc-key rebuild
-    already costs one corpus-sized shuffle, the window form pays two at
-    100 TB where this form pays one plus a narrow rescan.  Compare
-    reference: the engine has no text tier; dedup parity lives entirely
-    in this package.
+    uncombined), and the surviving frequent-line set is naturally tiny
+    (boilerplate lines), so both joins AQE-broadcast.  The REBUILD is
+    array-local (r12): the doc joins only its own DROPPED indexes — a
+    per-doc aggregation of the boilerplate HITS, which shuffles hit rows
+    only — and filters its in-row segment array by index, so no
+    corpus-sized exchange exists anywhere in the plan.  (The previous
+    form exploded every surviving segment through a doc-key rebuild
+    shuffle: re-serializing the whole corpus to reassemble what the
+    source row already held in order.  Measured at sf1: 47.3 → ~17 s.)
+    Two segmentation passes remain (discover + apply) — the no-cache
+    trade; a corpus-sized persist is not a 100 TB option.
     """
+    # Parallelism guard (the exchange-removal trap, VERDICT r9 / memory
+    # note): a small-file scan yields few input splits, and with no
+    # corpus shuffle left in this plan the heavy segmentation passes
+    # would inherit them (measured: the 2-partition sf1 scan put both
+    # passes on 2 of 32 cores).  One narrow exchange of RAW rows buys
+    # full-width execution for everything downstream — strictly less
+    # data than the old plan's exploded-segment rebuild shuffle; skipped
+    # when the scan is already wide (a real 100 TB table).
+    sp_conf = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    sp = int(sp_conf) if str(sp_conf).isdigit() else 32
+    if docs.rdd.getNumPartitions() < sp:
+        docs = docs.repartition(sp, F.col(id_col))
     w = words(F.col(text_col))
     nseg = F.ceil(F.size(w) / F.lit(line_words)).cast("int")
     segs = F.transform(
         F.sequence(F.lit(0), nseg - 1),
         lambda i: F.array_join(F.slice(w, i * line_words + 1, line_words), " "),
     )
-    seg_rows = (
-        docs.filter(F.size(w) > 0)
-        .select(F.col(id_col), nseg.alias("n_lines"), F.posexplode(segs).alias("seg_idx", "line"))
-    )
+    d = docs.filter(F.size(w) > 0).select(F.col(id_col), segs.alias("_segs"))
+    seg_rows = d.select(id_col, F.posexplode("_segs").alias("seg_idx", "line"))
     frequent = (
         seg_rows.groupBy("line")
         .agg(F.count("*").alias("_df"))
         .filter(F.col("_df") >= min_df)
         .select("line")
     )
-    kept = seg_rows.join(frequent, "line", "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.first("n_lines").cast("long").alias("n_lines"),
-        F.count("*").cast("long").alias("kept_lines"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seg_idx", "line"))),
-                lambda s: s["line"],
-            ),
-            " ",
-        ).alias("kept_text"),
+    # hit rows (boilerplate only) shuffle; everything else stays in place
+    drops = (
+        seg_rows.join(frequent, "line")
+        .groupBy(id_col)
+        .agg(F.collect_set("seg_idx").alias("_drop"))
     )
-    return rebuilt.select(
-        id_col,
-        "kept_lines",
-        (F.col("n_lines") - F.col("kept_lines")).alias("dropped_lines"),
-        "kept_text",
+    kept_arr = F.filter(
+        F.transform(F.col("_segs"), lambda s, i: F.struct(i.alias("i"), s.alias("s"))),
+        lambda x: ~F.array_contains(F.col("_drop"), x["i"]),
+    )
+    return (
+        d.join(drops, id_col, "left")
+        .withColumn("_drop", F.coalesce(F.col("_drop"), F.array().cast("array<int>")))
+        .select(
+            id_col,
+            F.size(kept_arr).cast("long").alias("kept_lines"),
+            F.size("_drop").cast("long").alias("dropped_lines"),
+            F.array_join(F.transform(kept_arr, lambda x: x["s"]), " ").alias("kept_text"),
+        )
+        .filter(F.col("kept_lines") > 0)  # all-boilerplate docs drop (C4)
     )
 
 

@@ -480,19 +480,24 @@ def test_filtered_topk_label_pushdown(spark, sf_dir):
     assert "BroadcastExchange" in plan or "Broadcast" in plan
 
 
-def test_line_dedup_combined_count_and_antijoin(spark, sf_dir):
-    """text_line_dedup (r11): the corpus-wide line frequency must be a
-    partial+final aggregate (map-side combine BEFORE the exchange —
-    the reason the groupBy form beat the window form at scale), the
-    frequent-line join must be an anti-join, and no Python anywhere."""
+def test_line_dedup_combined_count_and_array_rebuild(spark, sf_dir):
+    """text_line_dedup (r11, rebuilt r12): the corpus-wide line frequency
+    must be a partial+final aggregate (map-side combine BEFORE the
+    exchange — the reason the groupBy form beat the window form at
+    scale), no Python anywhere, and since r12 the REBUILD must be
+    array-local: only the boilerplate HIT indexes aggregate per doc
+    (collect_set over hits), never a corpus-sized collect_list rebuild
+    of every surviving segment (sf1 measured 47.3 → 21.6 s)."""
     df = _q(spark, sf_dir, "text_line_dedup")
     plan = _plan(spark, df, "simple")
     assert "Python" not in plan
-    assert "LeftAnti" in plan, f"expected an anti-join against the frequent set:\n{plan}"
     # partial+final HashAggregate pair around the line-key exchange
     assert plan.count("HashAggregate") >= 2, plan
     # the line-frequency side must NOT be computed through a Window
     assert "windowspecdefinition(line" not in plan.lower(), plan
+    # hits aggregate per doc (tiny); the old corpus rebuild is gone
+    assert "collect_set" in plan, plan
+    assert "collect_list" not in plan, f"corpus-sized segment rebuild is back:\n{plan}"
 
 
 def test_heavy_hitters_recount_broadcasts_candidates(spark, sf_dir):
