@@ -1009,18 +1009,13 @@ def line_dedup(
     Two segmentation passes remain (discover + apply) — the no-cache
     trade; a corpus-sized persist is not a 100 TB option.
     """
-    # Parallelism guard (the exchange-removal trap, VERDICT r9 / memory
-    # note): a small-file scan yields few input splits, and with no
-    # corpus shuffle left in this plan the heavy segmentation passes
-    # would inherit them (measured: the 2-partition sf1 scan put both
-    # passes on 2 of 32 cores).  One narrow exchange of RAW rows buys
-    # full-width execution for everything downstream — strictly less
-    # data than the old plan's exploded-segment rebuild shuffle; skipped
-    # when the scan is already wide (a real 100 TB table).
-    sp_conf = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    sp = int(sp_conf) if str(sp_conf).isdigit() else 32
-    if docs.rdd.getNumPartitions() < sp:
-        docs = docs.repartition(sp, F.col(id_col))
+    # Parallelism guard (the exchange-removal trap): with no corpus
+    # shuffle left in this plan the heavy segmentation passes inherit
+    # the scan's input splits (measured: 2-partition sf1 scan → both
+    # passes on 2 of 32 cores, 59.6 s; widened 21.6 s).
+    from datafusion_bigtable_spark.operators.partitioning import widen_if_narrow
+
+    docs = widen_if_narrow(docs, id_col)
     w = words(F.col(text_col))
     nseg = F.ceil(F.size(w) / F.lit(line_words)).cast("int")
     segs = F.transform(

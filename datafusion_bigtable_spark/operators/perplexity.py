@@ -89,8 +89,14 @@ def ngram_perplexity(
     """
     def grams_of(df: DataFrame) -> DataFrame:
         # separate Project materializes the normalization once per row
-        # (see char_trigrams: inlined, it re-evaluates per trigram)
-        base = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_t"))
+        # (see char_trigrams: inlined, it re-evaluates per trigram);
+        # widen first — the per-char explosion is the dominant cost and
+        # would otherwise run at the scan's split count (2 at sf1)
+        from datafusion_bigtable_spark.operators.partitioning import widen_if_narrow
+
+        base = widen_if_narrow(df, id_col).select(
+            F.col(id_col), normalize_text(F.col(text_col)).alias("_t")
+        )
         return base.select(
             F.col(id_col), F.explode(char_trigrams(F.col("_t"))).alias("tri")
         )
@@ -164,7 +170,14 @@ def word_perplexity(
     model = model_docs if model_docs is not None else docs
 
     def bigrams_of(df: DataFrame) -> DataFrame:
-        base = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_t"))
+        from datafusion_bigtable_spark.operators.partitioning import widen_if_narrow
+
+        # widen first: the bigram explosion + four broadcast joins are
+        # the dominant narrow work and would otherwise run at the scan's
+        # split count (2 at sf1)
+        base = widen_if_narrow(df, id_col).select(
+            F.col(id_col), normalize_text(F.col(text_col)).alias("_t")
+        )
         arr = base.select(
             F.col(id_col),
             F.when(F.length("_t") > 0, F.split("_t", " "))

@@ -2324,6 +2324,10 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         # real path rebuilt on the RealSdkBigtableService seam adapter
         # (emulator-optional, VERDICT r11 #4); service-path callers are
         # semantically unchanged but the executed lines moved — reset.
+        f"{_PKG}.operators.perplexity",  # r12: both models widen the scan
+        # (operators.partitioning.widen_if_narrow) before their explosion
+        # passes — plan-level change, oracle-identical values (sf0.01
+        # drives in the same commit); 42.9→6.3 s / 13.6→4.6 s at sf1.
         f"{_PKG}.operators.bloom",  # r12: bloom_membership decides by
         # COUNT(DISTINCT probe index among hits) so duplicated candidate
         # rows report correct membership (ADVICE r11 #2); provably
