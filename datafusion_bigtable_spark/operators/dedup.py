@@ -63,8 +63,16 @@ def shingles(docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = 
     windows over (id, pos) — cheap row-neighbor access, one narrow window
     shuffle on id, then a distinct.  0.9 s for the same output.
     """
+    from datafusion_bigtable_spark.operators.partitioning import widen_if_narrow
+
+    # widen first: the regex word-split + posexplode run BEFORE this
+    # plan's first exchange and would otherwise inherit the scan's split
+    # count (2 at sf1) — every consumer downstream shuffles the exploded
+    # rows anyway, so the one raw exchange is pure parallelism
     w = words(F.col(text_col))
-    ex = docs.select(F.col(id_col).alias("id"), F.posexplode(w).alias("pos", "w0"))
+    ex = widen_if_narrow(docs, id_col).select(
+        F.col(id_col).alias("id"), F.posexplode(w).alias("pos", "w0")
+    )
     win = W.partitionBy("id").orderBy("pos")
     parts = [F.col("w0")] + [F.lead("w0", j).over(win) for j in range(1, k)]
     return (
@@ -909,8 +917,16 @@ def substring_span_pairs(
     min_run = min_span_words - n + 1
     if min_run < 1:
         raise ValueError(f"min_span_words ({min_span_words}) must be >= n ({n})")
+    from datafusion_bigtable_spark.operators.partitioning import widen_if_narrow
+
+    # widen first: the regex word-split + posexplode run BEFORE this
+    # plan's first exchange and would otherwise inherit the scan's split
+    # count (2 at sf1) — every consumer downstream shuffles the exploded
+    # rows anyway, so the one raw exchange is pure parallelism
     w = words(F.col(text_col))
-    ex = docs.select(F.col(id_col).alias("id"), F.posexplode(w).alias("pos", "w0"))
+    ex = widen_if_narrow(docs, id_col).select(
+        F.col(id_col).alias("id"), F.posexplode(w).alias("pos", "w0")
+    )
     win = W.partitionBy("id").orderBy("pos")
     parts = [F.col("w0")] + [F.lead("w0", j).over(win) for j in range(1, n)]
     grams = (
