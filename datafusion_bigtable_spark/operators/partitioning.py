@@ -33,6 +33,10 @@ def widen_if_narrow(df: DataFrame, key_col: str) -> DataFrame:
     schedule.  Keying the exchange on a real column (not round-robin)
     keeps downstream per-key aggregations combine-friendly.
     """
+    if df.isStreaming:
+        # no .rdd on a streaming frame; micro-batch width is the
+        # source's concern (maxFilesPerTrigger etc.), not this guard's
+        return df
     sp_conf = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     sp = int(sp_conf) if str(sp_conf).isdigit() else 32
     if df.rdd.getNumPartitions() < sp:
