@@ -1032,13 +1032,19 @@ def line_dedup(
     from datafusion_bigtable_spark.operators.partitioning import widen_if_narrow
 
     docs = widen_if_narrow(docs, id_col)
-    w = words(F.col(text_col))
-    nseg = F.ceil(F.size(w) / F.lit(line_words)).cast("int")
+    # Materialize the word array in its OWN Project before segmenting:
+    # inlined into the transform lambda, the regex split re-evaluates per
+    # SEGMENT (the shingles() pathology — O(segments) regex runs per doc);
+    # as a column reference it runs once per row.
+    wdocs = docs.select(
+        F.col(id_col), words(F.col(text_col)).alias("_w")
+    ).filter(F.size("_w") > 0)
+    nseg = F.ceil(F.size("_w") / F.lit(line_words)).cast("int")
     segs = F.transform(
         F.sequence(F.lit(0), nseg - 1),
-        lambda i: F.array_join(F.slice(w, i * line_words + 1, line_words), " "),
+        lambda i: F.array_join(F.slice(F.col("_w"), i * line_words + 1, line_words), " "),
     )
-    d = docs.filter(F.size(w) > 0).select(F.col(id_col), segs.alias("_segs"))
+    d = wdocs.select(F.col(id_col), segs.alias("_segs"))
     seg_rows = d.select(id_col, F.posexplode("_segs").alias("seg_idx", "line"))
     frequent = (
         seg_rows.groupBy("line")
