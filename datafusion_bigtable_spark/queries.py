@@ -6908,6 +6908,73 @@ def sim_index_upsert_q(spark, sf_dir):
 
 
 @query(
+    "sim_search_after_upsert",
+    """
+    WITH seeds AS (
+      SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS sv
+      FROM embeddings WHERE vec_id < 16 AND vec_id % 4 <> 0),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, s.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.sv) DESC,
+                          s.cell) AS rn
+        FROM embeddings e CROSS JOIN seeds s) t
+      WHERE rn = 1),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS score
+      FROM embeddings q
+        JOIN assign qa ON qa.vec_id = q.vec_id
+        JOIN assign ca ON ca.cell = qa.cell AND ca.vec_id <> q.vec_id
+        JOIN embeddings c ON c.vec_id = ca.vec_id
+      WHERE q.vec_id % 100 = 0 AND q.vec_id < 2000)
+    SELECT query_id, neighbor_id, score, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rk
+      FROM scored) t
+    WHERE rk <= 3
+    """,
+)
+def sim_search_after_upsert_q(spark, sf_dir):
+    # r12: the user-visible contract of index maintenance — SEARCH over a
+    # store that grew by upsert must behave as if the whole corpus had
+    # been indexed against the same (base-derived) centroids.  Build+save
+    # on vec_id%4<>0, upsert the rest, load, and run the standard
+    # nprobe=1 top-3 over the loaded assignments; the oracle scores the
+    # FULL corpus under the base-seed assignment, so a missing upserted
+    # vector, a drifted codebook, or a duplicate append all
+    # hash-mismatch.  Independent content-addressed store (not
+    # sim_index_upsert's) so each entry runs standalone.
+    import hashlib
+    import os
+    import shutil
+
+    from datafusion_bigtable_spark.operators.similarity import (
+        build_ivf_index,
+        load_ivf_index,
+        save_ivf_index,
+        topk_ivf,
+        upsert_ivf_index,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"ivfsearch1|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/dbs_ivf_search_{os.path.basename(os.path.normpath(sf_dir))}_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    with build_ivf_index(e.filter(F.col("vec_id") % 4 != 0), n_cells=16) as idx:
+        save_ivf_index(idx, path)
+    upsert_ivf_index(spark, path, e.filter(F.col("vec_id") % 4 == 0))
+    return topk_ivf(e, _sim_query_pred(), k=3, index=load_ivf_index(spark, path))
+
+
+@query(
     "pipeline_embedding_store",
     """
     WITH nc AS (

@@ -50,8 +50,8 @@ def test_registry_size_and_full_green_fold():
     # multimodal_ahash_dedup, decontaminate_bloom, dedup_minhash_estimate,
     # dedup_sampled_rate, dedup_lsh_quality, ingest_jsonl_documents, text_curation_sql, dedup_prefix_filter, corpus_leakage_safe_split)
     # + r12 additions (bt_mutate_rows_wire, sim_index_upsert,
-    # pipeline_embedding_store).
-    assert len(q.REGISTRY) == 157
+    # pipeline_embedding_store, sim_search_after_upsert).
+    assert len(q.REGISTRY) == 158
     sched = q._schedule()
     for name in (n for n in q.REGISTRY if n not in q._LAST_GREEN):
         assert sched.index(name) < 50, f"new query {name} outside driver window"
