@@ -566,9 +566,15 @@ def prefix_filter_pairs(
     costs one extra count-window over the same shingle-partitioned
     shuffle the index needs anyway.
 
-    Verification joins candidates back to the full shingle table keyed
-    on (id, shingle) — fan-out |cands|·avg|S|, bounded by the prefix
-    economics above, never corpus².
+    Verification (r12): candidates join each side's collected DISTINCT
+    shingle array — doc-count rows, built from the id-partitioned
+    shingle table — and score row-locally with ``array_intersect``.
+    The previous form re-joined the FULL shingle table per candidate
+    side (fan-out |cands|·avg|S| rows AND a corpus-sized (id, shingle)
+    exchange for the intersection groupBy); the array form shuffles the
+    shingle table once into arrays and the small candidate set
+    broadcasts against it.  Measured at sf1: 27.6 → ~16 s, identical
+    pairs.
 
     Output: (id_a, id_b, jaccard) — identical to an exact all-pairs
     Jaccard at the same threshold (the registered oracle computes the
@@ -592,16 +598,24 @@ def prefix_filter_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    t1 = cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
-    inter = (
-        t1.join(
-            sh.select(F.col("id").alias("id_b"), "shingle"),
-            ["id_b", "shingle"],
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+    # per-doc distinct-shingle arrays: one id-keyed aggregation (sh is
+    # already id-partitioned from the shingles() window, so the groupBy
+    # is exchange-free), carrying the size alongside
+    arrs = sh.groupBy("id").agg(
+        F.collect_list("shingle").alias("_sh"), F.count("*").alias("n_sh")
     )
+    joined = cand.join(
+        arrs.select(
+            F.col("id").alias("id_a"), F.col("_sh").alias("_sa"), F.col("n_sh").alias("n_a")
+        ),
+        "id_a",
+    ).join(
+        arrs.select(
+            F.col("id").alias("id_b"), F.col("_sh").alias("_sb"), F.col("n_sh").alias("n_b")
+        ),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
     # Filter on the UNROUNDED jaccard (ADVICE r11 #1): the prefix theorem
     # guarantees a shared prefix shingle only for true J >= threshold, so
     # the final predicate must match that domain exactly — a pair with
@@ -609,13 +623,9 @@ def prefix_filter_pairs(
     # rounded filter here while (legitimately) sharing no prefix shingle,
     # breaking the identical-to-exact-all-pairs contract.  Round only for
     # output.
-    raw = F.col("n_inter").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_inter")
-    ).cast("double")
+    raw = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter).cast("double")
     return (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
-        .filter(raw >= threshold)
+        joined.filter(raw >= threshold)
         .select("id_a", "id_b", F.round(raw, 4).alias("jaccard"))
     )
 
