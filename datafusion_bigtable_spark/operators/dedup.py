@@ -598,9 +598,11 @@ def prefix_filter_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # per-doc distinct-shingle arrays: one id-keyed aggregation (sh is
-    # already id-partitioned from the shingles() window, so the groupBy
-    # is exchange-free), carrying the size alongside
+    # per-doc distinct-shingle arrays: ONE id-keyed exchange of the
+    # shingle table (shingles() ends in a (id, shingle) distinct, so its
+    # partitioning does not serve a groupBy(id) directly), carrying the
+    # size alongside — vs the old verify's exploded candidate fan-out
+    # PLUS a corpus-sized (id_b, shingle) join exchange
     arrs = sh.groupBy("id").agg(
         F.collect_list("shingle").alias("_sh"), F.count("*").alias("n_sh")
     )
