@@ -549,3 +549,18 @@ def test_replay_with_vanished_file_fails_loud(tmp_path, registered, cells_path):
     end = r.latestOffset()
     with pytest.raises(RuntimeError, match="no longer in the store"):
         r.partitions({"files": {}, "epoch": 0}, {**end, "files": {**end["files"], "ghost.parquet": True}})
+
+
+def test_version_gc_compaction_also_bumps_epoch(registered, cells_path, tmp_path):
+    """compact_cells_store(versions=N) rewrites files exactly like the
+    plain compaction — the epoch must bump on that path too, or a GC
+    compaction under a live tail would silently duplicate."""
+    from datafusion_bigtable_spark.sources.cells import compact_cells_store, read_compaction_epoch
+
+    dest = str(tmp_path / "gc_epoch_store")
+    _write_initial(registered, cells_path, dest)
+    assert read_compaction_epoch(dest) == 0
+    compact_cells_store(registered, dest, num_ranges=2, versions=1)
+    assert read_compaction_epoch(dest) == 1
+    compact_cells_store(registered, dest, num_ranges=2)
+    assert read_compaction_epoch(dest) == 2  # monotone across both modes
