@@ -2157,7 +2157,60 @@ _R11_GREEN = (
     "events_asof_view_tolerance",
     "events_asof_last_order",
 )
-# Later rounds override earlier ones; every name absent from all eleven
+# CORRECTNESS_r12.json — 50/50 green (rows + schema + hash, zero err).
+_R12_GREEN = (
+    "bt_limit_pushdown",
+    "bt_ts_range_prune",
+    "bt_value_filter_pushdown",
+    "bt_value_regex_pushdown",
+    "bt_int_key_prune",
+    "bt_read_rows_service",
+    "bt_value_pushdown_service",
+    "bt_read_rows_wire",
+    "bt_wire_sharded_scan",
+    "bt_mutate_rows_wire",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_substring_spans",
+    "dedup_minhash_lsh",
+    "dedup_minhash_estimate",
+    "dedup_lsh_quality",
+    "dedup_prefix_filter",
+    "corpus_leakage_safe_split",
+    "dedup_sampled_rate",
+    "dedup_connected_components",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_ivf",
+    "dedup_embedding_cosine_ivf2",
+    "text_ngram_perplexity",
+    "text_word_perplexity",
+    "dedup_semantic_prune",
+    "dedup_keep_canonical",
+    "streaming_curation_filter",
+    "pipeline_curated_corpus",
+    "decontaminate_vs_benchmark",
+    "decontaminate_bloom",
+    "streaming_window_counts",
+    "streaming_dedup_pairs",
+    "streaming_attribution_join",
+    "streaming_enriched_counts",
+    "streaming_stateful_user_totals",
+    "streaming_session_windows",
+    "dedup_multi_signal",
+    "scd2_user_segments",
+    "text_line_dedup",
+    "dedup_keep_best_quality",
+    "dedup_incremental_ingest",
+    "streaming_ingest_dedup",
+    "events_asof_view_tolerance",
+    "events_asof_last_order",
+    "sim_index_upsert",
+    "sim_search_after_upsert",
+    "pipeline_embedding_store",
+)
+# Later rounds override earlier ones; every name absent from all twelve
 # tuples carries 0.
 _LAST_GREEN: dict[str, int] = {
     **{n: 1 for n in _R1_GREEN},
@@ -2171,6 +2224,7 @@ _LAST_GREEN: dict[str, int] = {
     **{n: 9 for n in _R9_GREEN},
     **{n: 10 for n in _R10_GREEN},
     **{n: 11 for n in _R11_GREEN},
+    **{n: 12 for n in _R12_GREEN},
 }
 
 # ---------------------------------------------------------------------------
@@ -2292,66 +2346,26 @@ def query_deps(name: str) -> frozenset[str]:
     return _module_closure(_callable_direct_deps(fn, {fn}))
 
 
-# Round 12: package modules with BEHAVIOR-CHANGING edits since the r11 fold
+# Round 13: package modules with BEHAVIOR-CHANGING edits since the r12 fold
 # (their dependents reset to 0) and query functions edited in this file over
 # the same span.  Policy (amended per ADVICE r5): purely ADDITIVE module
 # changes — a new function no existing query calls — do not reset
 # dependents; any edit to code an existing query executes does.  Verified
-# against `git diff` before the fold.
+# against `git diff` before the fold.  Window-capacity release valve
+# (VERDICT r12 #2): a justified non-reset must cite a committed
+# FULLGATE_r{N}.json artifact (tools/full_gate.py output) proving the
+# dependents green at sf0.01 — an uncommitted oracle-drive claim no longer
+# qualifies; tests/test_schedule.py pins this.
 _TOUCHED_MODULES: frozenset[str] = frozenset(
     {
         # Entries are added in the SAME commit as each behavior-changing
         # module edit this round, so the set is truthful against
         # `git diff <fold>..HEAD` at every commit.
-        f"{_PKG}.sources.bigtable_table",  # r12: mutate() writes
-        # executor-side (per-task wire connections) instead of the driver
-        # toLocalIterator funnel (VERDICT r11 #1).
-        f"{_PKG}.operators.dedup",  # r12: embedding_dup_pairs grows the
-        # block_cap sub-blocking bound (VERDICT r11 #2, wired into
-        # dedup_embedding_cosine) and prefix_filter_pairs compares the
-        # UNROUNDED jaccard against the threshold (ADVICE r11 #1).
-        f"{_PKG}.operators.temporal",  # r12: asof_join carries the matched
-        # right ROW as one struct through a single last(ignorenulls), so
-        # the freshness gate and the emitted values come from the same
-        # row (ADVICE r11 #3; oracles mirrored to struct carry).
-        f"{_PKG}.sources.datasource",  # r12: _file_stats grows the
-        # require_manifest error posture (VERDICT r11 #6) and
-        # _config_from_options parses the new option — defaults preserve
-        # behavior, reset is free (all 6 dependents already zero-green).
-        # NOT config: the new require_manifest field is additive with a
-        # default that preserves every existing construction.
-        f"{_PKG}.sources.grpc_transport",  # r12: fetch_cells/push_cells
-        # real path rebuilt on the RealSdkBigtableService seam adapter
-        # (emulator-optional, VERDICT r11 #4); service-path callers are
-        # semantically unchanged but the executed lines moved — reset.
-        f"{_PKG}.operators.perplexity",  # r12: both models widen the scan
-        # (operators.partitioning.widen_if_narrow) before their explosion
-        # passes — plan-level change, oracle-identical values (sf0.01
-        # drives in the same commit); 42.9→6.3 s / 13.6→4.6 s at sf1.
-        f"{_PKG}.operators.bloom",  # r12: bloom_membership decides by
-        # COUNT(DISTINCT probe index among hits) so duplicated candidate
-        # rows report correct membership (ADVICE r11 #2); provably
-        # output-identical for the distinct shingle inputs in-repo, reset
-        # anyway (one dependent: decontaminate_bloom).
-        # NOT sources.wire: the r12 edit adds the read-only `address`
-        # property and nothing else (purely additive — no existing line
-        # modified; additive policy above).
-        # NOT operators.similarity: the r12 delta is upsert_ivf_index +
-        # centroid persistence (new function, new save/load branches no
-        # registry query executed before sim_index_upsert) plus a LAZY
-        # attribute attach in build_ivf_index/IvfIndex.__init__ — zero
-        # plan or output change, proven by sf0.01 oracle drives of
-        # sim_topk_ivf_cells and sim_topk_ivfpq in the same commit.
-        # Resetting similarity's 43 dependents would overflow the 50-slot
-        # window (46 zero-green already) and displace genuinely-touched
-        # queries; the new sim_index_upsert leads the window by absence
-        # from _LAST_GREEN.
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset(
     {
-        # r12 additions lead the window via their absence from _LAST_GREEN;
-        # nothing else was edited by-hand in this file this round.
+        # r13 additions lead the window via their absence from _LAST_GREEN.
     }
 )
 
