@@ -29,6 +29,7 @@ from __future__ import annotations
 import ast as _ast
 import functools
 import inspect
+import json
 import textwrap
 from dataclasses import dataclass
 from pathlib import Path
@@ -2369,6 +2370,51 @@ _TOUCHED_QUERIES: frozenset[str] = frozenset(
     }
 )
 
+# ---------------------------------------------------------------------------
+# Full-gate evidence (VERDICT r12 #2: "a mechanism, not a judgment call").
+# tools/full_gate.py drives EVERY registered query against its DuckDB oracle
+# at sf0.01 and writes FULLGATE_r{N}.json at the repo root.  Two uses:
+#
+# 1. _FULLGATE_PROVEN_MODULES: a module with a behavior-changing edit whose
+#    dependent-reset would overflow the 50-slot driver window may be listed
+#    here (module -> artifact filename) INSTEAD of _TOUCHED_MODULES.
+#    tests/test_schedule.py enforces that the cited artifact is committed,
+#    postdates the last fold (so the evidence postdates the edit), and shows
+#    every dependent query green — the r11 exemption list and the r12
+#    similarity judgment call both retire into this checked contract.
+# 2. _schedule() breaks driver-green ties by full-gate recency: among
+#    queries the DRIVER last proved in the same round, one a committed full
+#    gate re-proved more recently is less urgent.  Driver greens still rank
+#    first; full-gate greens never substitute for them.
+# ---------------------------------------------------------------------------
+
+_FULLGATE_PROVEN_MODULES: dict[str, str] = {
+    # dotted module -> FULLGATE_r{N}.json filename proving all dependents
+    # green after the module's edit.  Empty when no window-overflow edit is
+    # in flight.
+}
+
+
+@functools.lru_cache(maxsize=1)
+def _fullgate_records() -> dict[str, int]:
+    """name -> most recent round a committed full-gate artifact proved it
+    fully green (oracle compare, not rows-only)."""
+    out: dict[str, int] = {}
+    for art in sorted(_PKG_DIR.parent.glob("FULLGATE_r*.json")):
+        try:
+            payload = json.loads(art.read_text())
+            rnd = int(payload["round"])
+            for name, status in payload.get("results", {}).items():
+                if status == "green":
+                    out[name] = max(out.get(name, 0), rnd)
+        except (ValueError, KeyError, OSError):
+            continue  # malformed artifact: contributes no evidence
+    return out
+
+
+def _fullgate_green(name: str) -> int:
+    return _fullgate_records().get(name, 0)
+
 # Surgical false-positive exemptions from the module-closure reset.
 # Round-scoped: every entry must be re-justified (or deleted) at each
 # fold, and tests/test_schedule.py fails loud if an entry stops being
@@ -2393,7 +2439,12 @@ def _last_green(name: str) -> int:
 
 def _schedule() -> list[str]:
     ordered = list(REGISTRY)
-    return sorted(ordered, key=lambda n: (_last_green(n), ordered.index(n)))
+    # Driver greens rank first; committed full-gate greens break ties (a
+    # query a full gate re-proved recently yields its slot to one nothing
+    # re-proved); registry order last for determinism.
+    return sorted(
+        ordered, key=lambda n: (_last_green(n), _fullgate_green(n), ordered.index(n))
+    )
 
 
 def names() -> list[str]:

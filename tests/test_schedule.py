@@ -196,6 +196,63 @@ def test_touched_queries_lead_current_window():
         assert sched.index(name) < 50, f"touched query {name} outside window"
 
 
+def test_fullgate_proven_modules_cite_committed_evidence():
+    """VERDICT r12 #2: a window-overflow non-reset is only legal when backed
+    by a committed FULLGATE artifact, not an uncommitted claim.  For every
+    entry in _FULLGATE_PROVEN_MODULES: (a) the key is a real package module
+    and not ALSO in _TOUCHED_MODULES (pick one posture), (b) the cited
+    artifact exists at the repo root AND is git-committed, (c) its round
+    postdates the last _R{N}_GREEN fold — evidence generated before the fold
+    cannot cover an edit made after it, and (d) every registry query whose
+    dependency closure includes the module is fully green in it."""
+    import json
+    import re
+    import subprocess
+    from pathlib import Path
+
+    repo = Path(q.__file__).resolve().parents[1]
+    last_fold = max(
+        int(m.group(1)) for name in dir(q) if (m := re.fullmatch(r"_R(\d+)_GREEN", name))
+    )
+    committed = set(
+        subprocess.run(
+            ["git", "ls-files"], cwd=repo, capture_output=True, text=True, check=True
+        ).stdout.splitlines()
+    )
+    assert "tools/full_gate.py" in committed, "full-gate tool must be committed"
+    for module, artifact in q._FULLGATE_PROVEN_MODULES.items():
+        assert q._module_path(module) is not None, f"unknown module {module}"
+        assert module not in q._TOUCHED_MODULES, (
+            f"{module} both touched and fullgate-proven — contradictory"
+        )
+        path = repo / artifact
+        assert path.is_file(), f"{artifact} cited but absent"
+        assert artifact in committed, f"{artifact} cited but not committed"
+        payload = json.loads(path.read_text())
+        assert payload["round"] > last_fold, (
+            f"{artifact} (round {payload['round']}) predates the r{last_fold} "
+            f"fold — stale evidence for {module}"
+        )
+        dependents = {n for n in q.REGISTRY if module in q.query_deps(n)}
+        assert dependents, f"{module} has no dependents — listing it is pointless"
+        not_green = {
+            n for n in dependents if payload["results"].get(n) != "green"
+        }
+        assert not_green == set(), (
+            f"{artifact} does not prove {module}'s dependents green: "
+            f"{sorted(not_green)}"
+        )
+
+
+def test_fullgate_tiebreak_never_outranks_driver_green(monkeypatch):
+    # A full-gate green is a SECONDARY key: zero-driver-green queries sort
+    # before every driver-green query regardless of full-gate recency.
+    monkeypatch.setattr(q, "_fullgate_records", lambda: {"dedup_exact": 99})
+    sched = q._schedule()
+    greens = [q._last_green(n) for n in sched]
+    assert greens == sorted(greens)
+
+
 def test_transitive_module_imports_followed():
     # operators.dedup imports operators.graph only indirectly through the
     # keep-canonical path; closure must include it for CC-based queries even
