@@ -2362,6 +2362,14 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         # Entries are added in the SAME commit as each behavior-changing
         # module edit this round, so the set is truthful against
         # `git diff <fold>..HEAD` at every commit.
+        # NOT sources.grpc_transport: the r13 edit fixes
+        # RealSdkBigtableService.read_rows range translation (open bounds,
+        # ADVICE r12 medium) — a method NO registry query can execute in any
+        # gate environment (real_sdk_service raises NotImplementedError
+        # without the SDK; the fake/wire paths queries use are untouched).
+        # Pinned SDK-free by the new recording-stub test
+        # (tests/test_emulator.py::test_sdk_range_translation_handles_all_four_bound_kinds);
+        # additionally covered by the FULLGATE_r13 artifact entry below.
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset(

@@ -479,10 +479,18 @@ class RealSdkBigtableService:
         rset = rs_mod.RowSet()
         any_sel = False
         for rr in rows.get("row_ranges", ()):
+            # Mirror the fake's four-key range vocabulary (fake_bigtable.py
+            # _key_selected): the DS endpoint scan emits start_key_open for
+            # split partitions and the wire client's mid-stream resume
+            # rewrites ranges to start_key_open — hardcoding the closed keys
+            # KeyErrors on any multi-partition or resumed read (ADVICE r12).
+            start_c, start_o = rr.get("start_key_closed"), rr.get("start_key_open")
+            end_c, end_o = rr.get("end_key_closed"), rr.get("end_key_open")
             rset.add_row_range_from_keys(
-                start_key=rr["start_key_closed"],
-                end_key=rr["end_key_closed"],
-                end_inclusive=True,
+                start_key=start_c if start_o is None else start_o,
+                end_key=end_c if end_o is None else end_o,
+                start_inclusive=start_o is None,
+                end_inclusive=end_c is not None,
             )
             any_sel = True
         for rk in rows.get("row_keys", ()):

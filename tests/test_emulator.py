@@ -19,6 +19,7 @@ from datafusion_bigtable_spark.config import BigtableTableConfig, ColumnSpec
 from datafusion_bigtable_spark.plans.composer import Between, Eq, In, KeyRange
 from datafusion_bigtable_spark.sources.grpc_transport import (
     BIGTABLE_EMULATOR_ENV,
+    RealSdkBigtableService,
     build_read_rows_request,
     real_sdk_service,
     sdk_row_filter,
@@ -132,6 +133,63 @@ def test_sdk_filter_open_bounds_translate_exclusive():
         "end_value": b"z",
         "inclusive_end": True,
     }
+
+
+class _StubRowSet:
+    def __init__(self):
+        self.ranges = []
+        self.keys = []
+
+    def add_row_range_from_keys(
+        self, start_key=None, end_key=None, start_inclusive=True, end_inclusive=False
+    ):
+        self.ranges.append((start_key, end_key, start_inclusive, end_inclusive))
+
+    def add_row_key(self, key):
+        self.keys.append(key)
+
+
+class _StubRSMod:
+    RowSet = _StubRowSet
+
+
+class _StubTable:
+    def __init__(self):
+        self.calls = []
+
+    def read_rows(self, **kw):
+        self.calls.append(kw)
+        return iter(())
+
+
+def test_sdk_range_translation_handles_all_four_bound_kinds(monkeypatch):
+    """ADVICE r12 (medium): the DS endpoint scan emits start_key_open for
+    split partitions and the wire client's mid-stream resume rewrites ranges
+    to start_key_open — the adapter must mirror the fake's four-key range
+    vocabulary (fake_bigtable._key_selected), not hardcode the closed keys."""
+    svc = RealSdkBigtableService(CFG)
+    tbl = _StubTable()
+    monkeypatch.setattr(svc, "_modules", lambda: (None, _StubRF, _StubRSMod))
+    monkeypatch.setattr(svc, "table", lambda: tbl)
+    req = {
+        "rows": {
+            "row_ranges": [
+                {"start_key_closed": b"a", "end_key_closed": b"b"},
+                {"start_key_open": b"m", "end_key_open": b"z"},
+                {"start_key_open": b"q"},  # resume rewrite: unbounded end
+            ],
+            "row_keys": [b"k1"],
+        }
+    }
+    assert list(svc.read_rows(req)) == []
+    (kw,) = tbl.calls
+    rs = kw["row_set"]
+    assert rs.ranges == [
+        (b"a", b"b", True, True),
+        (b"m", b"z", False, False),
+        (b"q", None, False, False),
+    ]
+    assert rs.keys == [b"k1"]
 
 
 def test_sdk_filter_unknown_kind_fails_loud():
