@@ -2362,6 +2362,11 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         # Entries are added in the SAME commit as each behavior-changing
         # module edit this round, so the set is truthful against
         # `git diff <fold>..HEAD` at every commit.
+        f"{_PKG}.sources.bigtable_table",  # r13: mutate() bridge binds all
+        # interfaces and advertises spark.driver.host so remote executors
+        # can reach a bridged (non-wire) service (ADVICE r12); the wire
+        # branch bt_mutate_rows_wire takes is untouched but the surrounding
+        # function changed — reset its 4 dependents.
         # NOT sources.grpc_transport: the r13 edit fixes
         # RealSdkBigtableService.read_rows range translation (open bounds,
         # ADVICE r12 medium) — a method NO registry query can execute in any

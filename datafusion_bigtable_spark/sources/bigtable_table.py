@@ -361,8 +361,14 @@ class BigtableTable:
             host, port = self.service.address
             bridge = None
         else:
-            bridge = WireBigtableServer(self.service).start()
-            host, port = bridge.address
+            # Bind all interfaces and advertise spark.driver.host, not the
+            # bound address: a loopback bind made bridged-service mutate
+            # local-mode-only — remote executors cannot reach the driver's
+            # 127.0.0.1 (ADVICE r12).  Wire-client services need no bridge
+            # and fan out to the real endpoint regardless.
+            bridge = WireBigtableServer(self.service, host="0.0.0.0").start()
+            host = df.sparkSession.conf.get("spark.driver.host", "127.0.0.1")
+            port = bridge.address[1]
 
         cfg = self.config
         mm = max_mutations
