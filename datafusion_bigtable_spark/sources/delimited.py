@@ -47,18 +47,25 @@ def read_documents_csv(
     """Schema-enforced PERMISSIVE one-line-one-record CSV read with the
     corrupt-record column appended; use :func:`split_corrupt`.
 
-    ``header=True`` drops each file's FIRST line when it matches the
-    schema's column-name row — the standard per-file header convention
-    (each shard carries its own header).  POSITION-AWARE (ADVICE r11
-    #4): a data row mid-file that coincidentally serializes to the
-    header string is kept, where a pure value match silently lost it.
-    The first line is located without a corpus shuffle: rows in the
-    offset-0 split of each file (``_metadata.file_block_start = 0``)
-    carry partition-ordered ``monotonically_increasing_id``s, so
-    ``min(id)`` per file over that split IS the file's first line — a
-    map-side-combined aggregation of O(files) rows, broadcast back as
-    an anti-filter.  A headerless shard (first line is data) keeps its
-    first line, because it fails the value match."""
+    ``header=True`` drops each file's FIRST non-blank line when it
+    matches the schema's column-name row — the standard per-file header
+    convention (each shard carries its own header).  POSITION-AWARE
+    (ADVICE r11 #4): a data row mid-file that coincidentally serializes
+    to the header string is kept, where a pure value match silently
+    lost it.  DETERMINISTIC (ADVICE r12): the previous implementation
+    matched rows by joining two independent recomputations of
+    ``monotonically_increasing_id`` — a flagged-nondeterministic
+    expression whose agreement across subplans is an accident of
+    partition layout, not a contract.  Now position is established
+    locally: within a task, the text source yields a file split's lines
+    in file order, so the first row of each ``(file, block_start=0)``
+    run IS the file's first line — one Arrow pass, no ids, no join, no
+    shuffle, O(1) state per task.  Blank lines are filtered BEFORE
+    header detection so a leading blank does not shift the match (the
+    second ADVICE r12 defect).  A headerless shard (first line is data)
+    keeps its first line, because it fails the value match.  Cost note:
+    ``header=True`` routes the scan through one Arrow-batched Python
+    pass; the default ``header=False`` plan stays entirely JVM-side."""
     lines = spark.read.text(str(path))
     if header:
         header_line = ",".join(f.name for f in schema.fields)
@@ -66,23 +73,47 @@ def read_documents_csv(
             "value",
             F.col("_metadata.file_path").alias("_fp"),
             F.col("_metadata.file_block_start").alias("_bs"),
-        ).withColumn("_mid", F.monotonically_increasing_id())
-        firsts = (
-            lines.filter(F.col("_bs") == 0)
-            .groupBy("_fp")
-            .agg(F.min("_mid").alias("_mid"))
-            .withColumn("_is_first", F.lit(True))
-        )
-        lines = (
-            lines.join(F.broadcast(firsts), ["_fp", "_mid"], "left")
-            .filter(
-                ~(
-                    F.coalesce(F.col("_is_first"), F.lit(False))
-                    & (F.col("value") == header_line)
+        ).filter(F.length("value") > 0)
+
+        def _drop_file_headers(batches):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            carry_fp, carry_bs = None, None  # last row of the previous batch
+            for batch in batches:
+                n = batch.num_rows
+                if n == 0:
+                    continue
+                val = batch.column(batch.schema.get_field_index("value"))
+                fp = batch.column(batch.schema.get_field_index("_fp"))
+                bs = batch.column(batch.schema.get_field_index("_bs"))
+                prev_fp = pa.concat_arrays(
+                    [pa.array([carry_fp], type=fp.type), fp.slice(0, n - 1)]
                 )
-            )
-            .select("value")
-        )
+                prev_bs = pa.concat_arrays(
+                    [pa.array([carry_bs], type=bs.type), bs.slice(0, n - 1)]
+                )
+                # First row of a (file, block) run; null compares (the
+                # partition's very first row) count as a run start.  The
+                # block is part of the key so a same-file later split
+                # packed immediately before block 0 cannot mask it.
+                run_start = pc.or_kleene(
+                    pc.fill_null(pc.not_equal(fp, prev_fp), True),
+                    pc.fill_null(pc.not_equal(bs, prev_bs), True),
+                )
+                drop = pc.and_(
+                    run_start,
+                    pc.and_(
+                        pc.equal(bs, 0),
+                        pc.fill_null(pc.equal(val, header_line), False),
+                    ),
+                )
+                yield pa.record_batch(
+                    [val.filter(pc.invert(drop))], names=["value"]
+                )
+                carry_fp, carry_bs = fp[n - 1].as_py(), bs[n - 1].as_py()
+
+        lines = lines.mapInArrow(_drop_file_headers, "value string")
     lines = lines.filter(F.length("value") > 0)
     opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL}
     parsed = lines.select(F.from_csv("value", _ddl_with_corrupt(schema), opts).alias("c"))

@@ -85,3 +85,20 @@ def test_header_drop_is_position_aware(spark, tmp_path):
     # name ("text") and a NULL doc_id — present, not silently lost
     texts = {r["text"] for r in rows if r["text"] is not None}
     assert {"alpha text", "beta text", "gamma"} <= texts
+
+
+def test_header_drop_survives_leading_blank_line(spark, tmp_path):
+    """ADVICE r12: a file whose first PHYSICAL line is blank still has
+    its header (the first non-blank line) dropped — blank filtering
+    happens before header detection, not after."""
+    from datafusion_bigtable_spark.sources.jsonl import DOCUMENTS_SCHEMA
+
+    hdr = ",".join(f.name for f in DOCUMENTS_SCHEMA.fields)
+    d = tmp_path / "csv"
+    d.mkdir()
+    (d / "a.csv").write_text(f"\n{hdr}\n1,alpha,en,s,5\n")
+    (d / "b.csv").write_text(f"{hdr}\n2,beta,de,s,6\n")
+    out = read_documents_csv(spark, str(d), header=True)
+    rows = out.collect()
+    assert len(rows) == 2
+    assert {r["text"] for r in rows} == {"alpha", "beta"}
