@@ -19,6 +19,7 @@ are deterministic across engines (ties broken by id).
 
 from __future__ import annotations
 
+import json
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
@@ -298,9 +299,105 @@ def build_ivf_index(
     return IvfIndex(ranked, nprobe=max(1, nprobe), centroids=seeds)
 
 
+IVF_MANIFEST_REL_PATH = "_ivf_manifest.parquet"  # _-prefixed: invisible to discovery
+
+#: Retraining recommendation threshold: an upsert batch whose rounded
+#: top-1-cosine mean sits more than this far BELOW the base build's marks
+#: the batch as drifted (recall against the frozen centroids is decaying).
+#: 0.05 cosine ≈ the recall knee observed in test_ann_recall's seed-vs-
+#: trained floors; in-distribution batches land within ±0.02 of base.
+IVF_DRIFT_THRESHOLD = 0.05
+
+
+def _top1_mean(assignments: DataFrame, centroids: DataFrame, id_col: str) -> float | None:
+    """Rounded mean top-1 cosine of ``_rn = 1`` assignments against their
+    own cell centroid — the drift yardstick stored in ``_ivf_meta.json``.
+
+    Per-vector cosines round to 6 BEFORE the mean and the mean rounds to
+    5, so the scalar is reproducible across engines and aggregation
+    orders (the residual reorder noise of a 10⁴-term double sum is
+    ~1e-13, far inside the final rounding step).
+    """
+    row = (
+        assignments.filter(F.col("_rn") == 1)
+        .join(F.broadcast(centroids), "cell")
+        .select(
+            F.round(
+                dot_raw(F.col("_dv"), F.col("sv")) / (F.col("_n") * F.col("sn")), 6
+            ).alias("_c")
+        )
+        .agg(F.round(F.avg("_c"), 5).alias("m"))
+        .first()
+    )
+    return None if row is None or row.m is None else float(row.m)
+
+
+def _refresh_ivf_manifest(spark, path: str, per_cell_rows: dict[int, int] | None) -> None:
+    """(Re)write the per-cell file/row-count manifest parquet.
+
+    ``per_cell_rows=None`` rebuilds row counts by listing + footer reads
+    ONCE (save time — the same pay-once posture as
+    sources.cells.write_manifest); a dict of appended counts per cell
+    merges incrementally: only the TOUCHED cell directories are re-listed
+    and no data footer is read, so an upsert refresh is O(batch cells),
+    never O(store files).  External writers bypassing save/upsert are out
+    of contract (they would also violate the append-only guarantee).
+    """
+    import glob as _glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    mpath = os.path.join(path, IVF_MANIFEST_REL_PATH)
+    stats: dict[int, dict[str, int]] = {}
+    if per_cell_rows is not None and os.path.exists(mpath):
+        for r in pq.read_table(mpath).to_pylist():
+            stats[int(r["cell"])] = {"files": int(r["files"]), "rows": int(r["rows"])}
+        touched = per_cell_rows.keys()
+    else:
+        per_cell_rows = None
+        touched = {
+            int(os.path.basename(d).split("=", 1)[1])
+            for d in _glob.glob(os.path.join(path, "cell=*"))
+            if os.path.isdir(d)
+        }
+    for cell in touched:
+        files = sorted(_glob.glob(os.path.join(path, f"cell={cell}", "*.parquet")))
+        if per_cell_rows is None:
+            rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        else:
+            rows = stats.get(cell, {}).get("rows", 0) + per_cell_rows[cell]
+        stats[cell] = {"files": len(files), "rows": rows}
+    cells = sorted(stats)
+    os.makedirs(os.path.dirname(mpath), exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "cell": pa.array(cells, type=pa.int64()),
+                "files": pa.array([stats[c]["files"] for c in cells], type=pa.int64()),
+                "rows": pa.array([stats[c]["rows"] for c in cells], type=pa.int64()),
+            }
+        ),
+        mpath,
+    )
+
+
+def read_ivf_manifest(path: str) -> list[dict] | None:
+    """Per-cell ``{cell, files, rows}`` stats without touching any data
+    file — None when the store predates the manifest."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    mpath = os.path.join(path, IVF_MANIFEST_REL_PATH)
+    return pq.read_table(mpath).to_pylist() if os.path.exists(mpath) else None
+
+
 def save_ivf_index(index: IvfIndex, path: str) -> None:
     """Persist a built IVF index as a parquet table PARTITIONED BY CELL,
-    plus a meta sidecar (nprobe, column order, the id column name).
+    plus a meta sidecar (nprobe, column order, both table SCHEMAS, the
+    base drift yardstick) and a per-cell file/row-count manifest.
 
     This is the build-once-search-forever shape: at 100 TB the
     assignment pass (one corpus scan × n_cells cosine folds) is the
@@ -310,12 +407,20 @@ def save_ivf_index(index: IvfIndex, path: str) -> None:
     prunes to exactly the probed cells at the FILE level (partition
     pruning, pinned in tests) — the on-disk analogue of the in-memory
     index's one-shuffle-on-cell layout.
+
+    The sidecar schemas are what let :func:`load_ivf_index` and
+    :func:`upsert_ivf_index` open the store with ZERO footer reads and
+    no schema-inference pass (VERDICT r12 #8) — at 10⁵ files inference
+    is the same O(files) planning cliff the cells-store manifest
+    retired (SCALE.md #2).  The manifest itself pays one listing+footer
+    sweep HERE, at write time; upserts refresh it incrementally.
     """
     import json
     import os
 
     df = index.assignments
     df.write.mode("overwrite").partitionBy("cell").parquet(path)
+    meta = {"nprobe": index.nprobe, "columns": df.columns, "schema": df.schema.json()}
     if index.centroids is not None:
         # centroids ride along as their own parquet table (n_cells rows —
         # a json sidecar would not scale to corpus-relative cell counts),
@@ -324,9 +429,27 @@ def save_ivf_index(index: IvfIndex, path: str) -> None:
         index.centroids.write.mode("overwrite").parquet(
             os.path.join(path, "_centroids")
         )
-    meta = {"nprobe": index.nprobe, "columns": df.columns}
+        meta["centroids_schema"] = index.centroids.schema.json()
+        # Drift yardstick (VERDICT r12 #4): the base build's mean top-1
+        # cosine — upserts compare their batch against this so recall
+        # decay against the frozen centroids is visible, not silent.
+        meta["base_top1_mean"] = _top1_mean(df, index.centroids, df.columns[0])
+        meta["drift_threshold"] = IVF_DRIFT_THRESHOLD
+        meta["upserts"] = []
     with open(os.path.join(path, "_ivf_meta.json"), "w") as f:
         json.dump(meta, f)
+    _refresh_ivf_manifest(df.sparkSession, path, None)
+
+
+def _read_store(spark, path: str, meta: dict):
+    """Open the assignments table with the sidecar schema when present —
+    no schema-inference footer read (pre-schema stores fall back)."""
+    from pyspark.sql.types import StructType
+
+    reader = spark.read
+    if "schema" in meta:
+        reader = reader.schema(StructType.fromJson(json.loads(meta["schema"])))
+    return reader.parquet(path)
 
 
 def load_ivf_index(spark, path: str) -> IvfIndex:
@@ -334,15 +457,27 @@ def load_ivf_index(spark, path: str) -> IvfIndex:
     :class:`IvfIndex`.  The frame is parquet-backed — no persist needed
     (every search rereads only its probed cell directories), and
     ``unpersist()`` on it is a safe no-op, so the context-manager
-    lifecycle keeps working unchanged."""
-    import json
+    lifecycle keeps working unchanged.  Plan contract: with the schema
+    sidecar present, loading performs ZERO data-file reads — schemas
+    come from ``_ivf_meta.json``, per-cell stats from the manifest
+    (pinned in tests by loading a store whose data files are truncated
+    to zero bytes)."""
     import os
+
+    from pyspark.sql.types import StructType
 
     with open(os.path.join(path, "_ivf_meta.json")) as f:
         meta = json.load(f)
-    df = spark.read.parquet(path).select(*meta["columns"])
+    df = _read_store(spark, path, meta).select(*meta["columns"])
     cb_path = os.path.join(path, "_centroids")
-    centroids = spark.read.parquet(cb_path) if os.path.isdir(cb_path) else None
+    centroids = None
+    if os.path.isdir(cb_path):
+        reader = spark.read
+        if "centroids_schema" in meta:
+            reader = reader.schema(
+                StructType.fromJson(json.loads(meta["centroids_schema"]))
+            )
+        centroids = reader.parquet(cb_path)
     return IvfIndex(df, nprobe=meta["nprobe"], centroids=centroids)
 
 
@@ -376,9 +511,21 @@ def upsert_ivf_index(
     genuinely-new rows (broadcast centroids, map-side max_by — the same
     shape as build_ivf_index), one partitioned append.  Returns the
     number of new ids appended.
+
+    **Drift detection** (VERDICT r12 #4): the frozen-centroids contract
+    means recall decays SILENTLY as the upserted distribution drifts
+    from the base build — so each appending upsert also records its
+    batch's mean top-1 cosine (same rounded formula as the base
+    yardstick) into ``_ivf_meta.json`` ``upserts``, with
+    ``retrain_recommended`` set when the batch lands more than the
+    stored ``drift_threshold`` below ``base_top1_mean``.  Cheap: one
+    broadcast-join aggregate over the already-persisted new-row
+    assignments, O(batch).  The per-cell manifest refreshes
+    incrementally (touched cells only — no store-wide listing).
     """
-    import json
     import os
+
+    from pyspark.sql.types import StructType
 
     with open(os.path.join(path, "_ivf_meta.json")) as f:
         meta = json.load(f)
@@ -390,8 +537,11 @@ def upsert_ivf_index(
             "records its centroids); without the original centroids an "
             "upsert would assign new vectors against a DIFFERENT codebook"
         )
-    seeds = spark.read.parquet(cb_path)
-    existing = spark.read.parquet(path).select(id_col)
+    reader = spark.read
+    if "centroids_schema" in meta:
+        reader = reader.schema(StructType.fromJson(json.loads(meta["centroids_schema"])))
+    seeds = reader.parquet(cb_path)
+    existing = _read_store(spark, path, meta).select(id_col)
     fresh = new_embeddings.join(existing, id_col, "left_anti")
     base = (
         fresh.withColumn("_dv", as_double_vec(F.col(vec_col)))
@@ -431,7 +581,39 @@ def upsert_ivf_index(
     try:
         n_new = ranked.count()  # one compute backs both the count and the write
         if n_new:
+            # Batch stats BEFORE the append: writing to `path` invalidates
+            # ranked's cache entry (its plan reads the store through the
+            # anti-join — refreshByPath drops it), and a post-write
+            # recompute re-runs the anti-join against the grown store,
+            # silently emptying the batch.
+            per_cell = {
+                int(r["cell"]): int(r["count"])
+                for r in ranked.groupBy("cell").count().collect()  # ≤ n_cells rows
+            }
+            batch_mean = _top1_mean(ranked, seeds, id_col)
             ranked.write.mode("append").partitionBy("cell").parquet(path)
+            _refresh_ivf_manifest(spark, path, per_cell)
+            base_mean = meta.get("base_top1_mean")
+            threshold = meta.get("drift_threshold", IVF_DRIFT_THRESHOLD)
+            drifted = (
+                base_mean is not None
+                and batch_mean is not None
+                and (round(base_mean - batch_mean, 5) > threshold)
+            )
+            meta.setdefault("upserts", []).append(
+                {
+                    "appended": n_new,
+                    "top1_mean": batch_mean,
+                    "drift": None
+                    if base_mean is None or batch_mean is None
+                    else round(base_mean - batch_mean, 5),
+                    "retrain_recommended": drifted,
+                }
+            )
+            if drifted:
+                meta["retrain_recommended"] = True
+            with open(os.path.join(path, "_ivf_meta.json"), "w") as f:
+                json.dump(meta, f)
     finally:
         ranked.unpersist()
     return n_new

@@ -2380,6 +2380,13 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
 _TOUCHED_QUERIES: frozenset[str] = frozenset(
     {
         # r13 additions lead the window via their absence from _LAST_GREEN.
+        # The three store-lifecycle queries below EXECUTE the r13 similarity
+        # edits (save/load/upsert: schema sidecar, per-cell manifest, drift
+        # recording) and re-verify directly; similarity's other 40 dependents
+        # are covered by the FULLGATE_r13 evidence entry below.
+        "sim_index_upsert",
+        "sim_search_after_upsert",
+        "pipeline_embedding_store",
     }
 )
 
@@ -2403,8 +2410,14 @@ _TOUCHED_QUERIES: frozenset[str] = frozenset(
 
 _FULLGATE_PROVEN_MODULES: dict[str, str] = {
     # dotted module -> FULLGATE_r{N}.json filename proving all dependents
-    # green after the module's edit.  Empty when no window-overflow edit is
-    # in flight.
+    # green after the module's edit.
+    # r13: operators.similarity grew the store schema sidecar, per-cell
+    # manifest, and upsert drift recording (VERDICT r12 #4/#8).  Its 43
+    # dependents would overflow the 50-slot window and displace the stale
+    # r6/r7 cohort (VERDICT r12 #3); the three queries that EXECUTE the
+    # changed lines re-verify via _TOUCHED_QUERIES above, and the committed
+    # FULLGATE_r13.json proves the rest green post-edit at sf0.01.
+    f"{_PKG}.operators.similarity": "FULLGATE_r13.json",
 }
 
 
@@ -7108,3 +7121,117 @@ def pipeline_embedding_store_q(spark, sf_dir):
     path = f"/tmp/dbs_estore_{os.path.basename(os.path.normpath(sf_dir))}_{tag}"
     shutil.rmtree(path, ignore_errors=True)
     return build_embedding_store(spark, load(spark, sf_dir, "embeddings"), path)
+
+
+@query(
+    "sim_index_drift",
+    """
+    WITH seeds AS (
+      SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS sv
+      FROM embeddings WHERE vec_id < 16 AND vec_id % 4 <> 0),
+    base_m AS (
+      SELECT ROUND(AVG(c), 5) AS m FROM (
+        SELECT MAX(ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                s.sv), 6)) AS c
+        FROM embeddings e CROSS JOIN seeds s
+        WHERE e.vec_id % 4 <> 0 GROUP BY e.vec_id) t),
+    batch_m AS (
+      SELECT ROUND(AVG(c), 5) AS m, COUNT(*) AS n FROM (
+        SELECT MAX(ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                s.sv), 6)) AS c
+        FROM embeddings e CROSS JOIN seeds s
+        WHERE e.vec_id % 4 = 0 GROUP BY e.vec_id) t),
+    dim AS (SELECT UNNEST(generate_series(
+              1, (SELECT len(sv) FROM seeds LIMIT 1))) AS i),
+    antivec AS (
+      SELECT LIST(v ORDER BY i) AS av FROM (
+        SELECT d.i AS i, -AVG(s.sv[d.i]) AS v
+        FROM seeds s CROSS JOIN dim d GROUP BY d.i) t),
+    shifted_m AS (
+      SELECT ROUND(MAX(ROUND(list_cosine_similarity(a.av, s.sv), 6)), 5) AS m
+      FROM antivec a CROSS JOIN seeds s)
+    SELECT 'base' AS phase, CAST(NULL AS BIGINT) AS appended, m AS top1_mean,
+           CAST(NULL AS DOUBLE) AS drift, CAST(NULL AS BOOLEAN) AS retrain
+    FROM base_m
+    UNION ALL
+    SELECT 'in_dist', b.n, b.m, ROUND(bm.m - b.m, 5),
+           ROUND(bm.m - b.m, 5) > 0.05
+    FROM batch_m b, base_m bm
+    UNION ALL
+    SELECT 'shifted', 50, s.m, ROUND(bm.m - s.m, 5),
+           ROUND(bm.m - s.m, 5) > 0.05
+    FROM shifted_m s, base_m bm
+    """,
+)
+def sim_index_drift_q(spark, sf_dir):
+    # r13 (VERDICT r12 #4): upsert_ivf_index pins the ORIGINAL centroids
+    # forever — correct for assignment stability, but recall then decays
+    # SILENTLY as the ingested distribution drifts from the base build.
+    # Each appending upsert now records its batch's mean top-1 cosine
+    # (rounded per-vector to 6, mean to 5 — engine-reproducible) next to
+    # the base build's yardstick in _ivf_meta.json, with
+    # retrain_recommended tripping when the batch lands >0.05 below base.
+    # This query drives the full lifecycle: build+save on vec_id%4<>0,
+    # upsert the in-distribution remainder (must NOT trip), then upsert a
+    # deliberately drifted batch — 50 copies of the NEGATED centroid-mean
+    # direction, which scores negative cosine against every cell for any
+    # non-degenerate codebook (a plain negation of random vectors would
+    # not drift: max-cos over sign-symmetric centroids is distribution-
+    # invariant).  The oracle recomputes base/batch/shifted metrics and
+    # the threshold decisions from the raw tables in SQL, so a wrong
+    # yardstick formula, a wrong anti-join universe, or a threshold that
+    # cannot trip all hash-mismatch.
+    import hashlib
+    import json
+    import os
+    import shutil
+
+    import numpy as np
+
+    from datafusion_bigtable_spark.operators.similarity import (
+        build_ivf_index,
+        save_ivf_index,
+        upsert_ivf_index,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"ivfdrift1|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/dbs_ivf_drift_{os.path.basename(os.path.normpath(sf_dir))}_{tag}"
+    shutil.rmtree(path, ignore_errors=True)  # the upsert path is under test
+    with build_ivf_index(e.filter(F.col("vec_id") % 4 != 0), n_cells=16) as idx:
+        save_ivf_index(idx, path)
+    upsert_ivf_index(spark, path, e.filter(F.col("vec_id") % 4 == 0))
+    sv = np.array(
+        [
+            r["sv"]
+            for r in spark.read.parquet(os.path.join(path, "_centroids"))
+            .select("sv")
+            .collect()  # bounded: n_cells rows, same posture as train_ivf_codebook
+        ]
+    )
+    anti = [float(x) for x in -sv.mean(axis=0)]
+    shifted = spark.createDataFrame(
+        [(10_000_000 + i, anti) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    upsert_ivf_index(spark, path, shifted)
+    with open(os.path.join(path, "_ivf_meta.json")) as f:
+        meta = json.load(f)
+    rows = [("base", None, meta["base_top1_mean"], None, None)] + [
+        (
+            phase,
+            rec["appended"],
+            rec["top1_mean"],
+            rec["drift"],
+            rec["retrain_recommended"],
+        )
+        for phase, rec in zip(("in_dist", "shifted"), meta["upserts"])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "phase string, appended bigint, top1_mean double, drift double, retrain boolean",
+    )

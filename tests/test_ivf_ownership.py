@@ -316,3 +316,111 @@ def test_upsert_refuses_store_without_centroids(spark, sf_dir, tmp_path):
         save_ivf_index(bare, path)
     with pytest.raises(ValueError, match="_centroids"):
         upsert_ivf_index(spark, path, e.limit(1))
+
+
+def test_ivf_store_manifest_and_zero_read_load(spark, sf_dir, tmp_path):
+    """VERDICT r12 #8: the store carries its schemas in the meta sidecar
+    and per-cell file/row counts in a manifest, so load_ivf_index plans
+    with ZERO data-file reads (no schema-inference footer pass — at 10⁵
+    files that pass is the O(files) planning cliff the cells-store
+    manifest retired).  Pinned the hard way: truncate every data parquet
+    to zero bytes — any footer read now fails loud — and load must still
+    succeed with the original schema.  The manifest refresh after upsert
+    is INCREMENTAL and must stay consistent with a from-scratch count."""
+    import os
+
+    from datafusion_bigtable_spark.operators.similarity import (
+        load_ivf_index,
+        read_ivf_manifest,
+        save_ivf_index,
+        upsert_ivf_index,
+    )
+
+    e = load(spark, str(sf_dir), "embeddings")
+    base = e.filter(F.col("vec_id") % 4 != 0)
+    path = str(tmp_path / "ivf")
+    with build_ivf_index(base, n_cells=16) as idx:
+        save_ivf_index(idx, path)
+        want_schema = idx.assignments.schema
+
+    man = read_ivf_manifest(path)
+    assert man is not None and sum(r["rows"] for r in man) == base.count()
+    assert all(r["files"] >= 1 for r in man)
+
+    # incremental refresh: rows add up, file counts re-listed per touched cell
+    n_new = upsert_ivf_index(spark, path, e.filter(F.col("vec_id") % 4 == 0))
+    man2 = read_ivf_manifest(path)
+    assert sum(r["rows"] for r in man2) == base.count() + n_new
+    per_cell_actual = {
+        r["cell"]: r["count"]
+        for r in load_ivf_index(spark, path)
+        .assignments.groupBy("cell")
+        .count()
+        .collect()
+    }
+    assert {r["cell"]: r["rows"] for r in man2} == per_cell_actual
+
+    # zero-read plan contract: kill every data footer, load must not care
+    for d, _, fs in os.walk(path):
+        for f in fs:
+            if f.endswith(".parquet") and "_ivf_manifest" not in f:
+                open(os.path.join(d, f), "w").close()
+    loaded = load_ivf_index(spark, path)
+    # file sources force user schemas nullable — names/types are the contract
+    assert [(f.name, f.dataType) for f in loaded.assignments.schema] == [
+        (f.name, f.dataType) for f in want_schema
+    ]
+    assert loaded.centroids is not None  # centroids schema came from meta too
+
+
+def test_upsert_drift_detection(spark, sf_dir, tmp_path):
+    """VERDICT r12 #4: frozen centroids mean recall decays silently as the
+    upserted distribution drifts — an in-distribution batch must NOT trip
+    the retraining recommendation; a shifted batch MUST.  The shift is
+    the negated centroid-MEAN direction: it scores negative cosine
+    against every cell (c̄·cⱼ > 0 for any non-degenerate codebook), so
+    the batch's top-1 mean collapses regardless of whether the corpus is
+    clustered or isotropic — a plain negation of random vectors would
+    NOT drift (max-cos over sign-symmetric centroids is distribution-
+    invariant)."""
+    import json
+    import os
+
+    from datafusion_bigtable_spark.operators.similarity import (
+        save_ivf_index,
+        upsert_ivf_index,
+    )
+
+    e = load(spark, str(sf_dir), "embeddings")
+    base = e.filter(F.col("vec_id") % 4 != 0)
+    path = str(tmp_path / "ivf")
+    with build_ivf_index(base, n_cells=16) as idx:
+        save_ivf_index(idx, path)
+
+    def meta():
+        with open(os.path.join(path, "_ivf_meta.json")) as f:
+            return json.load(f)
+
+    assert meta()["base_top1_mean"] is not None
+
+    in_dist = e.filter(F.col("vec_id") % 4 == 0)
+    upsert_ivf_index(spark, path, in_dist)
+    m = meta()
+    assert m["upserts"][-1]["retrain_recommended"] is False
+    assert "retrain_recommended" not in m
+
+    import numpy as np
+
+    sv = np.array(
+        [r["sv"] for r in spark.read.parquet(os.path.join(path, "_centroids")).collect()]
+    )
+    anti = list(map(float, -sv.mean(axis=0)))
+    shifted = spark.createDataFrame(
+        [(10_000_000 + i, anti) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    upsert_ivf_index(spark, path, shifted)
+    m = meta()
+    assert m["upserts"][-1]["retrain_recommended"] is True
+    assert m["upserts"][-1]["drift"] > m["drift_threshold"]
+    assert m["retrain_recommended"] is True
