@@ -619,6 +619,73 @@ def upsert_ivf_index(
     return n_new
 
 
+def retrain_ivf_index(
+    spark,
+    path: str,
+    n_cells: int | None = None,
+    codebook: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Rebuild a saved IVF store's codebook from its CURRENT vector set —
+    the action the drift recommendation points at (``upsert_ivf_index``
+    sets ``retrain_recommended`` when batches land far below the base
+    build's top-1 yardstick; this is how the store recovers).
+
+    Semantics: the retrained store is IDENTICAL to a from-scratch
+    :func:`build_ivf_index` + :func:`save_ivf_index` over every vector
+    currently stored (base build + all upserts) — new seed centroids by
+    the same deterministic rule (``id < n_cells``, or an explicit
+    ``codebook``, e.g. :func:`train_ivf_codebook` over the current set),
+    every vector reassigned, meta/yardstick/manifest reset, the drift
+    history cleared.  This is the ONE sanctioned full rewrite: a retrain
+    is inherently a corpus-wide reassign (one scan × n_cells folds — the
+    same cost as the original build), which is exactly why drift
+    detection exists to tell you WHEN it is worth paying.
+
+    Write-temp-then-swap like ``compact_cells_store``: a crash cannot
+    destroy the store, and readers holding the old frame fail loud on
+    vanished files rather than reading a half-rewritten table.
+    ``n_cells`` defaults to the stored codebook's size.  Returns the
+    number of vectors reindexed.
+    """
+    import os
+    import shutil
+
+    store = load_ivf_index(spark, path)
+    if store.centroids is None:
+        raise ValueError(
+            "IVF store has no _centroids table — retrain needs the stored "
+            "codebook size; rebuild with save_ivf_index on a "
+            "build_ivf_index result"
+        )
+    if n_cells is None:
+        n_cells = store.centroids.count()
+    # _dv IS the stored double vector — feed it back as the corpus.
+    vectors = (
+        store.assignments.filter(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col("_dv").alias(vec_col))
+    )
+    n = vectors.count()
+    tmp = path.rstrip("/") + "._retrain_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    with build_ivf_index(
+        vectors,
+        n_cells=n_cells,
+        nprobe=store.nprobe,
+        codebook=codebook,
+        id_col=id_col,
+        vec_col=vec_col,
+    ) as idx:
+        save_ivf_index(idx, tmp)
+    backup = path.rstrip("/") + "._retrain_old"
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(path, backup)
+    os.rename(tmp, path)
+    shutil.rmtree(backup)
+    return n
+
+
 def build_ivf_index_two_level(
     embeddings: DataFrame,
     n_cells: int = 16,

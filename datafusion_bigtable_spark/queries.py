@@ -7246,3 +7246,88 @@ def sim_index_drift_q(spark, sf_dir):
         rows,
         "phase string, appended bigint, top1_mean double, drift double, retrain boolean",
     )
+
+
+@query(
+    "sim_index_retrain",
+    """
+    WITH seeds0 AS (
+      SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS sv
+      FROM embeddings WHERE vec_id < 16 AND vec_id % 4 <> 0),
+    dim AS (SELECT UNNEST(generate_series(
+              1, (SELECT len(sv) FROM seeds0 LIMIT 1))) AS i),
+    antivec AS (
+      SELECT LIST(v ORDER BY i) AS av FROM (
+        SELECT d.i AS i, -AVG(s.sv[d.i]) AS v
+        FROM seeds0 s CROSS JOIN dim d GROUP BY d.i) t),
+    un AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
+      UNION ALL
+      SELECT 10000000 + j AS vec_id, a.av AS dv
+      FROM antivec a, (SELECT UNNEST(generate_series(0, 49)) AS j) s),
+    seeds AS (SELECT vec_id AS cell, dv AS sv FROM un WHERE vec_id < 16)
+    SELECT vec_id, cell FROM (
+      SELECT u.vec_id, s.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY u.vec_id
+               ORDER BY list_cosine_similarity(u.dv, s.sv) DESC, s.cell) AS rn
+      FROM un u CROSS JOIN seeds s) t
+    WHERE rn = 1
+    """,
+)
+def sim_index_retrain_q(spark, sf_dir):
+    # r13: the ACTION the drift recommendation points at — after the base
+    # build (vec_id%4<>0), an in-distribution upsert, and a drifted upsert
+    # (negated centroid-mean, trips retrain_recommended), retrain_ivf_index
+    # rebuilds the codebook from the store's CURRENT vector set and
+    # reassigns everything with a temp-then-swap rewrite.  The contract:
+    # the retrained store is IDENTICAL to a from-scratch build over the
+    # union corpus — the oracle computes exactly that assignment (note the
+    # new seed set is `vec_id < 16` over the UNION, i.e. WITHOUT the %4
+    # base filter: the retrain sees all current vectors), so a stale
+    # codebook, a dropped upserted vector, or a half-swapped store all
+    # hash-mismatch.
+    import hashlib
+    import os
+    import shutil
+
+    import numpy as np
+
+    from datafusion_bigtable_spark.operators.similarity import (
+        build_ivf_index,
+        load_ivf_index,
+        retrain_ivf_index,
+        save_ivf_index,
+        upsert_ivf_index,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"ivfretrain1|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/dbs_ivf_retrain_{os.path.basename(os.path.normpath(sf_dir))}_{tag}"
+    shutil.rmtree(path, ignore_errors=True)  # the rewrite path is under test
+    with build_ivf_index(e.filter(F.col("vec_id") % 4 != 0), n_cells=16) as idx:
+        save_ivf_index(idx, path)
+    upsert_ivf_index(spark, path, e.filter(F.col("vec_id") % 4 == 0))
+    sv = np.array(
+        [
+            r["sv"]
+            for r in spark.read.parquet(os.path.join(path, "_centroids"))
+            .select("sv")
+            .collect()
+        ]
+    )
+    anti = [float(x) for x in -sv.mean(axis=0)]
+    upsert_ivf_index(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(10_000_000 + i, anti) for i in range(50)],
+            "vec_id long, embedding array<double>",
+        ),
+    )
+    retrain_ivf_index(spark, path, n_cells=16)
+    return load_ivf_index(spark, path).assignments.select("vec_id", "cell")

@@ -424,3 +424,65 @@ def test_upsert_drift_detection(spark, sf_dir, tmp_path):
     assert m["upserts"][-1]["retrain_recommended"] is True
     assert m["upserts"][-1]["drift"] > m["drift_threshold"]
     assert m["retrain_recommended"] is True
+
+
+def test_retrain_resets_codebook_meta_and_matches_fresh_build(spark, sf_dir, tmp_path):
+    """r13: retrain_ivf_index must leave the store IDENTICAL to a
+    from-scratch build+save over its current vector set — new seed
+    codebook over the union, every vector reassigned, drift history
+    cleared, fresh yardstick/manifest, no temp/backup dirs left."""
+    import json
+    import os
+
+    import numpy as np
+
+    from datafusion_bigtable_spark.operators.similarity import (
+        load_ivf_index,
+        read_ivf_manifest,
+        retrain_ivf_index,
+        save_ivf_index,
+        upsert_ivf_index,
+    )
+
+    e = load(spark, str(sf_dir), "embeddings")
+    path = str(tmp_path / "ivf")
+    with build_ivf_index(e.filter(F.col("vec_id") % 4 != 0), n_cells=16) as idx:
+        save_ivf_index(idx, path)
+    upsert_ivf_index(spark, path, e.filter(F.col("vec_id") % 4 == 0))
+    sv = np.array(
+        [r["sv"] for r in spark.read.parquet(os.path.join(path, "_centroids")).collect()]
+    )
+    anti = [float(x) for x in -sv.mean(axis=0)]
+    shifted = spark.createDataFrame(
+        [(10_000_000 + i, anti) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    upsert_ivf_index(spark, path, shifted)
+
+    n = retrain_ivf_index(spark, path, n_cells=16)
+    assert n == e.count() + 50
+
+    with open(os.path.join(path, "_ivf_meta.json")) as f:
+        meta = json.load(f)
+    assert meta["upserts"] == [] and "retrain_recommended" not in meta
+    assert meta["base_top1_mean"] is not None
+
+    # swap hygiene
+    assert not os.path.exists(path + "._retrain_tmp")
+    assert not os.path.exists(path + "._retrain_old")
+
+    # identical to a from-scratch build over the union corpus
+    union = e.select("vec_id", "embedding").unionByName(shifted)
+    with build_ivf_index(union, n_cells=16) as fresh:
+        want = {
+            (r["vec_id"], r["cell"]) for r in fresh.assignments.collect()
+        }
+    got = {
+        (r["vec_id"], r["cell"])
+        for r in load_ivf_index(spark, path).assignments.collect()
+    }
+    assert got == want
+
+    # manifest consistent with the rewritten layout
+    man = read_ivf_manifest(path)
+    assert sum(r["rows"] for r in man) == n
