@@ -309,7 +309,7 @@ IVF_MANIFEST_REL_PATH = "_ivf_manifest.parquet"  # _-prefixed: invisible to disc
 IVF_DRIFT_THRESHOLD = 0.05
 
 
-def _top1_mean(assignments: DataFrame, centroids: DataFrame, id_col: str) -> float | None:
+def _top1_mean(assignments: DataFrame, centroids: DataFrame) -> float | None:
     """Rounded mean top-1 cosine of ``_rn = 1`` assignments against their
     own cell centroid — the drift yardstick stored in ``_ivf_meta.json``.
 
@@ -332,7 +332,7 @@ def _top1_mean(assignments: DataFrame, centroids: DataFrame, id_col: str) -> flo
     return None if row is None or row.m is None else float(row.m)
 
 
-def _refresh_ivf_manifest(spark, path: str, per_cell_rows: dict[int, int] | None) -> None:
+def _refresh_ivf_manifest(path: str, per_cell_rows: dict[int, int] | None) -> None:
     """(Re)write the per-cell file/row-count manifest parquet.
 
     ``per_cell_rows=None`` rebuilds row counts by listing + footer reads
@@ -433,12 +433,12 @@ def save_ivf_index(index: IvfIndex, path: str) -> None:
         # Drift yardstick (VERDICT r12 #4): the base build's mean top-1
         # cosine — upserts compare their batch against this so recall
         # decay against the frozen centroids is visible, not silent.
-        meta["base_top1_mean"] = _top1_mean(df, index.centroids, df.columns[0])
+        meta["base_top1_mean"] = _top1_mean(df, index.centroids)
         meta["drift_threshold"] = IVF_DRIFT_THRESHOLD
         meta["upserts"] = []
     with open(os.path.join(path, "_ivf_meta.json"), "w") as f:
         json.dump(meta, f)
-    _refresh_ivf_manifest(df.sparkSession, path, None)
+    _refresh_ivf_manifest(path, None)
 
 
 def _read_store(spark, path: str, meta: dict):
@@ -590,9 +590,9 @@ def upsert_ivf_index(
                 int(r["cell"]): int(r["count"])
                 for r in ranked.groupBy("cell").count().collect()  # ≤ n_cells rows
             }
-            batch_mean = _top1_mean(ranked, seeds, id_col)
+            batch_mean = _top1_mean(ranked, seeds)
             ranked.write.mode("append").partitionBy("cell").parquet(path)
-            _refresh_ivf_manifest(spark, path, per_cell)
+            _refresh_ivf_manifest(path, per_cell)
             base_mean = meta.get("base_top1_mean")
             threshold = meta.get("drift_threshold", IVF_DRIFT_THRESHOLD)
             drifted = (

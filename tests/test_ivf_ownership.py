@@ -486,3 +486,32 @@ def test_retrain_resets_codebook_meta_and_matches_fresh_build(spark, sf_dir, tmp
     # manifest consistent with the rewritten layout
     man = read_ivf_manifest(path)
     assert sum(r["rows"] for r in man) == n
+
+
+def test_retrain_preserves_nprobe(spark, sf_dir, tmp_path):
+    """A store built nprobe>1 must retrain into the same probe depth:
+    the rebuilt assignments carry _rn 1..nprobe per id and searches may
+    still probe as wide as the original build."""
+    import json
+    import os
+
+    from datafusion_bigtable_spark.operators.similarity import (
+        load_ivf_index,
+        retrain_ivf_index,
+        save_ivf_index,
+        upsert_ivf_index,
+    )
+
+    e = load(spark, str(sf_dir), "embeddings")
+    path = str(tmp_path / "ivf")
+    with build_ivf_index(e.filter(F.col("vec_id") % 4 != 0), n_cells=16, nprobe=3) as idx:
+        save_ivf_index(idx, path)
+    upsert_ivf_index(spark, path, e.filter(F.col("vec_id") % 4 == 0))
+    n = retrain_ivf_index(spark, path, n_cells=16)
+    assert n == e.count()
+    store = load_ivf_index(spark, path)
+    assert store.nprobe == 3
+    per_id = store.assignments.groupBy("vec_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per_id] == [3]
+    with open(os.path.join(path, "_ivf_meta.json")) as f:
+        assert json.load(f)["nprobe"] == 3
