@@ -1,0 +1,88 @@
+"""Bucketed co-located joins — the pre-shuffled table layout.
+
+At 100 TB the dominant repeated cost of a fact⋈fact join is the shuffle
+of BOTH sides on the join key, re-paid by every downstream job.  Spark's
+answer is bucketing: write each table hash-partitioned into N buckets on
+the key (optionally sorted within buckets); every later equi-join on
+that key then reads co-located buckets — **zero Exchange on either
+side**, and with sorted buckets zero Sort too, leaving a pure streaming
+SortMergeJoin.  An equality filter on the bucket key additionally prunes
+the SCAN to one bucket (``SelectedBucketsCount: 1 out of N``) — the
+hash-key analogue of the cells store's key-range file pruning.
+
+This module is the thin, opinionated wrapper this engine uses: external
+tables (explicit ``path`` — no warehouse dependence, content-addressable
+like every other fixture store), overwrite-idempotent, and bucket counts
+chosen once per table pair (both sides MUST agree for the exchange-free
+plan; Spark joins mismatched counts by shuffling the smaller).
+
+Two session switches decide how much of the layout Spark exploits
+(defaults changed in Spark 3 to tolerate multi-file buckets):
+
+- ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` lets the
+  scan report the ``sortBy`` order, eliding the pre-merge-join Sort —
+  sound ONLY with one file per bucket, which ``write_bucketed_table``
+  guarantees by repartitioning onto the bucket key before the write.
+  Without it the join is still Exchange-free but pays a partition-local
+  Sort.
+- ``spark.sql.sources.bucketing.autoBucketedScan.enabled=false`` keeps
+  the bucketed read for plain filters, so a bucket-key equality prunes
+  the scan (``SelectedBucketsCount: 1 out of N``); the default planner
+  drops the bucket layout when no join/aggregate consumes it.
+
+No reference analogue (the reference's scan is single-partition by
+design, execute_plan.rs:84-86, and DataFusion delegates physical layout
+to the caller); scale tier.  Plan contracts pinned in
+tests/test_bucketing.py.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Persist ``df`` as an external bucketed (and optionally
+    within-bucket-sorted) parquet table registered under ``name``.
+
+    Bucketing metadata lives in the session catalog — ``spark.table(name)``
+    is how readers get the exchange-free guarantee (a plain
+    ``spark.read.parquet(path)`` sees the same bytes but NOT the bucket
+    spec, and will shuffle).  ``mode("overwrite")`` makes re-runs
+    idempotent; at 100 TB pick ``n_buckets`` so each bucket lands in the
+    128 MB–1 GB band (buckets are the unit of join-task parallelism).
+    """
+    from pyspark.sql import functions as F
+
+    # ONE file per bucket: without this, every write task emits its own
+    # file per bucket, and a multi-file bucket is only per-file sorted —
+    # the reader then re-Sorts before a merge join, losing half the
+    # layout's value.  Repartitioning on the bucket key first puts each
+    # bucket's rows in exactly one task (spark.sql.files.maxRecordsPerFile
+    # still bounds file size on a real cluster if a bucket outgrows it —
+    # at which point the re-Sort returns; size n_buckets accordingly).
+    out = df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+    writer = (
+        out.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)
+
+
+def bucketed_table(spark: SparkSession, name: str) -> DataFrame:
+    """Catalog read of a bucketed table (keeps the bucket spec, unlike a
+    path read)."""
+    return spark.table(name)

@@ -7331,3 +7331,71 @@ def sim_index_retrain_q(spark, sf_dir):
     )
     retrain_ivf_index(spark, path, n_cells=16)
     return load_ivf_index(spark, path).assignments.select("vec_id", "cell")
+
+
+@query(
+    "bucketed_join_mktsegment",
+    """
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def bucketed_join_mktsegment_q(spark, sf_dir):
+    # r13: bucketed co-located join — the pre-shuffled layout that makes a
+    # repeated fact⋈fact join exchange-free (operators/bucketing.py).
+    # Both sides are written bucketBy(16, custkey) + sortBy into external
+    # content-addressed tables; the catalog read then joins with ZERO
+    # Exchange and ZERO Sort on either side (plan pinned in
+    # tests/test_bucketing.py, along with SelectedBucketsCount pruning on
+    # an equality key filter).  At 100 TB this is the difference between
+    # re-shuffling both tables per join and paying the layout once at
+    # write time.  The oracle is the plain join — bucketing must never
+    # change results, only plans.
+    import hashlib
+    import os
+    import shutil
+
+    from datafusion_bigtable_spark.operators.bucketing import (
+        bucketed_table,
+        write_bucketed_table,
+    )
+
+    sfname = os.path.basename(os.path.normpath(sf_dir))
+    sig = []
+    for t in ("customer", "orders"):
+        st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+        sig.append(f"{t}|{st.st_mtime_ns}|{st.st_size}")
+    tag = hashlib.md5(("bucket1|" + "|".join(sig)).encode()).hexdigest()[:12]
+    base = f"/tmp/dbs_bucket_{sfname}_{tag}"
+    cname, oname = f"dbs_bucket_cust_{tag}", f"dbs_bucket_ord_{tag}"
+    # fresh per call: the bucketed WRITE path is part of what this query
+    # exercises (overwrite-idempotent, like the other store fixtures)
+    shutil.rmtree(base, ignore_errors=True)
+    write_bucketed_table(
+        load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        cname,
+        f"{base}/customer",
+        ["c_custkey"],
+        16,
+        sort_cols=["c_custkey"],
+    )
+    write_bucketed_table(
+        load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        oname,
+        f"{base}/orders",
+        ["o_custkey"],
+        16,
+        sort_cols=["o_custkey"],
+    )
+    o, c = bucketed_table(spark, oname), bucketed_table(spark, cname)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        )
+    )

@@ -1,0 +1,124 @@
+"""Plan contracts for bucketed co-located joins (operators/bucketing.py).
+
+Bucketing must never change RESULTS (the oracle covers that); these tests
+pin what it changes: the PLAN.  A join of two tables bucketed+sorted on
+the join key must run with zero Exchange and zero Sort on either side,
+and an equality filter on the bucket key must prune the scan to one
+bucket — the guarantees that make the layout worth paying for at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_bigtable_spark.operators.bucketing import (
+    bucketed_table,
+    write_bucketed_table,
+)
+from datafusion_bigtable_spark.queries import load
+
+
+@pytest.fixture()
+def pair(spark, sf_dir, tmp_path):
+    write_bucketed_table(
+        load(spark, str(sf_dir), "customer").select("c_custkey", "c_mktsegment"),
+        "t_bucket_cust",
+        str(tmp_path / "cust"),
+        ["c_custkey"],
+        8,
+        sort_cols=["c_custkey"],
+    )
+    write_bucketed_table(
+        load(spark, str(sf_dir), "orders").select("o_custkey", "o_totalprice"),
+        "t_bucket_ord",
+        str(tmp_path / "ord"),
+        ["o_custkey"],
+        8,
+        sort_cols=["o_custkey"],
+    )
+    yield bucketed_table(spark, "t_bucket_cust"), bucketed_table(spark, "t_bucket_ord")
+    spark.sql("DROP TABLE IF EXISTS t_bucket_cust")
+    spark.sql("DROP TABLE IF EXISTS t_bucket_ord")
+
+
+def _executed_plan(df) -> str:
+    # pin the FINAL AQE plan: collect first, then read executedPlan
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_exchange_and_no_sort(spark, pair):
+    cust, ords = pair
+    # force the merge-join path: a broadcast would also be exchange-free
+    # but would not prove co-location
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # let the scan report the sortBy order (sound here: one file per
+    # bucket, guaranteed by write_bucketed_table's pre-write repartition)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try:
+        joined = ords.join(cust, ords.o_custkey == cust.c_custkey)
+        plan = _executed_plan(joined)
+        assert "SortMergeJoin" in plan, plan[:800]
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:1200]}"
+        assert "Sort" not in plan.replace("SortMergeJoin", ""), (
+            f"sorted buckets still re-sort:\n{plan[:1200]}"
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+
+
+def test_bucketed_join_is_exchange_free_at_default_settings(spark, pair):
+    # default posture (no legacy ordering flag): the shuffle is still
+    # gone — the residual Sort is partition-local
+    cust, ords = pair
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _executed_plan(ords.join(cust, ords.o_custkey == cust.c_custkey))
+        assert "SortMergeJoin" in plan and "Exchange" not in plan, plan[:1200]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_bucketed_join_matches_plain_join(spark, sf_dir, pair):
+    cust, ords = pair
+    plain = (
+        load(spark, str(sf_dir), "orders")
+        .join(load(spark, str(sf_dir), "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+    bucketed = (
+        ords.join(cust, ords.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, bucketed.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_bucket_pruning_on_key_equality(spark, pair):
+    cust, _ = pair
+    # the default planner DROPS the bucket layout when no join/aggregate
+    # consumes it (autoBucketedScan) — keep it for the filter so the
+    # equality prunes the scan to one bucket
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        key = cust.select(F.min("c_custkey")).first()[0]
+        plan = _executed_plan(cust.filter(F.col("c_custkey") == int(key)))
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan[:1200]
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+
+
+def test_path_read_does_not_get_the_bucket_guarantee(spark, pair, tmp_path):
+    # documented sharp edge: reading the same bytes by PATH loses the
+    # bucket spec — the catalog read is the contract
+    cust, _ = pair
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        by_path = spark.read.parquet(str(tmp_path / "cust"))
+        joined = by_path.join(cust, by_path.c_custkey == cust.c_custkey)
+        assert "Exchange" in _executed_plan(joined)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

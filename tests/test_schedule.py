@@ -51,8 +51,9 @@ def test_registry_size_and_full_green_fold():
     # dedup_sampled_rate, dedup_lsh_quality, ingest_jsonl_documents, text_curation_sql, dedup_prefix_filter, corpus_leakage_safe_split)
     # + r12 additions (bt_mutate_rows_wire, sim_index_upsert,
     # pipeline_embedding_store, sim_search_after_upsert)
-    # + r13 additions (sim_index_drift, sim_index_retrain).
-    assert len(q.REGISTRY) == 160
+    # + r13 additions (sim_index_drift, sim_index_retrain,
+    # bucketed_join_mktsegment).
+    assert len(q.REGISTRY) == 161
     sched = q._schedule()
     for name in (n for n in q.REGISTRY if n not in q._LAST_GREEN):
         assert sched.index(name) < 50, f"new query {name} outside driver window"
