@@ -7399,3 +7399,50 @@ def bucketed_join_mktsegment_q(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
         )
     )
+
+
+def streaming_index_upsert_q(spark, sf_dir):
+    # r13: IVF store maintenance ON THE STREAM (streaming/index_stream.py)
+    # — the embedding feed flows through foreachBatch, each micro-batch
+    # (one staged file per trigger, 4 batches) anti-joins + assigns against
+    # the ORIGINAL persisted centroids + appends + refreshes the manifest
+    # incrementally.  Per-vector assignment depends only on the frozen
+    # centroids, so the final store is independent of micro-batch
+    # boundaries and ordering — the streamed store equals the batch
+    # operator EXACTLY, and the oracle IS sim_index_upsert's SQL (the full
+    # corpus assigned over the base-derived seed codebook).
+    import hashlib
+    import os
+    import shutil
+
+    from datafusion_bigtable_spark.operators.similarity import (
+        build_ivf_index,
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from datafusion_bigtable_spark.streaming.index_stream import (
+        run_streaming_index_upsert,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"ivfstream1|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    sfname = os.path.basename(os.path.normpath(sf_dir))
+    store = f"/tmp/dbs_ivf_stream_{sfname}_{tag}"
+    feed = f"/tmp/dbs_ivf_feed_{sfname}_{tag}"
+    shutil.rmtree(store, ignore_errors=True)  # the upsert path is under test
+    shutil.rmtree(feed, ignore_errors=True)  # fresh checkpoint: replay all
+    with build_ivf_index(e.filter(F.col("vec_id") % 4 != 0), n_cells=16) as idx:
+        save_ivf_index(idx, store)
+    # stage the feed as 4 files -> 4 micro-batches (maxFilesPerTrigger=1)
+    e.filter(F.col("vec_id") % 4 == 0).repartition(4).write.parquet(feed)
+    run_streaming_index_upsert(spark, feed, store, query_name=f"dbs_idxup_{tag}")
+    return load_ivf_index(spark, store).assignments.select("vec_id", "cell")
+
+
+REGISTRY["streaming_index_upsert"] = QuerySpec(
+    streaming_index_upsert_q, REGISTRY["sim_index_upsert"].sql
+)

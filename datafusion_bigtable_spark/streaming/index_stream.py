@@ -1,0 +1,74 @@
+"""Streaming maintenance of the saved IVF vector store.
+
+The batch half (`operators.similarity.upsert_ivf_index`) keeps a saved
+index current across ingestion ROUNDS; this is the same contract ON THE
+STREAM: an embedding feed (the shape of an encoder stage landing vectors
+in object storage) flows through ``foreachBatch``, and every micro-batch
+anti-joins, assigns against the ORIGINAL persisted centroids, appends,
+refreshes the per-cell manifest incrementally, and records its drift
+yardstick — so the store a search session loads is never more than one
+micro-batch behind the feed, and recall decay is visible per batch.
+
+Why ``foreachBatch`` and not a stateful streaming operator: index
+maintenance is a BATCH transaction against an external store (anti-join
++ partitioned append + sidecar update), exactly the pattern foreachBatch
+exists for.  The per-vector assignment depends only on the frozen
+centroids, so the final store is independent of micro-batch boundaries
+and ordering — which is what makes the streamed result equal the batch
+operator EXACTLY (the registry oracle is the same SQL), and what makes
+task retries safe (a replayed batch anti-joins to nothing).
+
+No reference analogue (the reference is read-only and static-schema,
+datasource.rs:23,84); scale/streaming tier.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, types as T
+
+EMBEDDINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), True),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+        T.StructField("label", T.IntegerType(), True),
+    ]
+)
+
+
+def read_embeddings_stream(spark: SparkSession, path: str) -> DataFrame:
+    """An embedding directory as a file stream, one file per micro-batch
+    (declared schema — file streams require one)."""
+    return (
+        spark.readStream.schema(EMBEDDINGS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def run_streaming_index_upsert(
+    spark: SparkSession, feed_dir: str, store_path: str, query_name: str = "dbs_index_upsert"
+) -> int:
+    """Drive the embedding feed to completion, upserting each micro-batch
+    into the saved store at ``store_path``.  Returns the number of rows
+    appended across all batches (bounded driver state: one int)."""
+    from datafusion_bigtable_spark.operators.similarity import upsert_ivf_index
+
+    appended = {"n": 0}
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        appended["n"] += upsert_ivf_index(spark, store_path, batch_df.select("vec_id", "embedding"))
+
+    q = (
+        read_embeddings_stream(spark, feed_dir)
+        .writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", os.path.join(feed_dir, "_checkpoint"))
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return appended["n"]
