@@ -2390,6 +2390,10 @@ _TOUCHED_QUERIES: frozenset[str] = frozenset(
         # r13 widen_if_narrow before the decode maps (VERDICT r12 #7):
         "multimodal_jpeg_decode",
         "multimodal_audio_spectral",
+        # r13 widen_if_narrow on the remaining starved-narrow sf1 flags:
+        "text_quality",
+        "text_pii_redaction",
+        "multimodal_pixel_stats",
     }
 )
 
@@ -4079,8 +4083,12 @@ def mixing_alpha_q(spark, sf_dir):
 )
 def text_quality_q(spark, sf_dir):
     from datafusion_bigtable_spark.functions import text as X
+    from datafusion_bigtable_spark.operators.partitioning import widen_if_narrow
 
-    d = load(spark, sf_dir, "documents")
+    # r13: regex-heavy per-row expressions on a 1-2 partition sf1 scan ran
+    # on 1 of 32 cores (sf1 flagged 3.2 s); widen first, no-op on real
+    # wide tables.
+    d = widen_if_narrow(load(spark, sf_dir, "documents"), "doc_id")
     w = X.words(F.col("text"))
     punct = F.size(F.regexp_extract_all("text", F.lit(r"([,.;:!?])"), 1))
     stop = X.lang_hits(F.col("text"), "en")
@@ -4465,8 +4473,11 @@ def multimodal_pixel_stats_q(spark, sf_dir):
         extract_features,
         synthesize_decodable_assets,
     )
+    from datafusion_bigtable_spark.operators.partitioning import widen_if_narrow
 
-    docs = load(spark, sf_dir, "documents")
+    # r13: two chained Arrow maps behind a 1-2 partition sf1 scan — widen
+    # first (no-op on wide real tables).
+    docs = widen_if_narrow(load(spark, sf_dir, "documents"), "doc_id")
     feats = extract_features(synthesize_decodable_assets(docs), mode="full")
     return feats.select(
         "asset_id",
@@ -5734,8 +5745,11 @@ def text_pii_redaction_q(spark, sf_dir):
     # via md5 against the oracle.  Pure regexp_replace chain: zero
     # shuffle, fused into the scan like the other curation gates.
     from datafusion_bigtable_spark.functions.text import pii_counts, redact_pii
+    from datafusion_bigtable_spark.operators.partitioning import widen_if_narrow
 
-    d = load(spark, sf_dir, "documents")
+    # r13: same starved-narrow-scan shape as text_quality (sf1 4.3 s on
+    # 1 core) — widen first.
+    d = widen_if_narrow(load(spark, sf_dir, "documents"), "doc_id")
     aug = F.concat(
         F.col("text"),
         F.lit(" contact user"),
