@@ -2390,10 +2390,11 @@ _TOUCHED_QUERIES: frozenset[str] = frozenset(
         # r13 widen_if_narrow before the decode maps (VERDICT r12 #7):
         "multimodal_jpeg_decode",
         "multimodal_audio_spectral",
-        # r13 widen_if_narrow on the remaining starved-narrow sf1 flags:
+        # r13 widen_if_narrow on the remaining starved-narrow sf1 flags
+        # (multimodal_pixel_stats was widened then reverted in-round —
+        # net function diff vs the r12 fold is zero, so no reset):
         "text_quality",
         "text_pii_redaction",
-        "multimodal_pixel_stats",
     }
 )
 
@@ -4473,11 +4474,12 @@ def multimodal_pixel_stats_q(spark, sf_dir):
         extract_features,
         synthesize_decodable_assets,
     )
-    from datafusion_bigtable_spark.operators.partitioning import widen_if_narrow
 
-    # r13: two chained Arrow maps behind a 1-2 partition sf1 scan — widen
-    # first (no-op on wide real tables).
-    docs = widen_if_narrow(load(spark, sf_dir, "documents"), "doc_id")
+    # NOT widened (r13 measured): these maps build/decode 8x6 images —
+    # too cheap per row to amortize a full-text exchange + extra Python
+    # workers (widening: sf0.1 0.54 -> 2.31 s for an sf1 2.7 -> 1.1 s win;
+    # the jpeg/audio twins' heavier decodes DO widen profitably).
+    docs = load(spark, sf_dir, "documents")
     feats = extract_features(synthesize_decodable_assets(docs), mode="full")
     return feats.select(
         "asset_id",
