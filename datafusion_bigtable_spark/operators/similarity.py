@@ -308,6 +308,11 @@ IVF_MANIFEST_REL_PATH = "_ivf_manifest.parquet"  # _-prefixed: invisible to disc
 #: trained floors; in-distribution batches land within ±0.02 of base.
 IVF_DRIFT_THRESHOLD = 0.05
 
+#: Newest drift records kept verbatim in the meta sidecar; older entries
+#: roll up into exact counters (upserts_rolled_up / _appended) so a store
+#: upserted 10⁵+ times carries a bounded sidecar, not an unbounded list.
+IVF_UPSERT_HISTORY_CAP = 512
+
 
 def _top1_mean(assignments: DataFrame, centroids: DataFrame) -> float | None:
     """Rounded mean top-1 cosine of ``_rn = 1`` assignments against their
@@ -610,6 +615,17 @@ def upsert_ivf_index(
                     "retrain_recommended": drifted,
                 }
             )
+            # Bound the sidecar: a store upserted 10⁵+ times must not grow
+            # an unbounded JSON list — keep the newest window (the drift
+            # TREND is what retraining decisions read) and roll the rest
+            # into counters so totals stay exact.
+            if len(meta["upserts"]) > IVF_UPSERT_HISTORY_CAP:
+                dropped = meta["upserts"][: -IVF_UPSERT_HISTORY_CAP]
+                meta["upserts"] = meta["upserts"][-IVF_UPSERT_HISTORY_CAP:]
+                meta["upserts_rolled_up"] = meta.get("upserts_rolled_up", 0) + len(dropped)
+                meta["upserts_rolled_up_appended"] = meta.get(
+                    "upserts_rolled_up_appended", 0
+                ) + sum(int(u["appended"]) for u in dropped)
             if drifted:
                 meta["retrain_recommended"] = True
             with open(os.path.join(path, "_ivf_meta.json"), "w") as f:

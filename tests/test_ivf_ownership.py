@@ -515,3 +515,32 @@ def test_retrain_preserves_nprobe(spark, sf_dir, tmp_path):
     assert [r["count"] for r in per_id] == [3]
     with open(os.path.join(path, "_ivf_meta.json")) as f:
         assert json.load(f)["nprobe"] == 3
+
+
+def test_upsert_history_is_bounded(spark, sf_dir, tmp_path, monkeypatch):
+    """A store upserted many times must not grow an unbounded sidecar:
+    the drift history keeps the newest window and rolls older entries
+    into exact counters."""
+    import json
+    import os
+
+    from datafusion_bigtable_spark.operators import similarity as S
+
+    e = load(spark, str(sf_dir), "embeddings")
+    path = str(tmp_path / "ivf")
+    with build_ivf_index(e.filter(F.col("vec_id") % 4 != 0), n_cells=16) as idx:
+        S.save_ivf_index(idx, path)
+    monkeypatch.setattr(S, "IVF_UPSERT_HISTORY_CAP", 3)
+    batch = e.filter(F.col("vec_id") % 4 == 0).limit(20)
+    total = 0
+    for i in range(5):  # 5 appending upserts of disjoint fresh ids
+        shifted = batch.select(
+            (F.col("vec_id") + 1_000_000 * (i + 1)).alias("vec_id"), "embedding"
+        )
+        total += S.upsert_ivf_index(spark, path, shifted)
+    with open(os.path.join(path, "_ivf_meta.json")) as f:
+        meta = json.load(f)
+    assert len(meta["upserts"]) == 3
+    assert meta["upserts_rolled_up"] == 2
+    kept = sum(u["appended"] for u in meta["upserts"])
+    assert kept + meta["upserts_rolled_up_appended"] == total
