@@ -323,18 +323,23 @@ def _top1_mean(assignments: DataFrame, centroids: DataFrame) -> float | None:
     orders (the residual reorder noise of a 10⁴-term double sum is
     ~1e-13, far inside the final rounding step).
     """
+    denom = F.col("_n") * F.col("sn")
     row = (
         assignments.filter(F.col("_rn") == 1)
         .join(F.broadcast(centroids), "cell")
         .select(
-            F.round(
-                dot_raw(F.col("_dv"), F.col("sv")) / (F.col("_n") * F.col("sn")), 6
+            # zero-norm vectors have no cosine — exclude them (NULL, which
+            # avg skips) instead of letting one NaN poison the batch mean
+            # and silently disable the drift comparison (review r13 #3)
+            F.when(
+                denom > 0, F.round(dot_raw(F.col("_dv"), F.col("sv")) / denom, 6)
             ).alias("_c")
         )
         .agg(F.round(F.avg("_c"), 5).alias("m"))
         .first()
     )
-    return None if row is None or row.m is None else float(row.m)
+    m = None if row is None else row.m
+    return None if m is None or m != m else float(m)  # m != m: NaN guard
 
 
 def _refresh_ivf_manifest(path: str, per_cell_rows: dict[int, int] | None) -> None:
@@ -374,8 +379,16 @@ def _refresh_ivf_manifest(path: str, per_cell_rows: dict[int, int] | None) -> No
         else:
             rows = stats.get(cell, {}).get("rows", 0) + per_cell_rows[cell]
         stats[cell] = {"files": len(files), "rows": rows}
+    _write_manifest_table(path, stats)
+
+
+def _write_manifest_table(path: str, stats: dict[int, dict[str, int]]) -> None:
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     cells = sorted(stats)
-    os.makedirs(os.path.dirname(mpath), exist_ok=True)
     pq.write_table(
         pa.table(
             {
@@ -384,17 +397,81 @@ def _refresh_ivf_manifest(path: str, per_cell_rows: dict[int, int] | None) -> No
                 "rows": pa.array([stats[c]["rows"] for c in cells], type=pa.int64()),
             }
         ),
-        mpath,
+        os.path.join(path, IVF_MANIFEST_REL_PATH),
     )
 
 
-def read_ivf_manifest(path: str) -> list[dict] | None:
-    """Per-cell ``{cell, files, rows}`` stats without touching any data
-    file — None when the store predates the manifest."""
+_PENDING_MARKER = "_ivf_manifest.pending.json"
+
+
+def _write_pending_marker(path: str, per_cell_rows: dict[int, int]) -> None:
+    import os
+
+    with open(os.path.join(path, _PENDING_MARKER), "w") as f:
+        json.dump({"cells": sorted(int(c) for c in per_cell_rows)}, f)
+
+
+def _clear_pending_marker(path: str) -> None:
+    import contextlib
+    import os
+
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(os.path.join(path, _PENDING_MARKER))
+
+
+def _reconcile_pending_manifest(path: str) -> None:
+    """Heal a crash between an append and its manifest refresh.
+
+    A surviving pending marker means a prior upsert MAY have committed
+    data files whose rows never reached the manifest — and the
+    checkpoint replay can't fix it (the batch anti-joins to 0 and skips
+    the refresh), so without this the manifest undercounts FOREVER
+    (review r13 #1).  Recount ONLY the marker's cells from their file
+    footers (disk truth, O(files in touched cells)) and rewrite; a
+    marker from a crash BEFORE its append reconciles to the same values,
+    so this is safe to run unconditionally.  The crashed batch's drift
+    record is unrecoverable (the batch itself anti-joins away on
+    replay) — an accepted loss of one trend point, never of counts.
+    """
+    import glob as _glob
     import os
 
     import pyarrow.parquet as pq
 
+    marker = os.path.join(path, _PENDING_MARKER)
+    if not os.path.exists(marker):
+        return
+    with open(marker) as f:
+        cells = json.load(f)["cells"]
+    true_rows = {}
+    for cell in cells:
+        files = _glob.glob(os.path.join(path, f"cell={cell}", "*.parquet"))
+        true_rows[int(cell)] = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    # absolute overwrite for the touched cells: read old stats, replace
+    mpath = os.path.join(path, IVF_MANIFEST_REL_PATH)
+    if os.path.exists(mpath):
+        stats = {
+            int(r["cell"]): {"files": int(r["files"]), "rows": int(r["rows"])}
+            for r in pq.read_table(mpath).to_pylist()
+        }
+    else:
+        stats = {}
+    for cell, rows in true_rows.items():
+        files = _glob.glob(os.path.join(path, f"cell={cell}", "*.parquet"))
+        stats[cell] = {"files": len(files), "rows": rows}
+    _write_manifest_table(path, stats)
+    _clear_pending_marker(path)
+
+
+def read_ivf_manifest(path: str) -> list[dict] | None:
+    """Per-cell ``{cell, files, rows}`` stats without touching any data
+    file (a surviving crash marker triggers a bounded reconciliation
+    first) — None when the store predates the manifest."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    _reconcile_pending_manifest(path)
     mpath = os.path.join(path, IVF_MANIFEST_REL_PATH)
     return pq.read_table(mpath).to_pylist() if os.path.exists(mpath) else None
 
@@ -584,7 +661,12 @@ def upsert_ivf_index(
         )
     ranked = ranked.select(*meta["columns"]).persist()  # stored column order
     try:
-        n_new = ranked.count()  # one compute backs both the count and the write
+        n_rows = ranked.count()  # one compute backs the stats and the write
+        # "appended" and the return value count IDS, not assignment rows —
+        # an nprobe>1 store writes nprobe rows per id (review r13 #2).
+        n_new = (
+            n_rows if nprobe == 1 else ranked.filter(F.col("_rn") == 1).count()
+        )
         if n_new:
             # Batch stats BEFORE the append: writing to `path` invalidates
             # ranked's cache entry (its plan reads the store through the
@@ -596,8 +678,16 @@ def upsert_ivf_index(
                 for r in ranked.groupBy("cell").count().collect()  # ≤ n_cells rows
             }
             batch_mean = _top1_mean(ranked, seeds)
+            # Crash consistency (review r13 #1): a death between the append
+            # and the manifest refresh would undercount FOREVER (the
+            # checkpoint replay anti-joins to 0 and never re-refreshes).
+            # Stage the intent first; the next upsert reconciles the
+            # touched cells from footers if the marker survived a crash.
+            _reconcile_pending_manifest(path)
+            _write_pending_marker(path, per_cell)
             ranked.write.mode("append").partitionBy("cell").parquet(path)
             _refresh_ivf_manifest(path, per_cell)
+            _clear_pending_marker(path)
             base_mean = meta.get("base_top1_mean")
             threshold = meta.get("drift_threshold", IVF_DRIFT_THRESHOLD)
             drifted = (
@@ -633,6 +723,40 @@ def upsert_ivf_index(
     finally:
         ranked.unpersist()
     return n_new
+
+
+def negated_centroid_mean_batch(
+    spark, path: str, n: int = 50, start_id: int = 10_000_000
+):
+    """A deterministic DRIFTED batch for a saved store: ``n`` copies of
+    the negated mean of the store's persisted centroids, at fresh ids.
+
+    This is THE shift that provably trips drift detection on any
+    non-degenerate codebook: c̄·cⱼ > 0 for every cell, so the batch
+    scores negative top-1 cosine regardless of whether the corpus is
+    clustered or isotropic (a plain negation of random vectors would NOT
+    drift — max-cos over sign-symmetric centroids is distribution-
+    invariant).  Shared by the drift/retrain registry queries and their
+    tests so the recipe cannot diverge (review r13 #7).  Bounded driver
+    state: n_cells centroid rows.
+    """
+    import os
+
+    import numpy as np
+
+    sv = np.array(
+        [
+            r["sv"]
+            for r in spark.read.parquet(os.path.join(path, "_centroids"))
+            .select("sv")
+            .collect()
+        ]
+    )
+    anti = [float(x) for x in -sv.mean(axis=0)]
+    return spark.createDataFrame(
+        [(start_id + i, anti) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
 
 
 def retrain_ivf_index(
@@ -682,7 +806,6 @@ def retrain_ivf_index(
         store.assignments.filter(F.col("_rn") == 1)
         .select(F.col(id_col), F.col("_dv").alias(vec_col))
     )
-    n = vectors.count()
     tmp = path.rstrip("/") + "._retrain_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     with build_ivf_index(
@@ -694,6 +817,9 @@ def retrain_ivf_index(
         vec_col=vec_col,
     ) as idx:
         save_ivf_index(idx, tmp)
+        # id count from the PERSISTED rebuild (cache-backed — no extra
+        # scan of the old store just for the return value, review r13 #6)
+        n = idx.assignments.filter(F.col("_rn") == 1).count()
     backup = path.rstrip("/") + "._retrain_old"
     shutil.rmtree(backup, ignore_errors=True)
     os.rename(path, backup)

@@ -2441,8 +2441,10 @@ def _fullgate_records() -> dict[str, int]:
             for name, status in payload.get("results", {}).items():
                 if status == "green":
                     out[name] = max(out.get(name, 0), rnd)
-        except (ValueError, KeyError, OSError):
-            continue  # malformed artifact: contributes no evidence
+        except (ValueError, KeyError, OSError, TypeError, AttributeError):
+            # malformed artifact (bad JSON, wrong top-level shape, null
+            # round): contributes no evidence — never crashes scheduling
+            continue
     return out
 
 
@@ -7217,6 +7219,7 @@ def sim_index_drift_q(spark, sf_dir):
 
     from datafusion_bigtable_spark.operators.similarity import (
         build_ivf_index,
+        negated_centroid_mean_batch,
         save_ivf_index,
         upsert_ivf_index,
     )
@@ -7232,20 +7235,7 @@ def sim_index_drift_q(spark, sf_dir):
     with build_ivf_index(e.filter(F.col("vec_id") % 4 != 0), n_cells=16) as idx:
         save_ivf_index(idx, path)
     upsert_ivf_index(spark, path, e.filter(F.col("vec_id") % 4 == 0))
-    sv = np.array(
-        [
-            r["sv"]
-            for r in spark.read.parquet(os.path.join(path, "_centroids"))
-            .select("sv")
-            .collect()  # bounded: n_cells rows, same posture as train_ivf_codebook
-        ]
-    )
-    anti = [float(x) for x in -sv.mean(axis=0)]
-    shifted = spark.createDataFrame(
-        [(10_000_000 + i, anti) for i in range(50)],
-        "vec_id long, embedding array<double>",
-    )
-    upsert_ivf_index(spark, path, shifted)
+    upsert_ivf_index(spark, path, negated_centroid_mean_batch(spark, path, n=50))
     with open(os.path.join(path, "_ivf_meta.json")) as f:
         meta = json.load(f)
     rows = [("base", None, meta["base_top1_mean"], None, None)] + [
@@ -7307,11 +7297,10 @@ def sim_index_retrain_q(spark, sf_dir):
     import os
     import shutil
 
-    import numpy as np
-
     from datafusion_bigtable_spark.operators.similarity import (
         build_ivf_index,
         load_ivf_index,
+        negated_centroid_mean_batch,
         retrain_ivf_index,
         save_ivf_index,
         upsert_ivf_index,
@@ -7328,23 +7317,7 @@ def sim_index_retrain_q(spark, sf_dir):
     with build_ivf_index(e.filter(F.col("vec_id") % 4 != 0), n_cells=16) as idx:
         save_ivf_index(idx, path)
     upsert_ivf_index(spark, path, e.filter(F.col("vec_id") % 4 == 0))
-    sv = np.array(
-        [
-            r["sv"]
-            for r in spark.read.parquet(os.path.join(path, "_centroids"))
-            .select("sv")
-            .collect()
-        ]
-    )
-    anti = [float(x) for x in -sv.mean(axis=0)]
-    upsert_ivf_index(
-        spark,
-        path,
-        spark.createDataFrame(
-            [(10_000_000 + i, anti) for i in range(50)],
-            "vec_id long, embedding array<double>",
-        ),
-    )
+    upsert_ivf_index(spark, path, negated_centroid_mean_batch(spark, path, n=50))
     retrain_ivf_index(spark, path, n_cells=16)
     return load_ivf_index(spark, path).assignments.select("vec_id", "cell")
 
@@ -7388,7 +7361,13 @@ def bucketed_join_mktsegment_q(spark, sf_dir):
     base = f"/tmp/dbs_bucket_{sfname}_{tag}"
     cname, oname = f"dbs_bucket_cust_{tag}", f"dbs_bucket_ord_{tag}"
     # fresh per call: the bucketed WRITE path is part of what this query
-    # exercises (overwrite-idempotent, like the other store fixtures)
+    # exercises (overwrite-idempotent, like the other store fixtures).
+    # Catalog hygiene (review r13 #8): fixture regeneration changes the
+    # tag, so drop stale dbs_bucket_* entries whose /tmp backing may be
+    # gone — the catalog must stay bounded across a long session.
+    for t in spark.catalog.listTables():
+        if t.name.startswith("dbs_bucket_") and t.name not in (cname, oname):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
     shutil.rmtree(base, ignore_errors=True)
     write_bucketed_table(
         load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),

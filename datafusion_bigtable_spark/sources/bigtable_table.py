@@ -361,13 +361,21 @@ class BigtableTable:
             host, port = self.service.address
             bridge = None
         else:
-            # Bind all interfaces and advertise spark.driver.host, not the
-            # bound address: a loopback bind made bridged-service mutate
-            # local-mode-only — remote executors cannot reach the driver's
-            # 127.0.0.1 (ADVICE r12).  Wire-client services need no bridge
-            # and fan out to the real endpoint regardless.
-            bridge = WireBigtableServer(self.service, host="0.0.0.0").start()
-            host = df.sparkSession.conf.get("spark.driver.host", "127.0.0.1")
+            # A loopback bind made bridged-service mutate local-mode-only —
+            # remote executors cannot reach the driver's 127.0.0.1
+            # (ADVICE r12).  Bind the NARROWEST interface that serves the
+            # deployment (review r13 #4 — the bridge is unauthenticated, so
+            # 0.0.0.0 would expose write access on every interface): in
+            # local mode executors are threads in this process, loopback
+            # suffices; on a cluster bind and advertise the resolved driver
+            # host.  Wire-client services need no bridge and fan out to the
+            # real endpoint regardless.
+            spark = df.sparkSession
+            if spark.sparkContext.master.startswith("local"):
+                host = "127.0.0.1"
+            else:
+                host = spark.conf.get("spark.driver.host", "0.0.0.0")
+            bridge = WireBigtableServer(self.service, host=host).start()
             port = bridge.address[1]
 
         cfg = self.config

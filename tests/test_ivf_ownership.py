@@ -409,17 +409,11 @@ def test_upsert_drift_detection(spark, sf_dir, tmp_path):
     assert m["upserts"][-1]["retrain_recommended"] is False
     assert "retrain_recommended" not in m
 
-    import numpy as np
+    from datafusion_bigtable_spark.operators.similarity import (
+        negated_centroid_mean_batch,
+    )
 
-    sv = np.array(
-        [r["sv"] for r in spark.read.parquet(os.path.join(path, "_centroids")).collect()]
-    )
-    anti = list(map(float, -sv.mean(axis=0)))
-    shifted = spark.createDataFrame(
-        [(10_000_000 + i, anti) for i in range(50)],
-        "vec_id long, embedding array<double>",
-    )
-    upsert_ivf_index(spark, path, shifted)
+    upsert_ivf_index(spark, path, negated_centroid_mean_batch(spark, path, n=50))
     m = meta()
     assert m["upserts"][-1]["retrain_recommended"] is True
     assert m["upserts"][-1]["drift"] > m["drift_threshold"]
@@ -434,8 +428,6 @@ def test_retrain_resets_codebook_meta_and_matches_fresh_build(spark, sf_dir, tmp
     import json
     import os
 
-    import numpy as np
-
     from datafusion_bigtable_spark.operators.similarity import (
         load_ivf_index,
         read_ivf_manifest,
@@ -449,14 +441,11 @@ def test_retrain_resets_codebook_meta_and_matches_fresh_build(spark, sf_dir, tmp
     with build_ivf_index(e.filter(F.col("vec_id") % 4 != 0), n_cells=16) as idx:
         save_ivf_index(idx, path)
     upsert_ivf_index(spark, path, e.filter(F.col("vec_id") % 4 == 0))
-    sv = np.array(
-        [r["sv"] for r in spark.read.parquet(os.path.join(path, "_centroids")).collect()]
+    from datafusion_bigtable_spark.operators.similarity import (
+        negated_centroid_mean_batch,
     )
-    anti = [float(x) for x in -sv.mean(axis=0)]
-    shifted = spark.createDataFrame(
-        [(10_000_000 + i, anti) for i in range(50)],
-        "vec_id long, embedding array<double>",
-    )
+
+    shifted = negated_centroid_mean_batch(spark, path, n=50)
     upsert_ivf_index(spark, path, shifted)
 
     n = retrain_ivf_index(spark, path, n_cells=16)
@@ -544,3 +533,39 @@ def test_upsert_history_is_bounded(spark, sf_dir, tmp_path, monkeypatch):
     assert meta["upserts_rolled_up"] == 2
     kept = sum(u["appended"] for u in meta["upserts"])
     assert kept + meta["upserts_rolled_up_appended"] == total
+
+
+def test_manifest_reconciles_after_crash_between_append_and_refresh(spark, sf_dir, tmp_path):
+    """review r13 #1: a crash after the parquet append but before the
+    manifest refresh must not undercount forever — the surviving pending
+    marker triggers a bounded footer recount of exactly the touched
+    cells on the next manifest read."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from datafusion_bigtable_spark.operators import similarity as S
+
+    e = load(spark, str(sf_dir), "embeddings")
+    path = str(tmp_path / "ivf")
+    with build_ivf_index(e.filter(F.col("vec_id") % 4 != 0), n_cells=16) as idx:
+        S.save_ivf_index(idx, path)
+    S.upsert_ivf_index(spark, path, e.filter(F.col("vec_id") % 4 == 0))
+    truth = {r["cell"]: r["rows"] for r in S.read_ivf_manifest(path)}
+
+    # simulate the crash: the data landed but the refresh never ran —
+    # roll one cell's manifest rows back and leave the marker behind
+    victim = max(truth)
+    stats = {
+        int(r["cell"]): {"files": int(r["files"]), "rows": int(r["rows"])}
+        for r in pq.read_table(os.path.join(path, S.IVF_MANIFEST_REL_PATH)).to_pylist()
+    }
+    stats[victim]["rows"] -= 5
+    S._write_manifest_table(path, stats)
+    with open(os.path.join(path, S._PENDING_MARKER), "w") as f:
+        json.dump({"cells": [int(victim)]}, f)
+
+    healed = {r["cell"]: r["rows"] for r in S.read_ivf_manifest(path)}
+    assert healed == truth
+    assert not os.path.exists(os.path.join(path, S._PENDING_MARKER))
