@@ -7441,3 +7441,60 @@ def streaming_index_upsert_q(spark, sf_dir):
 REGISTRY["streaming_index_upsert"] = QuerySpec(
     streaming_index_upsert_q, REGISTRY["sim_index_upsert"].sql
 )
+
+
+@query(
+    "bucketed_agg_order_stats",
+    """
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_spent
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def bucketed_agg_order_stats_q(spark, sf_dir):
+    # r13: the OTHER half of the bucketed layout's value — a groupBy on
+    # the bucket key aggregates with ZERO Exchange (the bucketed scan
+    # already satisfies hashpartitioning(o_custkey), so HashAggregate
+    # runs partial+final in one stage; plan pinned in
+    # tests/test_bucketing.py).  At 100 TB a per-key rollup over a
+    # bucketed fact table is a pure scan, re-paid never.  Own
+    # content-addressed table (standalone per the registry contract);
+    # the oracle is the plain aggregate — layout must not change values.
+    import hashlib
+    import os
+    import shutil
+
+    from datafusion_bigtable_spark.operators.bucketing import (
+        bucketed_table,
+        write_bucketed_table,
+    )
+
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    tag = hashlib.md5(
+        f"bucket2|orders|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    sfname = os.path.basename(os.path.normpath(sf_dir))
+    base = f"/tmp/dbs_bucketagg_{sfname}_{tag}"
+    oname = f"dbs_bucket_aggord_{tag}"
+    for t in spark.catalog.listTables():
+        if t.name.startswith("dbs_bucket_aggord_") and t.name != oname:
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    shutil.rmtree(base, ignore_errors=True)
+    write_bucketed_table(
+        load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        oname,
+        base,
+        ["o_custkey"],
+        16,
+        sort_cols=["o_custkey"],
+    )
+    return (
+        bucketed_table(spark, oname)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        )
+    )

@@ -122,3 +122,14 @@ def test_path_read_does_not_get_the_bucket_guarantee(spark, pair, tmp_path):
         assert "Exchange" in _executed_plan(joined)
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_bucketed_groupby_on_key_has_no_exchange(spark, pair):
+    # the layout's second dividend: groupBy on the bucket key aggregates
+    # partial+final in one stage — the bucketed scan already satisfies
+    # hashpartitioning(key)
+    _, ords = pair
+    agg = ords.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    plan = _executed_plan(agg)
+    assert "HashAggregate" in plan, plan[:800]
+    assert "Exchange" not in plan, f"bucketed groupBy still shuffles:\n{plan[:1200]}"
