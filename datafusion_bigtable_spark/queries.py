@@ -2211,7 +2211,60 @@ _R12_GREEN = (
     "sim_search_after_upsert",
     "pipeline_embedding_store",
 )
-# Later rounds override earlier ones; every name absent from all twelve
+# CORRECTNESS_r13.json — 50/50 green (rows + schema + hash, zero err).
+_R13_GREEN = (
+    "bt_read_rows_service",
+    "bt_value_pushdown_service",
+    "bt_read_rows_wire",
+    "bt_mutate_rows_wire",
+    "text_quality",
+    "text_pii_redaction",
+    "multimodal_jpeg_decode",
+    "multimodal_audio_spectral",
+    "sim_index_upsert",
+    "sim_search_after_upsert",
+    "pipeline_embedding_store",
+    "sim_index_drift",
+    "sim_index_retrain",
+    "bucketed_join_mktsegment",
+    "streaming_index_upsert",
+    "bucketed_agg_order_stats",
+    "tpch_q10_returned_items",
+    "agg_distinct_stats",
+    "rollup_lineitem_qty",
+    "cube_orders_revenue",
+    "window_topk_per_group",
+    "window_running_sum",
+    "window_lag_delta",
+    "topk_orders_global",
+    "set_ops_nation_overlap",
+    "set_ops_nation_except",
+    "interval_join_order_events",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_excess_suppliers",
+    "text_repetition_signals",
+    "text_tfidf_top_terms",
+    "corpus_shard_assign",
+    "embedding_normalize_trunc",
+    "fk_orphan_audit",
+    "numeric_histogram_prices",
+    "zorder_bucket_counts",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "semi_join_active_customers",
+    "anti_join_idle_customers",
+    "outer_join_nation_customer_counts",
+    "scalar_functions_part",
+    "json_extract_props",
+)
+# Later rounds override earlier ones; every name absent from all thirteen
 # tuples carries 0.
 _LAST_GREEN: dict[str, int] = {
     **{n: 1 for n in _R1_GREEN},
@@ -2226,6 +2279,7 @@ _LAST_GREEN: dict[str, int] = {
     **{n: 10 for n in _R10_GREEN},
     **{n: 11 for n in _R11_GREEN},
     **{n: 12 for n in _R12_GREEN},
+    **{n: 13 for n in _R13_GREEN},
 }
 
 # ---------------------------------------------------------------------------
@@ -2347,7 +2401,7 @@ def query_deps(name: str) -> frozenset[str]:
     return _module_closure(_callable_direct_deps(fn, {fn}))
 
 
-# Round 13: package modules with BEHAVIOR-CHANGING edits since the r12 fold
+# Round 14: package modules with BEHAVIOR-CHANGING edits since the r13 fold
 # (their dependents reset to 0) and query functions edited in this file over
 # the same span.  Policy (amended per ADVICE r5): purely ADDITIVE module
 # changes — a new function no existing query calls — do not reset
@@ -2362,39 +2416,20 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         # Entries are added in the SAME commit as each behavior-changing
         # module edit this round, so the set is truthful against
         # `git diff <fold>..HEAD` at every commit.
-        f"{_PKG}.sources.bigtable_table",  # r13: mutate() bridge binds all
-        # interfaces and advertises spark.driver.host so remote executors
-        # can reach a bridged (non-wire) service (ADVICE r12); the wire
-        # branch bt_mutate_rows_wire takes is untouched but the surrounding
-        # function changed — reset its 4 dependents.
-        # NOT sources.grpc_transport: the r13 edit fixes
-        # RealSdkBigtableService.read_rows range translation (open bounds,
-        # ADVICE r12 medium) — a method NO registry query can execute in any
-        # gate environment (real_sdk_service raises NotImplementedError
-        # without the SDK; the fake/wire paths queries use are untouched).
-        # Pinned SDK-free by the new recording-stub test
-        # (tests/test_emulator.py::test_sdk_range_translation_handles_all_four_bound_kinds);
-        # additionally covered by the FULLGATE_r13 artifact entry below.
+        f"{_PKG}.sources.bigtable_table",  # r14: the mutate() bridge now
+        # fails loud when spark.driver.host is unset in non-local mode
+        # instead of silently binding 0.0.0.0 (ADVICE r13) — an executed
+        # branch of every bt_* service/wire query's table assembly.
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset(
     {
-        # r13 additions lead the window via their absence from _LAST_GREEN.
-        # The three store-lifecycle queries below EXECUTE the r13 similarity
-        # edits (save/load/upsert: schema sidecar, per-cell manifest, drift
-        # recording) and re-verify directly; similarity's other 40 dependents
-        # are covered by the FULLGATE_r13 evidence entry below.
-        "sim_index_upsert",
-        "sim_search_after_upsert",
-        "pipeline_embedding_store",
-        # r13 widen_if_narrow before the decode maps (VERDICT r12 #7):
-        "multimodal_jpeg_decode",
-        "multimodal_audio_spectral",
-        # r13 widen_if_narrow on the remaining starved-narrow sf1 flags
-        # (multimodal_pixel_stats was widened then reverted in-round —
-        # net function diff vs the r12 fold is zero, so no reset):
-        "text_quality",
-        "text_pii_redaction",
+        # r14 additions lead the window via their absence from _LAST_GREEN.
+        # Catalog-hygiene prefix narrowed (ADVICE r13 / VERDICT r13 #3):
+        # the join query's sweep no longer drops the sibling agg query's
+        # 'dbs_bucket_aggord_*' table (the agg query's own sweep was
+        # already correctly scoped and is unchanged).
+        "bucketed_join_mktsegment",
     }
 )
 
@@ -2419,20 +2454,32 @@ _TOUCHED_QUERIES: frozenset[str] = frozenset(
 _FULLGATE_PROVEN_MODULES: dict[str, str] = {
     # dotted module -> FULLGATE_r{N}.json filename proving all dependents
     # green after the module's edit.
-    # r13: operators.similarity grew the store schema sidecar, per-cell
-    # manifest, and upsert drift recording (VERDICT r12 #4/#8).  Its 43
-    # dependents would overflow the 50-slot window and displace the stale
-    # r6/r7 cohort (VERDICT r12 #3); the three queries that EXECUTE the
-    # changed lines re-verify via _TOUCHED_QUERIES above, and the committed
-    # FULLGATE_r13.json proves the rest green post-edit at sf0.01.
-    f"{_PKG}.operators.similarity": "FULLGATE_r13.json",
+    # The r13 operators.similarity entry retired at the r13 fold:
+    # FULLGATE_r13 no longer postdates the fold, and every dependent now
+    # carries a driver green (r13 or earlier).  An r14 entry is added in
+    # the same commit as any window-overflowing module edit + the
+    # post-edit FULLGATE_r14.json artifact.
 }
 
 
-@functools.lru_cache(maxsize=1)
-def _fullgate_records() -> dict[str, int]:
-    """name -> most recent round a committed full-gate artifact proved it
-    fully green (oracle compare, not rows-only)."""
+def _fullgate_artifact_state() -> tuple:
+    """Cache key for _fullgate_records: the (name, mtime) of every artifact.
+
+    ADVICE r13: a process-lifetime lru_cache meant a FULLGATE_r{N}.json
+    written mid-session never reached _schedule()'s tiebreak until
+    interpreter restart; keying on the artifact set makes new/updated
+    artifacts take effect immediately while still caching the JSON parse.
+    """
+    return tuple(
+        sorted(
+            (p.name, p.stat().st_mtime_ns)
+            for p in _PKG_DIR.parent.glob("FULLGATE_r*.json")
+        )
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _fullgate_records_for(state: tuple) -> dict[str, int]:
     out: dict[str, int] = {}
     for art in sorted(_PKG_DIR.parent.glob("FULLGATE_r*.json")):
         try:
@@ -2446,6 +2493,12 @@ def _fullgate_records() -> dict[str, int]:
             # round): contributes no evidence — never crashes scheduling
             continue
     return out
+
+
+def _fullgate_records() -> dict[str, int]:
+    """name -> most recent round a committed full-gate artifact proved it
+    fully green (oracle compare, not rows-only)."""
+    return _fullgate_records_for(_fullgate_artifact_state())
 
 
 def _fullgate_green(name: str) -> int:
@@ -7362,11 +7415,15 @@ def bucketed_join_mktsegment_q(spark, sf_dir):
     cname, oname = f"dbs_bucket_cust_{tag}", f"dbs_bucket_ord_{tag}"
     # fresh per call: the bucketed WRITE path is part of what this query
     # exercises (overwrite-idempotent, like the other store fixtures).
-    # Catalog hygiene (review r13 #8): fixture regeneration changes the
-    # tag, so drop stale dbs_bucket_* entries whose /tmp backing may be
-    # gone — the catalog must stay bounded across a long session.
+    # Catalog hygiene (review r13 #8, narrowed per ADVICE r13): fixture
+    # regeneration changes the tag, so drop stale entries of THIS query's
+    # two table families only — the earlier 'dbs_bucket_' sweep also
+    # unregistered the sibling agg query's 'dbs_bucket_aggord_*' table.
     for t in spark.catalog.listTables():
-        if t.name.startswith("dbs_bucket_") and t.name not in (cname, oname):
+        if (
+            t.name.startswith(("dbs_bucket_cust_", "dbs_bucket_ord_"))
+            and t.name not in (cname, oname)
+        ):
             spark.sql(f"DROP TABLE IF EXISTS {t.name}")
     shutil.rmtree(base, ignore_errors=True)
     write_bucketed_table(

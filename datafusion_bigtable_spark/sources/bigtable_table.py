@@ -41,6 +41,32 @@ from datafusion_bigtable_spark.plans.composer import (
 from datafusion_bigtable_spark.sources.cells import read_cells
 
 
+def _bridge_bind_host(master: str, driver_host: str | None) -> str:
+    """Bind/advertise interface for the job-lifetime mutate() wire bridge.
+
+    A loopback bind made bridged-service mutate local-mode-only — remote
+    executors cannot reach the driver's 127.0.0.1 (ADVICE r12).  Bind the
+    NARROWEST interface that serves the deployment (review r13 #4 — the
+    bridge is unauthenticated, so 0.0.0.0 would expose write access on
+    every interface): in local mode executors are threads in this process,
+    loopback suffices; on a cluster bind and advertise the resolved driver
+    host.  The bind interface and the address executors dial are the SAME
+    value by construction — there is no advertise-what-you-didn't-bind
+    split.  Fails loud when ``spark.driver.host`` is unset in non-local
+    mode (ADVICE r13) instead of falling back to an all-interfaces bind.
+    """
+    if master.startswith("local"):
+        return "127.0.0.1"
+    if not driver_host:
+        raise RuntimeError(
+            "mutate(): spark.driver.host is unset in non-local mode — "
+            "cannot advertise the write bridge without binding every "
+            "interface; set spark.driver.host or use a WireBigtableClient "
+            "service"
+        )
+    return driver_host
+
+
 class GCWatermarkWarning(UserWarning):
     """An as-of read bounded at or before the store's GC watermark — the
     requested snapshot may be missing garbage-collected versions."""
@@ -361,20 +387,11 @@ class BigtableTable:
             host, port = self.service.address
             bridge = None
         else:
-            # A loopback bind made bridged-service mutate local-mode-only —
-            # remote executors cannot reach the driver's 127.0.0.1
-            # (ADVICE r12).  Bind the NARROWEST interface that serves the
-            # deployment (review r13 #4 — the bridge is unauthenticated, so
-            # 0.0.0.0 would expose write access on every interface): in
-            # local mode executors are threads in this process, loopback
-            # suffices; on a cluster bind and advertise the resolved driver
-            # host.  Wire-client services need no bridge and fan out to the
-            # real endpoint regardless.
             spark = df.sparkSession
-            if spark.sparkContext.master.startswith("local"):
-                host = "127.0.0.1"
-            else:
-                host = spark.conf.get("spark.driver.host", "0.0.0.0")
+            host = _bridge_bind_host(
+                spark.sparkContext.master,
+                spark.conf.get("spark.driver.host", None),
+            )
             bridge = WireBigtableServer(self.service, host=host).start()
             port = bridge.address[1]
 

@@ -133,3 +133,25 @@ def test_bucketed_groupby_on_key_has_no_exchange(spark, pair):
     plan = _executed_plan(agg)
     assert "HashAggregate" in plan, plan[:800]
     assert "Exchange" not in plan, f"bucketed groupBy still shuffles:\n{plan[:1200]}"
+
+
+def test_join_query_catalog_sweep_spares_sibling_agg_table(spark, sf_dir):
+    """ADVICE r13 / VERDICT r13 #3: the join query's catalog-hygiene sweep
+    must not unregister the sibling agg query's 'dbs_bucket_aggord_*'
+    table — run agg then join, and the agg table stays registered."""
+    from datafusion_bigtable_spark import queries as q
+
+    q.REGISTRY["bucketed_agg_order_stats"].fn(spark, str(sf_dir)).collect()
+    agg_tables = {
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("dbs_bucket_aggord_")
+    }
+    assert agg_tables, "agg query registered no dbs_bucket_aggord_* table"
+    q.REGISTRY["bucketed_join_mktsegment"].fn(spark, str(sf_dir)).collect()
+    survivors = {
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("dbs_bucket_aggord_")
+    }
+    assert survivors == agg_tables, "join query's sweep dropped the agg table"

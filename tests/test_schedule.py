@@ -268,3 +268,25 @@ def test_transitive_module_imports_followed():
     # if the query only imports dedup.
     closure = q._module_closure({_m("operators.dedup")})
     assert _m("operators.dedup") in closure
+
+
+def test_fullgate_records_refresh_when_an_artifact_lands_mid_session():
+    """ADVICE r13: the process-lifetime lru_cache meant a FULLGATE artifact
+    written during a long-lived session never reached _schedule()'s
+    tiebreak until interpreter restart.  The cache now keys on the
+    (name, mtime) set of matching artifacts, so a new artifact takes
+    effect on the next call — and its removal does too."""
+    import json
+    from pathlib import Path
+
+    repo = Path(q.__file__).resolve().parents[1]
+    art = repo / "FULLGATE_r9998.json"
+    assert not art.exists()
+    before = q._fullgate_records().get("dedup_exact", 0)
+    assert before < 9998
+    try:
+        art.write_text(json.dumps({"round": 9998, "results": {"dedup_exact": "green"}}))
+        assert q._fullgate_records()["dedup_exact"] == 9998
+    finally:
+        art.unlink()
+    assert q._fullgate_records().get("dedup_exact", 0) == before

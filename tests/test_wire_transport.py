@@ -700,3 +700,42 @@ def test_mutate_bridges_inprocess_service_without_driver_encode(spark):
     got = {k: {(f, q) for f, q, _, _ in cells} for k, cells in svc._rows.items()}
     assert set(got) == {"a", "b", "c"}
     assert got["a"] == {(FAMILY, "pressure"), (FAMILY, "temperature")}
+
+
+def test_bridge_bind_host_covers_local_and_cluster_branches():
+    """VERDICT r13 #8 + ADVICE r13: the mutate() bridge's bind/advertise
+    decision, pinned SDK-free for BOTH deployment branches.  Local masters
+    bind loopback (executors are in-process threads); cluster masters bind
+    and advertise exactly spark.driver.host; an unset driver host in
+    non-local mode fails loud instead of silently binding 0.0.0.0 (the
+    unauthenticated-bridge exposure the branch exists to avoid)."""
+    from datafusion_bigtable_spark.sources.bigtable_table import _bridge_bind_host
+
+    # local branch: every local[...] master variant pins loopback even
+    # when a driver host is configured.
+    for master in ("local", "local[32]", "local[*]", "local-cluster[2,1,1024]"):
+        assert _bridge_bind_host(master, "10.1.2.3") == "127.0.0.1"
+        assert _bridge_bind_host(master, None) == "127.0.0.1"
+    # cluster branch: injected fake conf value is BOTH the bind interface
+    # and the advertised address (single value by construction).
+    for master in ("spark://mast:7077", "yarn", "k8s://https://api:6443"):
+        assert _bridge_bind_host(master, "10.9.8.7") == "10.9.8.7"
+        with pytest.raises(RuntimeError, match="spark.driver.host"):
+            _bridge_bind_host(master, None)
+        with pytest.raises(RuntimeError, match="spark.driver.host"):
+            _bridge_bind_host(master, "")
+
+
+def test_bridge_server_binds_the_advertised_interface():
+    """The wire bridge binds the interface _bridge_bind_host returns and
+    its .address (what executor tasks dial) reports that same interface —
+    no advertise-what-you-didn't-bind split."""
+    from datafusion_bigtable_spark.sources.bigtable_table import _bridge_bind_host
+    from datafusion_bigtable_spark.sources.wire import WireBigtableServer
+
+    host = _bridge_bind_host("local[32]", None)
+    svc = InProcessBigtableService([], table_name=None)
+    with WireBigtableServer(svc, host=host) as srv:
+        bound_host, bound_port = srv.address
+        assert bound_host == host == "127.0.0.1"
+        assert bound_port > 0
