@@ -534,6 +534,46 @@ def _read_store(spark, path: str, meta: dict):
     return reader.parquet(path)
 
 
+def _reconcile_retrain_swap(path: str) -> None:
+    """Heal a store whose retrain crashed mid-swap (VERDICT r13 #4).
+
+    :func:`retrain_ivf_index`'s swap is ``rename(path, old)`` →
+    ``rename(tmp, path)`` → ``rmtree(old)``.  A crash between the two
+    renames leaves NO store at ``path`` while both sides survive intact:
+    the complete old store at ``._retrain_old`` and the complete rebuild
+    at ``._retrain_tmp`` (the first rename only happens after
+    ``save_ivf_index(tmp)`` finished).  A crash after the second rename
+    merely leaks the backup.  Reconcile, mirroring the manifest
+    pending-marker pattern (:func:`_reconcile_pending_manifest`):
+
+    - store present → drop a leftover *verified-dead* backup (only when
+      the store has its meta sidecar — never destroy the one readable
+      copy); a leftover ``tmp`` is a pre-swap crash's possibly-partial
+      rebuild and is left for the next retrain's own cleanup.
+    - store absent + complete ``tmp`` present → roll FORWARD (finish the
+      swap: the rebuild is complete by construction at that point).
+    - store absent + only the backup present → roll BACK.
+    """
+    import os
+    import shutil
+
+    tmp = path.rstrip("/") + "._retrain_tmp"
+    backup = path.rstrip("/") + "._retrain_old"
+    if os.path.isdir(path):
+        if os.path.isdir(backup) and os.path.isfile(
+            os.path.join(path, "_ivf_meta.json")
+        ):
+            shutil.rmtree(backup)
+        return
+    if os.path.isdir(tmp) and os.path.isfile(os.path.join(tmp, "_ivf_meta.json")):
+        os.rename(tmp, path)
+        if os.path.isdir(backup):
+            shutil.rmtree(backup)
+        return
+    if os.path.isdir(backup):
+        os.rename(backup, path)
+
+
 def load_ivf_index(spark, path: str) -> IvfIndex:
     """Read a :func:`save_ivf_index` table back as a live
     :class:`IvfIndex`.  The frame is parquet-backed — no persist needed
@@ -543,11 +583,13 @@ def load_ivf_index(spark, path: str) -> IvfIndex:
     sidecar present, loading performs ZERO data-file reads — schemas
     come from ``_ivf_meta.json``, per-cell stats from the manifest
     (pinned in tests by loading a store whose data files are truncated
-    to zero bytes)."""
+    to zero bytes).  A store vanished mid-retrain-swap is healed first
+    (:func:`_reconcile_retrain_swap`)."""
     import os
 
     from pyspark.sql.types import StructType
 
+    _reconcile_retrain_swap(path)
     with open(os.path.join(path, "_ivf_meta.json")) as f:
         meta = json.load(f)
     df = _read_store(spark, path, meta).select(*meta["columns"])
@@ -563,13 +605,30 @@ def load_ivf_index(spark, path: str) -> IvfIndex:
     return IvfIndex(df, nprobe=meta["nprobe"], centroids=centroids)
 
 
+class UpsertResult(int):
+    """:func:`upsert_ivf_index`'s return: the number of newly appended
+    ids — a genuine ``int`` (every existing arithmetic/comparison call
+    site keeps working unchanged) — plus ``drift``, the drift record the
+    upsert appended to the meta sidecar (``None`` when nothing was
+    appended or the store carries no yardstick).  Lets a caller — the
+    streaming maintenance harness in particular — see recall decay
+    without re-opening ``_ivf_meta.json`` (VERDICT r13 #6)."""
+
+    drift: dict | None
+
+    def __new__(cls, n: int, drift: dict | None = None) -> "UpsertResult":
+        obj = super().__new__(cls, n)
+        obj.drift = drift
+        return obj
+
+
 def upsert_ivf_index(
     spark,
     path: str,
     new_embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> int:
+) -> "UpsertResult":
     """Append assignments for NEW ids into a saved IVF store — the
     index-maintenance half of incremental ingestion (VERDICT r11 #5:
     ``dedup_incremental_ingest`` matches new batches against a static
@@ -591,8 +650,9 @@ def upsert_ivf_index(
     Cost shape: one anti-join against the store's id column (parquet
     column prune — only ``id_col`` is read), one assignment pass over the
     genuinely-new rows (broadcast centroids, map-side max_by — the same
-    shape as build_ivf_index), one partitioned append.  Returns the
-    number of new ids appended.
+    shape as build_ivf_index), one partitioned append.  Returns an
+    :class:`UpsertResult` — the number of new ids appended (an ``int``
+    subclass) carrying the batch's drift record.
 
     **Drift detection** (VERDICT r12 #4): the frozen-centroids contract
     means recall decays SILENTLY as the upserted distribution drifts
@@ -660,6 +720,7 @@ def upsert_ivf_index(
             .select(id_col, "cell", "_rn", "_dv", "_n")
         )
     ranked = ranked.select(*meta["columns"]).persist()  # stored column order
+    record: dict | None = None
     try:
         n_rows = ranked.count()  # one compute backs the stats and the write
         # "appended" and the return value count IDS, not assignment rows —
@@ -695,16 +756,15 @@ def upsert_ivf_index(
                 and batch_mean is not None
                 and (round(base_mean - batch_mean, 5) > threshold)
             )
-            meta.setdefault("upserts", []).append(
-                {
-                    "appended": n_new,
-                    "top1_mean": batch_mean,
-                    "drift": None
-                    if base_mean is None or batch_mean is None
-                    else round(base_mean - batch_mean, 5),
-                    "retrain_recommended": drifted,
-                }
-            )
+            record = {
+                "appended": n_new,
+                "top1_mean": batch_mean,
+                "drift": None
+                if base_mean is None or batch_mean is None
+                else round(base_mean - batch_mean, 5),
+                "retrain_recommended": drifted,
+            }
+            meta.setdefault("upserts", []).append(record)
             # Bound the sidecar: a store upserted 10⁵+ times must not grow
             # an unbounded JSON list — keep the newest window (the drift
             # TREND is what retraining decisions read) and roll the rest
@@ -722,7 +782,7 @@ def upsert_ivf_index(
                 json.dump(meta, f)
     finally:
         ranked.unpersist()
-    return n_new
+    return UpsertResult(n_new, record)
 
 
 def negated_centroid_mean_batch(
@@ -784,10 +844,17 @@ def retrain_ivf_index(
     detection exists to tell you WHEN it is worth paying.
 
     Write-temp-then-swap like ``compact_cells_store``: a crash cannot
-    destroy the store, and readers holding the old frame fail loud on
-    vanished files rather than reading a half-rewritten table.
-    ``n_cells`` defaults to the stored codebook's size.  Returns the
-    number of vectors reindexed.
+    destroy the DATA (both sides of the swap survive intact), and a
+    crash in the brief window between the two renames — when ``path``
+    itself does not exist — is healed by the next
+    :func:`load_ivf_index` via :func:`_reconcile_retrain_swap` (roll
+    forward to the complete rebuild, or back to the backup), so
+    availability recovers without manual renames (VERDICT r13 #4).
+    Readers holding the old frame fail loud on vanished files rather
+    than reading a half-rewritten table.  The backup is only discarded
+    after the swapped-in store verifies (meta sidecar readable,
+    ADVICE r13).  ``n_cells`` defaults to the stored codebook's size.
+    Returns the number of vectors reindexed.
     """
     import os
     import shutil
@@ -824,6 +891,13 @@ def retrain_ivf_index(
     shutil.rmtree(backup, ignore_errors=True)
     os.rename(path, backup)
     os.rename(tmp, path)
+    # verify the swapped-in store before discarding the backup
+    # (ADVICE r13): never delete the last good copy on faith.
+    if not os.path.isfile(os.path.join(path, "_ivf_meta.json")):
+        raise RuntimeError(
+            f"retrain swap left no readable store at {path}; the old "
+            f"store is preserved at {backup}"
+        )
     shutil.rmtree(backup)
     return n
 

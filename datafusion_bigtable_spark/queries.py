@@ -2420,6 +2420,10 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         # fails loud when spark.driver.host is unset in non-local mode
         # instead of silently binding 0.0.0.0 (ADVICE r13) — an executed
         # branch of every bt_* service/wire query's table assembly.
+        f"{_PKG}.streaming.index_stream",  # r14: run_streaming_index_upsert
+        # returns StreamUpsertResult carrying per-batch drift records
+        # (VERDICT r13 #6) — one dependent, no window pressure.
+        # NOT operators.similarity: see _FULLGATE_PROVEN_MODULES below.
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset(
@@ -2430,6 +2434,17 @@ _TOUCHED_QUERIES: frozenset[str] = frozenset(
         # 'dbs_bucket_aggord_*' table (the agg query's own sweep was
         # already correctly scoped and is unchanged).
         "bucketed_join_mktsegment",
+        # r14 operators.similarity edits (VERDICT r13 #4 retrain-swap
+        # reconciliation in load_ivf_index/retrain_ivf_index; UpsertResult
+        # drift surfacing in upsert_ivf_index): these five EXECUTE the
+        # changed load/upsert/retrain paths and re-verify directly;
+        # similarity's other dependents are covered by the
+        # FULLGATE_r14.json evidence entry below.
+        "sim_index_upsert",
+        "sim_search_after_upsert",
+        "pipeline_embedding_store",
+        "sim_index_drift",
+        "sim_index_retrain",
     }
 )
 
@@ -2454,11 +2469,18 @@ _TOUCHED_QUERIES: frozenset[str] = frozenset(
 _FULLGATE_PROVEN_MODULES: dict[str, str] = {
     # dotted module -> FULLGATE_r{N}.json filename proving all dependents
     # green after the module's edit.
-    # The r13 operators.similarity entry retired at the r13 fold:
+    # (The r13 operators.similarity entry retired at the r13 fold:
     # FULLGATE_r13 no longer postdates the fold, and every dependent now
-    # carries a driver green (r13 or earlier).  An r14 entry is added in
-    # the same commit as any window-overflowing module edit + the
-    # post-edit FULLGATE_r14.json artifact.
+    # carries a driver green.)
+    # r14: operators.similarity changed again — retrain-swap crash
+    # reconciliation on load (VERDICT r13 #4) and the UpsertResult drift
+    # return (VERDICT r13 #6).  Its 43 dependents would overflow the
+    # 50-slot window and displace the stale r7/r9 cohort (VERDICT r13
+    # #2); the five queries that EXECUTE the changed load/upsert/retrain
+    # paths re-verify via _TOUCHED_QUERIES above, and the committed
+    # FULLGATE_r14.json — generated AFTER the edit — proves the rest
+    # green at sf0.01.
+    f"{_PKG}.operators.similarity": "FULLGATE_r14.json",
 }
 
 

@@ -47,18 +47,45 @@ def read_embeddings_stream(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+class StreamUpsertResult(int):
+    """:func:`run_streaming_index_upsert`'s return: total ids appended
+    across all micro-batches — a genuine ``int`` (existing comparison
+    call sites keep working) — plus ``drift_records``, one record per
+    APPENDING micro-batch (``{"batch_id", "appended", "top1_mean",
+    "drift", "retrain_recommended"}``), so a stream operator sees recall
+    decay in the return value instead of re-reading ``_ivf_meta.json``
+    (VERDICT r13 #6).  Bounded driver state: ≤ one small dict per
+    micro-batch."""
+
+    drift_records: list
+
+    def __new__(cls, n: int, drift_records=()) -> "StreamUpsertResult":
+        obj = super().__new__(cls, n)
+        obj.drift_records = list(drift_records)
+        return obj
+
+    @property
+    def retrain_recommended(self) -> bool:
+        return any(r.get("retrain_recommended") for r in self.drift_records)
+
+
 def run_streaming_index_upsert(
     spark: SparkSession, feed_dir: str, store_path: str, query_name: str = "dbs_index_upsert"
-) -> int:
+) -> StreamUpsertResult:
     """Drive the embedding feed to completion, upserting each micro-batch
-    into the saved store at ``store_path``.  Returns the number of rows
-    appended across all batches (bounded driver state: one int)."""
+    into the saved store at ``store_path``.  Returns a
+    :class:`StreamUpsertResult`: the number of rows appended across all
+    batches (an ``int`` subclass) carrying each appending batch's drift
+    record and an aggregate ``retrain_recommended`` flag."""
     from datafusion_bigtable_spark.operators.similarity import upsert_ivf_index
 
-    appended = {"n": 0}
+    appended = {"n": 0, "drift": []}
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
-        appended["n"] += upsert_ivf_index(spark, store_path, batch_df.select("vec_id", "embedding"))
+        res = upsert_ivf_index(spark, store_path, batch_df.select("vec_id", "embedding"))
+        appended["n"] += res
+        if res.drift is not None:
+            appended["drift"].append({"batch_id": batch_id, **res.drift})
 
     q = (
         read_embeddings_stream(spark, feed_dir)
@@ -71,4 +98,4 @@ def run_streaming_index_upsert(
         q.processAllAvailable()
     finally:
         q.stop()
-    return appended["n"]
+    return StreamUpsertResult(appended["n"], appended["drift"])

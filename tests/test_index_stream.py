@@ -66,3 +66,42 @@ def test_streamed_upsert_idempotent_under_resume_and_replay(spark, sf_dir, tmp_p
     shutil.rmtree(os.path.join(feed, "_checkpoint"))
     assert run_streaming_index_upsert(spark, feed, store, query_name="t_idxup_r3") == 0
     assert _assignments(spark, store) == before
+
+
+def test_drifted_feed_surfaces_retrain_flag_in_return_value(spark, sf_dir, tmp_path):
+    """VERDICT r13 #6: the streaming harness must surface the drift
+    verdict — a feed whose second file is the provably-drifting
+    negated-centroid-mean batch yields per-batch drift records and the
+    aggregate retrain_recommended flag in the RETURN VALUE, with no
+    _ivf_meta.json read by the caller."""
+    from datafusion_bigtable_spark.operators.similarity import (
+        negated_centroid_mean_batch,
+    )
+
+    e = load(spark, str(sf_dir), "embeddings")
+    store = str(tmp_path / "store")
+    feed = str(tmp_path / "feed")
+    with build_ivf_index(e.filter(F.col("vec_id") % 4 != 0), n_cells=16) as idx:
+        save_ivf_index(idx, store)
+    # file 1: in-distribution batch; file 2: the drifting batch (cast to
+    # the feed's declared array<float> — the drift is sign-level, so
+    # float precision cannot mask it)
+    e.filter(F.col("vec_id") % 4 == 0).coalesce(1).write.mode("append").parquet(feed)
+    negated_centroid_mean_batch(spark, store, n=50).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    ).coalesce(1).write.mode("append").parquet(feed)
+
+    res = run_streaming_index_upsert(spark, feed, store, query_name="t_idxup_drift")
+    assert res > 0
+    assert len(res.drift_records) == 2
+    by_flag = {r["retrain_recommended"] for r in res.drift_records}
+    assert by_flag == {False, True}, res.drift_records
+    assert res.retrain_recommended is True
+    assert all(r["top1_mean"] is not None for r in res.drift_records)
+
+
+def test_clean_feed_reports_no_retrain(spark, sf_dir, tmp_path):
+    _, store, feed = _setup(spark, sf_dir, tmp_path)
+    res = run_streaming_index_upsert(spark, feed, store, query_name="t_idxup_clean")
+    assert res > 0 and len(res.drift_records) == 4
+    assert res.retrain_recommended is False
