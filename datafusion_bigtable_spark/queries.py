@@ -2451,6 +2451,9 @@ _TOUCHED_QUERIES: frozenset[str] = frozenset(
         # bucketed_* queries call unchanged functions), so no module
         # reset.
         "tpch_q13_customer_distribution",
+        # r14 bucketed-fixture opt-in #2 (orderkey layout): zero window
+        # cost — q18 is an r9-cohort member already holding a slot.
+        "tpch_q18_large_orders",
     }
 )
 
@@ -4926,9 +4929,18 @@ def tpch_q14(spark, sf_dir):
     """,
 )
 def tpch_q18(spark, sf_dir):
+    # r14 (VERDICT r13 #5): the second bucketed-fixture consumer, on the
+    # OTHER join key — lineitem and orders bucketed 16 on orderkey make
+    # the fact⋈fact join exchange-free, and because o_orderkey is one of
+    # the grouping keys, hashpartitioning(orderkey) also satisfies the
+    # aggregation — with the broadcast customer join in between, q18
+    # runs with ZERO shuffle Exchanges end-to-end (plan pinned in
+    # tests/test_bucketing.py).  Values oracle-identical to plain loads.
+    from datafusion_bigtable_spark.operators.bucketing import bucketed_fixture
+
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
-    l = load(spark, sf_dir, "lineitem")
+    o = bucketed_fixture(spark, sf_dir, "orders", ["o_orderkey"])
+    l = bucketed_fixture(spark, sf_dir, "lineitem", ["l_orderkey"])
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)

@@ -224,3 +224,84 @@ def test_q13_values_identical_to_plain_load(spark, sf_dir):
         .agg(F.count("*").alias("custdist"))
     )
     assert sorted(map(tuple, bucketed.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_q18_bucketed_fixture_runs_with_zero_shuffle_exchanges(spark, sf_dir):
+    """Second bucketed-fixture consumer, on the orderkey layout: q18's
+    lineitem⋈orders join is exchange-free, the broadcast customer join
+    preserves that partitioning, and o_orderkey ∈ grouping keys lets the
+    aggregation reuse it — ZERO shuffle Exchanges end-to-end (the only
+    exchange is the broadcast of customer)."""
+    from datafusion_bigtable_spark import queries as q
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q.REGISTRY["tpch_q18_large_orders"].fn(spark, str(sf_dir))
+        plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "SortMergeJoin" in plan, plan[:1200]
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+
+
+def test_two_layouts_of_same_table_coexist(spark, sf_dir):
+    """orders bucketed on custkey (q13's layout) and on orderkey (q18's)
+    are independent fixtures: materializing one must not evict the
+    other from the catalog (the r13 sweep bug, scoped per (table, key))."""
+    from datafusion_bigtable_spark.operators.bucketing import bucketed_fixture
+
+    bucketed_fixture(spark, str(sf_dir), "orders", ["o_custkey"])
+    bucketed_fixture(spark, str(sf_dir), "orders", ["o_orderkey"])
+    bucketed_fixture(spark, str(sf_dir), "orders", ["o_custkey"])  # reuse, no evict
+    fams = {
+        t.name.rsplit("_", 1)[0]
+        for t in spark.catalog.listTables()
+        if t.name.startswith("dbs_bucketfix_orders_")
+    }
+    assert fams == {
+        "dbs_bucketfix_orders_o_custkey",
+        "dbs_bucketfix_orders_o_orderkey",
+    }, fams
+
+
+def test_fixture_reregisters_from_surviving_files_in_fresh_session(spark, sf_dir):
+    """Cross-session reuse: when the content-addressed directory survives
+    but the (session-scoped) catalog entry does not, the loader must
+    re-REGISTER over the existing files — no rewrite — and the re-read
+    table keeps the bucket guarantee.  A directory without the _SUCCESS
+    commit marker is a crashed write and is rebuilt instead."""
+    import os
+
+    from datafusion_bigtable_spark.operators.bucketing import bucketed_fixture
+
+    bucketed_fixture(spark, str(sf_dir), "customer", ["c_custkey"])
+    [tbl] = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("dbs_bucketfix_customer_c_custkey_")
+    ]
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}")
+        .filter(F.col("col_name") == "Location")
+        .first()["data_type"]
+    ).replace("file:", "")
+    # simulate the fresh session: drop the catalog entry, keep the files
+    spark.sql(f"DROP TABLE {tbl}")
+    before = {f: os.path.getmtime(os.path.join(loc, f)) for f in os.listdir(loc)}
+    t = bucketed_fixture(spark, str(sf_dir), "customer", ["c_custkey"])
+    after = {f: os.path.getmtime(os.path.join(loc, f)) for f in os.listdir(loc)}
+    assert before == after, "re-registration rewrote surviving files"
+    # the re-registered table still joins exchange-free (bucket spec kept)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a, b = t.alias("a"), t.alias("b")
+        j = a.join(b, F.col("a.c_custkey") == F.col("b.c_custkey"))
+        plan = _executed_plan(j).split("== Initial Plan ==")[0]
+        assert "Exchange" not in plan, plan[:1200]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    # crashed-write shape: no _SUCCESS -> rebuilt, registered, correct count
+    spark.sql(f"DROP TABLE {tbl}")
+    os.remove(os.path.join(loc, "_SUCCESS"))
+    t2 = bucketed_fixture(spark, str(sf_dir), "customer", ["c_custkey"])
+    assert t2.count() == load(spark, str(sf_dir), "customer").count()
