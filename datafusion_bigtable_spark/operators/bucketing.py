@@ -88,6 +88,41 @@ def bucketed_table(spark: SparkSession, name: str) -> DataFrame:
     return spark.table(name)
 
 
+def drop_stale_family_tables(spark: SparkSession, prefix: str, keep: str) -> None:
+    """Catalog + DISK hygiene for one content-addressed layout family.
+
+    Drops every registered table named ``{prefix}{12-hex tag}`` except
+    ``keep`` and reclaims its /tmp backing directory (review r14 #5: a
+    sweep that bounds only the catalog leaks a full bucketed table copy
+    per fixture regeneration).  The 12-hex-tag shape requirement makes
+    the match exact even when another family's name happens to share
+    ``prefix`` as a string prefix — only true family members are swept.
+    Only paths under ``/tmp/dbs_bucket`` are ever removed.
+    """
+    import re
+    import shutil
+
+    for t in spark.catalog.listTables():
+        if not t.name.startswith(prefix) or t.name == keep:
+            continue
+        if not re.fullmatch(r"[0-9a-f]{12}", t.name[len(prefix):]):
+            continue
+        path = None
+        try:
+            loc = (
+                spark.sql(f"DESCRIBE TABLE EXTENDED {t.name}")
+                .filter("col_name = 'Location'")
+                .first()
+            )
+            if loc is not None:
+                path = loc["data_type"].replace("file:", "")
+        except Exception:
+            path = None
+        spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+        if path and path.startswith("/tmp/dbs_bucket"):
+            shutil.rmtree(path, ignore_errors=True)
+
+
 def bucketed_fixture(
     spark: SparkSession,
     sf_dir: str,
@@ -127,21 +162,24 @@ def bucketed_fixture(
     # on two different keys (orders on custkey for a customer join,
     # orders on orderkey for a lineitem join) is two independent
     # fixtures — naming and the hygiene sweep below must not let one
-    # evict the other.
-    keyseg = "_".join(bucket_cols)
-    name = f"dbs_bucketfix_{table}_{keyseg}_{tag}"
+    # evict the other.  The family segment is a fixed-width hash of the
+    # '|'-joined identity (review r14 #3: a plain '_'.join(bucket_cols)
+    # segment is prefix-ambiguous — ['a','b_c'] vs ['a_b','c'], or a
+    # single-key family being a string prefix of a composite-key one —
+    # which would resurrect the cross-family eviction bug the r13 fix
+    # closed); the human-readable table/key names stay in the path.
+    fam = hashlib.md5(f"{table}|{'|'.join(bucket_cols)}".encode()).hexdigest()[:8]
+    keyseg = "-".join(bucket_cols)
+    name = f"dbs_bucketfix_{table}_{fam}_{tag}"
     base = f"/tmp/dbs_bucketfix_{sfname}_{table}_{keyseg}_{tag}"
     # Timestamp columns must round-trip tz-independently through the
     # copy, same contract as the plain fixture loader.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if spark.catalog.tableExists(name) and os.path.isdir(base):
         return spark.table(name)
-    # Catalog hygiene scoped to THIS (table, key) family only (ADVICE
-    # r13: a sweep must never match a sibling's prefix).
-    prefix = f"dbs_bucketfix_{table}_{keyseg}_"
-    for t in spark.catalog.listTables():
-        if t.name.startswith(prefix) and t.name != name:
-            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    # Catalog + disk hygiene scoped to THIS (table, key) family only
+    # (ADVICE r13: a sweep must never match a sibling's prefix).
+    drop_stale_family_tables(spark, f"dbs_bucketfix_{table}_{fam}_", name)
     if os.path.isdir(base) and not os.path.isfile(os.path.join(base, "_SUCCESS")):
         # an earlier session crashed mid-write: the commit marker is
         # missing, so the files are untrustworthy — rewrite from source

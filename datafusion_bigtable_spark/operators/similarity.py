@@ -553,6 +553,11 @@ def _reconcile_retrain_swap(path: str) -> None:
     - store absent + complete ``tmp`` present → roll FORWARD (finish the
       swap: the rebuild is complete by construction at that point).
     - store absent + only the backup present → roll BACK.
+
+    Every mutation is existence-tolerant (review r14 #2): the store's
+    documented model is single-writer, but two READERS may race each
+    other into the same heal — whoever loses the rename/rmtree must not
+    crash on a store the winner just made healthy.
     """
     import os
     import shutil
@@ -563,15 +568,23 @@ def _reconcile_retrain_swap(path: str) -> None:
         if os.path.isdir(backup) and os.path.isfile(
             os.path.join(path, "_ivf_meta.json")
         ):
-            shutil.rmtree(backup)
+            shutil.rmtree(backup, ignore_errors=True)
         return
     if os.path.isdir(tmp) and os.path.isfile(os.path.join(tmp, "_ivf_meta.json")):
-        os.rename(tmp, path)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # a concurrent reconciler won the roll-forward (tmp vanished
+            # or path appeared) — the store is healthy either way
+            pass
         if os.path.isdir(backup):
-            shutil.rmtree(backup)
+            shutil.rmtree(backup, ignore_errors=True)
         return
     if os.path.isdir(backup):
-        os.rename(backup, path)
+        try:
+            os.rename(backup, path)
+        except OSError:
+            pass
 
 
 def load_ivf_index(spark, path: str) -> IvfIndex:
@@ -669,6 +682,10 @@ def upsert_ivf_index(
 
     from pyspark.sql.types import StructType
 
+    # Heal a mid-retrain-swap crash BEFORE opening the sidecar (review
+    # r14 #1): the streaming harness reaches the store through this
+    # function, not load_ivf_index, and must recover the same way.
+    _reconcile_retrain_swap(path)
     with open(os.path.join(path, "_ivf_meta.json")) as f:
         meta = json.load(f)
     cb_path = os.path.join(path, "_centroids")

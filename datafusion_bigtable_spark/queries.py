@@ -2431,9 +2431,11 @@ _TOUCHED_QUERIES: frozenset[str] = frozenset(
         # r14 additions lead the window via their absence from _LAST_GREEN.
         # Catalog-hygiene prefix narrowed (ADVICE r13 / VERDICT r13 #3):
         # the join query's sweep no longer drops the sibling agg query's
-        # 'dbs_bucket_aggord_*' table (the agg query's own sweep was
-        # already correctly scoped and is unchanged).
+        # 'dbs_bucket_aggord_*' table; review r14 #5 then routed BOTH
+        # queries' sweeps through drop_stale_family_tables (disk reclaim),
+        # so both re-verify.
         "bucketed_join_mktsegment",
+        "bucketed_agg_order_stats",
         # r14 operators.similarity edits (VERDICT r13 #4 retrain-swap
         # reconciliation in load_ivf_index/retrain_ivf_index; UpsertResult
         # drift surfacing in upsert_ivf_index): these five EXECUTE the
@@ -2501,12 +2503,16 @@ def _fullgate_artifact_state() -> tuple:
     interpreter restart; keying on the artifact set makes new/updated
     artifacts take effect immediately while still caching the JSON parse.
     """
-    return tuple(
-        sorted(
-            (p.name, p.stat().st_mtime_ns)
-            for p in _PKG_DIR.parent.glob("FULLGATE_r*.json")
-        )
-    )
+    out = []
+    for p in _PKG_DIR.parent.glob("FULLGATE_r*.json"):
+        try:
+            out.append((p.name, p.stat().st_mtime_ns))
+        except OSError:
+            # vanished between glob and stat (artifact rewrite, parallel
+            # test unlink) — scheduling must never crash on it (review
+            # r14 #4, same invariant as the parse loop below)
+            continue
+    return tuple(sorted(out))
 
 
 @functools.lru_cache(maxsize=8)
@@ -7465,16 +7471,17 @@ def bucketed_join_mktsegment_q(spark, sf_dir):
     cname, oname = f"dbs_bucket_cust_{tag}", f"dbs_bucket_ord_{tag}"
     # fresh per call: the bucketed WRITE path is part of what this query
     # exercises (overwrite-idempotent, like the other store fixtures).
-    # Catalog hygiene (review r13 #8, narrowed per ADVICE r13): fixture
+    # Catalog + DISK hygiene (review r13 #8, narrowed per ADVICE r13;
+    # review r14 #5 reclaims the stale /tmp copies too): fixture
     # regeneration changes the tag, so drop stale entries of THIS query's
     # two table families only — the earlier 'dbs_bucket_' sweep also
     # unregistered the sibling agg query's 'dbs_bucket_aggord_*' table.
-    for t in spark.catalog.listTables():
-        if (
-            t.name.startswith(("dbs_bucket_cust_", "dbs_bucket_ord_"))
-            and t.name not in (cname, oname)
-        ):
-            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    from datafusion_bigtable_spark.operators.bucketing import (
+        drop_stale_family_tables,
+    )
+
+    drop_stale_family_tables(spark, "dbs_bucket_cust_", cname)
+    drop_stale_family_tables(spark, "dbs_bucket_ord_", oname)
     shutil.rmtree(base, ignore_errors=True)
     write_bucketed_table(
         load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
@@ -7575,6 +7582,7 @@ def bucketed_agg_order_stats_q(spark, sf_dir):
 
     from datafusion_bigtable_spark.operators.bucketing import (
         bucketed_table,
+        drop_stale_family_tables,
         write_bucketed_table,
     )
 
@@ -7585,9 +7593,7 @@ def bucketed_agg_order_stats_q(spark, sf_dir):
     sfname = os.path.basename(os.path.normpath(sf_dir))
     base = f"/tmp/dbs_bucketagg_{sfname}_{tag}"
     oname = f"dbs_bucket_aggord_{tag}"
-    for t in spark.catalog.listTables():
-        if t.name.startswith("dbs_bucket_aggord_") and t.name != oname:
-            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    drop_stale_family_tables(spark, "dbs_bucket_aggord_", oname)
     shutil.rmtree(base, ignore_errors=True)
     write_bucketed_table(
         load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),

@@ -250,6 +250,8 @@ def test_two_layouts_of_same_table_coexist(spark, sf_dir):
     other from the catalog (the r13 sweep bug, scoped per (table, key))."""
     from datafusion_bigtable_spark.operators.bucketing import bucketed_fixture
 
+    import hashlib
+
     bucketed_fixture(spark, str(sf_dir), "orders", ["o_custkey"])
     bucketed_fixture(spark, str(sf_dir), "orders", ["o_orderkey"])
     bucketed_fixture(spark, str(sf_dir), "orders", ["o_custkey"])  # reuse, no evict
@@ -258,9 +260,13 @@ def test_two_layouts_of_same_table_coexist(spark, sf_dir):
         for t in spark.catalog.listTables()
         if t.name.startswith("dbs_bucketfix_orders_")
     }
+
+    def fam(cols):
+        return hashlib.md5(f"orders|{'|'.join(cols)}".encode()).hexdigest()[:8]
+
     assert fams == {
-        "dbs_bucketfix_orders_o_custkey",
-        "dbs_bucketfix_orders_o_orderkey",
+        f"dbs_bucketfix_orders_{fam(['o_custkey'])}",
+        f"dbs_bucketfix_orders_{fam(['o_orderkey'])}",
     }, fams
 
 
@@ -278,7 +284,7 @@ def test_fixture_reregisters_from_surviving_files_in_fresh_session(spark, sf_dir
     [tbl] = [
         t.name
         for t in spark.catalog.listTables()
-        if t.name.startswith("dbs_bucketfix_customer_c_custkey_")
+        if t.name.startswith("dbs_bucketfix_customer_")
     ]
     loc = (
         spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}")
@@ -305,3 +311,50 @@ def test_fixture_reregisters_from_surviving_files_in_fresh_session(spark, sf_dir
     os.remove(os.path.join(loc, "_SUCCESS"))
     t2 = bucketed_fixture(spark, str(sf_dir), "customer", ["c_custkey"])
     assert t2.count() == load(spark, str(sf_dir), "customer").count()
+
+
+def test_stale_family_sweep_reclaims_disk_and_spares_other_families(spark, sf_dir):
+    """Review r14 #3/#5: the family sweep must (a) never evict a family
+    whose name merely shares a string prefix, and (b) reclaim the stale
+    entry's /tmp backing directory, not just its catalog slot."""
+    import os
+    import shutil
+
+    from datafusion_bigtable_spark.operators.bucketing import (
+        bucketed_fixture,
+        drop_stale_family_tables,
+        write_bucketed_table,
+    )
+
+    live = bucketed_fixture(spark, str(sf_dir), "customer", ["c_custkey"])
+    [name] = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("dbs_bucketfix_customer_")
+    ]
+    prefix = name.rsplit("_", 1)[0] + "_"
+    # (a) a longer table name sharing the prefix is NOT swept (tag-shape
+    # mismatch): register a fake sibling whose suffix is not 12-hex
+    fake_other = prefix + "deadbeef4242_extra"
+    os.makedirs("/tmp/dbs_bucketfix_other_family", exist_ok=True)
+    spark.sql(
+        f"CREATE TABLE {fake_other} (x BIGINT) USING PARQUET "
+        f"LOCATION '/tmp/dbs_bucketfix_other_family'"
+    )
+    # (b) a true stale family member (12-hex tag) IS swept, disk included
+    stale_dir = "/tmp/dbs_bucketfix_stale_member"
+    shutil.rmtree(stale_dir, ignore_errors=True)
+    write_bucketed_table(
+        live.limit(10), prefix + "aaaabbbbcccc", stale_dir, ["c_custkey"], 2
+    )
+    assert os.path.isdir(stale_dir)
+    try:
+        drop_stale_family_tables(spark, prefix, name)
+        names = {t.name for t in spark.catalog.listTables()}
+        assert name in names, "live member swept"
+        assert fake_other in names, "prefix-sharing other family swept"
+        assert prefix + "aaaabbbbcccc" not in names, "stale member survived"
+        assert not os.path.isdir(stale_dir), "stale backing dir not reclaimed"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {fake_other}")
+        shutil.rmtree("/tmp/dbs_bucketfix_other_family", ignore_errors=True)

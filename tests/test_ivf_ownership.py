@@ -645,3 +645,30 @@ def test_load_never_deletes_backup_when_store_lacks_meta(spark, sf_dir, tmp_path
     os.remove(os.path.join(path, "_ivf_meta.json"))
     _reconcile_retrain_swap(path)
     assert os.path.exists(path + "._retrain_old")
+
+
+def test_upsert_heals_mid_retrain_swap_crash(spark, sf_dir, tmp_path):
+    """Review r14 #1: the streaming harness reaches the store through
+    upsert_ivf_index (never load_ivf_index), so the upsert path must
+    heal the mid-swap crash state too instead of dying on the missing
+    meta sidecar."""
+    import os
+    import shutil
+
+    from datafusion_bigtable_spark.operators.similarity import (
+        save_ivf_index,
+        upsert_ivf_index,
+    )
+
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 600)
+    path = str(tmp_path / "store")
+    with build_ivf_index(e.filter(F.col("vec_id") % 2 == 0), n_cells=8) as idx:
+        save_ivf_index(idx, path)
+    shutil.copytree(path, path + "._retrain_tmp")
+    os.rename(path, path + "._retrain_old")
+    assert not os.path.exists(path)
+
+    n = upsert_ivf_index(spark, path, e.filter(F.col("vec_id") % 2 == 1))
+    assert n > 0
+    assert not os.path.exists(path + "._retrain_tmp")
+    assert not os.path.exists(path + "._retrain_old")
