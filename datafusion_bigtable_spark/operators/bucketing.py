@@ -88,6 +88,46 @@ def bucketed_table(spark: SparkSession, name: str) -> DataFrame:
     return spark.table(name)
 
 
+def suggest_bucket_count(
+    paths: Sequence[str],
+    target_bucket_bytes: int = 256 * 1024 * 1024,
+    minimum: int = 16,
+) -> int:
+    """One bucket count for a JOIN FAMILY of tables, sized off the
+    LARGEST member.
+
+    Both sides of an equi-join must agree on the bucket count for the
+    exchange-free plan (Spark shuffles the smaller side on a mismatch),
+    so the count is a property of the table FAMILY, not of one table —
+    size it so the BIGGEST table's buckets land in the 128 MB–1 GB band
+    (buckets are the unit of join-task parallelism AND of the one-file-
+    per-bucket sort guarantee; a bucket that outgrows
+    ``maxRecordsPerFile`` splits into multiple files and re-pays the
+    pre-merge Sort).  At 100 TB with the default target this yields
+    ~400k buckets — past the point where per-bucket task overhead bites;
+    cap by raising ``target_bucket_bytes`` (1 GB → ~100k) or
+    partition-THEN-bucket (date partitions × buckets) so each partition's
+    family stays in range.  The floor keeps small test fixtures at a
+    parallelism-friendly width.  Powers of two only, so families sized
+    at different times still tend to agree.
+    """
+    import math
+    import os
+
+    def _bytes(p: str) -> int:
+        if os.path.isfile(p):
+            return os.path.getsize(p)
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for d, _, files in os.walk(p)
+            for f in files
+        )
+
+    largest = max((_bytes(p) for p in paths), default=0)
+    need = max(minimum, math.ceil(largest / target_bucket_bytes))
+    return 1 << (need - 1).bit_length()
+
+
 def drop_stale_family_tables(spark: SparkSession, prefix: str, keep: str) -> None:
     """Catalog + DISK hygiene for one content-addressed layout family.
 

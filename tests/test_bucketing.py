@@ -358,3 +358,33 @@ def test_stale_family_sweep_reclaims_disk_and_spares_other_families(spark, sf_di
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {fake_other}")
         shutil.rmtree("/tmp/dbs_bucketfix_other_family", ignore_errors=True)
+
+
+def test_suggest_bucket_count_sizes_off_largest_family_member(tmp_path):
+    """The count is a property of the join family: sized off the largest
+    member, power of two, floored for small fixtures."""
+    from datafusion_bigtable_spark.operators.bucketing import suggest_bucket_count
+
+    small = tmp_path / "small.parquet"
+    big = tmp_path / "big.parquet"
+    small.write_bytes(b"x" * 1000)
+    big.write_bytes(b"x" * 10_000_000)
+    # tiny family: floor wins
+    assert suggest_bucket_count([str(small)], minimum=16) == 16
+    # 10 MB at 1 MB target -> ceil=10 -> next power of two = 16
+    assert (
+        suggest_bucket_count(
+            [str(small), str(big)], target_bucket_bytes=1_000_000, minimum=4
+        )
+        == 16
+    )
+    # directory form: sums files recursively
+    d = tmp_path / "dir.parquet"
+    d.mkdir()
+    (d / "part-0").write_bytes(b"x" * 3_000_000)
+    (d / "part-1").write_bytes(b"x" * 3_000_000)
+    assert (
+        suggest_bucket_count([str(d)], target_bucket_bytes=1_000_000, minimum=4) == 8
+    )
+    # power-of-two families sized at different times agree
+    assert suggest_bucket_count([str(big)], target_bucket_bytes=700_000, minimum=4) == 16

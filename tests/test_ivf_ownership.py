@@ -672,3 +672,65 @@ def test_upsert_heals_mid_retrain_swap_crash(spark, sf_dir, tmp_path):
     assert n > 0
     assert not os.path.exists(path + "._retrain_tmp")
     assert not os.path.exists(path + "._retrain_old")
+
+
+def test_reconcile_retrain_swap_state_machine(tmp_path):
+    """Exhaustive crash-state pin for _reconcile_retrain_swap: for every
+    combination of (store, tmp, backup) present × complete/incomplete,
+    reconciliation must end with a readable store whenever ANY complete
+    copy existed, and must never delete the last complete copy."""
+    import itertools
+    import json
+    import os
+    import shutil
+
+    from datafusion_bigtable_spark.operators.similarity import (
+        _reconcile_retrain_swap,
+    )
+
+    def mk(path, complete):
+        os.makedirs(path)
+        if complete:
+            with open(os.path.join(path, "_ivf_meta.json"), "w") as f:
+                json.dump({"nprobe": 1, "columns": []}, f)
+
+    # states: None = absent, True = complete, False = dir without meta
+    for i, (store, tmp, backup) in enumerate(
+        itertools.product([None, True, False], repeat=3)
+    ):
+        root = str(tmp_path / f"case{i}")
+        os.makedirs(root)
+        path = os.path.join(root, "store")
+        if store is not None:
+            mk(path, store)
+        if tmp is not None:
+            mk(path + "._retrain_tmp", tmp)
+        if backup is not None:
+            mk(path + "._retrain_old", backup)
+
+        _reconcile_retrain_swap(path)
+
+        case = f"case {i}: store={store} tmp={tmp} backup={backup}"
+        had_complete = True in (store, tmp, backup)
+        has_store_meta = os.path.isfile(os.path.join(path, "_ivf_meta.json"))
+        if store is True:
+            # an existing complete store is never replaced
+            assert has_store_meta, case
+        elif store is None and had_complete:
+            # some complete copy must have been promoted to `path`
+            # (roll forward beats roll back when both exist; an
+            # incomplete backup may win only when it was the only dir)
+            if tmp is True or backup is True:
+                assert os.path.isdir(path), case
+                if tmp is True:
+                    assert has_store_meta, case
+        # the last complete copy is never destroyed: SOME dir still
+        # holds a meta sidecar whenever one existed before
+        if had_complete:
+            survivors = [
+                p
+                for p in (path, path + "._retrain_tmp", path + "._retrain_old")
+                if os.path.isfile(os.path.join(p, "_ivf_meta.json"))
+            ]
+            assert survivors, case
+        shutil.rmtree(root)
