@@ -155,7 +155,12 @@ def drop_stale_family_tables(spark: SparkSession, prefix: str, keep: str) -> Non
                 .first()
             )
             if loc is not None:
-                path = loc["data_type"].replace("file:", "")
+                # urlparse handles both 'file:/x' and 'file:///x' forms
+                # (review r14-2 #5: a naive replace('file:','') left '//'
+                # prefixes that failed the /tmp guard and leaked the dir)
+                from urllib.parse import urlparse
+
+                path = urlparse(loc["data_type"]).path
         except Exception:
             path = None
         spark.sql(f"DROP TABLE IF EXISTS {t.name}")
@@ -198,17 +203,22 @@ def bucketed_fixture(
         f"{','.join(bucket_cols)}|{n_buckets}".encode()
     ).hexdigest()[:12]
     sfname = os.path.basename(os.path.normpath(sf_dir))
-    # The LAYOUT family is (table, bucket key): the same table bucketed
-    # on two different keys (orders on custkey for a customer join,
-    # orders on orderkey for a lineitem join) is two independent
-    # fixtures — naming and the hygiene sweep below must not let one
-    # evict the other.  The family segment is a fixed-width hash of the
-    # '|'-joined identity (review r14 #3: a plain '_'.join(bucket_cols)
-    # segment is prefix-ambiguous — ['a','b_c'] vs ['a_b','c'], or a
-    # single-key family being a string prefix of a composite-key one —
-    # which would resurrect the cross-family eviction bug the r13 fix
-    # closed); the human-readable table/key names stay in the path.
-    fam = hashlib.md5(f"{table}|{'|'.join(bucket_cols)}".encode()).hexdigest()[:8]
+    # The LAYOUT family is (source path, table, bucket key): members of
+    # one family are content VERSIONS of the same layout, which is what
+    # makes a stale member safe to delete.  The same table bucketed on
+    # two different keys (orders on custkey for a customer join, orders
+    # on orderkey for a lineitem join) is two families — and so is the
+    # same (table, key) at two SCALE FACTORS (review r14-2 #1: a family
+    # that omitted the source path treated the sf0.01 layout as a stale
+    # version of the sf0.1 one and rmtree'd it).  The segment is a
+    # fixed-width hash of the '|'-joined identity (review r14 #3: a
+    # plain '_'.join(bucket_cols) segment is prefix-ambiguous —
+    # ['a','b_c'] vs ['a_b','c']); the human-readable table/key names
+    # stay in the path.  n_buckets is deliberately NOT family identity:
+    # resizing a layout supersedes the old size, which should be swept.
+    fam = hashlib.md5(
+        f"{os.path.abspath(src)}|{table}|{'|'.join(bucket_cols)}".encode()
+    ).hexdigest()[:8]
     keyseg = "-".join(bucket_cols)
     name = f"dbs_bucketfix_{table}_{fam}_{tag}"
     base = f"/tmp/dbs_bucketfix_{sfname}_{table}_{keyseg}_{tag}"

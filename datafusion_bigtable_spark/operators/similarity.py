@@ -575,9 +575,14 @@ def _reconcile_retrain_swap(path: str) -> None:
             os.rename(tmp, path)
         except OSError:
             # a concurrent reconciler won the roll-forward (tmp vanished
-            # or path appeared) — the store is healthy either way
+            # or path appeared) — or the rename failed for a non-race
+            # reason; the verification below decides which
             pass
-        if os.path.isdir(backup):
+        # never delete a recovery copy on faith (review r14-2 #2): only
+        # discard the backup once the store at `path` actually reads
+        if os.path.isdir(backup) and os.path.isfile(
+            os.path.join(path, "_ivf_meta.json")
+        ):
             shutil.rmtree(backup, ignore_errors=True)
         return
     if os.path.isdir(backup):

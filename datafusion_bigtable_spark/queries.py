@@ -2424,6 +2424,10 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         # returns StreamUpsertResult carrying per-batch drift records
         # (VERDICT r13 #6) — one dependent, no window pressure.
         # NOT operators.similarity: see _FULLGATE_PROVEN_MODULES below.
+        f"{_PKG}.operators.bucketing",  # r14: bucketed_fixture (new
+        # loader q13/q18 now execute) + drop_stale_family_tables routed
+        # into both r13 bucketed queries' sweeps — behavior-changing for
+        # exactly the four bucketed dependents, all of which reset here.
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset(
@@ -2448,10 +2452,9 @@ _TOUCHED_QUERIES: frozenset[str] = frozenset(
         "sim_index_drift",
         "sim_index_retrain",
         # r14 bucketed-fixture opt-in (VERDICT r13 #5): q13 now reads the
-        # custkey-bucketed copies of customer/orders.  operators.bucketing
-        # itself only GAINED bucketed_fixture (additive — the two r13
-        # bucketed_* queries call unchanged functions), so no module
-        # reset.
+        # custkey-bucketed copies of customer/orders.  (operators.bucketing
+        # is ALSO in _TOUCHED_MODULES — its four dependents reset either
+        # way; the explicit entries record the direct edits.)
         "tpch_q13_customer_distribution",
         # r14 bucketed-fixture opt-in #2 (orderkey layout): zero window
         # cost — q18 is an r9-cohort member already holding a slot.
@@ -4942,11 +4945,19 @@ def tpch_q18(spark, sf_dir):
     # aggregation — with the broadcast customer join in between, q18
     # runs with ZERO shuffle Exchanges end-to-end (plan pinned in
     # tests/test_bucketing.py).  Values oracle-identical to plain loads.
-    from datafusion_bigtable_spark.operators.bucketing import bucketed_fixture
+    import os
 
+    from datafusion_bigtable_spark.operators.bucketing import (
+        bucketed_fixture,
+        suggest_bucket_count,
+    )
+
+    nb = suggest_bucket_count(
+        [os.path.join(sf_dir, "orders.parquet"), os.path.join(sf_dir, "lineitem.parquet")]
+    )
     c = load(spark, sf_dir, "customer")
-    o = bucketed_fixture(spark, sf_dir, "orders", ["o_orderkey"])
-    l = bucketed_fixture(spark, sf_dir, "lineitem", ["l_orderkey"])
+    o = bucketed_fixture(spark, sf_dir, "orders", ["o_orderkey"], n_buckets=nb)
+    l = bucketed_fixture(spark, sf_dir, "lineitem", ["l_orderkey"], n_buckets=nb)
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -5571,10 +5582,22 @@ def tpch_q13(spark, sf_dir):
     # the tiny c_count histogram.  The layout is written once per
     # fixture generation and shared with every other custkey join.
     # Values are oracle-identical to the plain load (hash unchanged).
-    from datafusion_bigtable_spark.operators.bucketing import bucketed_fixture
+    import os
 
-    c = bucketed_fixture(spark, sf_dir, "customer", ["c_custkey"])
-    o = bucketed_fixture(spark, sf_dir, "orders", ["o_custkey"]).filter(
+    from datafusion_bigtable_spark.operators.bucketing import (
+        bucketed_fixture,
+        suggest_bucket_count,
+    )
+
+    # ONE count for the join family, sized off its largest member (both
+    # sides must agree for the exchange-free plan) — 16 at test scales
+    # (the floor), growing with the data so buckets stay in the
+    # 128 MB–1 GB band at real scale.
+    nb = suggest_bucket_count(
+        [os.path.join(sf_dir, "customer.parquet"), os.path.join(sf_dir, "orders.parquet")]
+    )
+    c = bucketed_fixture(spark, sf_dir, "customer", ["c_custkey"], n_buckets=nb)
+    o = bucketed_fixture(spark, sf_dir, "orders", ["o_custkey"], n_buckets=nb).filter(
         F.col("o_orderpriority") != "5-LOW"
     )
     return (

@@ -262,7 +262,10 @@ def test_two_layouts_of_same_table_coexist(spark, sf_dir):
     }
 
     def fam(cols):
-        return hashlib.md5(f"orders|{'|'.join(cols)}".encode()).hexdigest()[:8]
+        import os
+
+        src = os.path.abspath(os.path.join(str(sf_dir), "orders.parquet"))
+        return hashlib.md5(f"{src}|orders|{'|'.join(cols)}".encode()).hexdigest()[:8]
 
     assert fams == {
         f"dbs_bucketfix_orders_{fam(['o_custkey'])}",
@@ -388,3 +391,26 @@ def test_suggest_bucket_count_sizes_off_largest_family_member(tmp_path):
     )
     # power-of-two families sized at different times agree
     assert suggest_bucket_count([str(big)], target_bucket_bytes=700_000, minimum=4) == 16
+
+
+def test_layouts_of_same_table_across_scale_factors_coexist(spark):
+    """Review r14-2 #1: the family identity includes the SOURCE PATH, so
+    the same (table, key) at two scale factors is two families — loading
+    one must not rmtree the other's /tmp backing or drop its catalog
+    entry (the write-once-per-generation contract across sf dirs)."""
+    import glob
+
+    from datafusion_bigtable_spark.operators.bucketing import bucketed_fixture
+
+    a = bucketed_fixture(spark, "/root/testdata/sf0.001", "customer", ["c_custkey"])
+    n_a = a.count()
+    dirs_a = set(glob.glob("/tmp/dbs_bucketfix_sf0.001_customer_c_custkey_*"))
+    assert dirs_a
+    b = bucketed_fixture(spark, "/root/testdata/sf0.01", "customer", ["c_custkey"])
+    assert set(glob.glob("/tmp/dbs_bucketfix_sf0.001_customer_c_custkey_*")) == dirs_a, (
+        "sf0.01 load reclaimed the sf0.001 layout as stale"
+    )
+    assert b.count() != n_a
+    # and the sf0.001 fixture still reads (catalog entry or re-register)
+    a2 = bucketed_fixture(spark, "/root/testdata/sf0.001", "customer", ["c_custkey"])
+    assert a2.count() == n_a

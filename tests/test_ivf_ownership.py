@@ -675,10 +675,21 @@ def test_upsert_heals_mid_retrain_swap_crash(spark, sf_dir, tmp_path):
 
 
 def test_reconcile_retrain_swap_state_machine(tmp_path):
-    """Exhaustive crash-state pin for _reconcile_retrain_swap: for every
-    combination of (store, tmp, backup) present × complete/incomplete,
-    reconciliation must end with a readable store whenever ANY complete
-    copy existed, and must never delete the last complete copy."""
+    """Exhaustive crash-state pin for _reconcile_retrain_swap — all 27
+    (store, tmp, backup) × (absent/complete/incomplete) combinations,
+    asserting the EXACT contract per case (review r14-2 #3: the first
+    version exempted store-present-without-meta states, over-claiming
+    'readable whenever any complete copy existed'):
+
+    - store COMPLETE: never replaced; a leftover backup is reclaimed.
+    - store present WITHOUT meta: conservative no-op — the reconciler
+      must not guess, so tmp and backup survive untouched (a complete
+      backup is deliberately NOT promoted over an existing directory).
+    - store ABSENT: complete tmp rolls forward (meta at path, tmp gone,
+      backup reclaimed only after the store verifies); otherwise a
+      backup (even incomplete — it IS the pre-swap store) rolls back.
+    - in every case: the last complete copy is never destroyed.
+    """
     import itertools
     import json
     import os
@@ -694,6 +705,11 @@ def test_reconcile_retrain_swap_state_machine(tmp_path):
             with open(os.path.join(path, "_ivf_meta.json"), "w") as f:
                 json.dump({"nprobe": 1, "columns": []}, f)
 
+    def state(path):
+        if not os.path.isdir(path):
+            return None
+        return os.path.isfile(os.path.join(path, "_ivf_meta.json"))
+
     # states: None = absent, True = complete, False = dir without meta
     for i, (store, tmp, backup) in enumerate(
         itertools.product([None, True, False], repeat=3)
@@ -701,36 +717,32 @@ def test_reconcile_retrain_swap_state_machine(tmp_path):
         root = str(tmp_path / f"case{i}")
         os.makedirs(root)
         path = os.path.join(root, "store")
-        if store is not None:
-            mk(path, store)
-        if tmp is not None:
-            mk(path + "._retrain_tmp", tmp)
-        if backup is not None:
-            mk(path + "._retrain_old", backup)
+        tmp_p, bak_p = path + "._retrain_tmp", path + "._retrain_old"
+        for p, s in ((path, store), (tmp_p, tmp), (bak_p, backup)):
+            if s is not None:
+                mk(p, s)
 
         _reconcile_retrain_swap(path)
 
         case = f"case {i}: store={store} tmp={tmp} backup={backup}"
-        had_complete = True in (store, tmp, backup)
-        has_store_meta = os.path.isfile(os.path.join(path, "_ivf_meta.json"))
+        got = (state(path), state(tmp_p), state(bak_p))
         if store is True:
-            # an existing complete store is never replaced
-            assert has_store_meta, case
-        elif store is None and had_complete:
-            # some complete copy must have been promoted to `path`
-            # (roll forward beats roll back when both exist; an
-            # incomplete backup may win only when it was the only dir)
-            if tmp is True or backup is True:
-                assert os.path.isdir(path), case
-                if tmp is True:
-                    assert has_store_meta, case
-        # the last complete copy is never destroyed: SOME dir still
-        # holds a meta sidecar whenever one existed before
-        if had_complete:
-            survivors = [
-                p
-                for p in (path, path + "._retrain_tmp", path + "._retrain_old")
-                if os.path.isfile(os.path.join(p, "_ivf_meta.json"))
-            ]
-            assert survivors, case
+            # complete store kept; backup reclaimed; tmp left for the
+            # next retrain's own cleanup
+            assert got == (True, tmp, None), case
+        elif store is False:
+            # conservative no-op: nothing mutated, nothing deleted
+            assert got == (False, tmp, backup), case
+        elif tmp is True:
+            # roll forward; backup reclaimed only after path verified
+            assert got == (True, None, None), case
+        elif backup is not None:
+            # roll back whatever the pre-swap store was; tmp untouched
+            assert got == (backup, tmp, None), case
+        else:
+            # nothing usable existed; nothing invented
+            assert got == (None, tmp, None), case
+        # the last complete copy is never destroyed
+        if True in (store, tmp, backup):
+            assert True in got, case
         shutil.rmtree(root)
