@@ -234,12 +234,29 @@ def tpch_q6(spark, sf_dir):
     """,
 )
 def tpch_q10(spark, sf_dir):
+    # r14: third bucketed-fixture consumer, sharing q18's orderkey
+    # layouts exactly (content-addressed — the write was already paid).
+    # customer/nation are broadcast, so removing the l⋈o shuffle leaves
+    # ONE exchange: the final custkey-group aggregation (plan pinned in
+    # tests/test_bucketing.py).  Values oracle-identical.
+    import os
+
+    from datafusion_bigtable_spark.operators.bucketing import (
+        bucketed_fixture,
+        suggest_bucket_count,
+    )
+
+    nb = suggest_bucket_count(
+        [os.path.join(sf_dir, "orders.parquet"), os.path.join(sf_dir, "lineitem.parquet")]
+    )
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").filter(
+    o = bucketed_fixture(spark, sf_dir, "orders", ["o_orderkey"], n_buckets=nb).filter(
         (F.col("o_orderdate") >= F.lit("1996-10-01").cast("date"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
     )
-    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    l = bucketed_fixture(spark, sf_dir, "lineitem", ["l_orderkey"], n_buckets=nb).filter(
+        F.col("l_returnflag") == "R"
+    )
     n = load(spark, sf_dir, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
@@ -2459,6 +2476,9 @@ _TOUCHED_QUERIES: frozenset[str] = frozenset(
         # r14 bucketed-fixture opt-in #2 (orderkey layout): zero window
         # cost — q18 is an r9-cohort member already holding a slot.
         "tpch_q18_large_orders",
+        # r14 opt-in #3: q10 shares q18's orderkey layouts; its l⋈o
+        # shuffle disappears (3 exchanges → 1, the custkey agg).
+        "tpch_q10_returned_items",
     }
 )
 

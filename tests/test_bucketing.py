@@ -414,3 +414,16 @@ def test_layouts_of_same_table_across_scale_factors_coexist(spark):
     # and the sf0.001 fixture still reads (catalog entry or re-register)
     a2 = bucketed_fixture(spark, "/root/testdata/sf0.001", "customer", ["c_custkey"])
     assert a2.count() == n_a
+
+
+def test_q10_bucketed_fixture_leaves_only_the_agg_exchange(spark, sf_dir):
+    """Third consumer: q10 shares q18's orderkey layouts, its customer
+    and nation sides are broadcast, so the only shuffle left is the
+    final custkey-group aggregation."""
+    from datafusion_bigtable_spark import queries as q
+
+    df = q.REGISTRY["tpch_q10_returned_items"].fn(spark, str(sf_dir))
+    plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert "Exchange hashpartitioning(l_orderkey" not in plan, plan[:2000]
+    assert "Exchange hashpartitioning(o_orderkey" not in plan, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
