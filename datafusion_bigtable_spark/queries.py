@@ -2479,6 +2479,9 @@ _TOUCHED_QUERIES: frozenset[str] = frozenset(
         # r14 opt-in #3: q10 shares q18's orderkey layouts; its l⋈o
         # shuffle disappears (3 exchanges → 1, the custkey agg).
         "tpch_q10_returned_items",
+        # r14 opt-in #4: q22 shares q13's custkey layouts; the anti-join
+        # goes exchange-free (3 → 1, the mktsegment agg).
+        "tpch_q22_idle_rich_customers",
     }
 )
 
@@ -5090,8 +5093,26 @@ def tpch_q8(spark, sf_dir):
 def tpch_q22(spark, sf_dir):
     # Scalar subquery (global avg, computed once and broadcast as a
     # literal-like single-row plan) + anti join.
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    # r14: fourth bucketed-fixture consumer, sharing q13's custkey
+    # layouts (content-addressed — zero extra write).  The anti-join
+    # runs co-located with no exchange on either side; at 100 TB
+    # broadcasting orders' key column stops being an option, and the
+    # layout is what keeps NOT-EXISTS-shaped decontamination scans
+    # shuffle-free.  Only the tiny mktsegment aggregate shuffles
+    # (plan pinned in tests/test_bucketing.py).  Values
+    # oracle-identical.
+    import os
+
+    from datafusion_bigtable_spark.operators.bucketing import (
+        bucketed_fixture,
+        suggest_bucket_count,
+    )
+
+    nb = suggest_bucket_count(
+        [os.path.join(sf_dir, "customer.parquet"), os.path.join(sf_dir, "orders.parquet")]
+    )
+    c = bucketed_fixture(spark, sf_dir, "customer", ["c_custkey"], n_buckets=nb)
+    o = bucketed_fixture(spark, sf_dir, "orders", ["o_custkey"], n_buckets=nb)
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
     return (
         c.join(F.broadcast(avg_bal))

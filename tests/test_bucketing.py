@@ -427,3 +427,24 @@ def test_q10_bucketed_fixture_leaves_only_the_agg_exchange(spark, sf_dir):
     assert "Exchange hashpartitioning(l_orderkey" not in plan, plan[:2000]
     assert "Exchange hashpartitioning(o_orderkey" not in plan, plan[:2000]
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+def test_q22_bucketed_fixture_anti_join_is_exchange_free(spark, sf_dir):
+    """Fourth consumer: q22's NOT-EXISTS anti-join reads q13's custkey
+    layouts, so the only shuffle left is the tiny mktsegment aggregate
+    — the shape that keeps decontamination-style scans shuffle-free
+    when the right side outgrows broadcast."""
+    from datafusion_bigtable_spark import queries as q
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q.REGISTRY["tpch_q22_idle_rich_customers"].fn(spark, str(sf_dir))
+        plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    # at test SFs every rich customer has orders, so AQE may collapse
+    # the whole query to EmptyRelation (0 exchanges) — the pin is that
+    # NO custkey shuffle exists and at most the mktsegment agg shuffles
+    assert "Exchange hashpartitioning(c_custkey" not in plan, plan[:2000]
+    assert "Exchange hashpartitioning(o_custkey" not in plan, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]
