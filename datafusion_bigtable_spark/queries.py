@@ -2482,6 +2482,11 @@ _TOUCHED_QUERIES: frozenset[str] = frozenset(
         # r14 opt-in #4: q22 shares q13's custkey layouts; the anti-join
         # goes exchange-free (3 → 1, the mktsegment agg).
         "tpch_q22_idle_rich_customers",
+        # r14 opt-ins #5/#6 (orderkey layouts): q21's decorrelated plan
+        # keys every join+agg on orderkey (5 exchanges → 1); q4's semi
+        # join runs co-located.
+        "tpch_q21_waiting_suppliers",
+        "tpch_q4_order_priority",
     }
 )
 
@@ -4865,11 +4870,24 @@ def streaming_session_q(spark, sf_dir):
 def tpch_q4(spark, sf_dir):
     # Semi join with a non-equi residual: the equi key still drives the
     # shuffle; the date comparison is evaluated inside the join.
-    o = load(spark, sf_dir, "orders").filter(
+    # r14: sixth bucketed-fixture consumer — the semi join keys on
+    # orderkey, so the shared layouts run it co-located with zero
+    # exchanges; only the tiny priority rollup shuffles (plan pinned).
+    import os
+
+    from datafusion_bigtable_spark.operators.bucketing import (
+        bucketed_fixture,
+        suggest_bucket_count,
+    )
+
+    nb = suggest_bucket_count(
+        [os.path.join(sf_dir, "orders.parquet"), os.path.join(sf_dir, "lineitem.parquet")]
+    )
+    o = bucketed_fixture(spark, sf_dir, "orders", ["o_orderkey"], n_buckets=nb).filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
     )
-    l = load(spark, sf_dir, "lineitem")
+    l = bucketed_fixture(spark, sf_dir, "lineitem", ["l_orderkey"], n_buckets=nb)
     cond = (l.l_orderkey == o.o_orderkey) & (
         l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
     )
@@ -5406,21 +5424,45 @@ def tpch_q21(spark, sf_dir):
     # per-order supplier stats (distinct supplier count; late-supplier
     # set) joined back — one pass over lineitem for the stats instead of
     # two correlated probes.
-    l = load(spark, sf_dir, "lineitem")
-    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    # r14: fifth bucketed-fixture consumer — every join AND aggregation
+    # in the decorrelated plan keys on orderkey, so the shared orderkey
+    # layouts make l1⋈o, the order-stats l⋈o + groupBy(l_orderkey), and
+    # the l1⋈order_stats join-back ALL exchange-free; the only shuffle
+    # left is the tiny s_name rollup (plan pinned in
+    # tests/test_bucketing.py).  Values oracle-identical.
+    import os
+
+    from datafusion_bigtable_spark.operators.bucketing import (
+        bucketed_fixture,
+        suggest_bucket_count,
+    )
+
+    nb = suggest_bucket_count(
+        [os.path.join(sf_dir, "orders.parquet"), os.path.join(sf_dir, "lineitem.parquet")]
+    )
+    l = bucketed_fixture(spark, sf_dir, "lineitem", ["l_orderkey"], n_buckets=nb)
+    o = bucketed_fixture(spark, sf_dir, "orders", ["o_orderkey"], n_buckets=nb).filter(
+        F.col("o_orderstatus") == "F"
+    )
     s = load(spark, sf_dir, "supplier")
 
     l1 = l.join(o, l.l_orderkey == o.o_orderkey).filter(F.col("l_shipdate") > F.col("o_orderdate"))
-    # per order: #distinct suppliers; #distinct LATE suppliers
+    # per order: #distinct suppliers; #distinct LATE suppliers.
+    # Two-stage instead of a countDistinct PAIR: multi-distinct rewrites
+    # into an Expand whose grouping destroys the scan's partitioning
+    # (three extra exchanges under the bucketed layout).  Aggregating by
+    # (orderkey, suppkey) first keeps every stage clustered by the
+    # bucket key — identical values, exchange-free plan.
     order_stats = (
         l.join(o.select("o_orderkey", "o_orderdate"), l.l_orderkey == F.col("o_orderkey"))
-        .groupBy(F.col("l_orderkey").alias("ok"))
+        .groupBy(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct(
-                F.when(F.col("l_shipdate") > F.col("o_orderdate"), F.col("l_suppkey"))
-            ).alias("n_late"),
+            F.max(
+                F.when(F.col("l_shipdate") > F.col("o_orderdate"), 1).otherwise(0)
+            ).alias("late")
         )
+        .groupBy("ok")
+        .agg(F.count("*").alias("n_supp"), F.sum("late").alias("n_late"))
     )
     j = l1.join(order_stats, l1.l_orderkey == F.col("ok"))
     # EXISTS other supplier: n_supp >= 2; NOT EXISTS other late: n_late == 1

@@ -448,3 +448,39 @@ def test_q22_bucketed_fixture_anti_join_is_exchange_free(spark, sf_dir):
     assert "Exchange hashpartitioning(c_custkey" not in plan, plan[:2000]
     assert "Exchange hashpartitioning(o_custkey" not in plan, plan[:2000]
     assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]
+
+
+def test_q21_bucketed_fixture_leaves_only_the_name_rollup_exchange(spark, sf_dir):
+    """Fifth consumer: q21's decorrelated plan keys every join and its
+    per-order aggregation on orderkey — the shared layouts run l1⋈o,
+    the order-stats l⋈o + groupBy(l_orderkey), and the join-back all
+    co-located, leaving only the tiny s_name rollup shuffle."""
+    from datafusion_bigtable_spark import queries as q
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q.REGISTRY["tpch_q21_waiting_suppliers"].fn(spark, str(sf_dir))
+        plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "Exchange hashpartitioning(l_orderkey" not in plan, plan[:2000]
+    assert "Exchange hashpartitioning(o_orderkey" not in plan, plan[:2000]
+    assert "Exchange hashpartitioning(ok" not in plan, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]
+
+
+def test_q4_bucketed_fixture_semi_join_is_exchange_free(spark, sf_dir):
+    """Sixth consumer: q4's EXISTS semi-join keys on orderkey — the
+    shared layouts run it co-located; only the priority rollup can
+    shuffle."""
+    from datafusion_bigtable_spark import queries as q
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q.REGISTRY["tpch_q4_order_priority"].fn(spark, str(sf_dir))
+        plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "Exchange hashpartitioning(o_orderkey" not in plan, plan[:2000]
+    assert "Exchange hashpartitioning(l_orderkey" not in plan, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]
