@@ -128,6 +128,46 @@ def suggest_bucket_count(
     return 1 << (need - 1).bit_length()
 
 
+def custkey_family(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """THE custkey join family: (customer, orders) bucketed on custkey.
+
+    Family membership and the shared bucket count are defined exactly
+    once here (review r14-3 #4: six inline copies of the member list
+    meant one divergent copy would re-size its fixtures into a layout
+    the sweep treats as a stale version of the others' — a permanent
+    drop/rewrite cycle).  Every consumer of the custkey layout calls
+    this; a new member is added HERE so the whole family re-sizes
+    together.
+    """
+    import os
+
+    paths = [
+        os.path.join(sf_dir, "customer.parquet"),
+        os.path.join(sf_dir, "orders.parquet"),
+    ]
+    nb = suggest_bucket_count(paths)
+    return (
+        bucketed_fixture(spark, sf_dir, "customer", ["c_custkey"], n_buckets=nb),
+        bucketed_fixture(spark, sf_dir, "orders", ["o_custkey"], n_buckets=nb),
+    )
+
+
+def orderkey_family(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """THE orderkey join family: (orders, lineitem) bucketed on orderkey.
+    See :func:`custkey_family` for why membership lives here."""
+    import os
+
+    paths = [
+        os.path.join(sf_dir, "orders.parquet"),
+        os.path.join(sf_dir, "lineitem.parquet"),
+    ]
+    nb = suggest_bucket_count(paths)
+    return (
+        bucketed_fixture(spark, sf_dir, "orders", ["o_orderkey"], n_buckets=nb),
+        bucketed_fixture(spark, sf_dir, "lineitem", ["l_orderkey"], n_buckets=nb),
+    )
+
+
 def drop_stale_family_tables(spark: SparkSession, prefix: str, keep: str) -> None:
     """Catalog + DISK hygiene for one content-addressed layout family.
 

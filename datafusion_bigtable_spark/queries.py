@@ -239,24 +239,15 @@ def tpch_q10(spark, sf_dir):
     # customer/nation are broadcast, so removing the l⋈o shuffle leaves
     # ONE exchange: the final custkey-group aggregation (plan pinned in
     # tests/test_bucketing.py).  Values oracle-identical.
-    import os
+    from datafusion_bigtable_spark.operators.bucketing import orderkey_family
 
-    from datafusion_bigtable_spark.operators.bucketing import (
-        bucketed_fixture,
-        suggest_bucket_count,
-    )
-
-    nb = suggest_bucket_count(
-        [os.path.join(sf_dir, "orders.parquet"), os.path.join(sf_dir, "lineitem.parquet")]
-    )
     c = load(spark, sf_dir, "customer")
-    o = bucketed_fixture(spark, sf_dir, "orders", ["o_orderkey"], n_buckets=nb).filter(
+    o, l = orderkey_family(spark, sf_dir)
+    o = o.filter(
         (F.col("o_orderdate") >= F.lit("1996-10-01").cast("date"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
     )
-    l = bucketed_fixture(spark, sf_dir, "lineitem", ["l_orderkey"], n_buckets=nb).filter(
-        F.col("l_returnflag") == "R"
-    )
+    l = l.filter(F.col("l_returnflag") == "R")
     n = load(spark, sf_dir, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
@@ -4873,21 +4864,13 @@ def tpch_q4(spark, sf_dir):
     # r14: sixth bucketed-fixture consumer — the semi join keys on
     # orderkey, so the shared layouts run it co-located with zero
     # exchanges; only the tiny priority rollup shuffles (plan pinned).
-    import os
+    from datafusion_bigtable_spark.operators.bucketing import orderkey_family
 
-    from datafusion_bigtable_spark.operators.bucketing import (
-        bucketed_fixture,
-        suggest_bucket_count,
-    )
-
-    nb = suggest_bucket_count(
-        [os.path.join(sf_dir, "orders.parquet"), os.path.join(sf_dir, "lineitem.parquet")]
-    )
-    o = bucketed_fixture(spark, sf_dir, "orders", ["o_orderkey"], n_buckets=nb).filter(
+    o, l = orderkey_family(spark, sf_dir)
+    o = o.filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
     )
-    l = bucketed_fixture(spark, sf_dir, "lineitem", ["l_orderkey"], n_buckets=nb)
     cond = (l.l_orderkey == o.o_orderkey) & (
         l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
     )
@@ -4986,19 +4969,10 @@ def tpch_q18(spark, sf_dir):
     # aggregation — with the broadcast customer join in between, q18
     # runs with ZERO shuffle Exchanges end-to-end (plan pinned in
     # tests/test_bucketing.py).  Values oracle-identical to plain loads.
-    import os
+    from datafusion_bigtable_spark.operators.bucketing import orderkey_family
 
-    from datafusion_bigtable_spark.operators.bucketing import (
-        bucketed_fixture,
-        suggest_bucket_count,
-    )
-
-    nb = suggest_bucket_count(
-        [os.path.join(sf_dir, "orders.parquet"), os.path.join(sf_dir, "lineitem.parquet")]
-    )
     c = load(spark, sf_dir, "customer")
-    o = bucketed_fixture(spark, sf_dir, "orders", ["o_orderkey"], n_buckets=nb)
-    l = bucketed_fixture(spark, sf_dir, "lineitem", ["l_orderkey"], n_buckets=nb)
+    o, l = orderkey_family(spark, sf_dir)
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -5119,18 +5093,9 @@ def tpch_q22(spark, sf_dir):
     # shuffle-free.  Only the tiny mktsegment aggregate shuffles
     # (plan pinned in tests/test_bucketing.py).  Values
     # oracle-identical.
-    import os
+    from datafusion_bigtable_spark.operators.bucketing import custkey_family
 
-    from datafusion_bigtable_spark.operators.bucketing import (
-        bucketed_fixture,
-        suggest_bucket_count,
-    )
-
-    nb = suggest_bucket_count(
-        [os.path.join(sf_dir, "customer.parquet"), os.path.join(sf_dir, "orders.parquet")]
-    )
-    c = bucketed_fixture(spark, sf_dir, "customer", ["c_custkey"], n_buckets=nb)
-    o = bucketed_fixture(spark, sf_dir, "orders", ["o_custkey"], n_buckets=nb)
+    c, o = custkey_family(spark, sf_dir)
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
     return (
         c.join(F.broadcast(avg_bal))
@@ -5430,20 +5395,10 @@ def tpch_q21(spark, sf_dir):
     # the l1⋈order_stats join-back ALL exchange-free; the only shuffle
     # left is the tiny s_name rollup (plan pinned in
     # tests/test_bucketing.py).  Values oracle-identical.
-    import os
+    from datafusion_bigtable_spark.operators.bucketing import orderkey_family
 
-    from datafusion_bigtable_spark.operators.bucketing import (
-        bucketed_fixture,
-        suggest_bucket_count,
-    )
-
-    nb = suggest_bucket_count(
-        [os.path.join(sf_dir, "orders.parquet"), os.path.join(sf_dir, "lineitem.parquet")]
-    )
-    l = bucketed_fixture(spark, sf_dir, "lineitem", ["l_orderkey"], n_buckets=nb)
-    o = bucketed_fixture(spark, sf_dir, "orders", ["o_orderkey"], n_buckets=nb).filter(
-        F.col("o_orderstatus") == "F"
-    )
+    o, l = orderkey_family(spark, sf_dir)
+    o = o.filter(F.col("o_orderstatus") == "F")
     s = load(spark, sf_dir, "supplier")
 
     l1 = l.join(o, l.l_orderkey == o.o_orderkey).filter(F.col("l_shipdate") > F.col("o_orderdate"))
@@ -5462,7 +5417,16 @@ def tpch_q21(spark, sf_dir):
             ).alias("late")
         )
         .groupBy("ok")
-        .agg(F.count("*").alias("n_supp"), F.sum("late").alias("n_late"))
+        # count(sk)/sum-over-non-null, NOT count(*): countDistinct (and
+        # the oracle's NULL-false <> correlation) ignore NULL suppkeys,
+        # so a NULL-suppkey group must not count as "another supplier"
+        # (review r14-3 #2; latent — the fixtures carry no NULL keys).
+        .agg(
+            F.count("sk").alias("n_supp"),
+            F.sum(F.when(F.col("sk").isNotNull(), F.col("late")).otherwise(0)).alias(
+                "n_late"
+            ),
+        )
     )
     j = l1.join(order_stats, l1.l_orderkey == F.col("ok"))
     # EXISTS other supplier: n_supp >= 2; NOT EXISTS other late: n_late == 1
@@ -5665,24 +5629,13 @@ def tpch_q13(spark, sf_dir):
     # the tiny c_count histogram.  The layout is written once per
     # fixture generation and shared with every other custkey join.
     # Values are oracle-identical to the plain load (hash unchanged).
-    import os
-
-    from datafusion_bigtable_spark.operators.bucketing import (
-        bucketed_fixture,
-        suggest_bucket_count,
-    )
+    from datafusion_bigtable_spark.operators.bucketing import custkey_family
 
     # ONE count for the join family, sized off its largest member (both
-    # sides must agree for the exchange-free plan) — 16 at test scales
-    # (the floor), growing with the data so buckets stay in the
-    # 128 MB–1 GB band at real scale.
-    nb = suggest_bucket_count(
-        [os.path.join(sf_dir, "customer.parquet"), os.path.join(sf_dir, "orders.parquet")]
-    )
-    c = bucketed_fixture(spark, sf_dir, "customer", ["c_custkey"], n_buckets=nb)
-    o = bucketed_fixture(spark, sf_dir, "orders", ["o_custkey"], n_buckets=nb).filter(
-        F.col("o_orderpriority") != "5-LOW"
-    )
+    # sides must agree for the exchange-free plan) — membership and
+    # sizing live in custkey_family, shared by every consumer.
+    c, o = custkey_family(spark, sf_dir)
+    o = o.filter(F.col("o_orderpriority") != "5-LOW")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .groupBy("c_custkey")

@@ -418,12 +418,20 @@ def test_layouts_of_same_table_across_scale_factors_coexist(spark):
 
 def test_q10_bucketed_fixture_leaves_only_the_agg_exchange(spark, sf_dir):
     """Third consumer: q10 shares q18's orderkey layouts, its customer
-    and nation sides are broadcast, so the only shuffle left is the
-    final custkey-group aggregation."""
+    and nation sides are broadcast (explicit hints — they survive the
+    disabled threshold), so the only shuffle left is the final
+    custkey-group aggregation.  The threshold is disabled so the l⋈o
+    side cannot be auto-broadcast at test scale — without it the pin
+    passes even on plain loads (review r14-3 #1)."""
     from datafusion_bigtable_spark import queries as q
 
-    df = q.REGISTRY["tpch_q10_returned_items"].fn(spark, str(sf_dir))
-    plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q.REGISTRY["tpch_q10_returned_items"].fn(spark, str(sf_dir))
+        plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "SortMergeJoin" in plan, plan[:1200]
     assert "Exchange hashpartitioning(l_orderkey" not in plan, plan[:2000]
     assert "Exchange hashpartitioning(o_orderkey" not in plan, plan[:2000]
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
