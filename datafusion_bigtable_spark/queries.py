@@ -7670,3 +7670,154 @@ def bucketed_agg_order_stats_q(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
         )
     )
+
+
+@query(
+    "retrieval_sparse_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x != '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (SELECT tf.doc_id, tf.term, tf.tf * ln(n.n_docs::DOUBLE / dfq.df) AS wt
+          FROM tf JOIN dfq USING (term) CROSS JOIN n
+          WHERE dfq.df <= 0.5 * n.n_docs),
+    sc AS (SELECT q.doc_id AS query_id, w.doc_id AS neighbor_id,
+                  ROUND(SUM(w.wt * q.wt), 4) AS score
+           FROM w JOIN w q USING (term)
+           WHERE q.doc_id % 50 = 0 AND w.doc_id <> q.doc_id
+           GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, score, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rk
+      FROM sc) t
+    WHERE rk <= 3
+    """,
+)
+def retrieval_sparse_topk_q(spark, sf_dir):
+    # Sparse lexical retrieval (operators/retrieval.py): TF-IDF inverted
+    # index with stop-posting pruning (df > N/2 dropped — the bound that
+    # keeps posting lists sublinear in the corpus), broadcast query
+    # postings matched map-side against the index, ONE scoring shuffle of
+    # only the matched pairs, top-3 per query by (rounded score, id).
+    # The dense twin is sim_topk_* — together they are the two retrieval
+    # modalities a decontamination/near-dup sweep runs.  The oracle
+    # rebuilds index + scores from scratch in SQL: a pruning mismatch, a
+    # missing candidate, or a weight drift all hash-mismatch.
+    from datafusion_bigtable_spark.operators.retrieval import sparse_topk
+
+    d = load(spark, sf_dir, "documents")
+    return sparse_topk(d, F.col("doc_id") % 50 == 0, k=3, max_df_frac=0.5)
+
+
+@query(
+    "shards_compact_roundtrip",
+    """
+    WITH t AS (
+      SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS INT64) % 8 AS shard_id,
+             doc_id,
+             CAST(('0x' || substr(md5(text),1,8)) AS INT64) AS fp
+      FROM documents)
+    SELECT shard_id, COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(SUM(fp) AS BIGINT) AS text_fp
+    FROM t GROUP BY shard_id
+    """,
+)
+def shards_compact_roundtrip_q(spark, sf_dir):
+    # Small-file compaction (sources/layout.py): deliberately fragment a
+    # shard store (maxRecordsPerFile=32 → every shard lands many small
+    # files, the accretion state every incremental-ingest store reaches),
+    # compact it (target 100k → exactly 1 file per shard here), and read
+    # the COMPACTED files back.  The returned per-shard rollup carries an
+    # order-insensitive content fingerprint (sum of md5-prefix ints over
+    # text), so a row lost, duplicated, or cross-shard-misplaced by the
+    # rewrite hash-mismatches against the oracle, which computes the same
+    # rollup straight from the source table.  File-count/rewrite-avoidance
+    # mechanics are pinned in tests/test_layout.py; fresh store per run
+    # because the compaction path itself is under test.
+    import hashlib
+    import os
+    import shutil
+
+    from datafusion_bigtable_spark.sources.layout import compact_training_shards
+    from datafusion_bigtable_spark.sources.shards import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"compact1|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/dbs_compact_{os.path.basename(os.path.normpath(sf_dir))}_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    d = load(spark, sf_dir, "documents").select(
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+            F.lit(8),
+        ).alias("shard_id"),
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("long").alias("fp"),
+    )
+    write_training_shards(d, path, max_records_per_file=32)
+    compact_training_shards(spark, path, target_records_per_file=100_000)
+    return (
+        read_training_shards(spark, path)
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.sum("fp").alias("text_fp"),
+        )
+    )
+
+
+@query(
+    "sorted_shards_range_layout",
+    """
+    WITH t AS (SELECT doc_id, n_chars * 1000000 + doc_id AS ck FROM documents),
+    r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY ck) AS rn,
+                 COUNT(*) OVER () AS cnt
+          FROM t)
+    SELECT doc_id, CAST((rn * 8 + cnt - 1) // cnt AS INT) AS shard_id FROM r
+    """,
+)
+def sorted_shards_range_layout_q(spark, sf_dir):
+    # Range-sorted shard layout (sources/layout.py): the terasort shape —
+    # exact distributed order-statistics pick the 7 boundary values of the
+    # unique key (n_chars·1e6 + doc_id), every row is assigned its shard
+    # by broadcast boundary comparison, and the store is written range-
+    # disjoint + internally sorted with ONE data shuffle and no global
+    # single-node sort.  The query reads the store BACK (shard_id comes
+    # from the partition directories, proving the write) and the oracle
+    # derives each doc's shard by the independent rank-math spec —
+    # ceil(rank·8/count) — so the two sides agree only if the
+    # boundary-selection + comparison assignment implements balanced
+    # global ranges exactly.  Disjointness/sortedness of the files are
+    # pinned in tests/test_layout.py.  Deterministic boundaries are the
+    # point: repartitionByRange alone SAMPLES its boundaries, which a
+    # reproducible layout (and this oracle) cannot tolerate.
+    import hashlib
+    import os
+    import shutil
+
+    from datafusion_bigtable_spark.sources.layout import write_range_sorted_shards
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"rangesort1|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/dbs_rangesort_{os.path.basename(os.path.normpath(sf_dir))}_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("n_chars") * 1_000_000 + F.col("doc_id")).alias("ck")
+    )
+    write_range_sorted_shards(d, path, order_col="ck", n_shards=8)
+    return spark.read.parquet(path).select("doc_id", "shard_id")

@@ -1,0 +1,242 @@
+"""Storage-layout maintenance for shard stores: small-file compaction and
+range-sorted (globally ordered) shard production.
+
+No reference analogue — the reference is READ_ONLY over Bigtable
+(src/datasource.rs:23,84) and never owns a file layout.  These are the
+two layout jobs a 100 TB training-data store runs continuously:
+
+**Compaction** (`compact_training_shards`): streaming/incremental ingest
+(sources/shards.py, streaming/cells_stream.py) accretes many small files
+per shard; every downstream scan then pays O(files) footer reads and
+task-schedule overhead.  The compactor is O(small shards), never
+O(store): it plans from the filesystem listing + parquet footers (names
+and metadata only, zero data reads), rewrites ONLY shards whose file
+count exceeds what their row count needs, and swaps each rewritten shard
+directory atomically behind a pending marker so a crash at any point
+leaves a store that `reconcile_compaction` restores from disk truth —
+the same marker discipline as the IVF manifest
+(operators/similarity.py::_reconcile_pending_manifest).
+
+**Range-sorted shards** (`write_range_sorted_shards`): the terasort
+shape.  A training run that wants curriculum order (or a store that
+wants range-prunable shards) needs a TOTAL order across shard files
+without a single-node sort.  Boundaries come from the distributed
+exact order-statistics selector (operators/stats.py — P+boundary rows
+to the driver, never the data), so shard membership is a DETERMINISTIC
+function of the data, not of Spark's runtime boundary sampling
+(`repartitionByRange` alone samples nondeterministically — fine for an
+opaque sort, wrong for a reproducible layout a re-run must reproduce
+byte-for-byte).  Each row's shard is then a broadcast
+boundary-array comparison (zero extra shuffle beyond the one hash
+exchange into shards), rows are sorted within shards at write, and the
+resulting shards are range-disjoint: shard i's max key < shard i+1's
+min key, so a range predicate prunes whole shard directories and a
+global-order consumer just concatenates shards in id order.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import glob
+import json
+import math
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from datafusion_bigtable_spark.sources.shards import MANIFEST_DIR
+
+_COMPACT_MARKER = "_compact.pending.json"
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction
+# ---------------------------------------------------------------------------
+
+
+def shard_file_stats(path: str, shard_col: str = "shard_id") -> dict[int, dict]:
+    """Per-shard ``{files, rows}`` from directory listings + parquet
+    footers — metadata only, no data pages read, no Spark job.  At scale
+    the listing is O(files) NAMES on the driver (the same cost every
+    planner pays); rows come from footers, which compaction needs anyway
+    to size its output."""
+    import pyarrow.parquet as pq
+
+    out: dict[int, dict] = {}
+    for d in glob.glob(os.path.join(path, f"{shard_col}=*")):
+        shard = int(os.path.basename(d).split("=", 1)[1])
+        files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        out[shard] = {"files": len(files), "rows": rows}
+    return out
+
+
+def reconcile_compaction(path: str) -> None:
+    """Heal a crash mid-swap.  The swap protocol per shard is:
+
+    1. marker written (shard id + tmp dir recorded)
+    2. ``shard=K`` → ``._compact_old_K``  (live dir vanishes)
+    3. ``tmp/shard=K`` → ``shard=K``      (live dir returns, compacted)
+    4. backup + marker removed
+
+    A surviving marker therefore means one of two disk states, both
+    decidable without guessing: live dir PRESENT → the swap completed
+    (crash between 3 and 4): drop the backup.  Live dir ABSENT → the
+    swap half-ran (crash between 2 and 3): restore the backup.  Either
+    way every row is still on disk in exactly one committed directory —
+    the marker only ever brackets RENAMES, never deletes of live data.
+    Safe to run unconditionally; no-op without a marker."""
+    marker = os.path.join(path, _COMPACT_MARKER)
+    if not os.path.exists(marker):
+        return
+    with open(marker) as f:
+        state = json.load(f)
+    shard_col, shard = state["shard_col"], int(state["shard"])
+    live = os.path.join(path, f"{shard_col}={shard}")
+    backup = os.path.join(path, f"._compact_old_{shard}")
+    if os.path.exists(live):
+        shutil.rmtree(backup, ignore_errors=True)
+    elif os.path.exists(backup):
+        os.rename(backup, live)
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(marker)
+
+
+def compact_training_shards(
+    spark: SparkSession,
+    path: str,
+    *,
+    shard_col: str = "shard_id",
+    target_records_per_file: int = 100_000,
+    refresh_manifest: bool = True,
+) -> dict[int, dict]:
+    """Rewrite every shard whose file count exceeds
+    ``ceil(rows / target_records_per_file)`` into exactly that many
+    files; leave right-sized shards byte-untouched (rewrite avoidance is
+    the contract — compaction cost is O(fragmented shards), not
+    O(store)).  Returns the plan: ``{shard: {files, rows, target_files}}``
+    for the shards actually rewritten.
+
+    One Spark job reads ONLY the selected shards (partition-pruned scan),
+    re-buckets them with ``maxRecordsPerFile``, and writes to a temp root;
+    each shard directory is then swapped atomically behind a pending
+    marker (crash recovery: `reconcile_compaction`, run here first and
+    cheap enough to run before any read)."""
+    reconcile_compaction(path)
+    stats = shard_file_stats(path, shard_col)
+    plan = {
+        s: {**st, "target_files": max(1, math.ceil(st["rows"] / target_records_per_file))}
+        for s, st in stats.items()
+        if st["files"] > max(1, math.ceil(st["rows"] / target_records_per_file))
+    }
+    if not plan:
+        return {}
+    tmp = os.path.join(path, "._compact_tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    selected = sorted(plan)
+    # one partition-pruned job over just the fragmented shards; repartition
+    # on the shard column so each shard's rows coalesce before the write
+    df = spark.read.parquet(path).filter(F.col(shard_col).isin(selected))
+    (
+        df.repartition(len(selected), F.col(shard_col))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", target_records_per_file)
+        .partitionBy(shard_col)
+        .parquet(tmp)
+    )
+    # verify the rewrite from footers BEFORE any swap: a short write must
+    # never replace a complete shard (mirrors retrain's verify-then-swap)
+    new_stats = shard_file_stats(tmp, shard_col)
+    for s in selected:
+        if new_stats.get(s, {}).get("rows") != plan[s]["rows"]:
+            raise RuntimeError(
+                f"compaction aborted: rewritten shard {s} has "
+                f"{new_stats.get(s, {}).get('rows')} rows, expected {plan[s]['rows']}; "
+                f"store untouched, temp left at {tmp} for inspection"
+            )
+    for s in selected:
+        live = os.path.join(path, f"{shard_col}={s}")
+        backup = os.path.join(path, f"._compact_old_{s}")
+        shutil.rmtree(backup, ignore_errors=True)
+        with open(os.path.join(path, _COMPACT_MARKER), "w") as f:
+            json.dump({"shard_col": shard_col, "shard": s}, f)
+        os.rename(live, backup)
+        os.rename(os.path.join(tmp, f"{shard_col}={s}"), live)
+        shutil.rmtree(backup)
+        os.remove(os.path.join(path, _COMPACT_MARKER))
+    shutil.rmtree(tmp, ignore_errors=True)
+    if refresh_manifest:
+        _refresh_manifest(spark, path, shard_col)
+    return plan
+
+
+def _refresh_manifest(spark: SparkSession, path: str, shard_col: str) -> None:
+    """Rewrite the shard manifest from footer truth — O(files) metadata,
+    zero data reads, same (shard, n_rows, n_files) schema as the sink's
+    (sources/shards.py::write_training_shards)."""
+    stats = shard_file_stats(path, shard_col)
+    rows = [(int(s), int(st["rows"]), int(st["files"])) for s, st in sorted(stats.items())]
+    spark.createDataFrame(rows, f"{shard_col} int, n_rows bigint, n_files bigint").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(path, MANIFEST_DIR))
+
+
+# ---------------------------------------------------------------------------
+# Range-sorted shard layout
+# ---------------------------------------------------------------------------
+
+
+def write_range_sorted_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    order_col: str,
+    n_shards: int,
+    shard_col: str = "shard_id",
+) -> list:
+    """Write ``df`` as ``n_shards`` range-disjoint, internally sorted
+    shard directories under ``path`` — a deterministic total order across
+    ``shard_id ASC, order_col ASC`` with no global single-node sort.
+
+    ``order_col`` must be UNIQUE (build a composite key first if needed:
+    uniqueness is what makes shard membership, and therefore the layout,
+    a pure function of the data).  Shard of a row with global rank r
+    (1-indexed over order_col ASC) is ``ceil(r·n/count)`` — the balanced
+    rank-math spec; the implementation never computes global ranks,
+    it selects the n-1 boundary VALUES at ranks ``floor(i·count/n)``
+    with the distributed order-statistics operator (P+n driver rows) and
+    assigns each row by broadcast boundary comparison.  Returns the
+    boundary values (ascending).
+
+    Scale: one count job, one boundary-selection job (its own
+    range-exchange over the key column only), then ONE hash exchange of
+    the data into shards + a per-task sort — the terasort plan.  Range
+    disjointness means a consumer reading shards in id order sees the
+    global order as a file concat, and a predicate on ``order_col``
+    prunes whole shard directories by the boundaries."""
+    from datafusion_bigtable_spark.operators.stats import order_statistics_df
+
+    count = df.count()
+    if count < n_shards:
+        raise ValueError(f"n_shards={n_shards} exceeds row count {count}")
+    cut_ranks = sorted({count * i // n_shards for i in range(1, n_shards)})
+    bounds = [
+        r["_v"]
+        for r in order_statistics_df(df, order_col, cut_ranks)
+        .orderBy("_rk")
+        .collect()
+    ]
+    barr = F.array(*[F.lit(b) for b in bounds])
+    shard = (
+        F.size(F.filter(barr, lambda b: b < F.col(order_col))) + F.lit(1)
+    ).cast("int")
+    (
+        df.withColumn(shard_col, shard)
+        .repartition(n_shards, F.col(shard_col))
+        .sortWithinPartitions(shard_col, order_col)
+        .write.mode("overwrite")
+        .partitionBy(shard_col)
+        .parquet(path)
+    )
+    return bounds

@@ -1,0 +1,175 @@
+"""Storage-layout maintenance (sources/layout.py): compaction file-count
+mechanics, rewrite avoidance, crash reconciliation (both decidable disk
+states), and the range-sorted layout's disjointness + sortedness — the
+parts the registry queries' value-hash oracles cannot see."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_bigtable_spark.sources.layout import (
+    _COMPACT_MARKER,
+    compact_training_shards,
+    reconcile_compaction,
+    shard_file_stats,
+    write_range_sorted_shards,
+)
+from datafusion_bigtable_spark.sources.shards import (
+    read_shard_manifest,
+    read_training_shards,
+    write_training_shards,
+)
+
+
+def _docs(spark, n=200, n_shards=4):
+    return spark.range(n).select(
+        F.pmod(F.col("id"), F.lit(n_shards)).cast("int").alias("shard_id"),
+        F.col("id").alias("doc_id"),
+        F.sha1(F.col("id").cast("string")).alias("text"),
+    )
+
+
+def _files(path, shard):
+    return sorted(glob.glob(os.path.join(path, f"shard_id={shard}", "*.parquet")))
+
+
+def test_compact_merges_small_files_and_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "store")
+    write_training_shards(_docs(spark), path, max_records_per_file=10)
+    before = shard_file_stats(path)
+    assert all(st["files"] == 5 for st in before.values())  # 50 rows / 10
+    plan = compact_training_shards(spark, path, target_records_per_file=1000)
+    assert sorted(plan) == [0, 1, 2, 3]
+    after = shard_file_stats(path)
+    assert all(st["files"] == 1 for st in after.values())
+    assert {s: st["rows"] for s, st in after.items()} == {
+        s: st["rows"] for s, st in before.items()
+    }
+    # content roundtrip, not just counts
+    got = sorted(r.doc_id for r in read_training_shards(spark, path).collect())
+    assert got == list(range(200))
+    # manifest refreshed to the compacted file counts
+    man = {r.shard_id: r.n_files for r in read_shard_manifest(spark, path).collect()}
+    assert man == {0: 1, 1: 1, 2: 1, 3: 1}
+
+
+def test_compact_skips_right_sized_shards(spark, tmp_path):
+    """Rewrite avoidance: a second compaction is a no-op and the files of
+    an already-compacted shard are byte-identical (same inode paths)."""
+    path = str(tmp_path / "store")
+    write_training_shards(_docs(spark), path, max_records_per_file=10)
+    compact_training_shards(spark, path, target_records_per_file=1000)
+    names_before = {s: _files(path, s) for s in range(4)}
+    mtimes_before = {s: [os.stat(f).st_mtime_ns for f in fs] for s, fs in names_before.items()}
+    assert compact_training_shards(spark, path, target_records_per_file=1000) == {}
+    assert {s: _files(path, s) for s in range(4)} == names_before
+    assert {
+        s: [os.stat(f).st_mtime_ns for f in fs] for s, fs in names_before.items()
+    } == mtimes_before
+
+
+def test_compact_reconcile_restores_half_swapped_shard(spark, tmp_path):
+    """Crash between live→backup and tmp→live: marker present, live dir
+    absent — reconcile must restore the backup (no row lost)."""
+    path = str(tmp_path / "store")
+    write_training_shards(_docs(spark), path, max_records_per_file=10)
+    live = os.path.join(path, "shard_id=2")
+    backup = os.path.join(path, "._compact_old_2")
+    os.rename(live, backup)
+    with open(os.path.join(path, _COMPACT_MARKER), "w") as f:
+        json.dump({"shard_col": "shard_id", "shard": 2}, f)
+    reconcile_compaction(path)
+    assert os.path.isdir(live) and not os.path.exists(backup)
+    assert not os.path.exists(os.path.join(path, _COMPACT_MARKER))
+    assert read_training_shards(spark, path).count() == 200
+
+
+def test_compact_reconcile_completes_finished_swap(spark, tmp_path):
+    """Crash between tmp→live and cleanup: marker + backup present, live
+    dir present — reconcile keeps the NEW files and drops the backup."""
+    path = str(tmp_path / "store")
+    write_training_shards(_docs(spark), path, max_records_per_file=10)
+    compact_training_shards(spark, path, target_records_per_file=1000)
+    live_files = _files(path, 1)
+    backup = os.path.join(path, "._compact_old_1")
+    os.makedirs(backup)  # stale pre-swap copy the crash left behind
+    with open(os.path.join(path, _COMPACT_MARKER), "w") as f:
+        json.dump({"shard_col": "shard_id", "shard": 1}, f)
+    reconcile_compaction(path)
+    assert _files(path, 1) == live_files
+    assert not os.path.exists(backup)
+    assert not os.path.exists(os.path.join(path, _COMPACT_MARKER))
+
+
+def test_compact_verify_aborts_on_short_rewrite(spark, tmp_path, monkeypatch):
+    """A rewrite that lost rows must abort BEFORE any swap — the live
+    store stays exactly as it was."""
+    import datafusion_bigtable_spark.sources.layout as layout
+
+    path = str(tmp_path / "store")
+    write_training_shards(_docs(spark), path, max_records_per_file=10)
+    before = shard_file_stats(path)
+    real = layout.shard_file_stats
+    calls = {"n": 0}
+
+    def lying_stats(p, shard_col="shard_id"):
+        out = real(p, shard_col)
+        calls["n"] += 1
+        if "._compact_tmp" in p:  # the post-rewrite verification read
+            for st in out.values():
+                st["rows"] -= 1
+        return out
+
+    monkeypatch.setattr(layout, "shard_file_stats", lying_stats)
+    with pytest.raises(RuntimeError, match="compaction aborted"):
+        compact_training_shards(spark, path, target_records_per_file=1000)
+    monkeypatch.setattr(layout, "shard_file_stats", real)
+    assert shard_file_stats(path) == before  # live store untouched
+    assert calls["n"] >= 2
+
+
+def test_range_sorted_layout_disjoint_sorted_deterministic(spark, tmp_path):
+    path = str(tmp_path / "sorted")
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        # non-monotone unique key so the layout actually reorders rows
+        ((F.col("id") * 37) % 500).alias("ck"),
+    )
+    bounds = write_range_sorted_shards(df, path, order_col="ck", n_shards=8)
+    assert bounds == sorted(bounds) and len(bounds) == 7
+    # boundary determinism: (id·37)%500 is a bijection on 0..499 (37 ⊥
+    # 500), so the value at rank r is r-1 and the exact boundaries are
+    # value-at-rank ⌊i·500/8⌋ — not whatever a runtime sample landed on
+    assert bounds == [500 * i // 8 - 1 for i in range(1, 8)]
+    # shards are range-DISJOINT and every file internally sorted
+    ranges = {}
+    for d in sorted(glob.glob(os.path.join(path, "shard_id=*"))):
+        s = int(os.path.basename(d).split("=")[1])
+        vals = []
+        for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+            col = pq.read_table(f, columns=["ck"]).column("ck").to_pylist()
+            assert col == sorted(col), f"file not sorted: {f}"
+            vals.extend(col)
+        ranges[s] = (min(vals), max(vals), len(vals))
+    sids = sorted(ranges)
+    assert sids == list(range(1, 9))
+    for a, b in zip(sids, sids[1:]):
+        assert ranges[a][1] < ranges[b][0], "shard ranges overlap"
+    # balanced rank-math sizes: every shard gets exactly 500/8 ± 1 rows
+    sizes = [ranges[s][2] for s in sids]
+    assert sum(sizes) == 500 and max(sizes) - min(sizes) <= 1
+    # a re-run reproduces the identical layout (determinism contract)
+    path2 = str(tmp_path / "sorted2")
+    assert write_range_sorted_shards(df, path2, order_col="ck", n_shards=8) == bounds
+
+
+def test_range_sorted_rejects_more_shards_than_rows(spark, tmp_path):
+    df = spark.range(3).select(F.col("id").alias("ck"))
+    with pytest.raises(ValueError, match="exceeds row count"):
+        write_range_sorted_shards(df, str(tmp_path / "x"), order_col="ck", n_shards=8)

@@ -53,8 +53,10 @@ def test_registry_size_and_full_green_fold():
     # pipeline_embedding_store, sim_search_after_upsert)
     # + r13 additions (sim_index_drift, sim_index_retrain,
     # bucketed_join_mktsegment, streaming_index_upsert,
-    # bucketed_agg_order_stats).
-    assert len(q.REGISTRY) == 163
+    # bucketed_agg_order_stats)
+    # + 3 r14 additions (retrieval_sparse_topk, shards_compact_roundtrip,
+    # sorted_shards_range_layout).
+    assert len(q.REGISTRY) == 166
     sched = q._schedule()
     for name in (n for n in q.REGISTRY if n not in q._LAST_GREEN):
         assert sched.index(name) < 50, f"new query {name} outside driver window"
