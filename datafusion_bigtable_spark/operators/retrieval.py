@@ -41,7 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from datafusion_bigtable_spark.functions.text import words
+from datafusion_bigtable_spark.operators.tfidf import corpus_term_stats
 
 
 def tfidf_postings(
@@ -53,14 +53,10 @@ def tfidf_postings(
 ) -> DataFrame:
     """The pruned TF-IDF inverted index: ``(term, id_col, wt)`` with
     ``wt = tf · ln(N/df)`` and terms with ``df > max_df_frac·N`` dropped
-    (the stop-postings bound — see module doc).  One token-pair shuffle;
-    the df table and the 1-row total broadcast back."""
-    toks = docs.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("term"))
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    # one tokenize pass, two consumers (tfidf.py's measured 2-FileScan trap)
-    tf = tf.localCheckpoint(eager=False)
-    dfreq = F.broadcast(tf.groupBy("term").agg(F.count("*").alias("df")))
-    total = F.broadcast(docs.agg(F.count("*").alias("_n_docs")))
+    (the stop-postings bound — see module doc).  Built on the shared
+    tf/df/total base (``operators/tfidf.py::corpus_term_stats`` — one
+    token-pair shuffle, materialized tf, broadcast vocabulary)."""
+    tf, dfreq, total = corpus_term_stats(docs, id_col=id_col, text_col=text_col)
     return (
         tf.join(dfreq, "term")
         .crossJoin(total)
@@ -98,9 +94,13 @@ def sparse_topk(
     # explicit materialization Catalyst would tokenize the corpus once per
     # branch — same trap, same fix as the tf table inside tfidf_postings
     postings = postings.localCheckpoint(eager=False)
+    # both joins that touch the corpus-sized postings table carry an
+    # EXPLICIT broadcast hint on their small side (the query-id list here,
+    # the assembled query postings below): at real scale nothing
+    # auto-broadcasts, and a shuffle join on either re-exchanges the
+    # whole index per query batch
     queries = F.broadcast(
-        docs.filter(query_pred)
-        .select(F.col(id_col).alias("query_id"))
+        F.broadcast(docs.filter(query_pred).select(F.col(id_col).alias("query_id")))
         .join(postings, F.col("query_id") == F.col(id_col))
         .select("query_id", "term", F.col("wt").alias("qwt"))
     )

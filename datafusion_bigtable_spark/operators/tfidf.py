@@ -38,6 +38,41 @@ from pyspark.sql import DataFrame, Window, functions as F
 from datafusion_bigtable_spark.functions.text import words
 
 
+def corpus_term_stats(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The shared TF-IDF base every term-weighting consumer builds on —
+    ``(tf, dfreq, total)``:
+
+    - ``tf``: the MATERIALIZED ``(id_col, term, tf)`` table (one
+      token-pair shuffle; localCheckpoint against the 2-FileScan trap —
+      module docstring),
+    - ``dfreq``: the vocabulary-sized ``(term, df)`` table,
+      broadcast-hinted when ``broadcast_vocab``,
+    - ``total``: a broadcast 1-row ``(_n_docs)`` frame (keeps consumers
+      one lazy plan — no driver-side ``.count()`` action).
+
+    Single definition on purpose: the materialization + broadcast-vocab
+    discipline here is measurement-backed and subtle; consumers
+    (``tfidf_top_terms`` below, ``operators/retrieval.py``'s postings
+    builder) must evolve with it, not fork it.
+    """
+    toks = docs.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # one tokenize pass, two consumers (join probe + df aggregate) — see
+    # module docstring for why this must be an explicit materialization
+    tf = tf.localCheckpoint(eager=False)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if broadcast_vocab:
+        dfreq = F.broadcast(dfreq)
+    total = F.broadcast(docs.agg(F.count("*").alias("_n_docs")))
+    return tf, dfreq, total
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     *,
@@ -54,17 +89,9 @@ def tfidf_top_terms(
     adversarial vocabularies (e.g. unfiltered URLs) to fall back to a
     shuffle join on term.
     """
-    toks = docs.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("term"))
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    # one tokenize pass, two consumers (join probe + df aggregate) — see
-    # module docstring for why this must be an explicit materialization
-    tf = tf.localCheckpoint(eager=False)
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    if broadcast_vocab:
-        dfreq = F.broadcast(dfreq)
-    # total docs as a broadcast 1-row frame: keeps the operator one lazy
-    # plan (no driver-side .count() action)
-    total = F.broadcast(docs.agg(F.count("*").alias("_n_docs")))
+    tf, dfreq, total = corpus_term_stats(
+        docs, id_col=id_col, text_col=text_col, broadcast_vocab=broadcast_vocab
+    )
     scored = (
         tf.join(dfreq, "term")
         .crossJoin(total)

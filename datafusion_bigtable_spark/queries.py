@@ -2514,6 +2514,16 @@ _FULLGATE_PROVEN_MODULES: dict[str, str] = {
     # FULLGATE_r14.json — generated AFTER the edit — proves the rest
     # green at sf0.01.
     f"{_PKG}.operators.similarity": "FULLGATE_r14.json",
+    # r14: operators.tfidf refactored — the tf/df/total construction moved
+    # into the shared corpus_term_stats so the new sparse-retrieval
+    # postings builder (operators/retrieval.py) reuses it instead of
+    # forking the measurement-backed materialization discipline (review
+    # r14 #2-5).  Plan-identical by construction, and the regenerated
+    # FULLGATE_r14.json (run AFTER the refactor) re-proves the one
+    # existing dependent (text_tfidf_top_terms) green at sf0.01;
+    # retrieval_sparse_topk is a zero-green r14 addition holding its own
+    # window slot either way.
+    f"{_PKG}.operators.tfidf": "FULLGATE_r14.json",
 }
 
 
@@ -7689,7 +7699,7 @@ def bucketed_agg_order_stats_q(spark, sf_dir):
     sc AS (SELECT q.doc_id AS query_id, w.doc_id AS neighbor_id,
                   ROUND(SUM(w.wt * q.wt), 4) AS score
            FROM w JOIN w q USING (term)
-           WHERE q.doc_id % 50 = 0 AND w.doc_id <> q.doc_id
+           WHERE q.doc_id % 50 = 0 AND q.doc_id < 5000 AND w.doc_id <> q.doc_id
            GROUP BY 1, 2)
     SELECT query_id, neighbor_id, score, CAST(rk AS BIGINT) AS rk FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -7708,10 +7718,19 @@ def retrieval_sparse_topk_q(spark, sf_dir):
     # modalities a decontamination/near-dup sweep runs.  The oracle
     # rebuilds index + scores from scratch in SQL: a pruning mismatch, a
     # missing candidate, or a weight drift all hash-mismatch.
+    # The query set is CAPPED (doc_id < 5000, mirrored in the oracle) the
+    # same way _sim_query_pred caps the dense queries: an uncapped "% 50"
+    # predicate grows the query count — and with it the broadcast query
+    # postings and the candidate-pair volume — linearly with the corpus,
+    # the documented 23-45× sf1 superlinear shape (queries.py r10).  The
+    # cap saturates at 100 queries from sf0.1 up; a real sweep sizes its
+    # query batch independently of the corpus too.
     from datafusion_bigtable_spark.operators.retrieval import sparse_topk
 
     d = load(spark, sf_dir, "documents")
-    return sparse_topk(d, F.col("doc_id") % 50 == 0, k=3, max_df_frac=0.5)
+    return sparse_topk(
+        d, (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 5000), k=3, max_df_frac=0.5
+    )
 
 
 @query(
@@ -7739,8 +7758,13 @@ def shards_compact_roundtrip_q(spark, sf_dir):
     # rewrite hash-mismatches against the oracle, which computes the same
     # rollup straight from the source table.  File-count/rewrite-avoidance
     # mechanics are pinned in tests/test_layout.py; fresh store per run
-    # because the compaction path itself is under test.
+    # because the compaction path itself is under test.  The fragmentation
+    # degree SATURATES (~256 small files from sf0.1 up): fragmenting at a
+    # fixed records-per-file would grow the harness's file count — and
+    # the footer-stat and swap costs with it — linearly with the corpus,
+    # the same harness-superlinearity trap as an uncapped query set.
     import hashlib
+    import math
     import os
     import shutil
 
@@ -7765,7 +7789,9 @@ def shards_compact_roundtrip_q(spark, sf_dir):
         "doc_id",
         F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("long").alias("fp"),
     )
-    write_training_shards(d, path, max_records_per_file=32)
+    n_docs = load(spark, sf_dir, "documents").count()
+    frag = max(32, math.ceil(n_docs / 256))
+    write_training_shards(d, path, max_records_per_file=frag)
     compact_training_shards(spark, path, target_records_per_file=100_000)
     return (
         read_training_shards(spark, path)

@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from datafusion_bigtable_spark.sources.shards import MANIFEST_DIR
 
 _COMPACT_MARKER = "_compact.pending.json"
+_MANIFEST_MARKER = "_compact_manifest.pending.json"
 
 
 # ---------------------------------------------------------------------------
@@ -73,34 +74,53 @@ def shard_file_stats(path: str, shard_col: str = "shard_id") -> dict[int, dict]:
 
 
 def reconcile_compaction(path: str) -> None:
-    """Heal a crash mid-swap.  The swap protocol per shard is:
+    """Heal a crash anywhere in a compaction run.  The swap protocol per
+    shard is:
 
-    1. marker written (shard id + tmp dir recorded)
+    1. marker written (shard id recorded)
     2. ``shard=K`` → ``._compact_old_K``  (live dir vanishes)
-    3. ``tmp/shard=K`` → ``shard=K``      (live dir returns, compacted)
+    3. ``tmp/shard=K`` → ``shard=K``      (live dir returns, compacted;
+       SKIPPED for a zero-row shard — its compacted form is no dir)
     4. backup + marker removed
 
-    A surviving marker therefore means one of two disk states, both
-    decidable without guessing: live dir PRESENT → the swap completed
-    (crash between 3 and 4): drop the backup.  Live dir ABSENT → the
-    swap half-ran (crash between 2 and 3): restore the backup.  Either
-    way every row is still on disk in exactly one committed directory —
-    the marker only ever brackets RENAMES, never deletes of live data.
-    Safe to run unconditionally; no-op without a marker."""
+    A surviving swap marker means one of two disk states, both decidable
+    without guessing: live dir PRESENT → the swap completed (crash
+    between 3 and 4): drop the backup.  Live dir ABSENT → either the
+    swap half-ran or a zero-row removal finished: restore the backup if
+    one survives (a restored zero-row shard just re-compacts next run —
+    convergent), else the removal completed.  Either way every row is
+    still on disk in exactly one committed directory — the swap marker
+    only ever brackets RENAMES of live data.
+
+    A surviving MANIFEST marker (written before the first swap, cleared
+    after the refresh) means a crash may have landed between the last
+    swap and the manifest rewrite — without this the manifest would
+    undercount file merges FOREVER, because the next compaction run sees
+    an already-compacted store, plans nothing, and returns before its
+    own refresh (the same heal-on-read shape as the IVF manifest's
+    pending marker).  The refresh recounts from footers (O(files)
+    metadata, idempotent), so running it after a crash at ANY point is
+    safe.  No-op without markers."""
     marker = os.path.join(path, _COMPACT_MARKER)
-    if not os.path.exists(marker):
-        return
-    with open(marker) as f:
-        state = json.load(f)
-    shard_col, shard = state["shard_col"], int(state["shard"])
-    live = os.path.join(path, f"{shard_col}={shard}")
-    backup = os.path.join(path, f"._compact_old_{shard}")
-    if os.path.exists(live):
-        shutil.rmtree(backup, ignore_errors=True)
-    elif os.path.exists(backup):
-        os.rename(backup, live)
-    with contextlib.suppress(FileNotFoundError):
-        os.remove(marker)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            state = json.load(f)
+        shard_col, shard = state["shard_col"], int(state["shard"])
+        live = os.path.join(path, f"{shard_col}={shard}")
+        backup = os.path.join(path, f"._compact_old_{shard}")
+        if os.path.exists(live):
+            shutil.rmtree(backup, ignore_errors=True)
+        elif os.path.exists(backup):
+            os.rename(backup, live)
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(marker)
+    mmarker = os.path.join(path, _MANIFEST_MARKER)
+    if os.path.exists(mmarker):
+        with open(mmarker) as f:
+            shard_col = json.load(f)["shard_col"]
+        _refresh_manifest(path, shard_col)
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(mmarker)
 
 
 def compact_training_shards(
@@ -134,52 +154,80 @@ def compact_training_shards(
         return {}
     tmp = os.path.join(path, "._compact_tmp")
     shutil.rmtree(tmp, ignore_errors=True)
-    selected = sorted(plan)
-    # one partition-pruned job over just the fragmented shards; repartition
-    # on the shard column so each shard's rows coalesce before the write
-    df = spark.read.parquet(path).filter(F.col(shard_col).isin(selected))
-    (
-        df.repartition(len(selected), F.col(shard_col))
-        .write.mode("overwrite")
-        .option("maxRecordsPerFile", target_records_per_file)
-        .partitionBy(shard_col)
-        .parquet(tmp)
-    )
-    # verify the rewrite from footers BEFORE any swap: a short write must
-    # never replace a complete shard (mirrors retrain's verify-then-swap)
-    new_stats = shard_file_stats(tmp, shard_col)
-    for s in selected:
-        if new_stats.get(s, {}).get("rows") != plan[s]["rows"]:
-            raise RuntimeError(
-                f"compaction aborted: rewritten shard {s} has "
-                f"{new_stats.get(s, {}).get('rows')} rows, expected {plan[s]['rows']}; "
-                f"store untouched, temp left at {tmp} for inspection"
-            )
-    for s in selected:
+    # a zero-row shard (an external/crashed writer's empty footers) has no
+    # rewrite — its compacted form is no directory at all; routing it
+    # through the Spark job would wedge every future run (the pruned scan
+    # writes nothing for it, so verification can never see rows==0 met)
+    rewrite = sorted(s for s in plan if plan[s]["rows"] > 0)
+    if rewrite:
+        # one partition-pruned job over just the fragmented shards;
+        # repartition on the shard column so each shard's rows coalesce
+        # before the write
+        df = spark.read.parquet(path).filter(F.col(shard_col).isin(rewrite))
+        (
+            df.repartition(len(rewrite), F.col(shard_col))
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", target_records_per_file)
+            .partitionBy(shard_col)
+            .parquet(tmp)
+        )
+        # verify the rewrite from footers BEFORE any swap: a short write
+        # must never replace a complete shard (retrain's verify-then-swap)
+        new_stats = shard_file_stats(tmp, shard_col)
+        for s in rewrite:
+            if new_stats.get(s, {}).get("rows") != plan[s]["rows"]:
+                raise RuntimeError(
+                    f"compaction aborted: rewritten shard {s} has "
+                    f"{new_stats.get(s, {}).get('rows')} rows, expected {plan[s]['rows']}; "
+                    f"store untouched, temp left at {tmp} for inspection"
+                )
+    if refresh_manifest:
+        # armed BEFORE the first swap: from here on the manifest may
+        # disagree with the files until the refresh lands, and a crash
+        # anywhere in between must be healed by reconcile (which the next
+        # compaction/maintenance entry point runs) — not waited out
+        with open(os.path.join(path, _MANIFEST_MARKER), "w") as f:
+            json.dump({"shard_col": shard_col}, f)
+    for s in sorted(plan):
         live = os.path.join(path, f"{shard_col}={s}")
         backup = os.path.join(path, f"._compact_old_{s}")
         shutil.rmtree(backup, ignore_errors=True)
         with open(os.path.join(path, _COMPACT_MARKER), "w") as f:
             json.dump({"shard_col": shard_col, "shard": s}, f)
         os.rename(live, backup)
-        os.rename(os.path.join(tmp, f"{shard_col}={s}"), live)
+        if plan[s]["rows"] > 0:
+            os.rename(os.path.join(tmp, f"{shard_col}={s}"), live)
         shutil.rmtree(backup)
         os.remove(os.path.join(path, _COMPACT_MARKER))
     shutil.rmtree(tmp, ignore_errors=True)
     if refresh_manifest:
-        _refresh_manifest(spark, path, shard_col)
+        _refresh_manifest(path, shard_col)
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(os.path.join(path, _MANIFEST_MARKER))
     return plan
 
 
-def _refresh_manifest(spark: SparkSession, path: str, shard_col: str) -> None:
+def _refresh_manifest(path: str, shard_col: str) -> None:
     """Rewrite the shard manifest from footer truth — O(files) metadata,
-    zero data reads, same (shard, n_rows, n_files) schema as the sink's
-    (sources/shards.py::write_training_shards)."""
+    zero data reads, no Spark session (so crash reconciliation can run it
+    from any entry point); same (shard, n_rows, n_files) schema as the
+    sink's (sources/shards.py::write_training_shards)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     stats = shard_file_stats(path, shard_col)
-    rows = [(int(s), int(st["rows"]), int(st["files"])) for s, st in sorted(stats.items())]
-    spark.createDataFrame(rows, f"{shard_col} int, n_rows bigint, n_files bigint").coalesce(
-        1
-    ).write.mode("overwrite").parquet(os.path.join(path, MANIFEST_DIR))
+    items = sorted(stats.items())
+    table = pa.table(
+        {
+            shard_col: pa.array([int(s) for s, _ in items], type=pa.int32()),
+            "n_rows": pa.array([int(st["rows"]) for _, st in items], type=pa.int64()),
+            "n_files": pa.array([int(st["files"]) for _, st in items], type=pa.int64()),
+        }
+    )
+    mdir = os.path.join(path, MANIFEST_DIR)
+    shutil.rmtree(mdir, ignore_errors=True)
+    os.makedirs(mdir)
+    pq.write_table(table, os.path.join(mdir, "part-00000.parquet"))
 
 
 # ---------------------------------------------------------------------------
@@ -194,6 +242,7 @@ def write_range_sorted_shards(
     order_col: str,
     n_shards: int,
     shard_col: str = "shard_id",
+    max_records_per_file: int = 100_000,
 ) -> list:
     """Write ``df`` as ``n_shards`` range-disjoint, internally sorted
     shard directories under ``path`` — a deterministic total order across
@@ -214,7 +263,16 @@ def write_range_sorted_shards(
     the data into shards + a per-task sort — the terasort plan.  Range
     disjointness means a consumer reading shards in id order sees the
     global order as a file concat, and a predicate on ``order_col``
-    prunes whole shard directories by the boundaries."""
+    prunes whole shard directories by the boundaries.
+
+    File sizing: each shard is written by ONE task (that is what keeps
+    its files sequential range-chunks — the rolled files of a single
+    sorted task writer concatenate in name order), but never as one
+    unbounded file: ``max_records_per_file`` rolls the output so no
+    single file serializes a READER (the shards.py sink's contract).
+    ``n_shards`` is therefore the write-parallelism knob — size it to
+    the cluster, the rank count, or the range granularity you want to
+    prune at; the rank-math assignment is exact for any value."""
     from datafusion_bigtable_spark.operators.stats import order_statistics_df
 
     count = df.count()
@@ -236,6 +294,7 @@ def write_range_sorted_shards(
         .repartition(n_shards, F.col(shard_col))
         .sortWithinPartitions(shard_col, order_col)
         .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy(shard_col)
         .parquet(path)
     )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from datafusion_bigtable_spark.sources.layout import (
     _COMPACT_MARKER,
+    _MANIFEST_MARKER,
     compact_training_shards,
     reconcile_compaction,
     shard_file_stats,
@@ -107,6 +108,66 @@ def test_compact_reconcile_completes_finished_swap(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, _COMPACT_MARKER))
 
 
+def test_compact_reconcile_heals_stale_manifest(spark, tmp_path):
+    """Crash after the last swap but before the manifest refresh: the next
+    compaction plans nothing (the files ARE compacted), so without the
+    manifest marker the stale counts would stand forever."""
+    path = str(tmp_path / "store")
+    write_training_shards(_docs(spark), path, max_records_per_file=10)
+    stale = {r.shard_id: r.n_files for r in read_shard_manifest(spark, path).collect()}
+    assert stale == {0: 5, 1: 5, 2: 5, 3: 5}
+    compact_training_shards(spark, path, target_records_per_file=1000)
+    # simulate the crash state: restore the PRE-compaction manifest and
+    # leave the manifest marker armed
+    rows = [(s, 50, 5) for s in range(4)]
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    mdir = os.path.join(path, "_shard_manifest")
+    for f in glob.glob(os.path.join(mdir, "*.parquet")):
+        os.remove(f)
+    pq_mod.write_table(
+        pa.table(
+            {
+                "shard_id": pa.array([r[0] for r in rows], type=pa.int32()),
+                "n_rows": pa.array([r[1] for r in rows], type=pa.int64()),
+                "n_files": pa.array([r[2] for r in rows], type=pa.int64()),
+            }
+        ),
+        os.path.join(mdir, "part-00000.parquet"),
+    )
+    with open(os.path.join(path, _MANIFEST_MARKER), "w") as f:
+        json.dump({"shard_col": "shard_id"}, f)
+    # the next maintenance entry (a no-op compaction) must heal it
+    assert compact_training_shards(spark, path, target_records_per_file=1000) == {}
+    man = {r.shard_id: r.n_files for r in read_shard_manifest(spark, path).collect()}
+    assert man == {0: 1, 1: 1, 2: 1, 3: 1}
+    assert not os.path.exists(os.path.join(path, _MANIFEST_MARKER))
+
+
+def test_compact_removes_zero_row_shard_files(spark, tmp_path):
+    """A shard holding only empty parquet files (external/crashed writer)
+    must compact to NO directory — and never wedge future runs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    path = str(tmp_path / "store")
+    write_training_shards(_docs(spark), path, max_records_per_file=10)
+    ghost = os.path.join(path, "shard_id=9")
+    os.makedirs(ghost)
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()), "text": pa.array([], type=pa.string())})
+    pq_mod.write_table(empty, os.path.join(ghost, "a.parquet"))
+    pq_mod.write_table(empty, os.path.join(ghost, "b.parquet"))
+    plan = compact_training_shards(spark, path, target_records_per_file=1000)
+    assert 9 in plan and plan[9]["rows"] == 0
+    assert not os.path.exists(ghost)
+    assert read_training_shards(spark, path).count() == 200
+    # converged: the next run has nothing left to do
+    assert compact_training_shards(spark, path, target_records_per_file=1000) == {}
+    man = {r.shard_id for r in read_shard_manifest(spark, path).collect()}
+    assert man == {0, 1, 2, 3}
+
+
 def test_compact_verify_aborts_on_short_rewrite(spark, tmp_path, monkeypatch):
     """A rewrite that lost rows must abort BEFORE any swap — the live
     store stays exactly as it was."""
@@ -167,6 +228,30 @@ def test_range_sorted_layout_disjoint_sorted_deterministic(spark, tmp_path):
     # a re-run reproduces the identical layout (determinism contract)
     path2 = str(tmp_path / "sorted2")
     assert write_range_sorted_shards(df, path2, order_col="ck", n_shards=8) == bounds
+
+
+def test_range_sorted_rolls_files_and_keeps_global_order(spark, tmp_path):
+    """max_records_per_file bounds file size WITHOUT breaking the order
+    contract: a shard's rolled files come from its single sorted writer
+    task, so concatenating files in name order (then shards in id order)
+    is the global order."""
+    path = str(tmp_path / "rolled")
+    df = spark.range(400).select(
+        F.col("id").alias("doc_id"), ((F.col("id") * 7) % 400).alias("ck")
+    )
+    write_range_sorted_shards(
+        df, path, order_col="ck", n_shards=4, max_records_per_file=30
+    )
+    seq = []
+    for d in sorted(
+        glob.glob(os.path.join(path, "shard_id=*")),
+        key=lambda p: int(p.rsplit("=", 1)[1]),
+    ):
+        files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        assert len(files) >= 4  # 100 rows / 30 → rolled
+        for f in files:
+            seq.extend(pq.read_table(f, columns=["ck"]).column("ck").to_pylist())
+    assert seq == sorted(seq) and len(seq) == 400
 
 
 def test_range_sorted_rejects_more_shards_than_rows(spark, tmp_path):

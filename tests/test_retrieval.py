@@ -66,11 +66,18 @@ def test_rank_is_dense_from_one_and_score_sorted(spark, corpus):
 
 
 def test_query_side_broadcasts_index_never_reshuffles(spark, corpus):
-    """The candidate join must be a BroadcastHashJoin with the postings
-    (index) side streamed — a shuffle join here re-exchanges the whole
+    """The candidate join must be a BroadcastHashJoin from the EXPLICIT
+    hint on the query side — a shuffle join here re-exchanges the whole
     index per query batch, the 100 TB killer this operator exists to
-    avoid."""
-    plan = sparse_topk(
-        corpus, F.col("doc_id") == 0, k=3, max_df_frac=1.0
-    )._jdf.queryExecution().executedPlan().toString()
+    avoid.  Auto-broadcast is disabled for the check so a tiny fixture
+    cannot mask a dropped hint (at real scale nothing auto-broadcasts)."""
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = sparse_topk(
+            corpus, F.col("doc_id") == 0, k=3, max_df_frac=1.0
+        )._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
