@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import glob
 import json
+import math
 import os
 
 import pyarrow.parquet as pq
@@ -252,6 +253,40 @@ def test_range_sorted_rolls_files_and_keeps_global_order(spark, tmp_path):
         for f in files:
             seq.extend(pq.read_table(f, columns=["ck"]).column("ck").to_pylist())
     assert seq == sorted(seq) and len(seq) == 400
+
+
+@pytest.mark.parametrize(
+    "count,n",
+    [(17, 3), (100, 8), (64, 64), (500, 7), (33, 32)],
+)
+def test_range_sorted_rank_math_holds_at_awkward_sizes(spark, tmp_path, count, n):
+    """The balanced rank-math spec — shard of rank r is ⌈r·n/count⌉ —
+    must hold when count % n != 0, count == n, and n is nearly count:
+    sizes within 1 of each other, ranges disjoint, every shard present.
+    Keys are a deterministic pseudo-random permutation (multiplier
+    coprime to count) so the layout genuinely reorders rows."""
+    mult = next(m for m in (7, 11, 13, 17, 19, 23) if math.gcd(m, count) == 1)
+    df = spark.range(count).select(
+        F.col("id").alias("doc_id"), ((F.col("id") * mult) % count).alias("ck")
+    )
+    path = str(tmp_path / f"rm_{count}_{n}")
+    write_range_sorted_shards(df, path, order_col="ck", n_shards=n)
+    rows = [(r.shard_id, r.ck) for r in spark.read.parquet(path).collect()]
+    by_shard = {}
+    for s, ck in rows:
+        by_shard.setdefault(s, []).append(ck)
+    assert sorted(by_shard) == list(range(1, n + 1))
+    sizes = [len(v) for _, v in sorted(by_shard.items())]
+    assert sum(sizes) == count and max(sizes) - min(sizes) <= 1
+    # spec check: rank of ck in the sorted key set → ceil(rank·n/count)
+    order = {ck: i + 1 for i, ck in enumerate(sorted(ck for _, v in by_shard.items() for ck in v))}
+    for s, cks in by_shard.items():
+        for ck in cks:
+            assert s == -(-order[ck] * n // count), (s, ck, order[ck])
+    # disjoint ranges
+    spans = sorted((min(v), max(v)) for v in by_shard.values())
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi < b_lo
 
 
 def test_range_sorted_rejects_more_shards_than_rows(spark, tmp_path):
