@@ -13,17 +13,30 @@ with key offsets of 10× the sf0.1 capacities — every foreign-key
 relationship and per-key fan-out is preserved exactly, so joins and
 aggregates scale as a real corpus would (10× keys, same selectivities).
 
-SCOPE — relational + events ONLY.  ``documents`` and ``embeddings`` are
-copied from sf1 unchanged: their replication tricks (11-cycle text
-rotation, 7i-mod-64 dimension shift) compose ADDITIVELY across decades —
-replica (i of sf10, j of sf1) carries rotation i+j, so distinct (i, j)
-pairs collide (e.g. (1,2) and (2,1)) and cross-replica texts/embeddings
-would share shingles/geometry, turning the dedup/ANN workloads into a
-pair-count structure no real 100× corpus has.  The content tiers'
-scale behavior is therefore probed over the sf0.1→sf1 decade only
-(where the cycles guarantee no collision); the second decade probes the
-tier whose replication is exact — TPC-H-shape joins/aggregates/windows
-and the events stream.  Run tools/probe_sf10.py for the measurement.
+Content tables need DIFFERENT tricks than decade 1 used.  sf1's
+replication (11-cycle text rotation, 7i-mod-64 dimension shift) composes
+ADDITIVELY with itself — replica (i of sf10, j of sf1) would carry
+rotation i+j, so distinct (i, j) pairs collide (e.g. (1,2) and (2,1))
+and cross-replica texts/embeddings would share shingles/geometry,
+turning the dedup/ANN workloads into a pair-count structure no real
+100× corpus has.  The second decade therefore transforms ORTHOGONAL
+structure:
+
+- ``documents``: a rotation over the DISJOINT letter range 'l'..'x'
+  (13-cycle; decade 1 rotated 'a'..'k').  The two rotations commute and
+  the composite map is distinct for every (i, j) pair (i mod 13 AND
+  j mod 11 must both match for two texts to align), so within-replica
+  duplicate structure is preserved exactly while cross-replica texts
+  share no multi-word shingles — pair counts grow 10×, like a real
+  corpus.
+- ``embeddings``: a per-replica SIGN-FLIP mask (±1 per dimension,
+  pairwise-distinct masks, mask 0 = identity).  Sign flips preserve
+  norms and within-replica geometry bit-for-bit and commute with decade
+  1's dimension shifts; vectors from different replicas differ in ~half
+  their term signs, so cross-replica cosines decay to noise and
+  Σ|block|² grows ~10×, not ~100×.
+
+Run tools/probe_sf10.py for the measurement.
 
 Output: $OUT (default /tmp/dbs_sf10), ~2.5 GiB, pure DuckDB.
 """
@@ -48,7 +61,26 @@ CAPS = {
     "partkey": 200_000,
     "suppkey": 10_000,
     "event_id": 1_000_000,
+    "doc_id": 50_000,
+    "vec_id": 20_000,
 }
+
+# decade-2 text rotation: letters DISJOINT from decade 1's 'abcdefghijk'
+ROT2 = "lmnopqrstuvwx"  # 13-cycle > REPLICAS
+
+
+def _sign_mask(i: int) -> list[int]:
+    """±1 per dimension for replica ``i`` — deterministic (md5 of the
+    replica tag, no RNG state), pairwise distinct by construction, and
+    identity at i=0 so replica 0 passes sf1 through unchanged.  Any two
+    masks differ in ~32 of 64 signs, so cross-replica dot products sum
+    ~half-negated terms and cosines decay to noise."""
+    import hashlib
+
+    if i == 0:
+        return [1] * 64
+    digest = hashlib.md5(f"dbs-sf10-mask-{i}".encode()).digest()
+    return [-1 if (digest[j // 8] >> (j % 8)) & 1 else 1 for j in range(64)]
 
 
 def main() -> None:
@@ -62,9 +94,31 @@ def main() -> None:
         n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{OUT}/{table}.parquet')").fetchone()[0]
         print(f"{table}: {n} rows", flush=True)
 
-    for passthrough in ("region", "nation", "documents", "embeddings"):
+    for passthrough in ("region", "nation"):
         shutil.copyfile(f"{SRC}/{passthrough}.parquet", f"{OUT}/{passthrough}.parquet")
-        print(f"{passthrough}: copied from sf1 (see module doc)", flush=True)
+        print(f"{passthrough}: copied from sf1", flush=True)
+
+    def doc_sel(i: int) -> str:
+        rot = ROT2[i % len(ROT2):] + ROT2[: i % len(ROT2)]
+        return f"""
+        SELECT doc_id + {i * CAPS['doc_id']} AS doc_id,
+               translate(text, '{ROT2}', '{rot}') AS text,
+               lang, source, n_chars
+        FROM read_parquet('{SRC}/documents.parquet')"""
+
+    write("documents", doc_sel)
+
+    def emb_sel(i: int) -> str:
+        mask = _sign_mask(i)
+        mask_sql = "[" + ", ".join(str(m) for m in mask) + "]"
+        return f"""
+        SELECT vec_id + {i * CAPS['vec_id']} AS vec_id,
+               CAST(list_transform(range(0, 64),
+                    j -> embedding[j + 1] * ({mask_sql})[j + 1]) AS FLOAT[]) AS embedding,
+               label
+        FROM read_parquet('{SRC}/embeddings.parquet')"""
+
+    write("embeddings", emb_sel)
 
     write("customer", lambda i: f"""
         SELECT c_custkey + {i * CAPS['custkey']} AS c_custkey,

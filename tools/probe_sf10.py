@@ -9,11 +9,13 @@ the red flag, not any absolute value (10× is the linear baseline; local
 ratios run below it while data fits caches and above it when spill
 starts, so compare SHAPE across decades, not against 10 exactly).
 
-Query set: the relational/events tier only — make_sf10.py replicates
-exactly those tables (see its module doc for why the content tiers stay
-in the sf0.1→sf1 decade).  Excluded by design: bucketed/bt fixtures
-(their one-time fixture builds at a new sf dominate the sample) and the
-content-tier operators.
+Query set: relational/events PLUS the content tier (make_sf10.py
+replicates documents/embeddings with decade-orthogonal transforms — a
+disjoint-letter rotation and per-replica sign-flip masks — so dedup/ANN
+pair structure grows linearly like a real corpus).  Excluded: the
+heaviest pair generators (dedup_ngram_jaccard, dedup_prefix_filter,
+~100 s/sample at sf10) and bt/bucketed-fixture builds whose one-time
+cost at a new sf dir would dominate the first sample.
 
 Usage:  python tools/probe_sf10.py [/tmp/dbs_sf10]
 """
@@ -43,6 +45,15 @@ PROBE = [
     "interval_join_order_events",
     "skew_salted_aggregation",
     "exact_quantiles_distributed",
+    # content tier (decade-orthogonal replication, make_sf10.py)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "sim_topk_bruteforce",
+    "sim_topk_ivf_nprobe",
+    "retrieval_sparse_topk",
+    "text_tfidf_top_terms",
+    "text_quality",
 ]
 
 
