@@ -84,12 +84,18 @@ def main() -> None:
 
     print(f"{'query':38s} {'sf0.1':>7s} {'sf1':>7s} {'sf10':>8s} {'d1':>6s} {'d2':>6s}")
     rows = []
+    def fmt(v, width, prec=2):
+        return f"{v:{width}.{prec}f}" if v is not None else " " * (width - 1) + "-"
+
     for n, t10 in sorted(timings.items(), key=lambda kv: kv[1]):
         t01, t1 = sf01.get(n), sf1.get(n)
-        d1 = round(t1 / t01, 1) if t01 else None
+        d1 = round(t1 / t01, 1) if t01 and t1 else None
         d2 = round(t10 / t1, 1) if t1 else None
         rows.append({"query": n, "sf0.1": t01, "sf1": t1, "sf10": t10, "d1": d1, "d2": d2})
-        print(f"{n:38s} {t01:7.2f} {t1:7.2f} {t10:8.2f} {d1:6.1f} {d2:6.1f}")
+        print(
+            f"{n:38s} {fmt(t01, 7)} {fmt(t1, 7)} {t10:8.2f} "
+            f"{fmt(d1, 6, 1)} {fmt(d2, 6, 1)}"
+        )
     print(json.dumps({"probe": rows, "sf10_dir": SF10}))
 
 
