@@ -261,7 +261,11 @@ def bucketed_fixture(
     ).hexdigest()[:8]
     keyseg = "-".join(bucket_cols)
     name = f"dbs_bucketfix_{table}_{fam}_{tag}"
-    base = f"/tmp/dbs_bucketfix_{sfname}_{table}_{keyseg}_{tag}"
+    # fam sits in the PATH too so the cross-session disk sweep below can
+    # scope itself to exactly this family without a catalog entry (two sf
+    # dirs sharing a basename hash to different fams, so the sweep can
+    # never take a sibling family's live fixture).
+    base = f"/tmp/dbs_bucketfix_{sfname}_{table}_{keyseg}_{fam}_{tag}"
     # Timestamp columns must round-trip tz-independently through the
     # copy, same contract as the plain fixture loader.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -270,6 +274,20 @@ def bucketed_fixture(
     # Catalog + disk hygiene scoped to THIS (table, key) family only
     # (ADVICE r13: a sweep must never match a sibling's prefix).
     drop_stale_family_tables(spark, f"dbs_bucketfix_{table}_{fam}_", name)
+    # Disk-level sweep for superseded content versions the CATALOG no
+    # longer knows (review r14-3 #3: after a testdata regeneration, a
+    # fresh session's catalog is empty, so the catalog-driven sweep above
+    # finds nothing and every regeneration would leak a full bucketed
+    # table copy on /tmp forever).  The family identity is in the path;
+    # only 12-hex-tag siblings of THIS family are removed.
+    import glob as _glob
+    import re as _re
+
+    for d in _glob.glob(f"/tmp/dbs_bucketfix_{sfname}_{table}_{keyseg}_{fam}_*"):
+        leaf = os.path.basename(d)
+        stale_tag = leaf.rsplit("_", 1)[-1]
+        if d != base and _re.fullmatch(r"[0-9a-f]{12}", stale_tag):
+            shutil.rmtree(d, ignore_errors=True)
     if os.path.isdir(base) and not os.path.isfile(os.path.join(base, "_SUCCESS")):
         # an earlier session crashed mid-write: the commit marker is
         # missing, so the files are untrustworthy — rewrite from source

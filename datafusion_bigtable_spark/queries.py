@@ -55,6 +55,27 @@ def query(name: str, sql: Optional[str]):
     return deco
 
 
+def _tag_of(*fields) -> str:
+    """12-hex content-address tag: md5 of the '|'-joined fields.  Every
+    content-addressed /tmp fixture identity should derive HERE (review
+    r14-3 #5: five-plus hand-rolled copies of this idiom had already
+    drifted twice); the byte format is frozen — changing it re-keys
+    every store on disk into a one-time rewrite."""
+    import hashlib
+
+    return hashlib.md5("|".join(str(f) for f in fields).encode()).hexdigest()[:12]
+
+
+def _src_tag(prefix: str, sf_dir: str, table: str) -> str:
+    """The standard source identity: ``{prefix}|{abspath}|{mtime_ns}|
+    {size}`` of one fixture parquet, through :func:`_tag_of`."""
+    import os
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    st = os.stat(src)
+    return _tag_of(prefix, os.path.abspath(src), st.st_mtime_ns, st.st_size)
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # The driver calls queries() with ITS session; timestamp→date/string
     # conversions are session-timezone-dependent, and the DuckDB oracle is
@@ -2436,6 +2457,13 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         # loader q13/q18 now execute) + drop_stale_family_tables routed
         # into both r13 bucketed queries' sweeps — behavior-changing for
         # exactly the four bucketed dependents, all of which reset here.
+        # Late r14 (review r14-3 #3): fixture base paths gained the
+        # family hash + a cross-session disk sweep.
+        f"{_PKG}.sources.shards",  # r14 (review r14-3 #1): the shard
+        # readers heal compaction crash state before planning
+        # (reconcile-on-read) — dependents are pipeline_embedding_store
+        # (in _TOUCHED_QUERIES) and the two new layout queries, all
+        # already zero-green, so this entry costs no window slot.
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset(
@@ -7175,7 +7203,6 @@ def sim_index_upsert_q(spark, sf_dir):
     # centroids.  The oracle assigns EVERY vector over the base-derived
     # seed codebook — identical output only if all three contracts hold
     # (a duplicate append or a drifted codebook hash-mismatches).
-    import hashlib
     import os
     import shutil
 
@@ -7191,9 +7218,7 @@ def sim_index_upsert_q(spark, sf_dir):
     batch = e.filter(F.col("vec_id") % 4 == 0)
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
-    tag = hashlib.md5(
-        f"ivfup1|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
-    ).hexdigest()[:12]
+    tag = _tag_of("ivfup1", os.path.abspath(src), st.st_mtime_ns, st.st_size)
     path = f"/tmp/dbs_ivf_upsert_{os.path.basename(os.path.normpath(sf_dir))}_{tag}"
     # fresh store per call: the append path itself is under test, and a
     # leftover store from a prior run would skip it via idempotence
@@ -7246,7 +7271,6 @@ def sim_search_after_upsert_q(spark, sf_dir):
     # vector, a drifted codebook, or a duplicate append all
     # hash-mismatch.  Independent content-addressed store (not
     # sim_index_upsert's) so each entry runs standalone.
-    import hashlib
     import os
     import shutil
 
@@ -7261,9 +7285,7 @@ def sim_search_after_upsert_q(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
-    tag = hashlib.md5(
-        f"ivfsearch1|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
-    ).hexdigest()[:12]
+    tag = _tag_of("ivfsearch1", os.path.abspath(src), st.st_mtime_ns, st.st_size)
     path = f"/tmp/dbs_ivf_search_{os.path.basename(os.path.normpath(sf_dir))}_{tag}"
     shutil.rmtree(path, ignore_errors=True)
     with build_ivf_index(e.filter(F.col("vec_id") % 4 != 0), n_cells=16) as idx:
@@ -7314,7 +7336,6 @@ def pipeline_embedding_store_q(spark, sf_dir):
     # assignment, same-cell ≥0.95 pairs, id_b drops, md5 shard hash — so
     # the driver hash checks the BUILD's semantics, not just row counts.
     # Content-addressed out dir, rebuilt fresh per call (deterministic).
-    import hashlib
     import os
     import shutil
 
@@ -7322,9 +7343,7 @@ def pipeline_embedding_store_q(spark, sf_dir):
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
-    tag = hashlib.md5(
-        f"estore1|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
-    ).hexdigest()[:12]
+    tag = _tag_of("estore1", os.path.abspath(src), st.st_mtime_ns, st.st_size)
     path = f"/tmp/dbs_estore_{os.path.basename(os.path.normpath(sf_dir))}_{tag}"
     shutil.rmtree(path, ignore_errors=True)
     return build_embedding_store(spark, load(spark, sf_dir, "embeddings"), path)
@@ -7388,7 +7407,6 @@ def sim_index_drift_q(spark, sf_dir):
     # the threshold decisions from the raw tables in SQL, so a wrong
     # yardstick formula, a wrong anti-join universe, or a threshold that
     # cannot trip all hash-mismatch.
-    import hashlib
     import json
     import os
     import shutil
@@ -7405,9 +7423,7 @@ def sim_index_drift_q(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
-    tag = hashlib.md5(
-        f"ivfdrift1|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
-    ).hexdigest()[:12]
+    tag = _tag_of("ivfdrift1", os.path.abspath(src), st.st_mtime_ns, st.st_size)
     path = f"/tmp/dbs_ivf_drift_{os.path.basename(os.path.normpath(sf_dir))}_{tag}"
     shutil.rmtree(path, ignore_errors=True)  # the upsert path is under test
     with build_ivf_index(e.filter(F.col("vec_id") % 4 != 0), n_cells=16) as idx:
@@ -7471,7 +7487,6 @@ def sim_index_retrain_q(spark, sf_dir):
     # base filter: the retrain sees all current vectors), so a stale
     # codebook, a dropped upserted vector, or a half-swapped store all
     # hash-mismatch.
-    import hashlib
     import os
     import shutil
 
@@ -7487,9 +7502,7 @@ def sim_index_retrain_q(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
-    tag = hashlib.md5(
-        f"ivfretrain1|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
-    ).hexdigest()[:12]
+    tag = _tag_of("ivfretrain1", os.path.abspath(src), st.st_mtime_ns, st.st_size)
     path = f"/tmp/dbs_ivf_retrain_{os.path.basename(os.path.normpath(sf_dir))}_{tag}"
     shutil.rmtree(path, ignore_errors=True)  # the rewrite path is under test
     with build_ivf_index(e.filter(F.col("vec_id") % 4 != 0), n_cells=16) as idx:
@@ -7521,7 +7534,6 @@ def bucketed_join_mktsegment_q(spark, sf_dir):
     # re-shuffling both tables per join and paying the layout once at
     # write time.  The oracle is the plain join — bucketing must never
     # change results, only plans.
-    import hashlib
     import os
     import shutil
 
@@ -7535,7 +7547,7 @@ def bucketed_join_mktsegment_q(spark, sf_dir):
     for t in ("customer", "orders"):
         st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
         sig.append(f"{t}|{st.st_mtime_ns}|{st.st_size}")
-    tag = hashlib.md5(("bucket1|" + "|".join(sig)).encode()).hexdigest()[:12]
+    tag = _tag_of("bucket1", *sig)
     base = f"/tmp/dbs_bucket_{sfname}_{tag}"
     cname, oname = f"dbs_bucket_cust_{tag}", f"dbs_bucket_ord_{tag}"
     # fresh per call: the bucketed WRITE path is part of what this query
@@ -7589,7 +7601,6 @@ def streaming_index_upsert_q(spark, sf_dir):
     # boundaries and ordering — the streamed store equals the batch
     # operator EXACTLY, and the oracle IS sim_index_upsert's SQL (the full
     # corpus assigned over the base-derived seed codebook).
-    import hashlib
     import os
     import shutil
 
@@ -7605,9 +7616,7 @@ def streaming_index_upsert_q(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
-    tag = hashlib.md5(
-        f"ivfstream1|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
-    ).hexdigest()[:12]
+    tag = _tag_of("ivfstream1", os.path.abspath(src), st.st_mtime_ns, st.st_size)
     sfname = os.path.basename(os.path.normpath(sf_dir))
     store = f"/tmp/dbs_ivf_stream_{sfname}_{tag}"
     feed = f"/tmp/dbs_ivf_feed_{sfname}_{tag}"
@@ -7645,7 +7654,6 @@ def bucketed_agg_order_stats_q(spark, sf_dir):
     # bucketed fact table is a pure scan, re-paid never.  Own
     # content-addressed table (standalone per the registry contract);
     # the oracle is the plain aggregate — layout must not change values.
-    import hashlib
     import os
     import shutil
 
@@ -7656,9 +7664,7 @@ def bucketed_agg_order_stats_q(spark, sf_dir):
     )
 
     st = os.stat(os.path.join(sf_dir, "orders.parquet"))
-    tag = hashlib.md5(
-        f"bucket2|orders|{st.st_mtime_ns}|{st.st_size}".encode()
-    ).hexdigest()[:12]
+    tag = _tag_of("bucket2", "orders", st.st_mtime_ns, st.st_size)
     sfname = os.path.basename(os.path.normpath(sf_dir))
     base = f"/tmp/dbs_bucketagg_{sfname}_{tag}"
     oname = f"dbs_bucket_aggord_{tag}"
@@ -7763,7 +7769,6 @@ def shards_compact_roundtrip_q(spark, sf_dir):
     # fixed records-per-file would grow the harness's file count — and
     # the footer-stat and swap costs with it — linearly with the corpus,
     # the same harness-superlinearity trap as an uncapped query set.
-    import hashlib
     import math
     import os
     import shutil
@@ -7776,9 +7781,7 @@ def shards_compact_roundtrip_q(spark, sf_dir):
 
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
-    tag = hashlib.md5(
-        f"compact1|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
-    ).hexdigest()[:12]
+    tag = _tag_of("compact1", os.path.abspath(src), st.st_mtime_ns, st.st_size)
     path = f"/tmp/dbs_compact_{os.path.basename(os.path.normpath(sf_dir))}_{tag}"
     shutil.rmtree(path, ignore_errors=True)
     d = load(spark, sf_dir, "documents").select(
@@ -7829,7 +7832,6 @@ def sorted_shards_range_layout_q(spark, sf_dir):
     # pinned in tests/test_layout.py.  Deterministic boundaries are the
     # point: repartitionByRange alone SAMPLES its boundaries, which a
     # reproducible layout (and this oracle) cannot tolerate.
-    import hashlib
     import os
     import shutil
 
@@ -7837,9 +7839,7 @@ def sorted_shards_range_layout_q(spark, sf_dir):
 
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
-    tag = hashlib.md5(
-        f"rangesort1|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
-    ).hexdigest()[:12]
+    tag = _tag_of("rangesort1", os.path.abspath(src), st.st_mtime_ns, st.st_size)
     path = f"/tmp/dbs_rangesort_{os.path.basename(os.path.normpath(sf_dir))}_{tag}"
     shutil.rmtree(path, ignore_errors=True)
     d = load(spark, sf_dir, "documents").select(

@@ -47,7 +47,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from datafusion_bigtable_spark.sources.shards import MANIFEST_DIR
 
-_COMPACT_MARKER = "_compact.pending.json"
 _MANIFEST_MARKER = "_compact_manifest.pending.json"
 
 
@@ -77,50 +76,65 @@ def reconcile_compaction(path: str) -> None:
     """Heal a crash anywhere in a compaction run.  The swap protocol per
     shard is:
 
-    1. marker written (shard id recorded)
-    2. ``shard=K`` → ``._compact_old_K``  (live dir vanishes)
-    3. ``tmp/shard=K`` → ``shard=K``      (live dir returns, compacted;
-       SKIPPED for a zero-row shard — its compacted form is no dir)
-    4. backup + marker removed
+    1. ``shard=K`` → ``._compact_old_shard=K``  (live dir vanishes)
+    2. ``tmp/shard=K`` → ``shard=K``            (live dir returns,
+       compacted; SKIPPED for a zero-row shard — its compacted form is
+       no dir)
+    3. backup removed
 
-    A surviving swap marker means one of two disk states, both decidable
-    without guessing: live dir PRESENT → the swap completed (crash
-    between 3 and 4): drop the backup.  Live dir ABSENT → either the
-    swap half-ran or a zero-row removal finished: restore the backup if
-    one survives (a restored zero-row shard just re-compacts next run —
-    convergent), else the removal completed.  Either way every row is
-    still on disk in exactly one committed directory — the swap marker
-    only ever brackets RENAMES of live data.
+    The BACKUP DIRECTORY IS THE CRASH STATE — its name carries the shard
+    identity, so recovery needs no sidecar that could itself be torn by
+    the crash (review r14-2 #2: a half-written json marker wedged every
+    future run on json.load).  A surviving backup means one of two disk
+    states, both decidable without guessing: live dir PRESENT → the swap
+    completed (crash between 2 and 3): drop the backup.  Live dir
+    ABSENT → the swap half-ran, or a zero-row removal crashed before its
+    cleanup: restore the backup (a restored half-swap or zero-row shard
+    just re-compacts next run — convergent).  Either way every row is
+    still on disk in exactly one committed directory; the protocol only
+    ever RENAMES live data, and deletes a backup only after its
+    replacement is in place.
 
-    A surviving MANIFEST marker (written before the first swap, cleared
-    after the refresh) means a crash may have landed between the last
-    swap and the manifest rewrite — without this the manifest would
-    undercount file merges FOREVER, because the next compaction run sees
-    an already-compacted store, plans nothing, and returns before its
-    own refresh (the same heal-on-read shape as the IVF manifest's
-    pending marker).  The refresh recounts from footers (O(files)
-    metadata, idempotent), so running it after a crash at ANY point is
-    safe.  No-op without markers."""
-    marker = os.path.join(path, _COMPACT_MARKER)
-    if os.path.exists(marker):
-        with open(marker) as f:
-            state = json.load(f)
-        shard_col, shard = state["shard_col"], int(state["shard"])
-        live = os.path.join(path, f"{shard_col}={shard}")
-        backup = os.path.join(path, f"._compact_old_{shard}")
+    The MANIFEST marker (written atomically via tmp+rename before the
+    first swap, cleared after the refresh) means a crash may have landed
+    between a swap and the manifest rewrite — without it the manifest
+    would undercount file merges FOREVER, because the next compaction
+    run sees an already-compacted store, plans nothing, and returns
+    before its own refresh (the same heal-on-read shape as the IVF
+    manifest's pending marker).  The refresh recounts from footers
+    (O(files) metadata, idempotent), so running it after a crash at ANY
+    point is safe.  An unparsable marker (external corruption — the
+    atomic write rules out torn writes) still heals: the shard column
+    falls back to the partition-directory names.  No-op without
+    markers/backups."""
+    for backup in glob.glob(os.path.join(path, "._compact_old_*=*")):
+        live = os.path.join(path, os.path.basename(backup)[len("._compact_old_"):])
         if os.path.exists(live):
             shutil.rmtree(backup, ignore_errors=True)
-        elif os.path.exists(backup):
+        else:
             os.rename(backup, live)
-        with contextlib.suppress(FileNotFoundError):
-            os.remove(marker)
     mmarker = os.path.join(path, _MANIFEST_MARKER)
     if os.path.exists(mmarker):
-        with open(mmarker) as f:
-            shard_col = json.load(f)["shard_col"]
-        _refresh_manifest(path, shard_col)
+        shard_col = None
+        try:
+            with open(mmarker) as f:
+                shard_col = json.load(f)["shard_col"]
+        except (ValueError, KeyError, OSError):
+            dirs = glob.glob(os.path.join(path, "*=*"))
+            if dirs:
+                shard_col = os.path.basename(dirs[0]).split("=", 1)[0]
+        if shard_col is not None:
+            _refresh_manifest(path, shard_col)
         with contextlib.suppress(FileNotFoundError):
             os.remove(mmarker)
+
+
+def _write_atomic(target: str, payload: dict) -> None:
+    """tmp+rename so a crash mid-write can never leave a torn file."""
+    tmp = target + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, target)
 
 
 def compact_training_shards(
@@ -140,9 +154,10 @@ def compact_training_shards(
 
     One Spark job reads ONLY the selected shards (partition-pruned scan),
     re-buckets them with ``maxRecordsPerFile``, and writes to a temp root;
-    each shard directory is then swapped atomically behind a pending
-    marker (crash recovery: `reconcile_compaction`, run here first and
-    cheap enough to run before any read)."""
+    each shard directory is then swapped via rename-with-named-backup
+    (crash recovery: `reconcile_compaction` — run here first, and by the
+    shard readers in sources/shards.py, so no crash state outlives the
+    next touch of the store)."""
     reconcile_compaction(path)
     stats = shard_file_stats(path, shard_col)
     plan = {
@@ -185,20 +200,17 @@ def compact_training_shards(
         # armed BEFORE the first swap: from here on the manifest may
         # disagree with the files until the refresh lands, and a crash
         # anywhere in between must be healed by reconcile (which the next
-        # compaction/maintenance entry point runs) — not waited out
-        with open(os.path.join(path, _MANIFEST_MARKER), "w") as f:
-            json.dump({"shard_col": shard_col}, f)
+        # compaction/read entry point runs) — not waited out
+        _write_atomic(os.path.join(path, _MANIFEST_MARKER), {"shard_col": shard_col})
     for s in sorted(plan):
         live = os.path.join(path, f"{shard_col}={s}")
-        backup = os.path.join(path, f"._compact_old_{s}")
+        # the backup name IS the recovery record (see reconcile_compaction)
+        backup = os.path.join(path, f"._compact_old_{shard_col}={s}")
         shutil.rmtree(backup, ignore_errors=True)
-        with open(os.path.join(path, _COMPACT_MARKER), "w") as f:
-            json.dump({"shard_col": shard_col, "shard": s}, f)
         os.rename(live, backup)
         if plan[s]["rows"] > 0:
             os.rename(os.path.join(tmp, f"{shard_col}={s}"), live)
         shutil.rmtree(backup)
-        os.remove(os.path.join(path, _COMPACT_MARKER))
     shutil.rmtree(tmp, ignore_errors=True)
     if refresh_manifest:
         _refresh_manifest(path, shard_col)
@@ -275,7 +287,20 @@ def write_range_sorted_shards(
     prune at; the rank-math assignment is exact for any value."""
     from datafusion_bigtable_spark.operators.stats import order_statistics_df
 
-    count = df.count()
+    counts = df.agg(
+        F.count(F.lit(1)).alias("_total"), F.count(F.col(order_col)).alias("_nonnull")
+    ).first()
+    count = counts["_total"]
+    if counts["_nonnull"] != count:
+        # NULLs would silently corrupt the layout: the boundary selector
+        # excludes them (so cut ranks overshoot the ranked set) while
+        # every NULL row compares its way into shard 1 — fail loud
+        # instead (review r14-2 #4); a caller with NULLs chooses its own
+        # placement by coalescing to a sentinel first.
+        raise ValueError(
+            f"order_col {order_col!r} has {count - counts['_nonnull']} NULLs; "
+            "range-sorted layout requires a total order — coalesce them first"
+        )
     if count < n_shards:
         raise ValueError(f"n_shards={n_shards} exceeds row count {count}")
     cut_ranks = sorted({count * i // n_shards for i in range(1, n_shards)})

@@ -73,8 +73,24 @@ def write_training_shards(
     manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/{MANIFEST_DIR}")
 
 
+def _heal_before_read(path: str) -> None:
+    """Heal any compaction crash state before planning a read.  Without
+    this, a reader between a crashed mid-swap and the next maintenance
+    run would silently see the store MINUS the mid-swap shard — the
+    backup dir is dot-prefixed, so Spark skips it and filters on the
+    shard return 0 rows with no error (review r14-2 #1; the IVF store's
+    load heals the retrain swap the same way).  Pure filesystem checks,
+    no-op (two globs) on a healthy store."""
+    from datafusion_bigtable_spark.sources.layout import reconcile_compaction
+
+    reconcile_compaction(path)
+
+
 def read_shard_manifest(spark: SparkSession, path: str) -> DataFrame:
-    """The per-shard (shard, n_rows, n_files) table — ONE small read."""
+    """The per-shard (shard, n_rows, n_files) table — ONE small read.  A
+    surviving compaction crash state heals first (so the manifest never
+    serves counts a crashed refresh left stale)."""
+    _heal_before_read(path)
     return spark.read.parquet(f"{path}/{MANIFEST_DIR}")
 
 
@@ -83,7 +99,10 @@ def read_training_shards(
 ) -> DataFrame:
     """Read back all shards, or only ``shards`` — the filter is on the
     partition column, so pruning happens at the FILE level (a rank
-    reading shard 3 opens only ``shard_id=3/``; pinned in tests)."""
+    reading shard 3 opens only ``shard_id=3/``; pinned in tests).  A
+    surviving compaction crash state heals first (a mid-swap shard would
+    otherwise silently vanish from the scan)."""
+    _heal_before_read(path)
     df = spark.read.parquet(path)
     if shards is not None:
         df = df.filter(F.col("shard_id").isin([int(s) for s in shards]))

@@ -15,7 +15,6 @@ import pytest
 from pyspark.sql import functions as F
 
 from datafusion_bigtable_spark.sources.layout import (
-    _COMPACT_MARKER,
     _MANIFEST_MARKER,
     compact_training_shards,
     reconcile_compaction,
@@ -76,37 +75,48 @@ def test_compact_skips_right_sized_shards(spark, tmp_path):
     } == mtimes_before
 
 
-def test_compact_reconcile_restores_half_swapped_shard(spark, tmp_path):
-    """Crash between live→backup and tmp→live: marker present, live dir
-    absent — reconcile must restore the backup (no row lost)."""
+def test_reader_heals_half_swapped_shard(spark, tmp_path):
+    """Crash between live→backup and tmp→live: backup dir present (its
+    NAME is the recovery record — no sidecar to tear), live dir absent.
+    A plain READ must heal it — without reconcile-on-read the
+    dot-prefixed backup is invisible to Spark and the shard silently
+    vanishes from every scan until the next maintenance run."""
     path = str(tmp_path / "store")
     write_training_shards(_docs(spark), path, max_records_per_file=10)
     live = os.path.join(path, "shard_id=2")
-    backup = os.path.join(path, "._compact_old_2")
+    backup = os.path.join(path, "._compact_old_shard_id=2")
     os.rename(live, backup)
-    with open(os.path.join(path, _COMPACT_MARKER), "w") as f:
-        json.dump({"shard_col": "shard_id", "shard": 2}, f)
-    reconcile_compaction(path)
+    assert read_training_shards(spark, path).count() == 200  # not 150
     assert os.path.isdir(live) and not os.path.exists(backup)
-    assert not os.path.exists(os.path.join(path, _COMPACT_MARKER))
-    assert read_training_shards(spark, path).count() == 200
 
 
 def test_compact_reconcile_completes_finished_swap(spark, tmp_path):
-    """Crash between tmp→live and cleanup: marker + backup present, live
-    dir present — reconcile keeps the NEW files and drops the backup."""
+    """Crash between tmp→live and cleanup: backup + live both present —
+    reconcile keeps the NEW files and drops the backup."""
     path = str(tmp_path / "store")
     write_training_shards(_docs(spark), path, max_records_per_file=10)
     compact_training_shards(spark, path, target_records_per_file=1000)
     live_files = _files(path, 1)
-    backup = os.path.join(path, "._compact_old_1")
+    backup = os.path.join(path, "._compact_old_shard_id=1")
     os.makedirs(backup)  # stale pre-swap copy the crash left behind
-    with open(os.path.join(path, _COMPACT_MARKER), "w") as f:
-        json.dump({"shard_col": "shard_id", "shard": 1}, f)
     reconcile_compaction(path)
     assert _files(path, 1) == live_files
     assert not os.path.exists(backup)
-    assert not os.path.exists(os.path.join(path, _COMPACT_MARKER))
+
+
+def test_reconcile_heals_unparsable_manifest_marker(spark, tmp_path):
+    """External corruption of the manifest marker must not wedge
+    compaction: the shard column falls back to the partition-dir names
+    and the refresh still lands."""
+    path = str(tmp_path / "store")
+    write_training_shards(_docs(spark), path, max_records_per_file=10)
+    compact_training_shards(spark, path, target_records_per_file=1000)
+    with open(os.path.join(path, _MANIFEST_MARKER), "w") as f:
+        f.write('{"shard_col": "sha')  # torn json
+    reconcile_compaction(path)
+    assert not os.path.exists(os.path.join(path, _MANIFEST_MARKER))
+    man = {r.shard_id: r.n_files for r in read_shard_manifest(spark, path).collect()}
+    assert man == {0: 1, 1: 1, 2: 1, 3: 1}
 
 
 def test_compact_reconcile_heals_stale_manifest(spark, tmp_path):
@@ -293,3 +303,41 @@ def test_range_sorted_rejects_more_shards_than_rows(spark, tmp_path):
     df = spark.range(3).select(F.col("id").alias("ck"))
     with pytest.raises(ValueError, match="exceeds row count"):
         write_range_sorted_shards(df, str(tmp_path / "x"), order_col="ck", n_shards=8)
+
+
+def test_range_sorted_rejects_null_order_keys(spark, tmp_path):
+    """NULLs would corrupt the layout silently (boundary selector skips
+    them, comparisons dump them all in shard 1) — must fail loud."""
+    df = spark.range(100).select(
+        F.when(F.col("id") % 10 != 0, F.col("id")).alias("ck")
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        write_range_sorted_shards(df, str(tmp_path / "x"), order_col="ck", n_shards=4)
+
+
+def test_bucketed_fixture_sweeps_stale_dirs_without_catalog(spark, tmp_path, sf_dir):
+    """Cross-session leak (fresh catalog knows nothing): a superseded
+    content version of the SAME family on disk is swept by path; a
+    different family's dir is untouched."""
+    import hashlib
+
+    from datafusion_bigtable_spark.operators.bucketing import bucketed_fixture
+
+    src = os.path.join(sf_dir, "nation.parquet")
+    fam = hashlib.md5(
+        f"{os.path.abspath(src)}|nation|n_nationkey".encode()
+    ).hexdigest()[:8]
+    sfname = os.path.basename(os.path.normpath(sf_dir))
+    stale = f"/tmp/dbs_bucketfix_{sfname}_nation_n_nationkey_{fam}_{'0' * 12}"
+    other_family = f"/tmp/dbs_bucketfix_{sfname}_nation_n_nationkey_{'f' * 8}_{'0' * 12}"
+    os.makedirs(stale, exist_ok=True)
+    os.makedirs(other_family, exist_ok=True)
+    try:
+        df = bucketed_fixture(spark, sf_dir, "nation", ["n_nationkey"], n_buckets=2)
+        assert df.count() > 0
+        assert not os.path.exists(stale), "stale same-family dir not swept"
+        assert os.path.exists(other_family), "sibling family's dir was taken"
+    finally:
+        import shutil
+
+        shutil.rmtree(other_family, ignore_errors=True)
