@@ -12,10 +12,14 @@ task-schedule overhead.  The compactor is O(small shards), never
 O(store): it plans from the filesystem listing + parquet footers (names
 and metadata only, zero data reads), rewrites ONLY shards whose file
 count exceeds what their row count needs, and swaps each rewritten shard
-directory atomically behind a pending marker so a crash at any point
-leaves a store that `reconcile_compaction` restores from disk truth —
-the same marker discipline as the IVF manifest
-(operators/similarity.py::_reconcile_pending_manifest).
+directory via rename-with-named-backup so a crash at any point leaves a
+store that `reconcile_compaction` restores from disk truth — the backup
+directory's NAME is the crash record (no sidecar the crash could tear),
+and the shard readers (sources/shards.py) reconcile before planning so
+no crash state outlives the next touch of the store.  The manifest
+refresh keeps the IVF manifest's pending-marker discipline
+(operators/similarity.py::_reconcile_pending_manifest), written
+atomically.
 
 **Range-sorted shards** (`write_range_sorted_shards`): the terasort
 shape.  A training run that wants curriculum order (or a store that
