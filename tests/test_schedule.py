@@ -292,3 +292,22 @@ def test_fullgate_records_refresh_when_an_artifact_lands_mid_session():
     finally:
         art.unlink()
     assert q._fullgate_records().get("dedup_exact", 0) == before
+
+
+def test_content_tag_format_is_frozen(tmp_path):
+    """Every content-addressed /tmp fixture derives its identity from
+    _tag_of/_src_tag (review r14-3 #5).  The byte format is FROZEN:
+    changing it re-keys every store on disk into a one-time rewrite, so
+    an edit that alters these hashes must be a deliberate choice that
+    updates this pin, never a refactoring accident."""
+    import hashlib
+    import os
+
+    assert q._tag_of("a", "b", 3) == hashlib.md5(b"a|b|3").hexdigest()[:12]
+    p = tmp_path / "documents.parquet"
+    p.write_bytes(b"x" * 7)
+    st = os.stat(p)
+    expect = hashlib.md5(
+        f"pfx|{os.path.abspath(p)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    assert q._src_tag("pfx", str(tmp_path), "documents") == expect
