@@ -2293,7 +2293,60 @@ _R13_GREEN = (
     "scalar_functions_part",
     "json_extract_props",
 )
-# Later rounds override earlier ones; every name absent from all thirteen
+# CORRECTNESS_r14.json — 50/50 green (rows + schema + hash, zero err).
+_R14_GREEN = (
+    "tpch_q10_returned_items",
+    "bt_read_rows_service",
+    "bt_value_pushdown_service",
+    "bt_read_rows_wire",
+    "bt_mutate_rows_wire",
+    "tpch_q4_order_priority",
+    "tpch_q18_large_orders",
+    "tpch_q22_idle_rich_customers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q13_customer_distribution",
+    "sim_index_upsert",
+    "sim_search_after_upsert",
+    "pipeline_embedding_store",
+    "sim_index_drift",
+    "sim_index_retrain",
+    "bucketed_join_mktsegment",
+    "streaming_index_upsert",
+    "bucketed_agg_order_stats",
+    "retrieval_sparse_topk",
+    "shards_compact_roundtrip",
+    "sorted_shards_range_layout",
+    "set_ops_multiset",
+    "cte_above_nation_avg",
+    "having_repeat_customers",
+    "median_quantiles",
+    "bt_key_compose_range_prune",
+    "bt_key_split",
+    "bt_latest_version",
+    "bt_cell_pivot",
+    "events_retention_cohorts",
+    "bt_key_not_between_prune",
+    "events_sessionize",
+    "asof_join_latest_event",
+    "text_langid",
+    "sample_class_balanced",
+    "unpivot_cell_metrics",
+    "exact_quantiles_distributed",
+    "grouped_exact_quantiles",
+    "bt_asof_snapshot",
+    "embedding_quantize_int8",
+    "events_moving_window_range",
+    "corpus_mixing_weights",
+    "text_token_counts",
+    "text_fingerprint",
+    "text_chunk_documents",
+    "corpus_pack_sequences",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_pixel_stats",
+    "multimodal_video_frames",
+)
+# Later rounds override earlier ones; every name absent from all fourteen
 # tuples carries 0.
 _LAST_GREEN: dict[str, int] = {
     **{n: 1 for n in _R1_GREEN},
@@ -2309,6 +2362,7 @@ _LAST_GREEN: dict[str, int] = {
     **{n: 11 for n in _R11_GREEN},
     **{n: 12 for n in _R12_GREEN},
     **{n: 13 for n in _R13_GREEN},
+    **{n: 14 for n in _R14_GREEN},
 }
 
 # ---------------------------------------------------------------------------
@@ -2430,7 +2484,7 @@ def query_deps(name: str) -> frozenset[str]:
     return _module_closure(_callable_direct_deps(fn, {fn}))
 
 
-# Round 14: package modules with BEHAVIOR-CHANGING edits since the r13 fold
+# Round 15: package modules with BEHAVIOR-CHANGING edits since the r14 fold
 # (their dependents reset to 0) and query functions edited in this file over
 # the same span.  Policy (amended per ADVICE r5): purely ADDITIVE module
 # changes — a new function no existing query calls — do not reset
@@ -2445,67 +2499,11 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         # Entries are added in the SAME commit as each behavior-changing
         # module edit this round, so the set is truthful against
         # `git diff <fold>..HEAD` at every commit.
-        f"{_PKG}.sources.bigtable_table",  # r14: the mutate() bridge now
-        # fails loud when spark.driver.host is unset in non-local mode
-        # instead of silently binding 0.0.0.0 (ADVICE r13) — an executed
-        # branch of every bt_* service/wire query's table assembly.
-        f"{_PKG}.streaming.index_stream",  # r14: run_streaming_index_upsert
-        # returns StreamUpsertResult carrying per-batch drift records
-        # (VERDICT r13 #6) — one dependent, no window pressure.
-        # NOT operators.similarity: see _FULLGATE_PROVEN_MODULES below.
-        f"{_PKG}.operators.bucketing",  # r14: bucketed_fixture (new
-        # loader q13/q18 now execute) + drop_stale_family_tables routed
-        # into both r13 bucketed queries' sweeps — behavior-changing for
-        # exactly the four bucketed dependents, all of which reset here.
-        # Late r14 (review r14-3 #3): fixture base paths gained the
-        # family hash + a cross-session disk sweep.
-        f"{_PKG}.sources.shards",  # r14 (review r14-3 #1): the shard
-        # readers heal compaction crash state before planning
-        # (reconcile-on-read) — dependents are pipeline_embedding_store
-        # (in _TOUCHED_QUERIES) and the two new layout queries, all
-        # already zero-green, so this entry costs no window slot.
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset(
     {
-        # r14 additions lead the window via their absence from _LAST_GREEN.
-        # Catalog-hygiene prefix narrowed (ADVICE r13 / VERDICT r13 #3):
-        # the join query's sweep no longer drops the sibling agg query's
-        # 'dbs_bucket_aggord_*' table; review r14 #5 then routed BOTH
-        # queries' sweeps through drop_stale_family_tables (disk reclaim),
-        # so both re-verify.
-        "bucketed_join_mktsegment",
-        "bucketed_agg_order_stats",
-        # r14 operators.similarity edits (VERDICT r13 #4 retrain-swap
-        # reconciliation in load_ivf_index/retrain_ivf_index; UpsertResult
-        # drift surfacing in upsert_ivf_index): these five EXECUTE the
-        # changed load/upsert/retrain paths and re-verify directly;
-        # similarity's other dependents are covered by the
-        # FULLGATE_r14.json evidence entry below.
-        "sim_index_upsert",
-        "sim_search_after_upsert",
-        "pipeline_embedding_store",
-        "sim_index_drift",
-        "sim_index_retrain",
-        # r14 bucketed-fixture opt-in (VERDICT r13 #5): q13 now reads the
-        # custkey-bucketed copies of customer/orders.  (operators.bucketing
-        # is ALSO in _TOUCHED_MODULES — its four dependents reset either
-        # way; the explicit entries record the direct edits.)
-        "tpch_q13_customer_distribution",
-        # r14 bucketed-fixture opt-in #2 (orderkey layout): zero window
-        # cost — q18 is an r9-cohort member already holding a slot.
-        "tpch_q18_large_orders",
-        # r14 opt-in #3: q10 shares q18's orderkey layouts; its l⋈o
-        # shuffle disappears (3 exchanges → 1, the custkey agg).
-        "tpch_q10_returned_items",
-        # r14 opt-in #4: q22 shares q13's custkey layouts; the anti-join
-        # goes exchange-free (3 → 1, the mktsegment agg).
-        "tpch_q22_idle_rich_customers",
-        # r14 opt-ins #5/#6 (orderkey layouts): q21's decorrelated plan
-        # keys every join+agg on orderkey (5 exchanges → 1); q4's semi
-        # join runs co-located.
-        "tpch_q21_waiting_suppliers",
-        "tpch_q4_order_priority",
+        # r15 additions lead the window via their absence from _LAST_GREEN.
     }
 )
 
@@ -2530,28 +2528,11 @@ _TOUCHED_QUERIES: frozenset[str] = frozenset(
 _FULLGATE_PROVEN_MODULES: dict[str, str] = {
     # dotted module -> FULLGATE_r{N}.json filename proving all dependents
     # green after the module's edit.
-    # (The r13 operators.similarity entry retired at the r13 fold:
-    # FULLGATE_r13 no longer postdates the fold, and every dependent now
-    # carries a driver green.)
-    # r14: operators.similarity changed again — retrain-swap crash
-    # reconciliation on load (VERDICT r13 #4) and the UpsertResult drift
-    # return (VERDICT r13 #6).  Its 43 dependents would overflow the
-    # 50-slot window and displace the stale r7/r9 cohort (VERDICT r13
-    # #2); the five queries that EXECUTE the changed load/upsert/retrain
-    # paths re-verify via _TOUCHED_QUERIES above, and the committed
-    # FULLGATE_r14.json — generated AFTER the edit — proves the rest
-    # green at sf0.01.
-    f"{_PKG}.operators.similarity": "FULLGATE_r14.json",
-    # r14: operators.tfidf refactored — the tf/df/total construction moved
-    # into the shared corpus_term_stats so the new sparse-retrieval
-    # postings builder (operators/retrieval.py) reuses it instead of
-    # forking the measurement-backed materialization discipline (review
-    # r14 #2-5).  Plan-identical by construction, and the regenerated
-    # FULLGATE_r14.json (run AFTER the refactor) re-proves the one
-    # existing dependent (text_tfidf_top_terms) green at sf0.01;
-    # retrieval_sparse_topk is a zero-green r14 addition holding its own
-    # window slot either way.
-    f"{_PKG}.operators.tfidf": "FULLGATE_r14.json",
+    # (The r14 operators.similarity / operators.tfidf entries retired at
+    # the r14 fold: FULLGATE_r14 no longer postdates the fold, every
+    # similarity lifecycle dependent carries an r14 driver green, and
+    # text_tfidf_top_terms carries an r13 driver green plus the committed
+    # r14 full-gate record that covered the refactor before the fold.)
 }
 
 
