@@ -55,25 +55,16 @@ def query(name: str, sql: Optional[str]):
     return deco
 
 
-def _tag_of(*fields) -> str:
-    """12-hex content-address tag: md5 of the '|'-joined fields.  Every
-    content-addressed /tmp fixture identity should derive HERE (review
-    r14-3 #5: five-plus hand-rolled copies of this idiom had already
-    drifted twice); the byte format is frozen — changing it re-keys
-    every store on disk into a one-time rewrite."""
-    import hashlib
-
-    return hashlib.md5("|".join(str(f) for f in fields).encode()).hexdigest()[:12]
-
-
-def _src_tag(prefix: str, sf_dir: str, table: str) -> str:
-    """The standard source identity: ``{prefix}|{abspath}|{mtime_ns}|
-    {size}`` of one fixture parquet, through :func:`_tag_of`."""
-    import os
-
-    src = os.path.join(sf_dir, f"{table}.parquet")
-    st = os.stat(src)
-    return _tag_of(prefix, os.path.abspath(src), st.st_mtime_ns, st.st_size)
+# Content-address tags now live in the shared tagging module (ADVICE r14:
+# operators/bucketing.py could not import the queries.py originals without
+# an import cycle and had re-hand-rolled the idiom).  These aliases are
+# BYTE-IDENTICAL to the previous in-file definitions — pinned by
+# tests/test_schedule.py::test_content_tag_format_is_frozen, so no store
+# on disk re-keys.
+from datafusion_bigtable_spark.tagging import (  # noqa: E402
+    src_tag as _src_tag,
+    tag_of as _tag_of,
+)
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -2499,11 +2490,34 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         # Entries are added in the SAME commit as each behavior-changing
         # module edit this round, so the set is truthful against
         # `git diff <fold>..HEAD` at every commit.
+        f"{_PKG}.operators.bucketing",  # r15: DESCRIBE-failure reclaim
+        # made loud in drop_stale_family_tables (VERDICT r14 #8) and both
+        # bucketed_fixture content tags routed through the shared frozen
+        # tagging helper (ADVICE r14 #5 — byte-identical, pinned in
+        # tests/test_bucketing.py, but executed code changed so all
+        # bucketed dependents re-verify).
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset(
     {
         # r15 additions lead the window via their absence from _LAST_GREEN.
+        # r15 (VERDICT r14 #7): migrated off its per-run private bucketed
+        # write onto the shared custkey family loader.
+        "bucketed_agg_order_stats",
+        # r15: queries.py's _tag_of/_src_tag became aliases of the shared
+        # tagging module (ADVICE r14 #5).  Byte-identical by pin
+        # (test_schedule.py::test_content_tag_format_is_frozen), but the
+        # executed helper changed, so every store query that derives a
+        # /tmp identity through it re-verifies.
+        "sim_index_upsert",
+        "sim_search_after_upsert",
+        "pipeline_embedding_store",
+        "sim_index_drift",
+        "sim_index_retrain",
+        "streaming_index_upsert",
+        "bucketed_join_mktsegment",
+        "shards_compact_roundtrip",
+        "sorted_shards_range_layout",
     }
 )
 
@@ -7632,40 +7646,32 @@ def bucketed_agg_order_stats_q(spark, sf_dir):
     # already satisfies hashpartitioning(o_custkey), so HashAggregate
     # runs partial+final in one stage; plan pinned in
     # tests/test_bucketing.py).  At 100 TB a per-key rollup over a
-    # bucketed fact table is a pure scan, re-paid never.  Own
-    # content-addressed table (standalone per the registry contract);
-    # the oracle is the plain aggregate — layout must not change values.
-    import os
+    # bucketed fact table is a pure scan, re-paid never.
+    # r15 (VERDICT r14 #7): routed through the SHARED custkey family —
+    # the previous private table re-paid its bucketed write on every
+    # invocation (rmtree + write_bucketed_table per run), contradicting
+    # the layout's own write-once argument and inflating every bench.
+    # The (orders, custkey) layout this rollup needs is exactly the one
+    # q13/q22/bucketed_join already share, so the write is paid once per
+    # fixture generation across all of them; the retired private family
+    # ('dbs_bucket_aggord_*' tables, '/tmp/dbs_bucketagg_*' dirs) is
+    # swept below so old sessions' copies don't linger.
+    # The oracle is the plain aggregate — layout must not change values.
+    import glob
     import shutil
 
     from datafusion_bigtable_spark.operators.bucketing import (
-        bucketed_table,
+        custkey_family,
         drop_stale_family_tables,
-        write_bucketed_table,
     )
 
-    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
-    tag = _tag_of("bucket2", "orders", st.st_mtime_ns, st.st_size)
-    sfname = os.path.basename(os.path.normpath(sf_dir))
-    base = f"/tmp/dbs_bucketagg_{sfname}_{tag}"
-    oname = f"dbs_bucket_aggord_{tag}"
-    drop_stale_family_tables(spark, "dbs_bucket_aggord_", oname)
-    shutil.rmtree(base, ignore_errors=True)
-    write_bucketed_table(
-        load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
-        oname,
-        base,
-        ["o_custkey"],
-        16,
-        sort_cols=["o_custkey"],
-    )
-    return (
-        bucketed_table(spark, oname)
-        .groupBy("o_custkey")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
-        )
+    drop_stale_family_tables(spark, "dbs_bucket_aggord_", keep="")
+    for d in glob.glob("/tmp/dbs_bucketagg_*"):
+        shutil.rmtree(d, ignore_errors=True)
+    _, o = custkey_family(spark, sf_dir)
+    return o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
     )
 
 

@@ -135,26 +135,94 @@ def test_bucketed_groupby_on_key_has_no_exchange(spark, pair):
     assert "Exchange" not in plan, f"bucketed groupBy still shuffles:\n{plan[:1200]}"
 
 
-def test_join_query_catalog_sweep_spares_sibling_agg_table(spark, sf_dir):
-    """ADVICE r13 / VERDICT r13 #3: the join query's catalog-hygiene sweep
-    must not unregister the sibling agg query's 'dbs_bucket_aggord_*'
-    table — run agg then join, and the agg table stays registered."""
+def test_agg_query_reuses_shared_family_and_stays_exchange_free(spark, sf_dir):
+    """VERDICT r14 #7: bucketed_agg_order_stats now rides the SHARED
+    custkey family instead of re-paying a private bucketed write per
+    invocation.  Pins: (a) the plan is still zero-Exchange, (b) a second
+    run rewrites NO fixture files (write-once), (c) the retired private
+    family ('dbs_bucket_aggord_*' catalog entries, '/tmp/dbs_bucketagg_*'
+    dirs) is swept."""
+    import glob
+    import os
+
     from datafusion_bigtable_spark import queries as q
 
+    # plant a retired-family leftover the migrated query must clean up
+    os.makedirs("/tmp/dbs_bucketagg_leftover", exist_ok=True)
+    df = q.REGISTRY["bucketed_agg_order_stats"].fn(spark, str(sf_dir))
+    plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert "HashAggregate" in plan, plan[:800]
+    assert "Exchange" not in plan, f"bucketed groupBy still shuffles:\n{plan[:1200]}"
+    assert not glob.glob("/tmp/dbs_bucketagg_*"), "retired family dirs not swept"
+    # write-once: the second run touches no fixture file
+    [ordtbl] = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("dbs_bucketfix_orders_")
+        and "o_custkey"
+        in {c.name for c in spark.catalog.listColumns(t.name)}
+    ]
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {ordtbl}")
+        .filter(F.col("col_name") == "Location")
+        .first()["data_type"]
+    ).replace("file:", "")
+    before = {f: os.path.getmtime(os.path.join(loc, f)) for f in os.listdir(loc)}
     q.REGISTRY["bucketed_agg_order_stats"].fn(spark, str(sf_dir)).collect()
-    agg_tables = {
-        t.name
-        for t in spark.catalog.listTables()
-        if t.name.startswith("dbs_bucket_aggord_")
-    }
-    assert agg_tables, "agg query registered no dbs_bucket_aggord_* table"
-    q.REGISTRY["bucketed_join_mktsegment"].fn(spark, str(sf_dir)).collect()
-    survivors = {
-        t.name
-        for t in spark.catalog.listTables()
-        if t.name.startswith("dbs_bucket_aggord_")
-    }
-    assert survivors == agg_tables, "join query's sweep dropped the agg table"
+    after = {f: os.path.getmtime(os.path.join(loc, f)) for f in os.listdir(loc)}
+    assert before == after, "second run rewrote the shared fixture"
+
+
+def test_describe_failure_is_loud_and_still_drops_table(spark):
+    """VERDICT r14 #8: a DESCRIBE failure inside the stale-family sweep
+    must not silently skip disk reclaim — the sweep still drops the
+    catalog entry but WARNS with the table name so the leaked directory
+    is attributable."""
+    import pytest as _pytest
+
+    from datafusion_bigtable_spark.operators.bucketing import (
+        drop_stale_family_tables,
+    )
+
+    spark.sql(
+        "CREATE TABLE dbs_descfail_aaaabbbbcccc (x BIGINT) USING PARQUET "
+        "LOCATION '/tmp/dbs_descfail_loc'"
+    )
+    real_sql = spark.sql
+
+    def failing_sql(stmt, *a, **kw):
+        if stmt.startswith("DESCRIBE TABLE EXTENDED dbs_descfail_"):
+            raise RuntimeError("injected DESCRIBE failure")
+        return real_sql(stmt, *a, **kw)
+
+    try:
+        spark.sql = failing_sql
+        with _pytest.warns(RuntimeWarning, match="dbs_descfail_aaaabbbbcccc"):
+            drop_stale_family_tables(spark, "dbs_descfail_", keep="")
+    finally:
+        spark.sql = real_sql
+    names = {t.name for t in spark.catalog.listTables()}
+    assert "dbs_descfail_aaaabbbbcccc" not in names, "table not dropped"
+
+
+def test_fixture_tags_route_through_frozen_tag_helper(spark, sf_dir):
+    """ADVICE r14 #5: both bucketed_fixture hashes derive from the shared
+    tagging module.  Byte-pin the 12-hex content tag exactly as the old
+    hand-rolled idiom produced it, so the refactor can never re-key a
+    fixture on disk."""
+    import hashlib
+    import os
+
+    from datafusion_bigtable_spark.tagging import tag_of
+
+    src = os.path.abspath(os.path.join(str(sf_dir), "customer.parquet"))
+    st = os.stat(src)
+    legacy = hashlib.md5(
+        f"bfix1|{src}|{st.st_mtime_ns}|{st.st_size}|c_custkey|16".encode()
+    ).hexdigest()[:12]
+    assert tag_of("bfix1", src, st.st_mtime_ns, st.st_size, "c_custkey", 16) == legacy
+    legacy_fam = hashlib.md5(f"{src}|customer|c_custkey".encode()).hexdigest()[:8]
+    assert tag_of(src, "customer", "c_custkey", n=8) == legacy_fam
 
 
 def test_bucketed_fixture_write_once_then_reuse(spark, sf_dir):
