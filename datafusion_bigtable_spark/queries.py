@@ -7797,7 +7797,7 @@ def shards_compact_roundtrip_q(spark, sf_dir):
 @query(
     "sorted_shards_range_layout",
     """
-    WITH t AS (SELECT doc_id, n_chars * 1000000 + doc_id AS ck FROM documents),
+    WITH t AS (SELECT doc_id, n_chars * 10000000000 + doc_id AS ck FROM documents),
     r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY ck) AS rn,
                  COUNT(*) OVER () AS cnt
           FROM t)
@@ -7829,8 +7829,75 @@ def sorted_shards_range_layout_q(spark, sf_dir):
     tag = _tag_of("rangesort1", os.path.abspath(src), st.st_mtime_ns, st.st_size)
     path = f"/tmp/dbs_rangesort_{os.path.basename(os.path.normpath(sf_dir))}_{tag}"
     shutil.rmtree(path, ignore_errors=True)
+    # Composite-key uniqueness bound (ADVICE r14): the 1e10 multiplier
+    # keeps ck unique for any doc_id < 1e10 (the old 1e6 held only
+    # through sf10's 500k max) — a key TIE would let the oracle's
+    # ROW_NUMBER split it across shards while the impl placed both rows
+    # together, a latent hash mismatch.  n_chars ≤ ~1e3 at every sf, so
+    # ck ≤ ~1e13 stays far inside int64.
     d = load(spark, sf_dir, "documents").select(
-        "doc_id", (F.col("n_chars") * 1_000_000 + F.col("doc_id")).alias("ck")
+        "doc_id", (F.col("n_chars") * 10_000_000_000 + F.col("doc_id")).alias("ck")
     )
     write_range_sorted_shards(d, path, order_col="ck", n_shards=8)
     return spark.read.parquet(path).select("doc_id", "shard_id")
+
+
+@query(
+    "sorted_shards_range_prune",
+    """
+    WITH t AS (SELECT doc_id, n_chars * 10000000000 + doc_id AS ck FROM documents),
+    r AS (SELECT doc_id, ck, ROW_NUMBER() OVER (ORDER BY ck) AS rn,
+                 COUNT(*) OVER () AS cnt
+          FROM t)
+    SELECT doc_id, CAST((rn * 8 + cnt - 1) // cnt AS INT) AS shard_id
+    FROM r
+    WHERE ck BETWEEN 600000000000 AND 809999999999
+    """,
+)
+def sorted_shards_range_prune_q(spark, sf_dir):
+    # r15 (VERDICT r14 #3): the range layout's PAYOFF — the boundaries
+    # persisted at write time (meta json + typed bounds parquet) let a
+    # LATER session answer a key-range predicate by opening only the
+    # shard directories that can intersect it, with zero re-derivation
+    # and zero full-store listing.  read_range_sorted_shards prunes
+    # ck ∈ [60e10, 81e10) (= n_chars 60..80) down to the boundary-chosen
+    # shard subset before Spark lists a file (inputFiles ⊂ selected dirs
+    # pinned in tests/test_layout.py), then applies the residual BETWEEN
+    # inside the edge shards.  This completes at the file-layout tier the
+    # key-range pruning the predicate composer does at the Bigtable tier
+    # (reference src/composer.rs:23-162).  The oracle derives each doc's
+    # shard by the independent rank-math spec over the FULL corpus and
+    # filters to the same band — a reader that prunes a shard it needed,
+    # or re-derives different bounds, loses rows and hash-mismatches.
+    # The store is BUILT-OR-REUSED (content-addressed; reused when its
+    # layout record is complete) — persistence across sessions is the
+    # operator under test, so re-paying the write per run would test the
+    # wrong thing AND inflate the bench.
+    import os
+    import shutil
+
+    from datafusion_bigtable_spark.sources.layout import (
+        read_range_layout_bounds,
+        read_range_sorted_shards,
+        write_range_sorted_shards,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = _tag_of("rangeprune1", os.path.abspath(src), st.st_mtime_ns, st.st_size)
+    path = f"/tmp/dbs_rangeprune_{os.path.basename(os.path.normpath(sf_dir))}_{tag}"
+    try:
+        read_range_layout_bounds(path)
+        complete = os.path.isfile(os.path.join(path, "_SUCCESS"))
+    except (FileNotFoundError, ValueError):
+        complete = False
+    if not complete:
+        shutil.rmtree(path, ignore_errors=True)
+        d = load(spark, sf_dir, "documents").select(
+            "doc_id", (F.col("n_chars") * 10_000_000_000 + F.col("doc_id")).alias("ck")
+        )
+        write_range_sorted_shards(d, path, order_col="ck", n_shards=8)
+    lo, hi = 60 * 10_000_000_000, 81 * 10_000_000_000 - 1
+    return read_range_sorted_shards(spark, path, lo=lo, hi=hi).select(
+        "doc_id", "shard_id"
+    )

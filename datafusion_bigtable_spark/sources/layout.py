@@ -21,6 +21,19 @@ refresh keeps the IVF manifest's pending-marker discipline
 (operators/similarity.py::_reconcile_pending_manifest), written
 atomically.
 
+**Concurrency contract (ADVICE r14)**: ONE maintenance writer per store
+at a time — the same single-writer discipline as the IVF retrain swap
+(operators/similarity.py).  The swap protocol is lock-free, so a
+CONCURRENT process running ``reconcile_compaction`` mid-swap cannot
+distinguish crash state from in-progress work: it would restore the
+backup and the compactor's subsequent rename then fails loudly
+(ENOTEMPTY/EEXIST).  No data is ever lost — the protocol only renames
+committed directories — but the compaction run aborts, so schedule
+maintenance (compaction, retrain, re-layout) from a single owner.
+Readers are safe at any time EXCEPT while a maintenance writer is
+actively swapping: their heal-on-read is the crash-recovery path, not a
+concurrent-access license.
+
 **Range-sorted shards** (`write_range_sorted_shards`): the terasort
 shape.  A training run that wants curriculum order (or a store that
 wants range-prunable shards) needs a TOTAL order across shard files
@@ -52,6 +65,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from datafusion_bigtable_spark.sources.shards import MANIFEST_DIR
 
 _MANIFEST_MARKER = "_compact_manifest.pending.json"
+_RANGE_META = "_range_layout.json"
+_RANGE_BOUNDS = "_range_bounds.parquet"
 
 
 # ---------------------------------------------------------------------------
@@ -69,7 +84,18 @@ def shard_file_stats(path: str, shard_col: str = "shard_id") -> dict[int, dict]:
 
     out: dict[int, dict] = {}
     for d in glob.glob(os.path.join(path, f"{shard_col}=*")):
-        shard = int(os.path.basename(d).split("=", 1)[1])
+        raw = os.path.basename(d).split("=", 1)[1]
+        try:
+            shard = int(raw)
+        except ValueError:
+            # ADVICE r14: a store with null shard ids materializes a
+            # `shard_id=__HIVE_DEFAULT_PARTITION__` directory; int() on it
+            # used to raise — and because the shard READERS run reconcile
+            # (which can reach this via a leftover manifest marker), every
+            # read of such a store failed.  Compaction has no rewrite for
+            # a non-integer shard (the plan/swap key is the int id), so
+            # skip it: the directory stays byte-untouched and readable.
+            continue
         files = sorted(glob.glob(os.path.join(d, "*.parquet")))
         rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
         out[shard] = {"files": len(files), "rows": rows}
@@ -167,7 +193,12 @@ def compact_training_shards(
     plan = {
         s: {**st, "target_files": max(1, math.ceil(st["rows"] / target_records_per_file))}
         for s, st in stats.items()
+        # a zero-row shard's compacted form is NO directory, so ANY file
+        # count ≥ 1 is over target (ADVICE r14: the old `files > 1` shape
+        # let a single-empty-file ghost directory and its manifest entry
+        # persist forever while multi-file empty shards were removed)
         if st["files"] > max(1, math.ceil(st["rows"] / target_records_per_file))
+        or (st["rows"] == 0 and st["files"] >= 1)
     }
     if not plan:
         return {}
@@ -327,4 +358,116 @@ def write_range_sorted_shards(
         .partitionBy(shard_col)
         .parquet(path)
     )
+    # Persist the layout so PRUNING survives the writing session (VERDICT
+    # r14 #3: the headline benefit — directory-level pruning for an
+    # order_col predicate — died with the returned-but-unsaved bounds,
+    # forcing every later session to re-derive them with a corpus scan).
+    # The boundary VALUES go in a one-footer parquet so their type
+    # round-trips exactly (json would stringify timestamps and lose
+    # int/float identity); the layout META is a tiny json, written
+    # atomically LAST so a complete meta implies complete bounds — the
+    # same marker-last discipline as the compaction manifest.
+    _write_range_bounds(path, bounds)
+    _write_atomic(
+        os.path.join(path, _RANGE_META),
+        {
+            "order_col": order_col,
+            "shard_col": shard_col,
+            "n_shards": n_shards,
+            "n_bounds": len(bounds),
+        },
+    )
     return bounds
+
+
+def _write_range_bounds(path: str, bounds: list) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = os.path.join(path, _RANGE_BOUNDS + ".tmp")
+    pq.write_table(pa.table({"bound": pa.array(bounds)}), tmp)
+    os.replace(tmp, os.path.join(path, _RANGE_BOUNDS))
+
+
+def read_range_layout_bounds(path: str) -> tuple[dict, list]:
+    """The persisted layout: ``(meta, bounds)`` — two tiny file reads, no
+    Spark session, no data pages.  Fails loud on a store without a
+    complete layout record (a pre-persistence store, or a crash between
+    the data write and the meta write): pruning against GUESSED bounds
+    would silently drop rows, so the caller must re-lay-out instead."""
+    meta_path = os.path.join(path, _RANGE_META)
+    bounds_path = os.path.join(path, _RANGE_BOUNDS)
+    if not (os.path.isfile(meta_path) and os.path.isfile(bounds_path)):
+        raise FileNotFoundError(
+            f"{path} has no complete range-layout record ({_RANGE_META} + "
+            f"{_RANGE_BOUNDS}); re-run write_range_sorted_shards"
+        )
+    import pyarrow.parquet as pq
+
+    with open(meta_path) as f:
+        meta = json.load(f)
+    bounds = pq.read_table(bounds_path).column("bound").to_pylist()
+    if len(bounds) != meta["n_bounds"]:
+        raise ValueError(
+            f"{path}: bounds file carries {len(bounds)} values, meta says "
+            f"{meta['n_bounds']} — layout record corrupt; re-lay-out"
+        )
+    return meta, bounds
+
+
+def _shard_of(bounds: list, value) -> int:
+    """Shard id (1-indexed) of ``value`` under the write-side assignment
+    ``#{b in bounds : b < value} + 1`` — kept bit-identical to the
+    broadcast comparison in :func:`write_range_sorted_shards` so reader
+    pruning and writer placement can never disagree."""
+    import bisect
+
+    return bisect.bisect_left(bounds, value) + 1
+
+
+def read_range_sorted_shards(
+    spark: SparkSession,
+    path: str,
+    *,
+    lo=None,
+    hi=None,
+) -> DataFrame:
+    """Read a range-sorted store, PRUNING whole shard directories by the
+    persisted boundaries before Spark ever lists a file.
+
+    ``lo``/``hi`` are an inclusive range over the layout's ``order_col``
+    (either side optional).  Shard s holds keys in
+    ``(bounds[s-2], bounds[s-1]]``, so only shards
+    ``shard_of(lo) .. shard_of(hi)`` can intersect — the scan lists just
+    those directories (``directory-level pruning``: at 100 TB a narrow
+    range opens a handful of shard dirs out of thousands; this completes
+    at the file-layout tier the key-range pruning the predicate composer
+    does at the Bigtable tier, reference composer.rs:23-162).  The
+    residual ``BETWEEN`` still applies inside the edge shards, and the
+    returned frame is identical to filtering the full store.
+
+    Compaction crash state heals first (same reader contract as
+    sources/shards.py) — reconcile only ever touches integer shard
+    backups, never the layout sidecars."""
+    reconcile_compaction(path)
+    meta, bounds = read_range_layout_bounds(path)
+    order_col, shard_col = meta["order_col"], meta["shard_col"]
+    n = meta["n_shards"]
+    s_lo = _shard_of(bounds, lo) if lo is not None else 1
+    s_hi = _shard_of(bounds, hi) if hi is not None else n
+    dirs = [
+        d
+        for s in range(s_lo, s_hi + 1)
+        if os.path.isdir(d := os.path.join(path, f"{shard_col}={s}"))
+    ]
+    if not dirs:
+        # nothing can intersect: an empty frame with the store's schema
+        # (footer-only read — no data pages, no partition scan)
+        full = spark.read.option("basePath", path).parquet(path)
+        return spark.createDataFrame([], full.schema)
+    df = spark.read.option("basePath", path).parquet(*dirs)
+    if lo is not None:
+        df = df.filter(F.col(order_col) >= lo)
+    if hi is not None:
+        df = df.filter(F.col(order_col) <= hi)
+    return df
