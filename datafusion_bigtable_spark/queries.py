@@ -2496,6 +2496,16 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         # tagging helper (ADVICE r14 #5 — byte-identical, pinned in
         # tests/test_bucketing.py, but executed code changed so all
         # bucketed dependents re-verify).
+        f"{_PKG}.operators.retrieval",  # r15: sparse_topk gained the
+        # fail-loud query-set guard (VERDICT r14 #5 — one count job now
+        # executes before the broadcast), plus the saved-postings/BM25/
+        # RRF additions; retrieval_sparse_topk re-verifies.
+        f"{_PKG}.sources.layout",  # r15: range-layout boundary
+        # persistence + pruning reader (VERDICT r14 #3), ghost-shard and
+        # non-integer-partition compaction fixes (ADVICE r14) — the
+        # compaction/range dependents re-verify (both already in
+        # _TOUCHED_QUERIES via the _tag_of alias; this entry records the
+        # module edit for the dependency engine).
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset(
@@ -7724,6 +7734,187 @@ def retrieval_sparse_topk_q(spark, sf_dir):
     return sparse_topk(
         d, (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 5000), k=3, max_df_frac=0.5
     )
+
+
+def _postings_store(spark, sf_dir) -> str:
+    """Build-or-reuse the content-addressed saved postings index over the
+    documents fixture (operators/retrieval.py::save_postings_index).
+    The save is paid once per fixture generation; the meta json is the
+    commit marker (written atomically last, removed first on rewrite),
+    so a crashed save re-builds instead of serving a torn index."""
+    import os
+    import shutil
+
+    from datafusion_bigtable_spark.operators.retrieval import (
+        load_postings_index,
+        save_postings_index,
+    )
+
+    path = (
+        f"/tmp/dbs_postings_{os.path.basename(os.path.normpath(sf_dir))}_"
+        f"{_src_tag('postings1', sf_dir, 'documents')}"
+    )
+    try:
+        load_postings_index(spark, path)
+    except FileNotFoundError:
+        shutil.rmtree(path, ignore_errors=True)
+        save_postings_index(
+            load(spark, sf_dir, "documents"), path, max_df_frac=0.5
+        )
+    return path
+
+
+@query(
+    "retrieval_saved_topk",
+    REGISTRY["retrieval_sparse_topk"].sql,
+)
+def retrieval_saved_topk_q(spark, sf_dir):
+    # r15 (VERDICT r14 #4): build-once-search-forever — the saved postings
+    # index (stop-pruned at save, df/dl denormalized onto the rows, meta
+    # json committed last) serves the SAME search as the fresh-build
+    # sparse_topk with zero tokenize/index cost: the oracle IS
+    # retrieval_sparse_topk's SQL, so a weight drift, a pruning mismatch,
+    # or a stale index all hash-mismatch; saved-vs-fresh bit-equality is
+    # additionally pinned in tests/test_retrieval.py, and the load's
+    # zero-data-read contract (one json, no Spark jobs) is pinned there
+    # too.  Store reused across sessions via the content tag.
+    from datafusion_bigtable_spark.operators.retrieval import (
+        load_postings_index,
+        search_postings_index,
+    )
+
+    idx = load_postings_index(spark, _postings_store(spark, sf_dir))
+    return search_postings_index(
+        idx, (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 5000), k=3
+    )
+
+
+@query(
+    "retrieval_bm25_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x != '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    p AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df, dl.dl
+          FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN n
+          WHERE dfq.df <= 0.5 * n.n_docs),
+    sc AS (SELECT q.doc_id AS query_id, p.doc_id AS neighbor_id,
+                  ROUND(SUM(q.tf
+                            * ln((n.n_docs - p.df + 0.5) / (p.df + 0.5) + 1)
+                            * p.tf * (1.2 + 1)
+                            / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / ad.avgdl))),
+                        4) AS score
+           FROM p JOIN p q USING (term) CROSS JOIN n CROSS JOIN ad
+           WHERE q.doc_id % 50 = 0 AND q.doc_id < 5000 AND p.doc_id <> q.doc_id
+           GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, score, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rk
+      FROM sc) t
+    WHERE rk <= 3
+    """,
+)
+def retrieval_bm25_topk_q(spark, sf_dir):
+    # r15 (VERDICT r14 #4): Okapi BM25 over the SAME saved index —
+    # doc-side ln((N-df+.5)/(df+.5)+1) · tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl))
+    # with k1=1.2, b=0.75, query-side raw tf.  The length normalization
+    # is why the index denormalizes dl onto the posting rows: search
+    # stays zero-extra-join at any corpus size.  avgdl derives from the
+    # meta's exact integer sums, so Spark and DuckDB compute the same
+    # double.  The oracle rebuilds index + BM25 from scratch in SQL —
+    # any drift in pruning, idf shape, or length normalization
+    # hash-mismatches.
+    from datafusion_bigtable_spark.operators.retrieval import (
+        load_postings_index,
+        search_postings_index,
+    )
+
+    idx = load_postings_index(spark, _postings_store(spark, sf_dir))
+    return search_postings_index(
+        idx,
+        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 5000),
+        k=3,
+        weighting="bm25",
+        k1=1.2,
+        b=0.75,
+    )
+
+
+@query(
+    "retrieval_hybrid_rrf",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x != '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (SELECT tf.doc_id, tf.term, tf.tf * ln(n.n_docs::DOUBLE / dfq.df) AS wt
+          FROM tf JOIN dfq USING (term) CROSS JOIN n
+          WHERE dfq.df <= 0.5 * n.n_docs),
+    ssc AS (SELECT q.doc_id AS query_id, w.doc_id AS neighbor_id,
+                   ROUND(SUM(w.wt * q.wt), 4) AS score
+            FROM w JOIN w q USING (term)
+            WHERE q.doc_id % 100 = 0 AND q.doc_id < 2000 AND w.doc_id <> q.doc_id
+            GROUP BY 1, 2),
+    sr AS (SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS rk
+           FROM ssc),
+    dsc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                CAST(c.embedding AS DOUBLE[])), 6) AS score
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id % 100 = 0 AND q.vec_id < 2000),
+    dr AS (SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS rk
+           FROM dsc),
+    u AS (SELECT query_id, neighbor_id, rk FROM sr WHERE rk <= 10
+          UNION ALL
+          SELECT query_id, neighbor_id, rk FROM dr WHERE rk <= 10),
+    f AS (SELECT query_id, neighbor_id,
+                 ROUND(SUM(1.0 / (60 + rk)), 8) AS rrf_score
+          FROM u GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, rrf_score, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, neighbor_id) AS rk
+      FROM f) t
+    WHERE rk <= 5
+    """,
+)
+def retrieval_hybrid_rrf_q(spark, sf_dir):
+    # r15 (VERDICT r14 #6): hybrid retrieval — reciprocal-rank fusion
+    # (k=60) of the repo's two modalities, sparse TF-IDF top-10
+    # (operators/retrieval.py) and dense brute-force-cosine top-10
+    # (operators/similarity.py), over the SHARED absolute-bounded query
+    # set (% 100, < 2000 — _sim_query_pred's cap, mirrored on doc_id;
+    # documents and embeddings share the id space by fixture
+    # construction).  This is the retrieval shape a decontamination /
+    # near-dup sweep actually runs: lexical and embedding evidence
+    # fused by rank, not by incomparable raw scores.  Fusion cost is
+    # queries × k rows per modality — independent of corpus size; one
+    # tiny grouping exchange (operators/retrieval.py::rrf_fuse).  The
+    # oracle re-derives BOTH rankings and the RRF sum in SQL.
+    from datafusion_bigtable_spark.operators.retrieval import rrf_fuse, sparse_topk
+    from datafusion_bigtable_spark.operators.similarity import topk_bruteforce
+
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    sparse = sparse_topk(
+        d, (F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 2000), k=10
+    )
+    dense = topk_bruteforce(e, _sim_query_pred(), k=10)
+    return rrf_fuse([sparse, dense], rrf_k=60, k=5)
 
 
 @query(

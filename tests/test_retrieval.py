@@ -81,3 +81,174 @@ def test_query_side_broadcasts_index_never_reshuffles(spark, corpus):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# r15: saved postings index, BM25, query-set guard, RRF fusion
+# ---------------------------------------------------------------------------
+
+
+def test_query_set_guard_fails_loud_on_oversized_predicate(spark, corpus):
+    """VERDICT r14 #5: an unbounded query predicate must fail BEFORE the
+    force-broadcast, not superlinearly after it."""
+    with pytest.raises(ValueError, match="max_query_docs"):
+        sparse_topk(corpus, F.lit(True), k=3, max_query_docs=3)
+    # saved-index search guards too
+    import tempfile
+
+    from datafusion_bigtable_spark.operators.retrieval import (
+        load_postings_index,
+        save_postings_index,
+        search_postings_index,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        save_postings_index(corpus, d)
+        idx = load_postings_index(spark, d)
+        with pytest.raises(ValueError, match="max_query_docs"):
+            search_postings_index(idx, F.lit(True), k=3, max_query_docs=3)
+
+
+def test_saved_search_bit_equals_fresh_build(spark, corpus, tmp_path):
+    """VERDICT r14 #4 done-criterion: the saved-index search hash-equals
+    the fresh-build search (same pruning, same weights, same ranks)."""
+    from datafusion_bigtable_spark.operators.retrieval import (
+        load_postings_index,
+        save_postings_index,
+        search_postings_index,
+    )
+
+    path = str(tmp_path / "idx")
+    save_postings_index(corpus, path, max_df_frac=0.5)
+    idx = load_postings_index(spark, path)
+    pred = F.col("doc_id").isin(0, 3)
+    saved = search_postings_index(idx, pred, k=10)
+    fresh = sparse_topk(corpus, pred, k=10, max_df_frac=0.5)
+    assert sorted(map(tuple, saved.collect())) == sorted(map(tuple, fresh.collect()))
+
+
+def test_load_performs_zero_spark_jobs_and_zero_data_reads(spark, corpus, tmp_path):
+    """The load is meta/manifest-only (one json read): no Spark job may
+    run, and no postings file may even be OPENED (same pin discipline as
+    test_ivf_ownership)."""
+    import os
+
+    from datafusion_bigtable_spark.operators.retrieval import (
+        load_postings_index,
+        save_postings_index,
+    )
+
+    path = str(tmp_path / "idx")
+    save_postings_index(corpus, path)
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    # make every data file unreadable: a load that touches one fails
+    pdir = os.path.join(path, "postings")
+    modes = {}
+    for f in os.listdir(pdir):
+        full = os.path.join(pdir, f)
+        modes[full] = os.stat(full).st_mode
+        os.chmod(full, 0)
+    try:
+        idx = load_postings_index(spark, path)
+    finally:
+        for full, m in modes.items():
+            os.chmod(full, m)
+    assert idx.meta["n_docs"] == 6
+    assert set(tracker.getJobIdsForGroup(None)) == before, "load ran a Spark job"
+
+
+def test_save_over_existing_store_invalidates_meta_first(spark, corpus, tmp_path, monkeypatch):
+    """Crash-safety of the REWRITE path: a save that dies mid-postings
+    must leave no meta, so the next load fails loud instead of serving
+    yesterday's meta over half-written postings."""
+    import os
+
+    from datafusion_bigtable_spark.operators import retrieval as R
+
+    path = str(tmp_path / "idx")
+    R.save_postings_index(corpus, path)
+    assert os.path.isfile(os.path.join(path, R.POSTINGS_META))
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash mid-save")
+
+    monkeypatch.setattr(R, "corpus_term_stats", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        R.save_postings_index(corpus, path)
+    assert not os.path.isfile(os.path.join(path, R.POSTINGS_META))
+    with pytest.raises(FileNotFoundError, match="postings index"):
+        R.load_postings_index(spark, path)
+
+
+def test_bm25_weights_match_okapi_formula(spark, corpus, tmp_path):
+    """Hand-check one BM25 score: query doc 3 ('fig grape honeydew'),
+    candidate doc 4 ('fig grape apple') share fig+grape; every tf=1 and
+    every dl=3, so per term score = idf · (k1+1)/(1 + k1·1) = idf."""
+    import math as m
+
+    from datafusion_bigtable_spark.operators.retrieval import (
+        load_postings_index,
+        save_postings_index,
+        search_postings_index,
+    )
+
+    path = str(tmp_path / "idx")
+    save_postings_index(corpus, path, max_df_frac=1.0)
+    idx = load_postings_index(spark, path)
+    out = search_postings_index(
+        idx, F.col("doc_id") == 3, k=10, weighting="bm25"
+    ).collect()
+    scores = {r.neighbor_id: r.score for r in out}
+    idf = m.log((6 - 2 + 0.5) / (2 + 0.5) + 1)  # df=2 for fig and grape
+    # dl=3 == avgdl -> normalization term is exactly 1+k1 denominator
+    expect = round(2 * (1.0 * idf * 2.2 / (1 + 1.2)), 4)
+    assert scores[4] == pytest.approx(expect, abs=1e-4)
+
+
+def test_rrf_fusion_math_and_absent_modality(spark):
+    """RRF: a candidate in both lists sums both reciprocals; one present
+    in a single list still fuses; ranking is (score DESC, id ASC)."""
+    from datafusion_bigtable_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, neighbor_id long, rk long"
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2)], "query_id long, neighbor_id long, rk long"
+    )
+    out = {r.neighbor_id: (r.rrf_score, r.rk) for r in rrf_fuse([a, b], k=3).collect()}
+    assert out[11][0] == pytest.approx(round(1 / 62 + 1 / 61, 8))
+    assert out[10][0] == pytest.approx(round(1 / 61, 8))
+    assert out[12][0] == pytest.approx(round(1 / 62, 8))
+    # 11 (both lists) first; 10 vs 12 tie broken by... not a tie: 1/61 > 1/62
+    assert out[11][1] == 1 and out[10][1] == 2 and out[12][1] == 3
+
+
+def test_saved_search_query_side_broadcasts(spark, corpus, tmp_path):
+    """Same plan contract as the fresh build: the candidate match is a
+    BroadcastHashJoin from the explicit hint — the stored index never
+    reshuffles per query batch (auto-broadcast disabled so the fixture
+    cannot mask a dropped hint)."""
+    from datafusion_bigtable_spark.operators.retrieval import (
+        load_postings_index,
+        save_postings_index,
+        search_postings_index,
+    )
+
+    path = str(tmp_path / "idx")
+    save_postings_index(corpus, path)
+    idx = load_postings_index(spark, path)
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            search_postings_index(idx, F.col("doc_id") == 0, k=3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
