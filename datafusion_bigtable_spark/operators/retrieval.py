@@ -46,9 +46,11 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
+from datafusion_bigtable_spark.functions.text import words
 from datafusion_bigtable_spark.operators.tfidf import corpus_term_stats
 
 POSTINGS_DIR = "postings"
+TERMS_DIR = "terms"
 POSTINGS_META = "_postings_meta.json"
 
 
@@ -157,8 +159,8 @@ def sparse_topk(
 
 @dataclass(frozen=True)
 class PostingsIndex:
-    """Handle over a saved postings store — meta only; the postings frame
-    is lazy (``postings()`` plans a scan, triggers nothing)."""
+    """Handle over a saved postings store — meta only; the postings and
+    terms frames are lazy (each plans a scan, triggers nothing)."""
 
     path: str
     meta: dict
@@ -166,6 +168,9 @@ class PostingsIndex:
 
     def postings(self) -> DataFrame:
         return self._spark.read.parquet(os.path.join(self.path, POSTINGS_DIR))
+
+    def terms(self) -> DataFrame:
+        return self._spark.read.parquet(os.path.join(self.path, TERMS_DIR))
 
 
 def save_postings_index(
@@ -187,23 +192,41 @@ def save_postings_index(
     complete meta implies a complete store and a crash in between reads
     as "no index", never as a torn one):
 
-    - ``postings/``: parquet ``(term, id_col, tf, df, dl)`` clustered by
+    - ``postings/``: parquet ``(term, id_col, tf, dl)`` clustered by
       term into ``n_files`` files (a term's posting list is co-located,
-      so the search join fans out over terms).  ``df`` and ``dl``
-      (document token length) are DENORMALIZED onto the rows —
-      dictionary+RLE encode them to near-nothing, and BM25 search then
-      needs ZERO extra joins (a separate doclens table would re-shuffle
-      the corpus-sized postings on id at every search).
+      so the search join fans out over terms).  ``dl`` (document token
+      length, BM25's normalizer) is DENORMALIZED onto the rows —
+      dictionary+RLE encode it to near-nothing, and search then never
+      re-shuffles the corpus-sized postings on id for a doclens join.
+      ``df`` deliberately is NOT on the rows: document frequency is the
+      one statistic that CHANGES when documents arrive, and a
+      denormalized copy would make :func:`upsert_postings_index` rewrite
+      O(index) instead of O(batch + vocabulary) — the same
+      "derived-global-state lives in the small table" split as the IVF
+      store's centroids-vs-assignments.
+    - ``terms/``: the vocabulary-sized ``(term, df)`` table — exact
+      document frequencies, rewritten wholesale on upsert (vocab-sized,
+      independent of corpus size), BROADCAST at search.
     - ``_postings_meta.json``: corpus constants (n_docs, the exact
-      integer token-length sum + doc count behind avgdl, the pruning
-      bound, id_col) — everything a search needs beyond the postings
-      rows themselves.
+      integer token-length sum + doc count behind avgdl, the default
+      pruning bound, id_col) — everything a search needs beyond the two
+      tables.
 
-    Stop-term pruning (``df > max_df_frac·n_docs`` dropped) is baked in
-    at save time: the scale bound rides the stored index, not each
-    caller's discipline.  ``dl`` counts ALL tokens of a doc (including
-    pruned stop terms) — BM25's length normalization is about document
-    size, not index size.  Returns the meta dict."""
+    Stop-term pruning (``df > max_df_frac·n_docs``) is applied at SEARCH
+    against the CURRENT df (the terms table is filtered before its
+    broadcast, so above-bound posting lists are dropped map-side at the
+    scan join and never enter the scoring shuffle).  Pruning cannot be
+    baked into the stored postings in an upsertable index: df crosses
+    the bound in both directions as the corpus grows, and a baked-in
+    drop would make an upserted index diverge from a fresh build.  The
+    storage cost of keeping stop postings is bounded by total token
+    count (which the store pays regardless); the SCALE bound that
+    matters — candidate-pair volume — is enforced at search exactly as
+    in :func:`sparse_topk`.
+
+    ``dl`` counts ALL tokens of a doc (including stop terms) — BM25's
+    length normalization is about document size, not index size.
+    Returns the meta dict."""
     # Invalidate FIRST when overwriting: meta-written-last only means
     # "complete meta ⇒ complete store" if a crashed REWRITE cannot leave
     # yesterday's meta pointing at today's half-written postings.
@@ -218,30 +241,30 @@ def save_postings_index(
     dl_stats = dl.agg(
         F.sum("dl").alias("_sum"), F.count(F.lit(1)).alias("_n")
     ).first()
-    pruned = (
-        tf.join(dfreq, "term")
-        .filter(F.col("df") <= max_df_frac * F.lit(n_docs))
-        .join(dl, id_col)
-        .select("term", id_col, "tf", "df", "dl")
-    )
+    rows = tf.join(dl, id_col).select("term", id_col, "tf", "dl")
     (
-        pruned.repartition(n_files, F.col("term"))
+        rows.repartition(n_files, F.col("term"))
         .write.mode("overwrite")
         .parquet(os.path.join(path, POSTINGS_DIR))
     )
+    dfreq.write.mode("overwrite").parquet(os.path.join(path, TERMS_DIR))
     meta = {
         "id_col": id_col,
         "n_docs": int(n_docs),
         "dl_sum": int(dl_stats["_sum"] or 0),
         "dl_docs": int(dl_stats["_n"]),
         "max_df_frac": max_df_frac,
-        "version": 1,
+        "version": 2,
     }
+    _commit_postings_meta(path, meta)
+    return meta
+
+
+def _commit_postings_meta(path: str, meta: dict) -> None:
     tmp = os.path.join(path, POSTINGS_META + ".tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, os.path.join(path, POSTINGS_META))
-    return meta
 
 
 def load_postings_index(spark: SparkSession, path: str) -> PostingsIndex:
@@ -257,6 +280,14 @@ def load_postings_index(spark: SparkSession, path: str) -> PostingsIndex:
         )
     with open(meta_path) as f:
         meta = json.load(f)
+    if meta.get("version") != 2:
+        # an older-layout store (e.g. v1's denormalized-df postings) has
+        # no terms table — raised as FileNotFoundError so build-or-reuse
+        # callers rebuild instead of special-casing migration
+        raise FileNotFoundError(
+            f"{path} is a version-{meta.get('version')} postings store; "
+            "this reader needs version 2 — re-run save_postings_index"
+        )
     return PostingsIndex(path=path, meta=meta, _spark=spark)
 
 
@@ -289,11 +320,13 @@ def search_postings_index(
       integer sums, so every engine computes the same double).
 
     Scale: identical economics to ``sparse_topk`` — the corpus-sized
-    postings never reshuffle; only matched (query, candidate, partial)
-    pairs enter the one grouping exchange."""
+    postings never reshuffle (the exact-df terms table is vocab-sized
+    and broadcast, already filtered to the under-bound terms, so stop
+    posting lists are dropped map-side at the scan join); only matched
+    (query, candidate, partial) pairs enter the one grouping exchange."""
     id_col = index.meta["id_col"]
     n_docs = index.meta["n_docs"]
-    postings = index.postings()
+    frac = index.meta["max_df_frac"]
     if weighting == "tfidf":
         wt = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
         qwt = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
@@ -308,6 +341,12 @@ def search_postings_index(
         qwt = F.col("tf").cast("double")
     else:
         raise ValueError(f"unknown weighting {weighting!r} (tfidf|bm25)")
+    # stop-bound applied on the CURRENT df, pre-broadcast — the pruning
+    # semantics of tfidf_postings, evaluated against today's corpus
+    live_terms = F.broadcast(
+        index.terms().filter(F.col("df") <= frac * F.lit(n_docs))
+    )
+    postings = index.postings().join(live_terms, "term")
     queries = postings.filter(query_pred).select(
         F.col(id_col).alias("query_id"), "term", qwt.alias("qwt")
     )
@@ -327,6 +366,92 @@ def search_postings_index(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "score", "rk")
     )
+
+
+def upsert_postings_index(
+    index: PostingsIndex,
+    new_docs: DataFrame,
+    *,
+    text_col: str = "text",
+    n_files: int = 8,
+    check_duplicates: bool = True,
+) -> PostingsIndex:
+    """Fold a batch of NEW documents into a saved index — O(batch +
+    vocabulary), never O(index): the batch's postings APPEND (one
+    term-clustered write of batch rows), the vocabulary-sized terms
+    table merges df deltas and rewrites (independent of corpus size),
+    and the meta constants advance by exact integer sums.  The sparse
+    twin of ``upsert_ivf_index`` — after any number of upserts the index
+    is SEMANTICALLY IDENTICAL to a fresh build over the full corpus
+    (search-time pruning reads the merged exact df), pinned in tests and
+    oracle-checked by ``retrieval_index_upsert``.
+
+    Ids must be new (append-only ingest — the incremental-dedup tier
+    decides what is new); ``check_duplicates`` anti-probes the stored id
+    column with the broadcast batch ids and fails loud on overlap, since
+    a silent double-insert would inflate tf/df forever.
+
+    Crash protocol: the meta json is removed FIRST and re-committed
+    LAST, so a crash at any interior point (mid-append, mid-terms-swap)
+    leaves a store that ``load_postings_index`` refuses loudly — the
+    index is DERIVED state, rebuilt from the corpus, so fail-loud +
+    rebuild beats a backup dance here (unlike the IVF store, whose
+    assignments embed training state a rebuild cannot reproduce)."""
+    id_col = index.meta["id_col"]
+    path = index.path
+    # the SAME tokenizer as corpus_term_stats — an upsert tokenized
+    # differently would silently fork the index's term space
+    toks = new_docs.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # consumed three times (dup check joins postings separately): one
+    # tokenize pass, same materialization discipline as corpus_term_stats
+    tf = tf.localCheckpoint(eager=False)
+    batch_n = new_docs.count()
+    if check_duplicates:
+        new_ids = F.broadcast(new_docs.select(id_col).distinct())
+        n_dup = index.postings().join(new_ids, id_col).limit(1).count()
+        if n_dup:
+            raise ValueError(
+                "upsert batch contains ids already in the index — upserts "
+                "are append-only; dedup the batch first"
+            )
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dl_stats = dl.agg(
+        F.sum("dl").alias("_sum"), F.count(F.lit(1)).alias("_n")
+    ).first()
+    batch_df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # ---- mutation starts: invalidate, mutate, re-commit --------------
+    os.remove(os.path.join(path, POSTINGS_META))
+    (
+        tf.join(dl, id_col)
+        .select("term", id_col, "tf", "dl")
+        .repartition(n_files, F.col("term"))
+        .write.mode("append")
+        .parquet(os.path.join(path, POSTINGS_DIR))
+    )
+    terms_dir = os.path.join(path, TERMS_DIR)
+    terms_tmp = terms_dir + "_tmp"
+    merged = (
+        index.terms()
+        .unionByName(batch_df)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
+    # materialize the merge INTO the tmp dir before the old one goes away
+    # (the plan reads the old dir lazily; writing first completes it)
+    merged.write.mode("overwrite").parquet(terms_tmp)
+    import shutil
+
+    shutil.rmtree(terms_dir)
+    os.rename(terms_tmp, terms_dir)
+    meta = dict(index.meta)
+    meta["n_docs"] = int(meta["n_docs"]) + int(batch_n)
+    meta["dl_sum"] = int(meta["dl_sum"]) + int(dl_stats["_sum"] or 0)
+    meta["dl_docs"] = int(meta["dl_docs"]) + int(dl_stats["_n"])
+    _commit_postings_meta(path, meta)
+    return PostingsIndex(path=path, meta=meta, _spark=index._spark)
 
 
 # ---------------------------------------------------------------------------

@@ -7752,7 +7752,7 @@ def _postings_store(spark, sf_dir) -> str:
 
     path = (
         f"/tmp/dbs_postings_{os.path.basename(os.path.normpath(sf_dir))}_"
-        f"{_src_tag('postings1', sf_dir, 'documents')}"
+        f"{_src_tag('postings2', sf_dir, 'documents')}"
     )
     try:
         load_postings_index(spark, path)
@@ -7844,6 +7844,47 @@ def retrieval_bm25_topk_q(spark, sf_dir):
         weighting="bm25",
         k1=1.2,
         b=0.75,
+    )
+
+
+@query(
+    "retrieval_index_upsert",
+    REGISTRY["retrieval_sparse_topk"].sql,
+)
+def retrieval_index_upsert_q(spark, sf_dir):
+    # r15: maintain the sparse index ON INGEST — the lifecycle symmetry
+    # the dense tier already has (sim_index_upsert).  Build the postings
+    # store over 3/4 of the corpus, fold the remaining quarter in as TWO
+    # upsert batches (postings append O(batch), exact-df terms table
+    # rewrite O(vocab), meta sums advance), then search.  Per-term df
+    # and the pruning bound are evaluated against the MERGED corpus at
+    # search, so the upserted index is semantically identical to a fresh
+    # build — the oracle IS retrieval_sparse_topk's SQL over the full
+    # corpus: a stale df, a lost posting, or a double-merged term all
+    # hash-mismatch.  Fresh store per run (the upsert path is under
+    # test), same posture as sim_index_upsert.
+    import os
+    import shutil
+
+    from datafusion_bigtable_spark.operators.retrieval import (
+        load_postings_index,
+        save_postings_index,
+        search_postings_index,
+        upsert_postings_index,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    path = (
+        f"/tmp/dbs_postupsert_{os.path.basename(os.path.normpath(sf_dir))}_"
+        f"{_src_tag('postupsert1', sf_dir, 'documents')}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    save_postings_index(d.filter(F.col("doc_id") % 4 != 0), path, max_df_frac=0.5)
+    idx = load_postings_index(spark, path)
+    idx = upsert_postings_index(idx, d.filter(F.col("doc_id") % 8 == 0))
+    idx = upsert_postings_index(idx, d.filter(F.col("doc_id") % 8 == 4))
+    return search_postings_index(
+        idx, (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 5000), k=3
     )
 
 

@@ -143,12 +143,13 @@ def test_load_performs_zero_spark_jobs_and_zero_data_reads(spark, corpus, tmp_pa
     tracker = spark.sparkContext.statusTracker()
     before = set(tracker.getJobIdsForGroup(None))
     # make every data file unreadable: a load that touches one fails
-    pdir = os.path.join(path, "postings")
     modes = {}
-    for f in os.listdir(pdir):
-        full = os.path.join(pdir, f)
-        modes[full] = os.stat(full).st_mode
-        os.chmod(full, 0)
+    for sub in ("postings", "terms"):
+        pdir = os.path.join(path, sub)
+        for f in os.listdir(pdir):
+            full = os.path.join(pdir, f)
+            modes[full] = os.stat(full).st_mode
+            os.chmod(full, 0)
     try:
         idx = load_postings_index(spark, path)
     finally:
@@ -252,3 +253,77 @@ def test_saved_search_query_side_broadcasts(spark, corpus, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_upsert_equals_fresh_build_and_df_stays_exact(spark, corpus, tmp_path):
+    """The upserted index is semantically identical to a fresh build over
+    the merged corpus: same search results (pruning reads merged df),
+    exact df in the terms table, meta sums advanced exactly."""
+    from datafusion_bigtable_spark.operators.retrieval import (
+        load_postings_index,
+        save_postings_index,
+        search_postings_index,
+        upsert_postings_index,
+    )
+
+    base = corpus.filter(F.col("doc_id") < 4)
+    path = str(tmp_path / "idx")
+    save_postings_index(base, path, max_df_frac=0.5)
+    idx = load_postings_index(spark, path)
+    idx = upsert_postings_index(idx, corpus.filter(F.col("doc_id") == 4))
+    idx = upsert_postings_index(idx, corpus.filter(F.col("doc_id") == 5))
+    assert idx.meta["n_docs"] == 6
+    # exact merged df: 'apple' in docs 0,1,2,4 -> 4; 'fig' in 3,4 -> 2
+    df = {r.term: r.df for r in idx.terms().collect()}
+    assert df["apple"] == 4 and df["fig"] == 2 and df["kiwi"] == 1
+    pred = F.col("doc_id").isin(0, 3)
+    upserted = search_postings_index(idx, pred, k=10)
+    fresh_path = str(tmp_path / "fresh")
+    save_postings_index(corpus, fresh_path, max_df_frac=0.5)
+    fresh = search_postings_index(
+        load_postings_index(spark, fresh_path), pred, k=10
+    )
+    assert sorted(map(tuple, upserted.collect())) == sorted(
+        map(tuple, fresh.collect())
+    )
+
+
+def test_upsert_rejects_duplicate_ids_and_leaves_index_valid(spark, corpus, tmp_path):
+    from datafusion_bigtable_spark.operators.retrieval import (
+        load_postings_index,
+        save_postings_index,
+        upsert_postings_index,
+    )
+
+    path = str(tmp_path / "idx")
+    save_postings_index(corpus, path)
+    idx = load_postings_index(spark, path)
+    with pytest.raises(ValueError, match="append-only"):
+        upsert_postings_index(idx, corpus.filter(F.col("doc_id") == 0))
+    # the failed upsert never reached the mutation phase: index still loads
+    assert load_postings_index(spark, path).meta["n_docs"] == 6
+
+
+def test_upsert_crash_mid_mutation_fails_loud_on_next_load(spark, corpus, tmp_path, monkeypatch):
+    """Meta removed first, re-committed last: a crash inside the mutation
+    window must leave a store every later load REFUSES (derived state —
+    rebuild, never serve a half-merged index)."""
+    import os
+
+    from datafusion_bigtable_spark.operators import retrieval as R
+
+    path = str(tmp_path / "idx")
+    R.save_postings_index(corpus.filter(F.col("doc_id") < 5), path)
+    idx = R.load_postings_index(spark, path)
+    real_commit = R._commit_postings_meta
+
+    def crash_commit(*a, **kw):
+        raise RuntimeError("injected crash before meta commit")
+
+    monkeypatch.setattr(R, "_commit_postings_meta", crash_commit)
+    with pytest.raises(RuntimeError, match="injected"):
+        R.upsert_postings_index(idx, corpus.filter(F.col("doc_id") == 5))
+    monkeypatch.setattr(R, "_commit_postings_meta", real_commit)
+    assert not os.path.isfile(os.path.join(path, R.POSTINGS_META))
+    with pytest.raises(FileNotFoundError, match="postings index"):
+        R.load_postings_index(spark, path)
