@@ -7889,6 +7889,52 @@ def retrieval_index_upsert_q(spark, sf_dir):
 
 
 @query(
+    "streaming_postings_upsert",
+    REGISTRY["retrieval_sparse_topk"].sql,
+)
+def streaming_postings_upsert_q(spark, sf_dir):
+    # r15: sparse index maintenance ON THE STREAM
+    # (streaming/postings_stream.py) — the document feed flows through
+    # foreachBatch (one staged file per trigger, 4 micro-batches), each
+    # batch anti-joins the stored ids (replay guard), appends its
+    # postings, merges exact df deltas, and advances the meta sums.
+    # Term statistics merge by exact integer sums, so the final index is
+    # independent of micro-batch boundaries and ordering — the streamed
+    # store equals a fresh build over the full corpus EXACTLY, and the
+    # oracle IS retrieval_sparse_topk's SQL.  The dense twin is
+    # streaming_index_upsert; together the two stores' full lifecycles
+    # (build→save→upsert, batch AND stream) are oracle-covered.
+    import os
+    import shutil
+
+    from datafusion_bigtable_spark.operators.retrieval import (
+        load_postings_index,
+        save_postings_index,
+        search_postings_index,
+    )
+    from datafusion_bigtable_spark.streaming.postings_stream import (
+        run_streaming_postings_upsert,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    tag = _src_tag("poststream1", sf_dir, "documents")
+    sfname = os.path.basename(os.path.normpath(sf_dir))
+    store = f"/tmp/dbs_poststream_{sfname}_{tag}"
+    feed = f"/tmp/dbs_postfeed_{sfname}_{tag}"
+    shutil.rmtree(store, ignore_errors=True)  # the upsert path is under test
+    shutil.rmtree(feed, ignore_errors=True)  # fresh checkpoint: replay all
+    save_postings_index(d.filter(F.col("doc_id") % 4 != 0), store, max_df_frac=0.5)
+    # stage the feed as 4 files -> 4 micro-batches (maxFilesPerTrigger=1)
+    d.filter(F.col("doc_id") % 4 == 0).repartition(4).write.parquet(feed)
+    run_streaming_postings_upsert(spark, feed, store, query_name=f"dbs_postup_{tag}")
+    return search_postings_index(
+        load_postings_index(spark, store),
+        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 5000),
+        k=3,
+    )
+
+
+@query(
     "retrieval_hybrid_rrf",
     """
     WITH toks AS (

@@ -1,0 +1,104 @@
+"""Streaming maintenance of the saved sparse postings index.
+
+The batch half (`operators.retrieval.upsert_postings_index`) folds
+ingestion rounds into the saved inverted index; this is the same
+contract ON THE STREAM — the dense twin is
+`streaming/index_stream.py::run_streaming_index_upsert`, and the shape
+is identical: a document feed (the shape of a curation stage landing
+text in object storage) flows through ``foreachBatch``, and every
+micro-batch appends its postings, merges its df deltas into the
+vocabulary-sized terms table, and advances the meta's exact sums.
+
+Why ``foreachBatch``: index maintenance is a BATCH transaction against
+an external store (anti-join + partitioned append + sidecar rewrite) —
+exactly the pattern foreachBatch exists for.  Term statistics merge by
+EXACT integer sums, so the final index is independent of micro-batch
+boundaries and ordering: the streamed store equals the batch operator
+— and a fresh build over the full corpus — EXACTLY (the registry
+oracle is the same SQL as the batch upsert's).
+
+Replay safety: checkpointed foreachBatch is at-least-once, so each
+micro-batch ANTI-JOINS against the stored ids first — a replayed batch
+folds to nothing, the same discipline as the dense stream (a silent
+double-insert would inflate tf/df forever, which is why the batch
+operator's own duplicate check stays fail-loud for non-streaming
+callers).  The anti-join scans the index's id column per batch; a
+production deployment fronting this with the incremental-ingest dedup
+tier (operators/dedup.py) pays that scan there instead.
+
+No reference analogue (the reference is read-only and static-schema,
+src/datasource.rs:23,84); scale/streaming tier.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, types as T
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)
+
+
+def read_documents_stream(spark: SparkSession, path: str) -> DataFrame:
+    """A document directory as a file stream, one file per micro-batch
+    (declared schema — file streams require one)."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def run_streaming_postings_upsert(
+    spark: SparkSession,
+    feed_dir: str,
+    store_path: str,
+    query_name: str = "dbs_postings_upsert",
+) -> int:
+    """Drive the document feed to completion, folding each micro-batch
+    into the saved postings index at ``store_path``.  Returns the number
+    of documents folded across all batches."""
+    from datafusion_bigtable_spark.operators.retrieval import (
+        load_postings_index,
+        upsert_postings_index,
+    )
+
+    total = {"n": 0}
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        idx = load_postings_index(spark, store_path)
+        id_col = idx.meta["id_col"]
+        # replay guard (at-least-once foreachBatch): already-folded ids
+        # drop here, so a re-delivered batch is a no-op — the batch
+        # operator's fail-loud duplicate check is for non-streaming
+        # callers and is disabled in its place.  (A zero-token document
+        # leaves no posting to anti-join against; a feed that can carry
+        # empty text should dedup ids upstream — module docstring.)
+        fresh = batch_df.join(
+            idx.postings().select(id_col), id_col, "left_anti"
+        )
+        if fresh.limit(1).count() == 0:
+            return
+        upd = upsert_postings_index(idx, fresh, check_duplicates=False)
+        total["n"] += upd.meta["n_docs"] - idx.meta["n_docs"]
+
+    q = (
+        read_documents_stream(spark, feed_dir)
+        .writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", os.path.join(feed_dir, "_checkpoint"))
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return total["n"]

@@ -327,3 +327,33 @@ def test_upsert_crash_mid_mutation_fails_loud_on_next_load(spark, corpus, tmp_pa
     assert not os.path.isfile(os.path.join(path, R.POSTINGS_META))
     with pytest.raises(FileNotFoundError, match="postings index"):
         R.load_postings_index(spark, path)
+
+
+def test_streaming_postings_upsert_replay_is_noop(spark, corpus, tmp_path):
+    """At-least-once delivery: re-running the stream over the SAME feed
+    with a fresh checkpoint (worst-case full replay) must fold nothing —
+    the anti-join replay guard makes duplicate delivery a no-op, so the
+    streamed index equals the batch result exactly."""
+    import os
+    import shutil
+
+    from datafusion_bigtable_spark.operators.retrieval import (
+        load_postings_index,
+        save_postings_index,
+    )
+    from datafusion_bigtable_spark.streaming.postings_stream import (
+        run_streaming_postings_upsert,
+    )
+
+    store = str(tmp_path / "store")
+    feed = str(tmp_path / "feed")
+    save_postings_index(corpus.filter(F.col("doc_id") < 4), store)
+    corpus.filter(F.col("doc_id") >= 4).repartition(2).write.parquet(feed)
+    n1 = run_streaming_postings_upsert(spark, feed, store, query_name="t_postup1")
+    assert n1 == 2
+    assert load_postings_index(spark, store).meta["n_docs"] == 6
+    # full replay: wipe the checkpoint so every file re-delivers
+    shutil.rmtree(os.path.join(feed, "_checkpoint"))
+    n2 = run_streaming_postings_upsert(spark, feed, store, query_name="t_postup2")
+    assert n2 == 0, "replayed batches folded again"
+    assert load_postings_index(spark, store).meta["n_docs"] == 6
