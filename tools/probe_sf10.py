@@ -54,6 +54,15 @@ PROBE = [
     "retrieval_sparse_topk",
     "text_tfidf_top_terms",
     "text_quality",
+    # r15 additions: the saved-index searches reuse one content-addressed
+    # store (the first sample pays the save, min-of-2 keeps the reused
+    # one — same treatment as every build-or-reuse fixture here); the
+    # prune query's second sample reads a bounded shard subset of its
+    # reused range store; hybrid fuses two already-probed modalities.
+    "retrieval_saved_topk",
+    "retrieval_bm25_topk",
+    "retrieval_hybrid_rrf",
+    "sorted_shards_range_prune",
 ]
 
 
