@@ -214,9 +214,22 @@ def compact_training_shards(
         # repartition on the shard column so each shard's rows coalesce
         # before the write
         df = spark.read.parquet(path).filter(F.col(shard_col).isin(rewrite))
+        out = df.repartition(len(rewrite), F.col(shard_col))
+        # A RANGE-SORTED store's contract includes per-shard internal
+        # order (global order = shard-id file concat); a plain rewrite
+        # would keep the rows but shuffle their order, silently breaking
+        # every order-dependent consumer while all counts still verify.
+        # The persisted layout record says which column to re-sort by —
+        # pruning/disjointness never depended on file order, so only the
+        # sort is re-established (r15; pinned in tests/test_layout.py).
+        try:
+            meta, _ = read_range_layout_bounds(path)
+            if meta["shard_col"] == shard_col:
+                out = out.sortWithinPartitions(shard_col, meta["order_col"])
+        except (FileNotFoundError, ValueError, KeyError):
+            pass  # not a range-sorted store: no order to preserve
         (
-            df.repartition(len(rewrite), F.col(shard_col))
-            .write.mode("overwrite")
+            out.write.mode("overwrite")
             .option("maxRecordsPerFile", target_records_per_file)
             .partitionBy(shard_col)
             .parquet(tmp)

@@ -470,3 +470,40 @@ def test_stats_skip_non_integer_partition_dirs(spark, tmp_path):
     plan = compact_training_shards(spark, path, target_records_per_file=1000)
     assert sorted(plan) == [0, 1, 2, 3]
     assert os.path.isfile(marker), "non-integer shard dir was touched"
+
+
+def test_compaction_preserves_range_store_internal_order(spark, tmp_path):
+    """Compacting a RANGE-SORTED store must re-establish per-shard order
+    (global order = shard-id file concat); a plain rewrite keeps the
+    rows but shuffles their order — every count still verifies while
+    every order-dependent consumer silently breaks.  The persisted
+    layout record tells the compactor which column to re-sort by, and
+    the pruning reader keeps working over the compacted files."""
+    from datafusion_bigtable_spark.sources.layout import read_range_sorted_shards
+
+    path = str(tmp_path / "store")
+    bounds = write_range_sorted_shards(
+        _ranged(spark), path, order_col="ck", n_shards=4, max_records_per_file=10
+    )
+    before = shard_file_stats(path)
+    assert any(st["files"] > 1 for st in before.values()), "not fragmented"
+    plan = compact_training_shards(spark, path, target_records_per_file=1000)
+    assert plan, "nothing compacted"
+    # per-shard: files (name order) concat to a non-decreasing ck run;
+    # shards in id order concat to the global order
+    last = None
+    for s in sorted(shard_file_stats(path)):
+        vals = []
+        for f in _files(path, s):
+            vals.extend(pq.read_table(f).column("ck").to_pylist())
+        assert vals == sorted(vals), f"shard {s} lost internal order"
+        if vals:
+            assert last is None or vals[0] > last, "shards overlap"
+            last = vals[-1]
+    # layout record survived the compaction; pruning still exact
+    lo, hi = 900, 1700
+    pruned = read_range_sorted_shards(spark, path, lo=lo, hi=hi)
+    full = spark.read.parquet(path).filter((F.col("ck") >= lo) & (F.col("ck") <= hi))
+    assert sorted(r.doc_id for r in pruned.collect()) == sorted(
+        r.doc_id for r in full.collect()
+    )
