@@ -8015,6 +8015,87 @@ def retrieval_hybrid_rrf_q(spark, sf_dir):
 
 
 @query(
+    "retrieval_hybrid_rrf_ivf",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x != '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (SELECT tf.doc_id, tf.term, tf.tf * ln(n.n_docs::DOUBLE / dfq.df) AS wt
+          FROM tf JOIN dfq USING (term) CROSS JOIN n
+          WHERE dfq.df <= 0.5 * n.n_docs),
+    ssc AS (SELECT q.doc_id AS query_id, w.doc_id AS neighbor_id,
+                   ROUND(SUM(w.wt * q.wt), 4) AS score
+            FROM w JOIN w q USING (term)
+            WHERE q.doc_id % 100 = 0 AND q.doc_id < 2000 AND w.doc_id <> q.doc_id
+            GROUP BY 1, 2),
+    sr AS (SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS rk
+           FROM ssc),
+    seeds AS (
+      SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS sv
+      FROM embeddings WHERE vec_id < 16),
+    ranked AS (
+      SELECT e.vec_id, s.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.sv) DESC,
+                        s.cell) AS rn
+      FROM embeddings e CROSS JOIN seeds s),
+    dsc AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS score
+      FROM embeddings q
+        JOIN ranked qa ON qa.vec_id = q.vec_id AND qa.rn <= 4
+        JOIN ranked ca ON ca.cell = qa.cell AND ca.rn = 1 AND ca.vec_id <> q.vec_id
+        JOIN embeddings c ON c.vec_id = ca.vec_id
+      WHERE q.vec_id % 100 = 0 AND q.vec_id < 2000),
+    dr AS (SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS rk
+           FROM dsc),
+    u AS (SELECT query_id, neighbor_id, rk FROM sr WHERE rk <= 10
+          UNION ALL
+          SELECT query_id, neighbor_id, rk FROM dr WHERE rk <= 10),
+    f AS (SELECT query_id, neighbor_id,
+                 ROUND(SUM(1.0 / (60 + rk)), 8) AS rrf_score
+          FROM u GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, rrf_score, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, neighbor_id) AS rk
+      FROM f) t
+    WHERE rk <= 5
+    """,
+)
+def retrieval_hybrid_rrf_ivf_q(spark, sf_dir):
+    # r15: the SCALE-path hybrid — the brute-force dense leg swapped for
+    # IVF nprobe=4 search (the r15 sf10 probe measured the brute leg at
+    # d2=4.7× vs IVF's 2.1×; rrf_fuse composes either unchanged because
+    # fusion is rank math over whatever top-k lists arrive).  RRF is also
+    # WHY an approximate leg is safe here: a neighbor IVF misses simply
+    # contributes no reciprocal from that list, degrading its fused rank
+    # instead of corrupting a score.  Deterministic seed codebook keeps
+    # the dense leg oracle-exact (sim_topk_ivf_nprobe's SQL), so the
+    # whole fusion stays hash-checked.
+    from datafusion_bigtable_spark.operators.retrieval import rrf_fuse, sparse_topk
+    from datafusion_bigtable_spark.operators.similarity import topk_ivf
+
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    sparse = sparse_topk(
+        d, (F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 2000), k=10
+    )
+    dense = topk_ivf(e, _sim_query_pred(), n_cells=16, k=10, nprobe=4)
+    return rrf_fuse([sparse, dense], rrf_k=60, k=5)
+
+
+@query(
     "shards_compact_roundtrip",
     """
     WITH t AS (

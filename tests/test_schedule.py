@@ -56,10 +56,10 @@ def test_registry_size_and_full_green_fold():
     # bucketed_agg_order_stats)
     # + 3 r14 additions (retrieval_sparse_topk, shards_compact_roundtrip,
     # sorted_shards_range_layout)
-    # + 6 r15 additions (sorted_shards_range_prune, retrieval_saved_topk,
-    # retrieval_bm25_topk, retrieval_hybrid_rrf, retrieval_index_upsert,
-    # streaming_postings_upsert).
-    assert len(q.REGISTRY) == 172
+    # + 7 r15 additions (sorted_shards_range_prune, retrieval_saved_topk,
+    # retrieval_bm25_topk, retrieval_hybrid_rrf, retrieval_hybrid_rrf_ivf,
+    # retrieval_index_upsert, streaming_postings_upsert).
+    assert len(q.REGISTRY) == 173
     sched = q._schedule()
     for name in (n for n in q.REGISTRY if n not in q._LAST_GREEN):
         assert sched.index(name) < 50, f"new query {name} outside driver window"
