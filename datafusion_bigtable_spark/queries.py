@@ -7746,12 +7746,34 @@ def retrieval_sparse_topk_q(spark, sf_dir):
     )
 
 
+def _sweep_stale_store_versions(base: str) -> None:
+    """Disk hygiene for a reused content-addressed /tmp store: remove
+    sibling directories that differ from ``base`` only in the 12-hex
+    content tag (superseded versions of the SAME store — a testdata
+    regeneration changes the tag and would otherwise leak a full store
+    copy per generation forever, the r14 bucketed-table lesson).  The
+    tag is the last underscore segment; non-12-hex leaves are never
+    touched."""
+    import glob
+    import os
+    import re
+    import shutil
+
+    prefix = base.rsplit("_", 1)[0]
+    for d in glob.glob(prefix + "_*"):
+        tag = os.path.basename(d).rsplit("_", 1)[-1]
+        if d != base and re.fullmatch(r"[0-9a-f]{12}", tag):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def _postings_store(spark, sf_dir) -> str:
     """Build-or-reuse the content-addressed saved postings index over the
     documents fixture (operators/retrieval.py::save_postings_index).
     The save is paid once per fixture generation; the meta json is the
     commit marker (written atomically last, removed first on rewrite),
-    so a crashed save re-builds instead of serving a torn index."""
+    so a crashed save re-builds instead of serving a torn index.  Stale
+    content versions (superseded tags of this sf dir's store) are swept
+    from /tmp before reuse."""
     import os
     import shutil
 
@@ -7764,6 +7786,7 @@ def _postings_store(spark, sf_dir) -> str:
         f"/tmp/dbs_postings_{os.path.basename(os.path.normpath(sf_dir))}_"
         f"{_src_tag('postings2', sf_dir, 'documents')}"
     )
+    _sweep_stale_store_versions(path)
     try:
         load_postings_index(spark, path)
     except FileNotFoundError:
@@ -7888,6 +7911,7 @@ def retrieval_index_upsert_q(spark, sf_dir):
         f"/tmp/dbs_postupsert_{os.path.basename(os.path.normpath(sf_dir))}_"
         f"{_src_tag('postupsert1', sf_dir, 'documents')}"
     )
+    _sweep_stale_store_versions(path)
     shutil.rmtree(path, ignore_errors=True)
     save_postings_index(d.filter(F.col("doc_id") % 4 != 0), path, max_df_frac=0.5)
     idx = load_postings_index(spark, path)
@@ -7931,6 +7955,8 @@ def streaming_postings_upsert_q(spark, sf_dir):
     sfname = os.path.basename(os.path.normpath(sf_dir))
     store = f"/tmp/dbs_poststream_{sfname}_{tag}"
     feed = f"/tmp/dbs_postfeed_{sfname}_{tag}"
+    _sweep_stale_store_versions(store)
+    _sweep_stale_store_versions(feed)
     shutil.rmtree(store, ignore_errors=True)  # the upsert path is under test
     shutil.rmtree(feed, ignore_errors=True)  # fresh checkpoint: replay all
     save_postings_index(d.filter(F.col("doc_id") % 4 != 0), store, max_df_frac=0.5)
@@ -8255,6 +8281,7 @@ def sorted_shards_range_prune_q(spark, sf_dir):
     st = os.stat(src)
     tag = _tag_of("rangeprune1", os.path.abspath(src), st.st_mtime_ns, st.st_size)
     path = f"/tmp/dbs_rangeprune_{os.path.basename(os.path.normpath(sf_dir))}_{tag}"
+    _sweep_stale_store_versions(path)
     try:
         read_range_layout_bounds(path)
         complete = os.path.isfile(os.path.join(path, "_SUCCESS"))

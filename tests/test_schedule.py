@@ -314,3 +314,24 @@ def test_content_tag_format_is_frozen(tmp_path):
         f"pfx|{os.path.abspath(p)}|{st.st_mtime_ns}|{st.st_size}".encode()
     ).hexdigest()[:12]
     assert q._src_tag("pfx", str(tmp_path), "documents") == expect
+
+
+def test_stale_store_version_sweep_scopes_to_family(tmp_path, monkeypatch):
+    """The reused /tmp stores' version sweep removes only 12-hex-tag
+    siblings of the SAME family — never a prefix-sharing other family,
+    a non-tag leaf, or the live store itself."""
+    import os
+
+    base_dir = tmp_path / "stores"
+    base_dir.mkdir()
+    live = str(base_dir / "dbs_postings_sf0.01_aaaaaaaaaaaa")
+    stale = str(base_dir / "dbs_postings_sf0.01_bbbbbbbbbbbb")
+    other_sf = str(base_dir / "dbs_postings_sf0.011_cccccccccccc")
+    non_tag = str(base_dir / "dbs_postings_sf0.01_notatag")
+    for d in (live, stale, other_sf, non_tag):
+        os.makedirs(d)
+    q._sweep_stale_store_versions(live)
+    assert os.path.isdir(live), "live store swept"
+    assert not os.path.isdir(stale), "stale version survived"
+    assert os.path.isdir(other_sf), "other sf dir's store swept"
+    assert os.path.isdir(non_tag), "non-tag leaf swept"
