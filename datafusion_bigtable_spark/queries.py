@@ -2337,7 +2337,60 @@ _R14_GREEN = (
     "multimodal_pixel_stats",
     "multimodal_video_frames",
 )
-# Later rounds override earlier ones; every name absent from all fourteen
+# CORRECTNESS_r15.json — 50/50 green (rows + schema + hash, zero err).
+_R15_GREEN = (
+    "tpch_q10_returned_items",
+    "embedding_quantize_int8",
+    "tpch_q4_order_priority",
+    "tpch_q18_large_orders",
+    "tpch_q22_idle_rich_customers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q13_customer_distribution",
+    "sim_index_upsert",
+    "sim_search_after_upsert",
+    "pipeline_embedding_store",
+    "sim_index_drift",
+    "sim_index_retrain",
+    "bucketed_join_mktsegment",
+    "streaming_index_upsert",
+    "bucketed_agg_order_stats",
+    "retrieval_sparse_topk",
+    "retrieval_saved_topk",
+    "retrieval_bm25_topk",
+    "retrieval_index_upsert",
+    "streaming_postings_upsert",
+    "retrieval_hybrid_rrf",
+    "retrieval_hybrid_rrf_ivf",
+    "shards_compact_roundtrip",
+    "sorted_shards_range_layout",
+    "sorted_shards_range_prune",
+    "union_all_entities",
+    "skew_salted_aggregation",
+    "approx_aggregates",
+    "grouping_sets_mixed",
+    "tpch_q7_volume_shipping",
+    "tpch_q14_promo_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "deterministic_hash_sample",
+    "winsorize_prices",
+    "multimodal_png_decode",
+    "text_boilerplate_ngrams",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_revenue_change",
+    "text_bpe_tokenize",
+    "text_curation_filter",
+    "tpch_q8_market_share",
+    "text_top_bigrams",
+    "events_funnel_analysis",
+    "tpch_q15_top_supplier",
+    "ingest_jsonl_documents",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh_bucketed",
+    "sim_topk_ivf_cells",
+    "sim_topk_ivf_nprobe",
+    "sim_trained_codebook_recall",
+)
+# Later rounds override earlier ones; every name absent from all fifteen
 # tuples carries 0.
 _LAST_GREEN: dict[str, int] = {
     **{n: 1 for n in _R1_GREEN},
@@ -2354,6 +2407,7 @@ _LAST_GREEN: dict[str, int] = {
     **{n: 12 for n in _R12_GREEN},
     **{n: 13 for n in _R13_GREEN},
     **{n: 14 for n in _R14_GREEN},
+    **{n: 15 for n in _R15_GREEN},
 }
 
 # ---------------------------------------------------------------------------
@@ -2475,7 +2529,7 @@ def query_deps(name: str) -> frozenset[str]:
     return _module_closure(_callable_direct_deps(fn, {fn}))
 
 
-# Round 15: package modules with BEHAVIOR-CHANGING edits since the r14 fold
+# Round 16: package modules with BEHAVIOR-CHANGING edits since the r15 fold
 # (their dependents reset to 0) and query functions edited in this file over
 # the same span.  Policy (amended per ADVICE r5): purely ADDITIVE module
 # changes — a new function no existing query calls — do not reset
@@ -2490,48 +2544,11 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         # Entries are added in the SAME commit as each behavior-changing
         # module edit this round, so the set is truthful against
         # `git diff <fold>..HEAD` at every commit.
-        f"{_PKG}.operators.bucketing",  # r15: DESCRIBE-failure reclaim
-        # made loud in drop_stale_family_tables (VERDICT r14 #8) and both
-        # bucketed_fixture content tags routed through the shared frozen
-        # tagging helper (ADVICE r14 #5 — byte-identical, pinned in
-        # tests/test_bucketing.py, but executed code changed so all
-        # bucketed dependents re-verify).
-        f"{_PKG}.operators.retrieval",  # r15: sparse_topk gained the
-        # fail-loud query-set guard (VERDICT r14 #5 — one count job now
-        # executes before the broadcast), plus the saved-postings/BM25/
-        # RRF additions; retrieval_sparse_topk re-verifies.
-        f"{_PKG}.sources.layout",  # r15: range-layout boundary
-        # persistence + pruning reader (VERDICT r14 #3), ghost-shard and
-        # non-integer-partition compaction fixes (ADVICE r14) — the
-        # compaction/range dependents re-verify (both already in
-        # _TOUCHED_QUERIES via the _tag_of alias; this entry records the
-        # module edit for the dependency engine).
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset(
     {
-        # r15 additions lead the window via their absence from _LAST_GREEN.
-        # r15 (VERDICT r14 #7): migrated off its per-run private bucketed
-        # write onto the shared custkey family loader.
-        "bucketed_agg_order_stats",
-        # r15: queries.py's _tag_of/_src_tag became aliases of the shared
-        # tagging module (ADVICE r14 #5).  Byte-identical by pin
-        # (test_schedule.py::test_content_tag_format_is_frozen), but the
-        # executed helper changed, so every store query that derives a
-        # /tmp identity through it re-verifies.
-        "sim_index_upsert",
-        "sim_search_after_upsert",
-        "pipeline_embedding_store",
-        "sim_index_drift",
-        "sim_index_retrain",
-        "streaming_index_upsert",
-        "bucketed_join_mktsegment",
-        "shards_compact_roundtrip",
-        "sorted_shards_range_layout",
-        # r15: the int8 quantizer's O(d²)/row CollapseProject inlining
-        # fixed via array_repeat+zip_with (4.6 s -> 0.78 s at sf1, the
-        # round's one sf1 flag); values bit-identical, re-verified.
-        "embedding_quantize_int8",
+        # r16 additions lead the window via their absence from _LAST_GREEN.
     }
 )
 
