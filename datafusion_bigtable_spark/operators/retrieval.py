@@ -486,6 +486,22 @@ def rrf_fuse(
     the input rankings were already broken deterministically by their
     producers (every topk operator here orders by (score, id))."""
     cols = ["query_id", "neighbor_id", "rk"]
+    # fail loud on contract violations (ADVICE r15 #5): an empty rankings
+    # sequence or a leg missing the rank columns would otherwise surface
+    # as a bare IndexError / opaque AnalysisException deep in the plan
+    if not rankings:
+        raise ValueError(
+            "rrf_fuse needs at least one ranking DataFrame; got an empty "
+            "sequence"
+        )
+    for i, r in enumerate(rankings):
+        missing = [c for c in cols if c not in r.columns]
+        if missing:
+            raise ValueError(
+                f"rrf_fuse ranking #{i} is missing required column(s) "
+                f"{missing}; every leg must carry (query_id, neighbor_id, "
+                "rk) — the shape every topk operator here returns"
+            )
     u = rankings[0].select(*cols)
     for r in rankings[1:]:
         u = u.unionByName(r.select(*cols))

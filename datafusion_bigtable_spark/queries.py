@@ -2544,6 +2544,12 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         # Entries are added in the SAME commit as each behavior-changing
         # module edit this round, so the set is truthful against
         # `git diff <fold>..HEAD` at every commit.
+        f"{_PKG}.sources.layout",  # r16: miss-path empty frame now built
+        # from the layout meta's persisted schema instead of a full-store
+        # listing (VERDICT r15 #7 / ADVICE r15 #3); writer persists the
+        # nullable-normalized read schema.
+        f"{_PKG}.operators.retrieval",  # r16: rrf_fuse fail-loud input
+        # validation (ADVICE r15 #5); postings-store lifecycle work.
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset(

@@ -388,9 +388,38 @@ def write_range_sorted_shards(
             "shard_col": shard_col,
             "n_shards": n_shards,
             "n_bounds": len(bounds),
+            # the READ-side schema (data columns + the discovered partition
+            # column), persisted so a no-intersection read never lists the
+            # store just to build an empty frame (ADVICE r15 #3 / VERDICT
+            # r15 #7) — shard_col reads back as int via partition-dir
+            # discovery, exactly what the write-side cast produced.
+            # Nullability is normalized to match a real read: file-based
+            # sources force every field nullable (FileFormat asNullable),
+            # so the persisted schema must too or the empty frame's
+            # schema would differ from a full read's.
+            "schema": _as_nullable(
+                json.loads(df.withColumn(shard_col, shard).schema.json())
+            ),
         },
     )
     return bounds
+
+
+def _as_nullable(schema_json):
+    """Recursively force ``nullable: true`` in a StructType JSON dict —
+    the transformation Spark's file sources apply to every read schema,
+    so the persisted layout schema equals what a real scan would return."""
+    if isinstance(schema_json, dict):
+        out = {}
+        for k, v in schema_json.items():
+            if k == "nullable" or k == "containsNull" or k == "valueContainsNull":
+                out[k] = True
+            else:
+                out[k] = _as_nullable(v)
+        return out
+    if isinstance(schema_json, list):
+        return [_as_nullable(v) for v in schema_json]
+    return schema_json
 
 
 def _write_range_bounds(path: str, bounds: list) -> None:
@@ -474,9 +503,19 @@ def read_range_sorted_shards(
         if os.path.isdir(d := os.path.join(path, f"{shard_col}={s}"))
     ]
     if not dirs:
-        # nothing can intersect: an empty frame with the store's schema
-        # (footer-only read — no data pages, no partition scan)
-        full = spark.read.option("basePath", path).parquet(path)
+        # nothing can intersect: an empty frame with the store's schema.
+        # The schema is persisted in the layout meta (ADVICE r15 #3 — the
+        # old spark.read.parquet(path) here triggered a full recursive
+        # store listing + partition discovery, an O(files) driver job the
+        # hit path was designed to avoid); pre-r16 stores without the
+        # persisted schema fall back to listing ONE shard directory, not
+        # the store.
+        if "schema" in meta:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType.fromJson(meta["schema"]))
+        one = os.path.join(path, f"{shard_col}=1")
+        full = spark.read.option("basePath", path).parquet(one)
         return spark.createDataFrame([], full.schema)
     df = spark.read.option("basePath", path).parquet(*dirs)
     if lo is not None:

@@ -373,12 +373,16 @@ def test_range_layout_bounds_persist_and_prune_reader_matches_full_filter(
     meta, persisted = read_range_layout_bounds(path)
     assert persisted == bounds, "persisted bounds differ from returned ones"
     assert all(isinstance(b, int) for b in persisted), "int bounds lost type"
-    assert meta == {
+    fixed = {
         "order_col": "ck",
         "shard_col": "shard_id",
         "n_shards": 8,
         "n_bounds": len(bounds),
     }
+    assert {k: meta[k] for k in fixed} == fixed
+    # r16: the read-side schema is persisted too (miss path builds its
+    # empty frame from it — see test_range_prune_miss_reads_nothing...)
+    assert "schema" in meta and meta["schema"]["type"] == "struct"
     lo, hi = 900, 1700
     pruned = read_range_sorted_shards(spark, path, lo=lo, hi=hi)
     full = spark.read.parquet(path).filter(
@@ -412,9 +416,29 @@ def test_range_prune_open_ended_and_empty_selections(spark, tmp_path):
     # nothing intersects: empty frame, store schema, no files listed
     empty = read_range_sorted_shards(spark, path, lo=10**9)
     assert empty.count() == 0
-    assert set(empty.columns) == set(
-        spark.read.option("basePath", path).parquet(path).columns
-    )
+    full_schema = spark.read.option("basePath", path).parquet(path).schema
+    assert empty.schema == full_schema
+
+
+def test_range_prune_miss_reads_nothing_beyond_sidecars(spark, tmp_path):
+    """VERDICT r15 #7 / ADVICE r15 #3: a no-intersection read must build
+    its empty frame from the PERSISTED schema — zero shard-directory
+    listing, zero footer reads.  Pinned by physically moving every shard
+    directory away: if the reader listed anything beyond the two layout
+    sidecars it could not succeed."""
+    from datafusion_bigtable_spark.sources.layout import read_range_sorted_shards
+
+    path = str(tmp_path / "store")
+    write_range_sorted_shards(_ranged(spark), path, order_col="ck", n_shards=4)
+    full_schema = spark.read.option("basePath", path).parquet(path).schema
+    hidden = str(tmp_path / "hidden")
+    os.makedirs(hidden)
+    for d in os.listdir(path):
+        if d.startswith("shard_id="):
+            os.rename(os.path.join(path, d), os.path.join(hidden, d))
+    empty = read_range_sorted_shards(spark, path, lo=10**9)
+    assert empty.count() == 0
+    assert empty.schema == full_schema
 
 
 def test_range_reader_fails_loud_without_layout_record(spark, tmp_path):

@@ -226,6 +226,19 @@ def test_rrf_fusion_math_and_absent_modality(spark):
     assert out[11][1] == 1 and out[10][1] == 2 and out[12][1] == 3
 
 
+def test_rrf_fuse_fails_loud_on_bad_inputs(spark):
+    """ADVICE r15 #5: an empty rankings sequence or a leg missing the
+    rank columns raises a named ValueError, not a bare IndexError /
+    opaque AnalysisException."""
+    from datafusion_bigtable_spark.operators.retrieval import rrf_fuse
+
+    with pytest.raises(ValueError, match="at least one ranking"):
+        rrf_fuse([])
+    bad = spark.createDataFrame([(1, 10)], "query_id long, some_col long")
+    with pytest.raises(ValueError, match="missing required column"):
+        rrf_fuse([bad])
+
+
 def test_saved_search_query_side_broadcasts(spark, corpus, tmp_path):
     """Same plan contract as the fresh build: the candidate match is a
     BroadcastHashJoin from the explicit hint — the stored index never
