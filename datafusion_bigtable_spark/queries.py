@@ -2549,7 +2549,12 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         # listing (VERDICT r15 #7 / ADVICE r15 #3); writer persists the
         # nullable-normalized read schema.
         f"{_PKG}.operators.retrieval",  # r16: rrf_fuse fail-loud input
-        # validation (ADVICE r15 #5); postings-store lifecycle work.
+        # validation (ADVICE r15 #5); postings store v3 (authoritative
+        # docs membership table — ADVICE r15 #1/#2), compaction
+        # (VERDICT r15 #3) and delete lifecycle (VERDICT r15 #4).
+        f"{_PKG}.streaming.postings_stream",  # r16: replay guard
+        # anti-joins the docs membership table instead of postings
+        # presence (ADVICE r15 #1 — zero-token docs re-folded forever).
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset(
@@ -7990,6 +7995,119 @@ def streaming_postings_upsert_q(spark, sf_dir):
         load_postings_index(spark, store),
         (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 5000),
         k=3,
+    )
+
+
+@query(
+    "retrieval_postings_compact",
+    REGISTRY["retrieval_sparse_topk"].sql,
+)
+def retrieval_postings_compact_q(spark, sf_dir):
+    # r16 (VERDICT r15 #3): postings-store COMPACTION — the maintenance
+    # half of the upsert lifecycle.  Each upsert appends its own
+    # term-clustered files, so after K batches a term's posting list
+    # spans up to K×n_files files and every search join touches every
+    # batch's files forever; compact_postings_index re-clusters the
+    # store back to n_files (one term, one file) under the same
+    # meta-removed-first crash protocol.  Lifecycle under test here:
+    # save over 3/4 of the corpus at n_files=8, fold the rest in as two
+    # upsert batches (24 postings files), compact back to 8, search —
+    # the oracle IS retrieval_sparse_topk's fresh-build SQL, so a row
+    # lost, duplicated, or re-weighted by the rewrite hash-mismatches.
+    # File-count restoration, no-op idempotence, and the crash shape are
+    # pinned in tests/test_retrieval.py.
+    import os
+    import shutil
+
+    from datafusion_bigtable_spark.operators.retrieval import (
+        compact_postings_index,
+        load_postings_index,
+        save_postings_index,
+        search_postings_index,
+        upsert_postings_index,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    path = (
+        f"/tmp/dbs_postcompact_{os.path.basename(os.path.normpath(sf_dir))}_"
+        f"{_src_tag('postcompact1', sf_dir, 'documents')}"
+    )
+    _sweep_stale_store_versions(path)
+    shutil.rmtree(path, ignore_errors=True)  # the compact path is under test
+    save_postings_index(d.filter(F.col("doc_id") % 4 != 0), path, n_files=8)
+    idx = load_postings_index(spark, path)
+    idx = upsert_postings_index(idx, d.filter(F.col("doc_id") % 8 == 0), n_files=8)
+    idx = upsert_postings_index(idx, d.filter(F.col("doc_id") % 8 == 4), n_files=8)
+    idx = compact_postings_index(idx, n_files=8)
+    return search_postings_index(
+        idx, (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 5000), k=3
+    )
+
+
+@query(
+    "retrieval_postings_delete",
+    """
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 16 <> 3),
+    toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x != '')) AS term
+      FROM corpus),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM corpus),
+    w AS (SELECT tf.doc_id, tf.term, tf.tf * ln(n.n_docs::DOUBLE / dfq.df) AS wt
+          FROM tf JOIN dfq USING (term) CROSS JOIN n
+          WHERE dfq.df <= 0.5 * n.n_docs),
+    sc AS (SELECT q.doc_id AS query_id, w.doc_id AS neighbor_id,
+                  ROUND(SUM(w.wt * q.wt), 4) AS score
+           FROM w JOIN w q USING (term)
+           WHERE q.doc_id % 50 = 0 AND q.doc_id < 5000 AND w.doc_id <> q.doc_id
+           GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, score, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rk
+      FROM sc) t
+    WHERE rk <= 3
+    """,
+)
+def retrieval_postings_delete_q(spark, sf_dir):
+    # r16 (VERDICT r15 #4): the takedown/right-to-erasure half of the
+    # sparse lifecycle — build the saved index over the FULL corpus,
+    # delete every doc with doc_id % 16 == 3 (a scattered ~6% takedown),
+    # search what remains.  The oracle is a fresh build over the
+    # remaining corpus (documents WHERE doc_id % 16 <> 3), so the
+    # equivalence delete(build(C), X) ≡ build(C−X) is hash-checked
+    # end-to-end: a surviving posting, a stale df, an avgdl drift, or a
+    # lost non-deleted row all mismatch.  Deletes decrement EXACT
+    # integer stats from what the store held (per-term df from the
+    # deleted postings, dl/n_docs from the authoritative docs table) and
+    # rewrite only provenance-touched files; crash shapes and
+    # zero-token-doc accounting are pinned in tests/test_retrieval.py.
+    import os
+    import shutil
+
+    from datafusion_bigtable_spark.operators.retrieval import (
+        delete_from_postings_index,
+        load_postings_index,
+        save_postings_index,
+        search_postings_index,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    path = (
+        f"/tmp/dbs_postdelete_{os.path.basename(os.path.normpath(sf_dir))}_"
+        f"{_src_tag('postdelete1', sf_dir, 'documents')}"
+    )
+    _sweep_stale_store_versions(path)
+    shutil.rmtree(path, ignore_errors=True)  # the delete path is under test
+    save_postings_index(d, path, max_df_frac=0.5)
+    idx = load_postings_index(spark, path)
+    idx = delete_from_postings_index(
+        idx, d.filter(F.col("doc_id") % 16 == 3).select("doc_id")
+    )
+    return search_postings_index(
+        idx, (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 5000), k=3
     )
 
 

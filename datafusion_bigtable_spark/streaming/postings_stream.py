@@ -79,11 +79,13 @@ def run_streaming_postings_upsert(
         # replay guard (at-least-once foreachBatch): already-folded ids
         # drop here, so a re-delivered batch is a no-op — the batch
         # operator's fail-loud duplicate check is for non-streaming
-        # callers and is disabled in its place.  (A zero-token document
-        # leaves no posting to anti-join against; a feed that can carry
-        # empty text should dedup ids upstream — module docstring.)
+        # callers and is disabled in its place.  Membership comes from
+        # the store's AUTHORITATIVE docs table (ADVICE r15 #1: inferring
+        # it from postings presence was blind to zero-token documents,
+        # so every replay of such a batch re-folded them and permanently
+        # inflated n_docs — skewing idf and avgdl corpus-wide).
         fresh = batch_df.join(
-            idx.postings().select(id_col), id_col, "left_anti"
+            idx.docs().select(id_col), id_col, "left_anti"
         )
         if fresh.limit(1).count() == 0:
             return

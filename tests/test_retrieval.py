@@ -142,19 +142,24 @@ def test_load_performs_zero_spark_jobs_and_zero_data_reads(spark, corpus, tmp_pa
     save_postings_index(corpus, path)
     tracker = spark.sparkContext.statusTracker()
     before = set(tracker.getJobIdsForGroup(None))
-    # make every data file unreadable: a load that touches one fails
-    modes = {}
-    for sub in ("postings", "terms"):
+    # physically move every data file away: a load that opens one cannot
+    # succeed.  (ADVICE r15 #4: the old chmod-0 pin was vacuous under
+    # root, which ignores permission bits.)
+    hidden = str(tmp_path / "hidden")
+    moved = []
+    for sub in ("postings", "terms", "docs"):
         pdir = os.path.join(path, sub)
+        os.makedirs(os.path.join(hidden, sub))
         for f in os.listdir(pdir):
-            full = os.path.join(pdir, f)
-            modes[full] = os.stat(full).st_mode
-            os.chmod(full, 0)
+            src = os.path.join(pdir, f)
+            dst = os.path.join(hidden, sub, f)
+            os.rename(src, dst)
+            moved.append((src, dst))
     try:
         idx = load_postings_index(spark, path)
     finally:
-        for full, m in modes.items():
-            os.chmod(full, m)
+        for src, dst in moved:
+            os.rename(dst, src)
     assert idx.meta["n_docs"] == 6
     assert set(tracker.getJobIdsForGroup(None)) == before, "load ran a Spark job"
 
@@ -370,3 +375,252 @@ def test_streaming_postings_upsert_replay_is_noop(spark, corpus, tmp_path):
     n2 = run_streaming_postings_upsert(spark, feed, store, query_name="t_postup2")
     assert n2 == 0, "replayed batches folded again"
     assert load_postings_index(spark, store).meta["n_docs"] == 6
+
+
+def test_upsert_duplicate_check_sees_zero_token_docs(spark, tmp_path):
+    """ADVICE r15 #2: a token-less document leaves no posting row, so a
+    postings-based duplicate probe was blind to it — re-inserting it
+    passed the append-only check and double-counted n_docs.  The docs
+    membership table closes the hole."""
+    from datafusion_bigtable_spark.operators.retrieval import (
+        load_postings_index,
+        save_postings_index,
+        upsert_postings_index,
+    )
+
+    base = spark.createDataFrame(
+        [(0, "apple banana"), (1, "...!!!")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "idx")
+    meta = save_postings_index(base, path)
+    assert meta["n_docs"] == 2 and meta["dl_docs"] == 1  # doc 1 tokenless
+    idx = load_postings_index(spark, path)
+    with pytest.raises(ValueError, match="append-only"):
+        upsert_postings_index(
+            idx, spark.createDataFrame([(1, "now has words")], "doc_id long, text string")
+        )
+    assert load_postings_index(spark, path).meta["n_docs"] == 2
+
+
+def test_streaming_replay_of_zero_token_docs_is_noop(spark, tmp_path):
+    """ADVICE r15 #1: a replayed micro-batch whose documents tokenize to
+    zero terms must still fold to nothing — membership is tracked in the
+    docs table, not inferred from postings presence."""
+    import os
+    import shutil
+
+    from datafusion_bigtable_spark.operators.retrieval import (
+        load_postings_index,
+        save_postings_index,
+    )
+    from datafusion_bigtable_spark.streaming.postings_stream import (
+        run_streaming_postings_upsert,
+    )
+
+    store = str(tmp_path / "store")
+    feed = str(tmp_path / "feed")
+    save_postings_index(
+        spark.createDataFrame([(0, "apple banana")], "doc_id long, text string"),
+        store,
+    )
+    spark.createDataFrame(
+        [(1, "???", None, None, None), (2, "cherry fig", None, None, None)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).repartition(1).write.parquet(feed)
+    n1 = run_streaming_postings_upsert(spark, feed, store, query_name="t_zpost1")
+    assert n1 == 2
+    meta = load_postings_index(spark, store).meta
+    assert meta["n_docs"] == 3 and meta["dl_docs"] == 2
+    shutil.rmtree(os.path.join(feed, "_checkpoint"))
+    n2 = run_streaming_postings_upsert(spark, feed, store, query_name="t_zpost2")
+    assert n2 == 0, "zero-token doc re-folded on replay"
+    assert load_postings_index(spark, store).meta["n_docs"] == 3
+
+
+def _postings_files(path, sub):
+    import os
+
+    d = os.path.join(path, sub)
+    return sorted(
+        f for f in os.listdir(d)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+
+
+def test_compact_restores_file_bound_and_search_is_bit_identical(
+    spark, corpus, tmp_path
+):
+    """VERDICT r15 #2/#3 done-criteria: after K upserts the postings span
+    K batches' files; compaction restores ≤ n_files per table, the
+    search hash is unchanged, and an already-compact store is a no-op
+    (footer-free planning: nothing rewritten, files untouched)."""
+    import os
+
+    from datafusion_bigtable_spark.operators.retrieval import (
+        compact_postings_index,
+        load_postings_index,
+        save_postings_index,
+        search_postings_index,
+        upsert_postings_index,
+    )
+
+    path = str(tmp_path / "idx")
+    save_postings_index(corpus.filter(F.col("doc_id") < 4), path, n_files=2)
+    idx = load_postings_index(spark, path)
+    idx = upsert_postings_index(idx, corpus.filter(F.col("doc_id") == 4), n_files=2)
+    idx = upsert_postings_index(idx, corpus.filter(F.col("doc_id") == 5), n_files=2)
+    assert len(_postings_files(path, "postings")) > 2, "not fragmented — test inert"
+    pred = F.col("doc_id").isin(0, 3)
+    before = sorted(map(tuple, search_postings_index(idx, pred, k=10).collect()))
+    idx = compact_postings_index(idx, n_files=2)
+    assert len(_postings_files(path, "postings")) <= 2
+    assert len(_postings_files(path, "docs")) <= 2
+    after = sorted(map(tuple, search_postings_index(idx, pred, k=10).collect()))
+    assert before == after
+    # idempotent: a compact store is a no-op (same files, same mtimes)
+    state = {
+        f: os.stat(os.path.join(path, "postings", f)).st_mtime_ns
+        for f in _postings_files(path, "postings")
+    }
+    compact_postings_index(idx, n_files=2)
+    assert {
+        f: os.stat(os.path.join(path, "postings", f)).st_mtime_ns
+        for f in _postings_files(path, "postings")
+    } == state
+
+
+def test_compact_crash_mid_rewrite_fails_loud_on_next_load(
+    spark, corpus, tmp_path, monkeypatch
+):
+    """Same crash shape as upsert: meta removed first, re-committed last —
+    a compaction that dies mid-rewrite leaves a store every later load
+    refuses."""
+    import os
+
+    from datafusion_bigtable_spark.operators import retrieval as R
+
+    path = str(tmp_path / "idx")
+    R.save_postings_index(corpus.filter(F.col("doc_id") < 4), path, n_files=2)
+    idx = R.load_postings_index(spark, path)
+    idx = R.upsert_postings_index(idx, corpus.filter(F.col("doc_id") >= 4), n_files=2)
+
+    def crash_commit(*a, **kw):
+        raise RuntimeError("injected crash before meta commit")
+
+    monkeypatch.setattr(R, "_commit_postings_meta", crash_commit)
+    with pytest.raises(RuntimeError, match="injected"):
+        R.compact_postings_index(idx, n_files=2)
+    assert not os.path.isfile(os.path.join(path, R.POSTINGS_META))
+    with pytest.raises(FileNotFoundError, match="postings index"):
+        R.load_postings_index(spark, path)
+
+
+def test_delete_equals_fresh_build_over_remaining_corpus(spark, corpus, tmp_path):
+    """VERDICT r15 #4 done-criterion: delete(build(C), X) ≡ build(C−X) —
+    search results (tfidf AND bm25 — avgdl exactness), the exact-df
+    terms table, and every meta constant all match a fresh build."""
+    from datafusion_bigtable_spark.operators.retrieval import (
+        delete_from_postings_index,
+        load_postings_index,
+        save_postings_index,
+        search_postings_index,
+    )
+
+    path = str(tmp_path / "idx")
+    save_postings_index(corpus, path, max_df_frac=0.5)
+    idx = load_postings_index(spark, path)
+    idx = delete_from_postings_index(
+        idx, spark.createDataFrame([(1,), (4,)], "doc_id long")
+    )
+    fresh_path = str(tmp_path / "fresh")
+    save_postings_index(
+        corpus.filter(~F.col("doc_id").isin(1, 4)), fresh_path, max_df_frac=0.5
+    )
+    fresh = load_postings_index(spark, fresh_path)
+    assert idx.meta["n_docs"] == fresh.meta["n_docs"] == 4
+    assert idx.meta["dl_sum"] == fresh.meta["dl_sum"]
+    assert idx.meta["dl_docs"] == fresh.meta["dl_docs"]
+    assert sorted(map(tuple, idx.terms().collect())) == sorted(
+        map(tuple, fresh.terms().collect())
+    )
+    pred = F.col("doc_id").isin(0, 3)
+    for weighting in ("tfidf", "bm25"):
+        got = search_postings_index(idx, pred, k=10, weighting=weighting)
+        want = search_postings_index(fresh, pred, k=10, weighting=weighting)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), weighting
+
+
+def test_delete_ignores_non_members_and_counts_zero_token_docs_exactly(
+    spark, tmp_path
+):
+    """Idempotent takedown: non-member ids fold to nothing (the index
+    object is returned unchanged, no mutation); deleting a zero-token
+    doc decrements n_docs but NOT dl_docs (it never counted toward
+    avgdl)."""
+    from datafusion_bigtable_spark.operators.retrieval import (
+        delete_from_postings_index,
+        load_postings_index,
+        save_postings_index,
+    )
+
+    base = spark.createDataFrame(
+        [(0, "apple banana"), (1, "!!!"), (2, "cherry fig")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    save_postings_index(base, path)
+    idx = load_postings_index(spark, path)
+    same = delete_from_postings_index(
+        idx, spark.createDataFrame([(99,)], "doc_id long")
+    )
+    assert same.meta == idx.meta
+    idx = delete_from_postings_index(
+        idx, spark.createDataFrame([(1,)], "doc_id long")
+    )
+    assert idx.meta["n_docs"] == 2
+    assert idx.meta["dl_docs"] == 2, "zero-token doc wrongly hit dl_docs"
+    # replayed deletion request: folds to nothing
+    idx = delete_from_postings_index(
+        idx, spark.createDataFrame([(1,)], "doc_id long")
+    )
+    assert idx.meta["n_docs"] == 2
+
+
+def test_delete_rewrites_only_touched_files(spark, tmp_path):
+    """The surgical-rewrite contract: files holding no deleted row are
+    not rewritten (same names, same mtimes) — provenance-targeted
+    deletes, not a full-store rewrite."""
+    import os
+
+    from datafusion_bigtable_spark.operators.retrieval import (
+        delete_from_postings_index,
+        load_postings_index,
+        save_postings_index,
+    )
+
+    # many docs, id-clustered docs table over 8 files: one deleted id
+    # lives in exactly one docs file
+    docs = spark.createDataFrame(
+        [(i, f"word{i} word{i % 7} shared") for i in range(64)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    save_postings_index(docs, path, n_files=8)
+    idx = load_postings_index(spark, path)
+    ddir = os.path.join(path, "docs")
+    before = {
+        f: os.stat(os.path.join(ddir, f)).st_mtime_ns
+        for f in _postings_files(path, "docs")
+    }
+    delete_from_postings_index(idx, spark.createDataFrame([(7,)], "doc_id long"))
+    after = {
+        f: os.stat(os.path.join(ddir, f)).st_mtime_ns
+        for f in _postings_files(path, "docs")
+    }
+    untouched = {f for f in before if f in after and before[f] == after[f]}
+    assert len(untouched) >= 6, (
+        f"only {len(untouched)} docs files survived untouched — delete "
+        "rewrote more than the touched files"
+    )

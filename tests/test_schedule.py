@@ -59,7 +59,7 @@ def test_registry_size_and_full_green_fold():
     # + 7 r15 additions (sorted_shards_range_prune, retrieval_saved_topk,
     # retrieval_bm25_topk, retrieval_hybrid_rrf, retrieval_hybrid_rrf_ivf,
     # retrieval_index_upsert, streaming_postings_upsert).
-    assert len(q.REGISTRY) == 173
+    assert len(q.REGISTRY) == 175
     sched = q._schedule()
     for name in (n for n in q.REGISTRY if n not in q._LAST_GREEN):
         assert sched.index(name) < 50, f"new query {name} outside driver window"
