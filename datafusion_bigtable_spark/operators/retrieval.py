@@ -48,6 +48,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from datafusion_bigtable_spark.functions.text import words
 from datafusion_bigtable_spark.operators.tfidf import corpus_term_stats
+from datafusion_bigtable_spark.sources.layout import rewrite_files_dropping_ids
 
 POSTINGS_DIR = "postings"
 TERMS_DIR = "terms"
@@ -627,10 +628,10 @@ def delete_from_postings_index(
     )
     # ---- mutation starts: invalidate, mutate, re-commit --------------
     os.remove(os.path.join(path, POSTINGS_META))
-    _rewrite_files_dropping_ids(
+    rewrite_files_dropping_ids(
         spark, os.path.join(path, POSTINGS_DIR), id_col, ids, "term"
     )
-    _rewrite_files_dropping_ids(
+    rewrite_files_dropping_ids(
         spark, os.path.join(path, DOCS_DIR), id_col, ids, id_col
     )
     terms_dir = os.path.join(path, TERMS_DIR)
@@ -657,45 +658,6 @@ def delete_from_postings_index(
     return PostingsIndex(path=path, meta=meta, _spark=index._spark)
 
 
-def _rewrite_files_dropping_ids(
-    spark: SparkSession,
-    data_dir: str,
-    id_col: str,
-    ids_bc,
-    cluster_col: str,
-) -> int:
-    """Surgical delete inside one parquet directory: find the files that
-    hold any row of the broadcast id set (``_metadata.file_path``
-    provenance — the collect is bounded by the directory's FILE count),
-    rewrite only those files' surviving rows (re-clustered on
-    ``cluster_col``), then drop the originals.  Untouched files are
-    never read.  Returns the number of files rewritten."""
-    rows = spark.read.parquet(data_dir).select(
-        F.col(id_col), F.col("_metadata.file_path").alias("_f")
-    )
-    touched = [
-        r["_f"] for r in rows.join(ids_bc, id_col).select("_f").distinct().collect()
-    ]
-    if not touched:
-        return 0
-    from urllib.parse import unquote, urlparse
-
-    # _metadata.file_path is a URI ("file:/..." on local fs, "hdfs://…"
-    # elsewhere); the os.remove below is local-fs-only by construction
-    # (the store root the caller handed us), so strip the scheme
-    local = [
-        unquote(urlparse(f).path) if ":" in f.split("/", 1)[0] else f
-        for f in touched
-    ]
-    survivors = spark.read.parquet(*touched).join(ids_bc, id_col, "left_anti")
-    (
-        survivors.repartition(max(1, len(touched)), F.col(cluster_col))
-        .write.mode("append")
-        .parquet(data_dir)
-    )
-    for f in local:
-        os.remove(f)
-    return len(touched)
 
 
 # ---------------------------------------------------------------------------

@@ -592,6 +592,154 @@ def _reconcile_retrain_swap(path: str) -> None:
             pass
 
 
+def _reconcile_delete_swaps(path: str) -> None:
+    """Heal a store whose :func:`delete_from_ivf_index` crashed mid-swap.
+
+    The delete rewrites each touched cell directory via
+    ``write survivors → ._del_tmp_cell=K`` → ``rename(cell=K, ._del_old_
+    cell=K)`` → ``rename(tmp, cell=K)`` → ``rmtree(old)`` — the crash
+    state is ENCODED IN DIRECTORY NAMES (the r14 compaction lesson: a
+    json marker can itself be torn by the crash it records).  Heal per
+    cell, every mutation existence-tolerant (two readers may race into
+    the same heal):
+
+    - cell dir present → discard leftovers: a surviving ``tmp`` is an
+      unswapped rewrite (the delete never happened for this cell and
+      re-applies idempotently), a surviving ``old`` is a completed
+      swap's backup.
+    - cell dir absent → roll FORWARD when ``tmp`` is complete (its
+      ``_SUCCESS`` marker — the write finished before the first rename
+      by construction), else roll BACK to ``old``.
+
+    A crash between cells leaves a PARTIALLY applied delete — every
+    cell is individually consistent (no duplicate, no torn file), and
+    re-running the same delete completes it (idempotent takedown).  The
+    manifest self-heals from the delete's pending marker
+    (:func:`_reconcile_pending_manifest` recounts touched cells from
+    footers — absolute counts, correct for removals as for appends)."""
+    import contextlib
+    import glob as _glob
+    import os
+    import shutil
+
+    base = path.rstrip("/")
+    cells = {
+        os.path.basename(d).split("=", 1)[1]
+        for pat in ("._del_tmp_cell=*", "._del_old_cell=*")
+        for d in _glob.glob(os.path.join(base, pat))
+    }
+    for cell in cells:
+        cdir = os.path.join(base, f"cell={cell}")
+        tmp = os.path.join(base, f"._del_tmp_cell={cell}")
+        old = os.path.join(base, f"._del_old_cell={cell}")
+        if os.path.isdir(cdir):
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
+            continue
+        if os.path.isdir(tmp) and os.path.isfile(os.path.join(tmp, "_SUCCESS")):
+            with contextlib.suppress(OSError):
+                os.rename(tmp, cdir)
+            shutil.rmtree(old, ignore_errors=True)
+        elif os.path.isdir(old):
+            with contextlib.suppress(OSError):
+                os.rename(old, cdir)
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+def delete_from_ivf_index(
+    spark,
+    path: str,
+    delete_ids: DataFrame,
+    id_col: str = "vec_id",
+) -> int:
+    """Remove vectors from a saved IVF store — the takedown/right-to-
+    erasure half of the dense lifecycle (VERDICT r15 #4), mirroring
+    ``delete_from_postings_index``; after any deletes the store is
+    SEMANTICALLY IDENTICAL to one built over the remaining corpus with
+    the SAME centroids (oracle-checked by ``sim_index_delete``).
+
+    Ids not in the store are ignored (idempotent — a re-delivered
+    takedown folds to nothing).  Centroids are TRAINING state, not
+    members: deleting a vector that seeded a cell removes the vector's
+    rows, never the centroid (exactly the frozen-centroids upsert
+    contract read in reverse — assignments stay comparable across the
+    store's whole life).
+
+    Plan shape: one broadcast probe finds the touched cells (an
+    nprobe-row id touches ≤ nprobe cells; the collect is ≤ n_cells
+    rows), then each touched CELL DIRECTORY rewrites via the
+    name-encoded swap :func:`_reconcile_delete_swaps` heals — cost is
+    O(touched cells' data), untouched cells are never read.  The
+    manifest recounts the touched cells from footers through the same
+    pending-marker window as upsert.  When the store carries a PQ codes
+    table, its rows delete in the same call under the codes table's own
+    meta-removed-first window (a crash rebuilds codes from the healed
+    assignments — codes are derived state).  Returns the number of ids
+    removed."""
+    import glob as _glob
+    import os
+    import shutil
+
+    _reconcile_retrain_swap(path)
+    _reconcile_delete_swaps(path)
+    _reconcile_pending_manifest(path)
+    with open(os.path.join(path, "_ivf_meta.json")) as f:
+        meta = json.load(f)
+    ids = F.broadcast(delete_ids.select(id_col).distinct())
+    store = _read_store(spark, path, meta)
+    hits = store.join(ids, id_col)
+    touched = sorted(
+        int(r["cell"]) for r in hits.select("cell").distinct().collect()
+    )
+    if not touched:
+        return 0
+    n_gone = hits.filter(F.col("_rn") == 1).select(id_col).distinct().count()
+    has_pq = os.path.isfile(os.path.join(path, _PQ_META))
+    if has_pq:
+        # invalidate the codes table FIRST: any crash in the window below
+        # reads as "codes missing — re-attach" (codes are derived from
+        # assignments + codebooks, so fail-loud + rebuild is the contract)
+        pq_meta = _read_pq_meta(path)
+        os.remove(os.path.join(path, _PQ_META))
+    data_cols = [c for c in meta["columns"] if c != "cell"]
+    _write_pending_marker(path, {c: 0 for c in touched})
+    from pyspark.sql.types import StructType
+
+    reader = spark.read.option("basePath", path)
+    if "schema" in meta:
+        # sidecar schema: the per-cell rewrite reads no footer either
+        reader = reader.schema(StructType.fromJson(json.loads(meta["schema"])))
+    for cell in touched:
+        cdir = os.path.join(path, f"cell={cell}")
+        tmp = os.path.join(path, f"._del_tmp_cell={cell}")
+        old = os.path.join(path, f"._del_old_cell={cell}")
+        (
+            reader.parquet(cdir)
+            .join(ids, id_col, "left_anti")
+            .select(*data_cols)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        os.rename(cdir, old)
+        os.rename(tmp, cdir)
+        shutil.rmtree(old)
+    # footer recount of exactly the touched cells; clears the marker
+    _reconcile_pending_manifest(path)
+    if has_pq:
+        from datafusion_bigtable_spark.sources.layout import (
+            rewrite_files_dropping_ids,
+        )
+
+        ids_codes = F.broadcast(
+            delete_ids.select(F.col(id_col).alias("id")).distinct()
+        )
+        rewrite_files_dropping_ids(
+            spark, os.path.join(path, _PQ_CODES_DIR), "id", ids_codes, "id"
+        )
+        _commit_pq_meta(path, pq_meta)
+    return int(n_gone)
+
+
 def load_ivf_index(spark, path: str) -> IvfIndex:
     """Read a :func:`save_ivf_index` table back as a live
     :class:`IvfIndex`.  The frame is parquet-backed — no persist needed
@@ -608,6 +756,7 @@ def load_ivf_index(spark, path: str) -> IvfIndex:
     from pyspark.sql.types import StructType
 
     _reconcile_retrain_swap(path)
+    _reconcile_delete_swaps(path)
     with open(os.path.join(path, "_ivf_meta.json")) as f:
         meta = json.load(f)
     df = _read_store(spark, path, meta).select(*meta["columns"])
@@ -621,6 +770,174 @@ def load_ivf_index(spark, path: str) -> IvfIndex:
             )
         centroids = reader.parquet(cb_path)
     return IvfIndex(df, nprobe=meta["nprobe"], centroids=centroids)
+
+
+# ---------------------------------------------------------------------------
+# Persisted PQ codes inside the IVF store (VERDICT r15 #6)
+# ---------------------------------------------------------------------------
+
+_PQ_META = "_pq_meta.json"
+_PQ_CODEBOOKS = "_pq_codebooks.json"
+_PQ_CODES_DIR = "_pq_codes"
+_PQ_VERSION = 1
+
+
+def _read_pq_meta(path: str) -> dict:
+    import os
+
+    mpath = os.path.join(path, _PQ_META)
+    if not os.path.isfile(mpath):
+        raise FileNotFoundError(
+            f"{path} has no {_PQ_META} — PQ codes missing, stale-versioned, "
+            "or their write crashed before commit; re-run attach_pq_codes"
+        )
+    with open(mpath) as f:
+        meta = json.load(f)
+    if meta.get("version") != _PQ_VERSION:
+        raise FileNotFoundError(
+            f"{path} carries version-{meta.get('version')} PQ codes; this "
+            f"reader needs version {_PQ_VERSION} — re-run attach_pq_codes"
+        )
+    return meta
+
+
+def _commit_pq_meta(path: str, meta: dict) -> None:
+    import os
+
+    tmp = os.path.join(path, _PQ_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, _PQ_META))
+
+
+def attach_pq_codes(
+    spark,
+    path: str,
+    codebooks: list[list[list[float]]] | None = None,
+    n_files: int = 32,
+) -> dict:
+    """Encode a saved IVF store's vectors into persisted PQ codes — the
+    memory-compressed representation PQ exists for (VERDICT r15 #6:
+    ``topk_pq``/``topk_ivfpq`` re-encoded the corpus on every call; at
+    100 TB the int8/code table IS the serving store).  One map-only
+    encode pass (``pq_encode`` over the store's own ``_dv`` column —
+    the raw corpus never re-reads), written id-clustered into
+    ``_pq_codes/``.
+
+    Two sidecars, two lifetimes: ``_pq_codebooks.json`` is TRAINING
+    state (written atomically here, never removed by maintenance — it
+    is what a crash recovery re-encodes with), while ``_pq_meta.json``
+    is the commit marker (removed FIRST by every mutation, re-committed
+    LAST), so any crash reads as "codes missing — re-attach", never as
+    a torn codes table.  ``codebooks=None`` re-attaches with the
+    persisted training state (the crash-recovery path).
+
+    Upserts maintain the codes INCREMENTALLY (``upsert_ivf_index``
+    encodes only the batch); deletes remove code rows in the same call
+    (``delete_from_ivf_index``).  Returns the committed meta."""
+    import os
+
+    _reconcile_retrain_swap(path)
+    _reconcile_delete_swaps(path)
+    with open(os.path.join(path, "_ivf_meta.json")) as f:
+        meta = json.load(f)
+    # invalidate first: a crashed re-attach must not leave the old meta
+    # pointing at a half-rewritten codes table
+    try:
+        os.remove(os.path.join(path, _PQ_META))
+    except FileNotFoundError:
+        pass
+    cb_path = os.path.join(path, _PQ_CODEBOOKS)
+    if codebooks is None:
+        if not os.path.isfile(cb_path):
+            raise FileNotFoundError(
+                f"{path} has no {_PQ_CODEBOOKS} — pass codebooks= on the "
+                "first attach"
+            )
+        with open(cb_path) as f:
+            codebooks = json.load(f)["codebooks"]
+    else:
+        tmp = cb_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"codebooks": codebooks}, f)
+        os.replace(tmp, cb_path)
+    id_col = meta["columns"][0]  # build/upsert select id first by contract
+    vecs = (
+        _read_store(spark, path, meta)
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col).alias("id"), F.col("_dv"))
+    )
+    (
+        pq_encode(vecs, codebooks, id_col="id", vec_col="_dv")
+        .repartition(n_files, F.col("id"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, _PQ_CODES_DIR))
+    )
+    pq_meta = {
+        "version": _PQ_VERSION,
+        "m": len(codebooks),
+        "sub_dim": len(codebooks[0][0]),
+        "id_col": id_col,
+    }
+    _commit_pq_meta(path, pq_meta)
+    return pq_meta
+
+
+def load_pq_codes(spark, path: str):
+    """Open a store's persisted PQ codes: ``(codes_df, codebooks,
+    pq_meta)`` — two tiny json reads plus a lazy scan plan, zero data
+    reads, zero Spark jobs (pinned in tests).  Fails loud (via
+    :func:`_read_pq_meta`) on a store whose codes are absent, torn, or
+    stale-versioned."""
+    import os
+
+    pq_meta = _read_pq_meta(path)
+    with open(os.path.join(path, _PQ_CODEBOOKS)) as f:
+        codebooks = json.load(f)["codebooks"]
+    codes = spark.read.schema("id long, codes array<int>").parquet(
+        os.path.join(path, _PQ_CODES_DIR)
+    )
+    return codes, codebooks, pq_meta
+
+
+def topk_ivfpq_saved(
+    spark,
+    path: str,
+    query_pred: Column,
+    k: int = 3,
+) -> DataFrame:
+    """IVF×PQ search served ENTIRELY from a saved store — zero build
+    jobs, zero encode jobs at query time: cells come from the persisted
+    assignments, candidate scores from the persisted codes table, query
+    subspace slices from the store's own ``_dv`` vectors (queries are
+    corpus members, the repo-wide ANN contract).  Hash-identical to the
+    fresh ``topk_ivfpq`` computation for the same predicate (pinned in
+    tests; oracle-checked by ``sim_topk_ivfpq_saved``) — the difference
+    is purely WHERE the representation lives: at 100 TB the codes table
+    (m bytes per vector) is the thing that fits in serving memory while
+    the raw corpus does not."""
+    idx = load_ivf_index(spark, path)
+    codes, codebooks, pq_meta = load_pq_codes(spark, path)
+    id_col = pq_meta["id_col"]
+    m, sub_dim = pq_meta["m"], pq_meta["sub_dim"]
+    assigned = idx.assignments.filter(F.col("_rn") == 1).select(
+        F.col(id_col).alias("id"), "cell"
+    )
+    corpus = codes.join(assigned, "id").select(
+        F.col("id").alias("neighbor_id"),
+        "cell",
+        F.posexplode("codes").alias("j", "code"),
+    )
+    q = _pq_query_slices(
+        idx.assignments.filter(F.col("_rn") == 1),
+        query_pred,
+        m,
+        sub_dim,
+        id_col,
+        "_dv",
+    ).join(assigned.withColumnRenamed("id", "query_id"), "query_id")
+    cents = _pq_cents_df(spark, codebooks)
+    return _adc_score_topk(corpus, cents, q, ["cell", "j"], k)
 
 
 class UpsertResult(int):
@@ -689,8 +1006,10 @@ def upsert_ivf_index(
 
     # Heal a mid-retrain-swap crash BEFORE opening the sidecar (review
     # r14 #1): the streaming harness reaches the store through this
-    # function, not load_ivf_index, and must recover the same way.
+    # function, not load_ivf_index, and must recover the same way.  A
+    # mid-delete-swap crash heals the same way (r16).
     _reconcile_retrain_swap(path)
+    _reconcile_delete_swaps(path)
     with open(os.path.join(path, "_ivf_meta.json")) as f:
         meta = json.load(f)
     cb_path = os.path.join(path, "_centroids")
@@ -761,6 +1080,26 @@ def upsert_ivf_index(
                 for r in ranked.groupBy("cell").count().collect()  # ≤ n_cells rows
             }
             batch_mean = _top1_mean(ranked, seeds)
+            # PQ codes maintenance (r16): encode ONLY the batch, with the
+            # persisted training codebooks.  Materialized BEFORE the
+            # append for the same cache-invalidation reason as the stats
+            # above; the codes meta is removed FIRST so a crash anywhere
+            # below reads as "codes missing — re-attach" (derived state),
+            # never as a codes table missing this batch's ids.
+            batch_codes = None
+            if os.path.isfile(os.path.join(path, _PQ_META)):
+                pq_meta = _read_pq_meta(path)
+                with open(os.path.join(path, _PQ_CODEBOOKS)) as f:
+                    books = json.load(f)["codebooks"]
+                batch_codes = pq_encode(
+                    ranked.filter(F.col("_rn") == 1).select(
+                        F.col(id_col).alias("id"), "_dv"
+                    ),
+                    books,
+                    id_col="id",
+                    vec_col="_dv",
+                ).localCheckpoint(eager=True)
+                os.remove(os.path.join(path, _PQ_META))
             # Crash consistency (review r13 #1): a death between the append
             # and the manifest refresh would undercount FOREVER (the
             # checkpoint replay anti-joins to 0 and never re-refreshes).
@@ -771,6 +1110,13 @@ def upsert_ivf_index(
             ranked.write.mode("append").partitionBy("cell").parquet(path)
             _refresh_ivf_manifest(path, per_cell)
             _clear_pending_marker(path)
+            if batch_codes is not None:
+                (
+                    batch_codes.repartition(4, F.col("id"))
+                    .write.mode("append")
+                    .parquet(os.path.join(path, _PQ_CODES_DIR))
+                )
+                _commit_pq_meta(path, pq_meta)
             base_mean = meta.get("base_top1_mean")
             threshold = meta.get("drift_threshold", IVF_DRIFT_THRESHOLD)
             drifted = (

@@ -2544,10 +2544,6 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         # Entries are added in the SAME commit as each behavior-changing
         # module edit this round, so the set is truthful against
         # `git diff <fold>..HEAD` at every commit.
-        f"{_PKG}.sources.layout",  # r16: miss-path empty frame now built
-        # from the layout meta's persisted schema instead of a full-store
-        # listing (VERDICT r15 #7 / ADVICE r15 #3); writer persists the
-        # nullable-normalized read schema.
         f"{_PKG}.operators.retrieval",  # r16: rrf_fuse fail-loud input
         # validation (ADVICE r15 #5); postings store v3 (authoritative
         # docs membership table — ADVICE r15 #1/#2), compaction
@@ -2555,6 +2551,9 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         f"{_PKG}.streaming.postings_stream",  # r16: replay guard
         # anti-joins the docs membership table instead of postings
         # presence (ADVICE r15 #1 — zero-token docs re-folded forever).
+        # (sources.layout and operators.similarity — r16 edits with 63-
+        # and 53-query dependent closures that would flood the 50-slot
+        # window — are covered by _FULLGATE_PROVEN_MODULES below.)
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset(
@@ -2589,6 +2588,20 @@ _FULLGATE_PROVEN_MODULES: dict[str, str] = {
     # similarity lifecycle dependent carries an r14 driver green, and
     # text_tfidf_top_terms carries an r13 driver green plus the committed
     # r14 full-gate record that covered the refactor before the fold.)
+    #
+    # r16: both modules' edits postdate the r15 fold and are proven by
+    # FULLGATE_r16.json (all 178 registry queries green at sf0.01,
+    # generated after the last behavior-changing edit of this round).
+    # A _TOUCHED_MODULES reset would flood the window (63- and 53-query
+    # closures vs 50 slots) and displace the r11 stale cohort VERDICT
+    # r15 #2 requires in CORRECTNESS_r16.
+    f"{_PKG}.sources.layout": "FULLGATE_r16.json",  # miss-path empty
+    # frame from persisted schema (VERDICT r15 #7 / ADVICE r15 #3);
+    # shared surgical-delete helper lifted here.
+    f"{_PKG}.operators.similarity": "FULLGATE_r16.json",  # delete
+    # lifecycle (per-cell name-encoded swap + heals in load/upsert) and
+    # persisted PQ codes with incremental upsert encode (VERDICT r15
+    # #4/#6).
 }
 
 
@@ -7338,6 +7351,145 @@ def sim_search_after_upsert_q(spark, sf_dir):
 
 
 @query(
+    "sim_index_delete",
+    """
+    WITH corpus AS (
+      SELECT * FROM embeddings WHERE NOT (vec_id % 16 = 3 AND vec_id >= 16)),
+    seeds AS (
+      SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS sv
+      FROM corpus WHERE vec_id < 16),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, s.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.sv) DESC,
+                          s.cell) AS rn
+        FROM corpus e CROSS JOIN seeds s) t
+      WHERE rn = 1),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS score
+      FROM corpus q
+        JOIN assign qa ON qa.vec_id = q.vec_id
+        JOIN assign ca ON ca.cell = qa.cell AND ca.vec_id <> q.vec_id
+        JOIN corpus c ON c.vec_id = ca.vec_id
+      WHERE q.vec_id % 100 = 0 AND q.vec_id < 2000)
+    SELECT query_id, neighbor_id, score, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rk
+      FROM scored) t
+    WHERE rk <= 3
+    """,
+)
+def sim_index_delete_q(spark, sf_dir):
+    # r16 (VERDICT r15 #4): the takedown half of the dense lifecycle —
+    # build+save the IVF store over the FULL corpus, delete every vector
+    # with vec_id % 16 == 3 (above the seed range, so centroids — frozen
+    # TRAINING state — are identical on both sides), then run the
+    # standard nprobe=1 top-3 over the loaded store.  The oracle assigns
+    # and scores a fresh build over the REMAINING corpus, so
+    # delete(build(C), X) ≡ build(C−X) is hash-checked end-to-end: a
+    # surviving assignment row, a lost non-deleted vector, or a manifest
+    # drift all mismatch.  The delete rewrites only the touched cell
+    # directories via a name-encoded swap (crash shapes pinned in
+    # tests/test_ivf_lifecycle.py); the manifest recounts touched cells
+    # from footers through the same pending-marker window as upserts.
+    # Fresh store per run — the delete path itself is under test.
+    import os
+    import shutil
+
+    from datafusion_bigtable_spark.operators.similarity import (
+        build_ivf_index,
+        delete_from_ivf_index,
+        load_ivf_index,
+        save_ivf_index,
+        topk_ivf,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = _tag_of("ivfdel1", os.path.abspath(src), st.st_mtime_ns, st.st_size)
+    path = f"/tmp/dbs_ivf_delete_{os.path.basename(os.path.normpath(sf_dir))}_{tag}"
+    _sweep_stale_store_versions(path)
+    shutil.rmtree(path, ignore_errors=True)
+    with build_ivf_index(e, n_cells=16) as idx:
+        save_ivf_index(idx, path)
+    delete_from_ivf_index(
+        spark,
+        path,
+        e.filter((F.col("vec_id") % 16 == 3) & (F.col("vec_id") >= 16)).select(
+            "vec_id"
+        ),
+    )
+    return topk_ivf(e, _sim_query_pred(), k=3, index=load_ivf_index(spark, path))
+
+
+@query(
+    "sim_topk_ivfpq_saved",
+    REGISTRY["sim_topk_ivfpq"].sql,
+)
+def sim_topk_ivfpq_saved_q(spark, sf_dir):
+    # r16 (VERDICT r15 #6): IVF×PQ served from the PERSISTED
+    # representation — sim_topk_ivfpq re-encodes the whole corpus on
+    # every call, but at 100 TB the codes table (m bytes per vector) IS
+    # the store: PQ's entire point is that the compressed form fits
+    # serving memory while the raw corpus does not.  The store persists
+    # assignments (cells), the PQ codes table, and both codebooks;
+    # search loads them with zero build/encode jobs (metadata-only load
+    # pinned in tests) and the oracle IS sim_topk_ivfpq's fresh-build
+    # SQL, so a stale code, a drifted codebook, or a lost vector all
+    # hash-mismatch.  Upserts encode only their batch; deletes remove
+    # code rows in the same call (tests/test_ivf_lifecycle.py).  Store
+    # reused across sessions via the content tag.
+    from datafusion_bigtable_spark.operators.similarity import topk_ivfpq_saved
+
+    return topk_ivfpq_saved(
+        spark, _saved_ivf_store(spark, sf_dir), _sim_query_pred(), k=3
+    )
+
+
+def _saved_ivf_store(spark, sf_dir) -> str:
+    """Build-or-reuse the content-addressed saved IVF store over the
+    embeddings fixture: full corpus, n_cells=16 seed codebook (vec_id <
+    16 — the oracle-exact default), nprobe=1, with persisted PQ codes
+    (seed subspace codebooks m=8/k_c=16).  The dense twin of
+    :func:`_postings_store` — the save is paid once per fixture
+    generation, every serving-shape query (``sim_topk_ivfpq_saved``,
+    ``retrieval_hybrid_saved``) then loads with zero build/encode jobs.
+    Stale content versions sweep from /tmp before reuse."""
+    import os
+    import shutil
+
+    from datafusion_bigtable_spark.operators.similarity import (
+        attach_pq_codes,
+        build_ivf_index,
+        load_ivf_index,
+        load_pq_codes,
+        pq_codebooks,
+        save_ivf_index,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    path = (
+        f"/tmp/dbs_ivfpq_{os.path.basename(os.path.normpath(sf_dir))}_"
+        f"{_src_tag('ivfpq1', sf_dir, 'embeddings')}"
+    )
+    _sweep_stale_store_versions(path)
+    try:
+        load_ivf_index(spark, path)
+        load_pq_codes(spark, path)
+    except FileNotFoundError:
+        shutil.rmtree(path, ignore_errors=True)
+        with build_ivf_index(e, n_cells=16) as idx:
+            save_ivf_index(idx, path)
+        attach_pq_codes(spark, path, pq_codebooks(e, m=8, k_c=16))
+    return path
+
+
+@query(
     "pipeline_embedding_store",
     """
     WITH nc AS (
@@ -8259,6 +8411,108 @@ def retrieval_hybrid_rrf_ivf_q(spark, sf_dir):
         d, (F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 2000), k=10
     )
     dense = topk_ivf(e, _sim_query_pred(), n_cells=16, k=10, nprobe=4)
+    return rrf_fuse([sparse, dense], rrf_k=60, k=5)
+
+
+@query(
+    "retrieval_hybrid_saved",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x != '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    p AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df, dl.dl
+          FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN n
+          WHERE dfq.df <= 0.5 * n.n_docs),
+    ssc AS (SELECT q.doc_id AS query_id, p.doc_id AS neighbor_id,
+                   ROUND(SUM(q.tf
+                             * ln((n.n_docs - p.df + 0.5) / (p.df + 0.5) + 1)
+                             * p.tf * (1.2 + 1)
+                             / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / ad.avgdl))),
+                         4) AS score
+            FROM p JOIN p q USING (term) CROSS JOIN n CROSS JOIN ad
+            WHERE q.doc_id % 100 = 0 AND q.doc_id < 2000 AND p.doc_id <> q.doc_id
+            GROUP BY 1, 2),
+    sr AS (SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS rk
+           FROM ssc),
+    seeds AS (
+      SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS sv
+      FROM embeddings WHERE vec_id < 16),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, s.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.sv) DESC,
+                          s.cell) AS rn
+        FROM embeddings e CROSS JOIN seeds s) t
+      WHERE rn = 1),
+    dsc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                CAST(c.embedding AS DOUBLE[])), 6) AS score
+            FROM embeddings q
+              JOIN assign qa ON qa.vec_id = q.vec_id
+              JOIN assign ca ON ca.cell = qa.cell AND ca.vec_id <> q.vec_id
+              JOIN embeddings c ON c.vec_id = ca.vec_id
+            WHERE q.vec_id % 100 = 0 AND q.vec_id < 2000),
+    dr AS (SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS rk
+           FROM dsc),
+    u AS (SELECT query_id, neighbor_id, rk FROM sr WHERE rk <= 10
+          UNION ALL
+          SELECT query_id, neighbor_id, rk FROM dr WHERE rk <= 10),
+    f AS (SELECT query_id, neighbor_id,
+                 ROUND(SUM(1.0 / (60 + rk)), 8) AS rrf_score
+          FROM u GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, rrf_score, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, neighbor_id) AS rk
+      FROM f) t
+    WHERE rk <= 5
+    """,
+)
+def retrieval_hybrid_saved_q(spark, sf_dir):
+    # r16 (VERDICT r15 #5): the SERVING shape of hybrid retrieval — RRF
+    # over two SAVED stores with ZERO build/encode jobs at query time:
+    # the sparse leg is BM25 over the persisted postings index (loaded:
+    # one json, no Spark jobs), the dense leg is nprobe=1 IVF over the
+    # persisted assignment store (loaded: sidecar schema, no footer
+    # reads).  retrieval_hybrid_rrf[_ivf] re-derive both indexes per
+    # call — correct as correctness harnesses, but a deployment pays
+    # index cost at INGEST and only rank-fusion math at query; this
+    # query pins that composition end-to-end.  Both legs are individually
+    # oracle-exact, so the fused oracle re-derives BM25 + seed-IVF + RRF
+    # in SQL; fusion cost stays queries × k rows regardless of corpus
+    # size (operators/retrieval.py::rrf_fuse).
+    from datafusion_bigtable_spark.operators.retrieval import rrf_fuse
+    from datafusion_bigtable_spark.operators.retrieval import (
+        load_postings_index,
+        search_postings_index,
+    )
+    from datafusion_bigtable_spark.operators.similarity import (
+        load_ivf_index,
+        topk_ivf,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    sidx = load_postings_index(spark, _postings_store(spark, sf_dir))
+    sparse = search_postings_index(
+        sidx,
+        (F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 2000),
+        k=10,
+        weighting="bm25",
+    )
+    didx = load_ivf_index(spark, _saved_ivf_store(spark, sf_dir))
+    dense = topk_ivf(e, _sim_query_pred(), k=10, index=didx)
     return rrf_fuse([sparse, dense], rrf_k=60, k=5)
 
 

@@ -405,6 +405,52 @@ def write_range_sorted_shards(
     return bounds
 
 
+def rewrite_files_dropping_ids(
+    spark: SparkSession,
+    data_dir: str,
+    id_col: str,
+    ids_bc,
+    cluster_col: str,
+) -> int:
+    """Surgical delete inside one (non-partitioned) parquet directory:
+    find the files that hold any row of the broadcast id set
+    (``_metadata.file_path`` provenance — the collect is bounded by the
+    directory's FILE count, never by rows), rewrite only those files'
+    surviving rows (re-clustered on ``cluster_col``), then drop the
+    originals.  Untouched files are never read.  Shared by the postings
+    store's and the PQ-codes table's delete paths (VERDICT r15 #4); the
+    caller owns crash protocol (both wrap this in a meta-removed-first
+    window, so a crash between the survivor append and the original
+    removal — which would otherwise duplicate rows — reads as "store
+    invalid, rebuild").  Returns the number of files rewritten."""
+    from urllib.parse import unquote, urlparse
+
+    rows = spark.read.parquet(data_dir).select(
+        F.col(id_col), F.col("_metadata.file_path").alias("_f")
+    )
+    touched = [
+        r["_f"] for r in rows.join(ids_bc, id_col).select("_f").distinct().collect()
+    ]
+    if not touched:
+        return 0
+    # _metadata.file_path is a URI ("file:/..." locally, "hdfs://…"
+    # elsewhere); the os.remove below is local-fs-only by construction
+    # (the store root the caller handed us), so strip the scheme
+    local = [
+        unquote(urlparse(f).path) if ":" in f.split("/", 1)[0] else f
+        for f in touched
+    ]
+    survivors = spark.read.parquet(*touched).join(ids_bc, id_col, "left_anti")
+    (
+        survivors.repartition(max(1, len(touched)), F.col(cluster_col))
+        .write.mode("append")
+        .parquet(data_dir)
+    )
+    for f in local:
+        os.remove(f)
+    return len(touched)
+
+
 def _as_nullable(schema_json):
     """Recursively force ``nullable: true`` in a StructType JSON dict —
     the transformation Spark's file sources apply to every read schema,

@@ -1,0 +1,236 @@
+"""Delete lifecycle + persisted PQ codes for the saved IVF store
+(VERDICT r15 #4/#6): delete(build(C), X) ≡ build(C−X) with the same
+centroids, name-encoded per-cell swap crash shapes, codes-table
+maintenance (attach / incremental upsert encode / delete), and the
+fail-loud re-attach path."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_bigtable_spark.operators.similarity import (
+    attach_pq_codes,
+    build_ivf_index,
+    delete_from_ivf_index,
+    load_ivf_index,
+    load_pq_codes,
+    pq_codebooks,
+    save_ivf_index,
+    topk_ivf,
+    topk_ivfpq,
+    topk_ivfpq_saved,
+    upsert_ivf_index,
+)
+from datafusion_bigtable_spark.queries import load
+
+def PRED():
+    return (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000)
+
+
+def DEL():
+    # the delete set avoids the seed ids (< 16) so a fresh build over the
+    # remaining corpus derives the SAME default codebook — the equality
+    # the oracle query checks needs identical centroids on both sides
+    return (F.col("vec_id") % 16 == 3) & (F.col("vec_id") >= 16)
+
+
+def _save_full(spark, sf_dir, path):
+    e = load(spark, sf_dir, "embeddings")
+    with build_ivf_index(e, n_cells=16) as idx:
+        save_ivf_index(idx, path)
+    return e
+
+
+def test_delete_equals_fresh_build_with_same_centroids(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "store")
+    e = _save_full(spark, sf_dir, path)
+    n = delete_from_ivf_index(spark, path, e.filter(DEL()).select("vec_id"))
+    assert n == e.filter(DEL()).count() > 0
+    got = load_ivf_index(spark, path)
+    remaining = e.filter(~DEL())
+    with build_ivf_index(remaining, n_cells=16) as fresh:
+        want_assign = sorted(
+            (r.vec_id, r.cell)
+            for r in fresh.assignments.select("vec_id", "cell").collect()
+        )
+        want_search = sorted(
+            map(tuple, topk_ivf(remaining, PRED(), k=3, index=fresh).collect())
+        )
+    assert (
+        sorted((r.vec_id, r.cell) for r in got.assignments.select("vec_id", "cell").collect())
+        == want_assign
+    )
+    assert (
+        sorted(map(tuple, topk_ivf(remaining, PRED(), k=3, index=got).collect()))
+        == want_search
+    )
+
+
+def test_delete_manifest_matches_footers_and_is_idempotent(spark, sf_dir, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from datafusion_bigtable_spark.operators.similarity import read_ivf_manifest
+
+    path = str(tmp_path / "store")
+    e = _save_full(spark, sf_dir, path)
+    delete_from_ivf_index(spark, path, e.filter(DEL()).select("vec_id"))
+    for row in read_ivf_manifest(path):
+        files = glob.glob(os.path.join(path, f"cell={row['cell']}", "*.parquet"))
+        true_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        assert row["rows"] == true_rows and row["files"] == len(files)
+    # replayed takedown folds to nothing; unknown ids too
+    assert delete_from_ivf_index(spark, path, e.filter(DEL()).select("vec_id")) == 0
+    assert (
+        delete_from_ivf_index(
+            spark, path, spark.createDataFrame([(99_999_999,)], "vec_id long")
+        )
+        == 0
+    )
+
+
+def test_delete_swap_crash_shapes_heal(spark, sf_dir, tmp_path):
+    """All three crash states of the name-encoded per-cell swap heal on
+    the next open: tmp-complete+cell-missing rolls FORWARD, old-only
+    rolls BACK, leftovers next to a live cell dir are discarded."""
+    path = str(tmp_path / "store")
+    e = _save_full(spark, sf_dir, path)
+    rows_before = load_ivf_index(spark, path).assignments.count()
+
+    # forward: simulate crash between the two renames for cell=5
+    cdir = os.path.join(path, "cell=5")
+    tmp = os.path.join(path, "._del_tmp_cell=5")
+    shutil.copytree(cdir, tmp)  # complete rewrite (has _SUCCESS)
+    old = os.path.join(path, "._del_old_cell=5")
+    os.rename(cdir, old)
+    idx = load_ivf_index(spark, path)
+    assert os.path.isdir(cdir) and not os.path.isdir(tmp) and not os.path.isdir(old)
+    assert idx.assignments.count() == rows_before
+
+    # back: only the backup survives (crash before tmp finished)
+    os.rename(cdir, old)
+    idx = load_ivf_index(spark, path)
+    assert os.path.isdir(cdir) and not os.path.isdir(old)
+    assert idx.assignments.count() == rows_before
+
+    # discard: leftovers beside a live cell dir vanish, data untouched
+    shutil.copytree(cdir, tmp)
+    os.makedirs(old)
+    idx = load_ivf_index(spark, path)
+    assert os.path.isdir(cdir) and not os.path.isdir(tmp) and not os.path.isdir(old)
+    assert idx.assignments.count() == rows_before
+
+
+def test_pq_saved_search_matches_fresh_computation(spark, sf_dir, tmp_path):
+    """VERDICT r15 #6 done-criterion: the saved-codes search hash-equals
+    topk_ivfpq's fresh computation (same codebooks, same cells)."""
+    path = str(tmp_path / "store")
+    e = _save_full(spark, sf_dir, path)
+    books = pq_codebooks(e, m=8, k_c=16)
+    attach_pq_codes(spark, path, books)
+    fresh = sorted(map(tuple, topk_ivfpq(e, PRED(), m=8, k_c=16, k=3).collect()))
+    saved = sorted(map(tuple, topk_ivfpq_saved(spark, path, PRED(), k=3).collect()))
+    assert saved == fresh and len(saved) > 0
+
+
+def test_pq_load_is_metadata_only(spark, sf_dir, tmp_path):
+    """load_pq_codes performs zero Spark jobs and opens no data file —
+    pinned by physically moving the codes files away (the chmod trick is
+    vacuous under root, ADVICE r15 #4)."""
+    path = str(tmp_path / "store")
+    e = _save_full(spark, sf_dir, path)
+    attach_pq_codes(spark, path, pq_codebooks(e, m=8, k_c=16))
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    cdir = os.path.join(path, "_pq_codes")
+    hidden = str(tmp_path / "hidden")
+    os.makedirs(hidden)
+    moved = []
+    for f in os.listdir(cdir):
+        if f.endswith(".parquet"):
+            os.rename(os.path.join(cdir, f), os.path.join(hidden, f))
+            moved.append(f)
+    assert moved
+    try:
+        codes, books, meta = load_pq_codes(spark, path)
+    finally:
+        for f in moved:
+            os.rename(os.path.join(hidden, f), os.path.join(cdir, f))
+    assert meta["m"] == 8 and len(books) == 8
+    assert set(tracker.getJobIdsForGroup(None)) == before, "load ran a Spark job"
+
+
+def test_pq_upsert_encodes_only_the_batch(spark, sf_dir, tmp_path):
+    """Incremental maintenance: an upsert appends the batch's codes
+    without rewriting existing code files, and the resulting saved
+    search equals the fresh IVF×PQ computation over the merged corpus
+    (explicit shared codebooks on both sides)."""
+    path = str(tmp_path / "store")
+    e = load(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 4 != 0)
+    batch = e.filter(F.col("vec_id") % 4 == 0)
+    # explicit shared codebooks (ivf + pq) derived from the FULL corpus
+    # so the fresh computation and the upserted store agree exactly
+    cb_ivf = [
+        list(map(float, r.embedding))
+        for r in e.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    books = pq_codebooks(e, m=8, k_c=16)
+    with build_ivf_index(base, n_cells=16, codebook=cb_ivf) as idx:
+        save_ivf_index(idx, path)
+    attach_pq_codes(spark, path, books)
+    cdir = os.path.join(path, "_pq_codes")
+    state = {
+        f: os.stat(os.path.join(cdir, f)).st_mtime_ns
+        for f in os.listdir(cdir)
+        if f.endswith(".parquet")
+    }
+    n = upsert_ivf_index(spark, path, batch)
+    assert n == batch.count()
+    after = {
+        f: os.stat(os.path.join(cdir, f)).st_mtime_ns
+        for f in os.listdir(cdir)
+        if f.endswith(".parquet")
+    }
+    assert all(after[f] == state[f] for f in state), "old code files rewritten"
+    assert len(after) > len(state), "no batch code files appended"
+    saved = sorted(map(tuple, topk_ivfpq_saved(spark, path, PRED(), k=3).collect()))
+    with build_ivf_index(e, n_cells=16, codebook=cb_ivf) as fr:
+        fresh = sorted(
+            map(tuple, topk_ivfpq(e, PRED(), codebooks=books, index=fr, k=3).collect())
+        )
+    assert saved == fresh and len(saved) > 0
+
+
+def test_pq_crash_fails_loud_and_reattach_recovers(spark, sf_dir, tmp_path):
+    """Codes meta removed first ⇒ any crash reads as 'codes missing';
+    re-attach (codebooks=None) rebuilds from the persisted training
+    state and search comes back identical."""
+    path = str(tmp_path / "store")
+    e = _save_full(spark, sf_dir, path)
+    attach_pq_codes(spark, path, pq_codebooks(e, m=8, k_c=16))
+    want = sorted(map(tuple, topk_ivfpq_saved(spark, path, PRED(), k=3).collect()))
+    os.remove(os.path.join(path, "_pq_meta.json"))  # simulated torn mutation
+    with pytest.raises(FileNotFoundError, match="re-run attach_pq_codes"):
+        load_pq_codes(spark, path)
+    attach_pq_codes(spark, path)  # codebooks from _pq_codebooks.json
+    got = sorted(map(tuple, topk_ivfpq_saved(spark, path, PRED(), k=3).collect()))
+    assert got == want
+
+
+def test_delete_removes_pq_code_rows(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "store")
+    e = _save_full(spark, sf_dir, path)
+    attach_pq_codes(spark, path, pq_codebooks(e, m=8, k_c=16))
+    delete_from_ivf_index(spark, path, e.filter(DEL()).select("vec_id"))
+    codes, _, _ = load_pq_codes(spark, path)
+    gone = {r.vec_id for r in e.filter(DEL()).select("vec_id").collect()}
+    left = {r.id for r in codes.select("id").collect()}
+    assert not (left & gone), "deleted ids survive in the codes table"
+    assert left == {r.vec_id for r in e.filter(~DEL()).select("vec_id").collect()}
