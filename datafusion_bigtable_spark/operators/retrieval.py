@@ -382,8 +382,13 @@ def search_postings_index(
     queries = postings.filter(query_pred).select(
         F.col(id_col).alias("query_id"), "term", qwt.alias("qwt")
     )
+    # the guard counts QUERY DOCUMENTS on the docs membership table —
+    # n_docs rows, one column — not on a distinct over the corpus-sized
+    # postings scan (r16: the old count re-scanned the whole index per
+    # search, ~0.3 s of pure guard overhead at sf0.1 and O(index) at
+    # scale; the docs count is the same bound sparse_topk's guard uses)
     _guard_query_set(
-        queries.select("query_id").distinct().count(), max_query_docs
+        index.docs().filter(query_pred).count(), max_query_docs
     )
     scored = (
         postings.withColumn("wt", wt)

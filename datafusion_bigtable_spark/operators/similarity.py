@@ -595,26 +595,28 @@ def _reconcile_retrain_swap(path: str) -> None:
 def _reconcile_delete_swaps(path: str) -> None:
     """Heal a store whose :func:`delete_from_ivf_index` crashed mid-swap.
 
-    The delete rewrites each touched cell directory via
-    ``write survivors → ._del_tmp_cell=K`` → ``rename(cell=K, ._del_old_
-    cell=K)`` → ``rename(tmp, cell=K)`` → ``rmtree(old)`` — the crash
-    state is ENCODED IN DIRECTORY NAMES (the r14 compaction lesson: a
-    json marker can itself be torn by the crash it records).  Heal per
-    cell, every mutation existence-tolerant (two readers may race into
-    the same heal):
+    The delete rewrites ALL touched cells' survivors in ONE job into
+    ``._del_tmp/cell=K`` (a global ``_SUCCESS`` marks the write
+    complete), then swaps per cell: ``rename(cell=K, ._del_old_cell=K)``
+    → ``rename(tmp/cell=K, cell=K)``, and finally removes the backups
+    and the tmp root.  The crash state is ENCODED IN DIRECTORY NAMES
+    (the r14 compaction lesson: a json marker can itself be torn by the
+    crash it records).  Heal, every mutation existence-tolerant (two
+    readers may race into the same heal):
 
-    - cell dir present → discard leftovers: a surviving ``tmp`` is an
-      unswapped rewrite (the delete never happened for this cell and
-      re-applies idempotently), a surviving ``old`` is a completed
-      swap's backup.
-    - cell dir absent → roll FORWARD when ``tmp`` is complete (its
-      ``_SUCCESS`` marker — the write finished before the first rename
-      by construction), else roll BACK to ``old``.
+    - tmp COMPLETE (``_SUCCESS`` present): roll FORWARD — for every
+      surviving backup, move the tmp cell in where the live dir is
+      absent (a touched cell with no tmp subdir had zero survivors and
+      stays legitimately absent), then drop the backup; drop tmp last.
+    - tmp incomplete or missing: roll BACK — restore every backup whose
+      live dir is absent, drop tmp.  (A complete-tmp crash BEFORE any
+      rename leaves no backups: tmp is simply dropped — the delete
+      never happened and re-applies idempotently.)
 
-    A crash between cells leaves a PARTIALLY applied delete — every
-    cell is individually consistent (no duplicate, no torn file), and
-    re-running the same delete completes it (idempotent takedown).  The
-    manifest self-heals from the delete's pending marker
+    Either way every cell is individually consistent (no duplicate
+    rows, no torn files); a crash mid-swap leaves a PARTIALLY applied
+    delete that the same idempotent request completes.  The manifest
+    self-heals from the delete's pending marker
     (:func:`_reconcile_pending_manifest` recounts touched cells from
     footers — absolute counts, correct for removals as for appends)."""
     import contextlib
@@ -623,27 +625,27 @@ def _reconcile_delete_swaps(path: str) -> None:
     import shutil
 
     base = path.rstrip("/")
-    cells = {
-        os.path.basename(d).split("=", 1)[1]
-        for pat in ("._del_tmp_cell=*", "._del_old_cell=*")
-        for d in _glob.glob(os.path.join(base, pat))
-    }
-    for cell in cells:
+    tmp = os.path.join(base, "._del_tmp")
+    olds = _glob.glob(os.path.join(base, "._del_old_cell=*"))
+    if not olds and not os.path.isdir(tmp):
+        return
+    tmp_complete = os.path.isfile(os.path.join(tmp, "_SUCCESS"))
+    for old in olds:
+        cell = os.path.basename(old).split("=", 1)[1]
         cdir = os.path.join(base, f"cell={cell}")
-        tmp = os.path.join(base, f"._del_tmp_cell={cell}")
-        old = os.path.join(base, f"._del_old_cell={cell}")
-        if os.path.isdir(cdir):
-            shutil.rmtree(tmp, ignore_errors=True)
+        tcell = os.path.join(tmp, f"cell={cell}")
+        if tmp_complete:
+            if not os.path.isdir(cdir) and os.path.isdir(tcell):
+                with contextlib.suppress(OSError):
+                    os.rename(tcell, cdir)
             shutil.rmtree(old, ignore_errors=True)
-            continue
-        if os.path.isdir(tmp) and os.path.isfile(os.path.join(tmp, "_SUCCESS")):
-            with contextlib.suppress(OSError):
-                os.rename(tmp, cdir)
-            shutil.rmtree(old, ignore_errors=True)
-        elif os.path.isdir(old):
-            with contextlib.suppress(OSError):
-                os.rename(old, cdir)
-            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            if not os.path.isdir(cdir):
+                with contextlib.suppress(OSError):
+                    os.rename(old, cdir)
+            else:
+                shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def delete_from_ivf_index(
@@ -667,16 +669,18 @@ def delete_from_ivf_index(
 
     Plan shape: one broadcast probe finds the touched cells (an
     nprobe-row id touches ≤ nprobe cells; the collect is ≤ n_cells
-    rows), then each touched CELL DIRECTORY rewrites via the
-    name-encoded swap :func:`_reconcile_delete_swaps` heals — cost is
-    O(touched cells' data), untouched cells are never read.  The
-    manifest recounts the touched cells from footers through the same
-    pending-marker window as upsert.  When the store carries a PQ codes
-    table, its rows delete in the same call under the codes table's own
-    meta-removed-first window (a crash rebuilds codes from the healed
-    assignments — codes are derived state).  Returns the number of ids
-    removed."""
-    import glob as _glob
+    rows), then ONE job rewrites every touched cell's survivors into a
+    cell-partitioned tmp (r16 review: a per-cell rewrite loop is a
+    serial Spark job per cell — fine at 16 cells, a driver-round-trip
+    disaster at a corpus-relative cell count), followed by O(touched)
+    pure renames under the name-encoded swap
+    :func:`_reconcile_delete_swaps` heals.  Untouched cells are never
+    read.  The manifest recounts the touched cells from footers through
+    the same pending-marker window as upsert.  When the store carries a
+    PQ codes table, its rows delete in the same call under the codes
+    table's own meta-removed-first window (a crash rebuilds codes from
+    the healed assignments — codes are derived state).  Returns the
+    number of ids removed."""
     import os
     import shutil
 
@@ -701,28 +705,36 @@ def delete_from_ivf_index(
         # assignments + codebooks, so fail-loud + rebuild is the contract)
         pq_meta = _read_pq_meta(path)
         os.remove(os.path.join(path, _PQ_META))
-    data_cols = [c for c in meta["columns"] if c != "cell"]
     _write_pending_marker(path, {c: 0 for c in touched})
     from pyspark.sql.types import StructType
 
     reader = spark.read.option("basePath", path)
     if "schema" in meta:
-        # sidecar schema: the per-cell rewrite reads no footer either
+        # sidecar schema: the rewrite reads no footer either
         reader = reader.schema(StructType.fromJson(json.loads(meta["schema"])))
+    tmp = os.path.join(path, "._del_tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    cell_dirs = [os.path.join(path, f"cell={c}") for c in touched]
+    (
+        reader.parquet(*cell_dirs)
+        .join(ids, id_col, "left_anti")
+        .select(*meta["columns"])
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp)
+    )
     for cell in touched:
         cdir = os.path.join(path, f"cell={cell}")
-        tmp = os.path.join(path, f"._del_tmp_cell={cell}")
+        tcell = os.path.join(tmp, f"cell={cell}")
         old = os.path.join(path, f"._del_old_cell={cell}")
-        (
-            reader.parquet(cdir)
-            .join(ids, id_col, "left_anti")
-            .select(*data_cols)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
         os.rename(cdir, old)
-        os.rename(tmp, cdir)
-        shutil.rmtree(old)
+        if os.path.isdir(tcell):
+            os.rename(tcell, cdir)
+        # a touched cell with no tmp subdir had zero survivors: absent
+        # partition dir == zero rows, exactly a fresh build's layout
+    for cell in touched:
+        shutil.rmtree(os.path.join(path, f"._del_old_cell={cell}"))
+    shutil.rmtree(tmp)
     # footer recount of exactly the touched cells; clears the marker
     _reconcile_pending_manifest(path)
     if has_pq:

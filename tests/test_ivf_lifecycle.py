@@ -96,34 +96,53 @@ def test_delete_manifest_matches_footers_and_is_idempotent(spark, sf_dir, tmp_pa
 
 
 def test_delete_swap_crash_shapes_heal(spark, sf_dir, tmp_path):
-    """All three crash states of the name-encoded per-cell swap heal on
-    the next open: tmp-complete+cell-missing rolls FORWARD, old-only
-    rolls BACK, leftovers next to a live cell dir are discarded."""
+    """All crash states of the name-encoded swap heal on the next open:
+    tmp-complete + cell-missing rolls FORWARD (including the
+    zero-survivor cell that has no tmp subdir), tmp-incomplete rolls
+    BACK, and a complete tmp with no backups (crash before any rename)
+    is simply dropped."""
     path = str(tmp_path / "store")
     e = _save_full(spark, sf_dir, path)
     rows_before = load_ivf_index(spark, path).assignments.count()
+    tmp = os.path.join(path, "._del_tmp")
 
-    # forward: simulate crash between the two renames for cell=5
+    # forward: crash between the two renames for cell=5
     cdir = os.path.join(path, "cell=5")
-    tmp = os.path.join(path, "._del_tmp_cell=5")
-    shutil.copytree(cdir, tmp)  # complete rewrite (has _SUCCESS)
+    os.makedirs(tmp)
+    shutil.copytree(cdir, os.path.join(tmp, "cell=5"))
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()  # complete rewrite
     old = os.path.join(path, "._del_old_cell=5")
     os.rename(cdir, old)
     idx = load_ivf_index(spark, path)
     assert os.path.isdir(cdir) and not os.path.isdir(tmp) and not os.path.isdir(old)
     assert idx.assignments.count() == rows_before
 
-    # back: only the backup survives (crash before tmp finished)
+    # forward, zero-survivor cell: complete tmp WITHOUT a cell subdir —
+    # the cell stays legitimately absent and the backup drops
+    os.makedirs(tmp)
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    os.rename(cdir, old)
+    n5 = spark.read.option("basePath", path).parquet(old).count()
+    idx = load_ivf_index(spark, path)
+    assert not os.path.isdir(cdir) and not os.path.isdir(tmp) and not os.path.isdir(old)
+    assert idx.assignments.count() == rows_before - n5
+    # restore cell=5 for the remaining shapes
+    shutil.rmtree(path)
+    e = _save_full(spark, sf_dir, path)
+
+    # back: incomplete tmp (no _SUCCESS) — the backup restores
+    os.makedirs(tmp)
     os.rename(cdir, old)
     idx = load_ivf_index(spark, path)
-    assert os.path.isdir(cdir) and not os.path.isdir(old)
+    assert os.path.isdir(cdir) and not os.path.isdir(old) and not os.path.isdir(tmp)
     assert idx.assignments.count() == rows_before
 
-    # discard: leftovers beside a live cell dir vanish, data untouched
-    shutil.copytree(cdir, tmp)
-    os.makedirs(old)
+    # dropped: complete tmp, no backups (crash before any rename)
+    os.makedirs(tmp)
+    shutil.copytree(cdir, os.path.join(tmp, "cell=5"))
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
     idx = load_ivf_index(spark, path)
-    assert os.path.isdir(cdir) and not os.path.isdir(tmp) and not os.path.isdir(old)
+    assert os.path.isdir(cdir) and not os.path.isdir(tmp)
     assert idx.assignments.count() == rows_before
 
 
