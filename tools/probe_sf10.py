@@ -63,6 +63,16 @@ PROBE = [
     "retrieval_bm25_topk",
     "retrieval_hybrid_rrf",
     "sorted_shards_range_prune",
+    # r16 additions: the serving-shape pair (both legs from saved
+    # stores — the cross-decade bet is that their marginal cost tracks
+    # the query set, not the corpus), the persisted-codes search, and
+    # the two delete/compact lifecycle harnesses (fresh store per call
+    # by design — their cost is the mutate-verify contract).
+    "retrieval_hybrid_saved",
+    "sim_topk_ivfpq_saved",
+    "sim_index_delete",
+    "retrieval_postings_delete",
+    "retrieval_postings_compact",
 ]
 
 
