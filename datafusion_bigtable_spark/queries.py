@@ -8264,6 +8264,108 @@ def retrieval_postings_delete_q(spark, sf_dir):
 
 
 @query(
+    "streaming_postings_delete",
+    REGISTRY["retrieval_postings_delete"].sql,
+)
+def streaming_postings_delete_q(spark, sf_dir):
+    # r16: takedown ON THE STREAM (streaming/takedown_stream.py) —
+    # deletion requests arrive continuously in production, so the batch
+    # delete gets the same foreachBatch twin the upsert has.  No replay
+    # guard needed: delete_from_postings_index is idempotent by
+    # contract (non-member ids fold to nothing, stats decrement from
+    # what the store held), so at-least-once delivery is replay-safe by
+    # construction.  Exact integer decrements make the result
+    # independent of micro-batch boundaries — the streamed store equals
+    # the batch delete and a fresh build over the remaining corpus
+    # EXACTLY (the oracle IS retrieval_postings_delete's SQL).
+    import os
+    import shutil
+
+    from datafusion_bigtable_spark.operators.retrieval import (
+        load_postings_index,
+        save_postings_index,
+        search_postings_index,
+    )
+    from datafusion_bigtable_spark.streaming.takedown_stream import (
+        run_streaming_postings_delete,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    tag = _src_tag("postdelstream1", sf_dir, "documents")
+    sfname = os.path.basename(os.path.normpath(sf_dir))
+    store = f"/tmp/dbs_postdelstream_{sfname}_{tag}"
+    feed = f"/tmp/dbs_postdelfeed_{sfname}_{tag}"
+    _sweep_stale_store_versions(store)
+    _sweep_stale_store_versions(feed)
+    shutil.rmtree(store, ignore_errors=True)  # the delete path is under test
+    shutil.rmtree(feed, ignore_errors=True)  # fresh checkpoint: replay all
+    save_postings_index(d, store, max_df_frac=0.5)
+    # stage the takedown feed as 2 files -> 2 micro-batches
+    (
+        d.filter(F.col("doc_id") % 16 == 3)
+        .select("doc_id")
+        .repartition(2)
+        .write.parquet(feed)
+    )
+    run_streaming_postings_delete(
+        spark, feed, store, query_name=f"dbs_postdel_{tag}"
+    )
+    return search_postings_index(
+        load_postings_index(spark, store),
+        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 5000),
+        k=3,
+    )
+
+
+@query(
+    "streaming_ivf_delete",
+    REGISTRY["sim_index_delete"].sql,
+)
+def streaming_ivf_delete_q(spark, sf_dir):
+    # r16: the dense takedown stream — same contract as
+    # streaming_postings_delete (idempotent batch delete makes
+    # at-least-once delivery replay-safe with no guard), applied to the
+    # saved IVF store through foreachBatch.  Each micro-batch's
+    # per-cell swap + footer recount leaves the store exactly one
+    # takedown batch behind the feed; the oracle IS sim_index_delete's
+    # SQL (fresh build + search over the remaining corpus), so a
+    # surviving assignment or a double-applied decrement
+    # hash-mismatches.
+    import os
+    import shutil
+
+    from datafusion_bigtable_spark.operators.similarity import (
+        build_ivf_index,
+        load_ivf_index,
+        save_ivf_index,
+        topk_ivf,
+    )
+    from datafusion_bigtable_spark.streaming.takedown_stream import (
+        run_streaming_ivf_delete,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    tag = _src_tag("ivfdelstream1", sf_dir, "embeddings")
+    sfname = os.path.basename(os.path.normpath(sf_dir))
+    store = f"/tmp/dbs_ivfdelstream_{sfname}_{tag}"
+    feed = f"/tmp/dbs_ivfdelfeed_{sfname}_{tag}"
+    _sweep_stale_store_versions(store)
+    _sweep_stale_store_versions(feed)
+    shutil.rmtree(store, ignore_errors=True)
+    shutil.rmtree(feed, ignore_errors=True)
+    with build_ivf_index(e, n_cells=16) as idx:
+        save_ivf_index(idx, store)
+    (
+        e.filter((F.col("vec_id") % 16 == 3) & (F.col("vec_id") >= 16))
+        .select("vec_id")
+        .repartition(2)
+        .write.parquet(feed)
+    )
+    run_streaming_ivf_delete(spark, feed, store, query_name=f"dbs_ivfdel_{tag}")
+    return topk_ivf(e, _sim_query_pred(), k=3, index=load_ivf_index(spark, store))
+
+
+@query(
     "retrieval_hybrid_rrf",
     """
     WITH toks AS (

@@ -1,0 +1,116 @@
+"""Streaming TAKEDOWN of both persistent stores.
+
+Deletion requests are a stream in production — right-to-erasure
+tickets, content takedowns, and retention expiries arrive continuously,
+not as a quarterly batch — so the delete lifecycle (r16's
+`delete_from_postings_index` / `delete_from_ivf_index`) gets the same
+streaming twin the upsert lifecycle has (`postings_stream.py` /
+`index_stream.py`): a feed of ids flows through ``foreachBatch`` and
+every micro-batch applies the batch delete operator against the saved
+store.
+
+Why this needs NO separate replay guard (unlike the upsert streams,
+whose replays would double-count): both batch deletes are IDEMPOTENT by
+contract — ids not present in the store fold to nothing, with every
+statistic decremented from what the store actually held — so
+at-least-once delivery of a takedown batch is a no-op on redelivery by
+construction.  The same property makes a crash MID-delete safe: the
+per-store crash protocols (meta-removed-first for postings,
+name-encoded cell swaps for IVF) leave a store the next batch's
+operator heals or refuses, and the checkpoint re-delivers the batch to
+completion.
+
+Statistics merge by exact integers on both stores, so the streamed
+result is independent of micro-batch boundaries and ordering: the
+streamed store equals the batch delete — and a fresh build over the
+remaining corpus — EXACTLY (the registry oracles are the same SQL as
+the batch delete queries').
+
+No reference analogue (the reference is read-only, datasource.rs:23);
+scale/streaming tier.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_takedown_stream(spark: SparkSession, path: str, id_col: str) -> DataFrame:
+    """A takedown-request directory as a file stream: one column of ids
+    to remove, one file per micro-batch (declared schema — file streams
+    require one)."""
+    return (
+        spark.readStream.schema(f"{id_col} long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def run_streaming_postings_delete(
+    spark: SparkSession,
+    feed_dir: str,
+    store_path: str,
+    query_name: str = "dbs_postings_delete",
+) -> int:
+    """Drive the takedown feed to completion against the saved postings
+    index.  Returns the number of documents removed across all
+    micro-batches (replayed ids count zero — idempotent takedown)."""
+    from datafusion_bigtable_spark.operators.retrieval import (
+        delete_from_postings_index,
+        load_postings_index,
+    )
+
+    total = {"n": 0}
+
+    def _delete(batch_df: DataFrame, batch_id: int) -> None:
+        idx = load_postings_index(spark, store_path)
+        before = idx.meta["n_docs"]
+        idx = delete_from_postings_index(idx, batch_df)
+        total["n"] += before - idx.meta["n_docs"]
+
+    q = (
+        read_takedown_stream(spark, feed_dir, "doc_id")
+        .writeStream.foreachBatch(_delete)
+        .option("checkpointLocation", os.path.join(feed_dir, "_checkpoint"))
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return total["n"]
+
+
+def run_streaming_ivf_delete(
+    spark: SparkSession,
+    feed_dir: str,
+    store_path: str,
+    query_name: str = "dbs_ivf_delete",
+) -> int:
+    """Drive the takedown feed to completion against the saved IVF
+    store.  Returns the number of vectors removed across all
+    micro-batches (replayed ids count zero — idempotent takedown)."""
+    from datafusion_bigtable_spark.operators.similarity import (
+        delete_from_ivf_index,
+    )
+
+    total = {"n": 0}
+
+    def _delete(batch_df: DataFrame, batch_id: int) -> None:
+        total["n"] += delete_from_ivf_index(spark, store_path, batch_df)
+
+    q = (
+        read_takedown_stream(spark, feed_dir, "vec_id")
+        .writeStream.foreachBatch(_delete)
+        .option("checkpointLocation", os.path.join(feed_dir, "_checkpoint"))
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return total["n"]

@@ -253,3 +253,46 @@ def test_delete_removes_pq_code_rows(spark, sf_dir, tmp_path):
     left = {r.id for r in codes.select("id").collect()}
     assert not (left & gone), "deleted ids survive in the codes table"
     assert left == {r.vec_id for r in e.filter(~DEL()).select("vec_id").collect()}
+
+
+def test_streaming_takedown_replay_is_noop_both_stores(spark, sf_dir, tmp_path):
+    """At-least-once delivery needs no guard on the takedown streams:
+    the batch deletes are idempotent, so a worst-case full replay
+    (fresh checkpoint over the same feed) removes zero ids from either
+    store."""
+    from datafusion_bigtable_spark.operators.retrieval import (
+        load_postings_index,
+        save_postings_index,
+    )
+    from datafusion_bigtable_spark.queries import load as _load
+    from datafusion_bigtable_spark.streaming.takedown_stream import (
+        run_streaming_ivf_delete,
+        run_streaming_postings_delete,
+    )
+
+    # sparse store
+    docs = _load(spark, sf_dir, "documents")
+    pstore = str(tmp_path / "pstore")
+    pfeed = str(tmp_path / "pfeed")
+    save_postings_index(docs, pstore)
+    n_total = docs.count()
+    docs.filter(F.col("doc_id") % 7 == 0).select("doc_id").repartition(2).write.parquet(pfeed)
+    n_del = docs.filter(F.col("doc_id") % 7 == 0).count()
+    n1 = run_streaming_postings_delete(spark, pfeed, pstore, query_name="t_pdel1")
+    assert n1 == n_del
+    assert load_postings_index(spark, pstore).meta["n_docs"] == n_total - n_del
+    shutil.rmtree(os.path.join(pfeed, "_checkpoint"))
+    n2 = run_streaming_postings_delete(spark, pfeed, pstore, query_name="t_pdel2")
+    assert n2 == 0, "replayed takedown removed documents again"
+
+    # dense store
+    e = _save_full(spark, sf_dir, str(tmp_path / "vstore"))
+    vstore = str(tmp_path / "vstore")
+    vfeed = str(tmp_path / "vfeed")
+    e.filter(DEL()).select("vec_id").repartition(2).write.parquet(vfeed)
+    want = e.filter(DEL()).count()
+    m1 = run_streaming_ivf_delete(spark, vfeed, vstore, query_name="t_vdel1")
+    assert m1 == want
+    shutil.rmtree(os.path.join(vfeed, "_checkpoint"))
+    m2 = run_streaming_ivf_delete(spark, vfeed, vstore, query_name="t_vdel2")
+    assert m2 == 0, "replayed takedown removed vectors again"

@@ -59,10 +59,11 @@ def test_registry_size_and_full_green_fold():
     # + 7 r15 additions (sorted_shards_range_prune, retrieval_saved_topk,
     # retrieval_bm25_topk, retrieval_hybrid_rrf, retrieval_hybrid_rrf_ivf,
     # retrieval_index_upsert, streaming_postings_upsert)
-    # + 5 r16 additions (retrieval_postings_compact,
+    # + 7 r16 additions (retrieval_postings_compact,
     # retrieval_postings_delete, sim_index_delete, sim_topk_ivfpq_saved,
-    # retrieval_hybrid_saved).
-    assert len(q.REGISTRY) == 178
+    # retrieval_hybrid_saved, streaming_postings_delete,
+    # streaming_ivf_delete).
+    assert len(q.REGISTRY) == 180
     sched = q._schedule()
     for name in (n for n in q.REGISTRY if n not in q._LAST_GREEN):
         assert sched.index(name) < 50, f"new query {name} outside driver window"
