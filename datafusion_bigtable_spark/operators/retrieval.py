@@ -626,13 +626,25 @@ def delete_from_postings_index(
         .join(ids, id_col)
         .groupBy("term")
         .agg(F.count("*").alias("_dec"))
-        # MATERIALIZED before the mutation: the terms merge below runs
-        # after the postings rewrite has replaced these very files, so a
-        # lazy plan here would read a file list that no longer exists
-        .localCheckpoint(eager=True)
     )
     # ---- mutation starts: invalidate, mutate, re-commit --------------
     os.remove(os.path.join(path, POSTINGS_META))
+    # MATERIALIZE the decrements before the mutation: the terms merge
+    # below runs after the postings rewrite has replaced these very
+    # files, so a lazy plan here would read a file list that no longer
+    # exists.  Staged through a vocab-delta-sized parquet scratch, NOT
+    # localCheckpoint — checkpoint blocks linger in executor storage
+    # until ContextCleaner GC (nondeterministic; leaked across a long
+    # session of deletes), while the scratch dir dies deterministically
+    # below.  Dot-prefixed: invisible to Spark; inside the
+    # meta-removed-first window, so a crash leaves only an invalid
+    # store plus ignorable scratch (swept on the next delete).
+    delta_tmp = os.path.join(path, "._df_delta")
+    import shutil
+
+    shutil.rmtree(delta_tmp, ignore_errors=True)
+    df_delta.write.mode("overwrite").parquet(delta_tmp)
+    df_delta = spark.read.parquet(delta_tmp)
     rewrite_files_dropping_ids(
         spark, os.path.join(path, POSTINGS_DIR), id_col, ids, "term"
     )
@@ -651,10 +663,9 @@ def delete_from_postings_index(
         .filter(F.col("df") > 0)
     )
     merged.write.mode("overwrite").parquet(terms_tmp)
-    import shutil
-
     shutil.rmtree(terms_dir)
     os.rename(terms_tmp, terms_dir)
+    shutil.rmtree(delta_tmp)
     meta = dict(index.meta)
     meta["n_docs"] = int(meta["n_docs"]) - int(stats["_n"])
     meta["dl_sum"] = int(meta["dl_sum"]) - int(stats["_sum"])

@@ -1093,25 +1093,36 @@ def upsert_ivf_index(
             }
             batch_mean = _top1_mean(ranked, seeds)
             # PQ codes maintenance (r16): encode ONLY the batch, with the
-            # persisted training codebooks.  Materialized BEFORE the
-            # append for the same cache-invalidation reason as the stats
-            # above; the codes meta is removed FIRST so a crash anywhere
-            # below reads as "codes missing — re-attach" (derived state),
-            # never as a codes table missing this batch's ids.
-            batch_codes = None
-            if os.path.isfile(os.path.join(path, _PQ_META)):
+            # persisted training codebooks.  The codes APPEND happens
+            # here, BEFORE the assignments append — writing to `path`
+            # would invalidate ranked's cache (the stats comment above)
+            # and a post-append re-encode would anti-join to an empty
+            # batch; the write itself is the materialization, so nothing
+            # lingers in executor storage (an eager localCheckpoint here
+            # leaked a scratch block per upsert until ContextCleaner
+            # GC).  The codes meta is removed FIRST so a crash anywhere
+            # in this window — including between this append and the
+            # assignments append — reads as "codes missing — re-attach"
+            # (derived state), never as a torn codes table.
+            has_pq = os.path.isfile(os.path.join(path, _PQ_META))
+            if has_pq:
                 pq_meta = _read_pq_meta(path)
                 with open(os.path.join(path, _PQ_CODEBOOKS)) as f:
                     books = json.load(f)["codebooks"]
-                batch_codes = pq_encode(
-                    ranked.filter(F.col("_rn") == 1).select(
-                        F.col(id_col).alias("id"), "_dv"
-                    ),
-                    books,
-                    id_col="id",
-                    vec_col="_dv",
-                ).localCheckpoint(eager=True)
                 os.remove(os.path.join(path, _PQ_META))
+                (
+                    pq_encode(
+                        ranked.filter(F.col("_rn") == 1).select(
+                            F.col(id_col).alias("id"), "_dv"
+                        ),
+                        books,
+                        id_col="id",
+                        vec_col="_dv",
+                    )
+                    .repartition(4, F.col("id"))
+                    .write.mode("append")
+                    .parquet(os.path.join(path, _PQ_CODES_DIR))
+                )
             # Crash consistency (review r13 #1): a death between the append
             # and the manifest refresh would undercount FOREVER (the
             # checkpoint replay anti-joins to 0 and never re-refreshes).
@@ -1122,12 +1133,7 @@ def upsert_ivf_index(
             ranked.write.mode("append").partitionBy("cell").parquet(path)
             _refresh_ivf_manifest(path, per_cell)
             _clear_pending_marker(path)
-            if batch_codes is not None:
-                (
-                    batch_codes.repartition(4, F.col("id"))
-                    .write.mode("append")
-                    .parquet(os.path.join(path, _PQ_CODES_DIR))
-                )
+            if has_pq:
                 _commit_pq_meta(path, pq_meta)
             base_mean = meta.get("base_top1_mean")
             threshold = meta.get("drift_threshold", IVF_DRIFT_THRESHOLD)

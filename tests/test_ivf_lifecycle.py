@@ -28,6 +28,19 @@ from datafusion_bigtable_spark.operators.similarity import (
 )
 from datafusion_bigtable_spark.queries import load
 
+@pytest.fixture(autouse=True)
+def _clear_scratch_storage(spark):
+    """The store mutations under test materialize per-operation scratch
+    via eager localCheckpoint (delete's df decrements, upsert's batch
+    codes); those RDD blocks are reclaimed by ContextCleaner on GC in a
+    real session, but in the shared test session they linger into the
+    NEXT module's storage-count pins (test_ivf_ownership sorts right
+    after this file) and flake them when the cleaner races the
+    assertion.  Drop them deterministically at each test's end."""
+    yield
+    spark.catalog.clearCache()
+
+
 def PRED():
     return (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000)
 

@@ -12,6 +12,15 @@ from pyspark.sql import functions as F
 from datafusion_bigtable_spark.operators.retrieval import sparse_topk, tfidf_postings
 
 
+@pytest.fixture(autouse=True)
+def _clear_scratch_storage(spark):
+    # same hygiene as test_ivf_lifecycle: the postings mutations
+    # localCheckpoint per-operation scratch; drop it deterministically
+    # so later modules' storage-count pins never race ContextCleaner
+    yield
+    spark.catalog.clearCache()
+
+
 @pytest.fixture(scope="module")
 def corpus(spark):
     rows = [
