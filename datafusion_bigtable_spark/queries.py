@@ -2390,7 +2390,63 @@ _R15_GREEN = (
     "sim_topk_ivf_nprobe",
     "sim_trained_codebook_recall",
 )
-# Later rounds override earlier ones; every name absent from all fifteen
+# Round 16 driver window (CORRECTNESS_r16.json): 50/50 green — the r16
+# store-lifecycle additions (postings compact/delete, IVF delete, saved
+# IVF×PQ, saved hybrid, both streaming takedowns) plus the rotated r11
+# cohort.
+_R16_GREEN = (
+    "sim_index_delete",
+    "sim_topk_ivfpq_saved",
+    "retrieval_sparse_topk",
+    "retrieval_saved_topk",
+    "retrieval_bm25_topk",
+    "retrieval_index_upsert",
+    "streaming_postings_upsert",
+    "retrieval_postings_compact",
+    "retrieval_postings_delete",
+    "streaming_postings_delete",
+    "streaming_ivf_delete",
+    "retrieval_hybrid_rrf",
+    "retrieval_hybrid_rrf_ivf",
+    "retrieval_hybrid_saved",
+    "sim_topk_pq_adc",
+    "sim_topk_ivfpq",
+    "text_curation_sql",
+    "corpus_mixing_alpha",
+    "text_heavy_hitters",
+    "corpus_zipf_slope",
+    "embedding_random_projection",
+    "sim_topk_projected",
+    "multimodal_ahash_dedup",
+    "embedding_cluster_outliers",
+    "sim_topk_filtered",
+    "corpus_pack_utilization",
+    "table_profile_lineitem",
+    "bt_limit_pushdown",
+    "bt_ts_range_prune",
+    "bt_value_filter_pushdown",
+    "bt_value_regex_pushdown",
+    "bt_int_key_prune",
+    "bt_wire_sharded_scan",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_substring_spans",
+    "dedup_minhash_lsh",
+    "dedup_minhash_estimate",
+    "dedup_lsh_quality",
+    "dedup_prefix_filter",
+    "corpus_leakage_safe_split",
+    "dedup_sampled_rate",
+    "dedup_connected_components",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_ivf",
+    "dedup_embedding_cosine_ivf2",
+    "text_ngram_perplexity",
+    "text_word_perplexity",
+)
+# Later rounds override earlier ones; every name absent from all sixteen
 # tuples carries 0.
 _LAST_GREEN: dict[str, int] = {
     **{n: 1 for n in _R1_GREEN},
@@ -2408,6 +2464,7 @@ _LAST_GREEN: dict[str, int] = {
     **{n: 13 for n in _R13_GREEN},
     **{n: 14 for n in _R14_GREEN},
     **{n: 15 for n in _R15_GREEN},
+    **{n: 16 for n in _R16_GREEN},
 }
 
 # ---------------------------------------------------------------------------
@@ -2529,7 +2586,7 @@ def query_deps(name: str) -> frozenset[str]:
     return _module_closure(_callable_direct_deps(fn, {fn}))
 
 
-# Round 16: package modules with BEHAVIOR-CHANGING edits since the r15 fold
+# Round 17: package modules with BEHAVIOR-CHANGING edits since the r16 fold
 # (their dependents reset to 0) and query functions edited in this file over
 # the same span.  Policy (amended per ADVICE r5): purely ADDITIVE module
 # changes — a new function no existing query calls — do not reset
@@ -2544,21 +2601,11 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         # Entries are added in the SAME commit as each behavior-changing
         # module edit this round, so the set is truthful against
         # `git diff <fold>..HEAD` at every commit.
-        f"{_PKG}.operators.retrieval",  # r16: rrf_fuse fail-loud input
-        # validation (ADVICE r15 #5); postings store v3 (authoritative
-        # docs membership table — ADVICE r15 #1/#2), compaction
-        # (VERDICT r15 #3) and delete lifecycle (VERDICT r15 #4).
-        f"{_PKG}.streaming.postings_stream",  # r16: replay guard
-        # anti-joins the docs membership table instead of postings
-        # presence (ADVICE r15 #1 — zero-token docs re-folded forever).
-        # (sources.layout and operators.similarity — r16 edits with 63-
-        # and 53-query dependent closures that would flood the 50-slot
-        # window — are covered by _FULLGATE_PROVEN_MODULES below.)
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset(
     {
-        # r16 additions lead the window via their absence from _LAST_GREEN.
+        # r17 additions lead the window via their absence from _LAST_GREEN.
     }
 )
 
@@ -2583,25 +2630,12 @@ _TOUCHED_QUERIES: frozenset[str] = frozenset(
 _FULLGATE_PROVEN_MODULES: dict[str, str] = {
     # dotted module -> FULLGATE_r{N}.json filename proving all dependents
     # green after the module's edit.
-    # (The r14 operators.similarity / operators.tfidf entries retired at
-    # the r14 fold: FULLGATE_r14 no longer postdates the fold, every
-    # similarity lifecycle dependent carries an r14 driver green, and
-    # text_tfidf_top_terms carries an r13 driver green plus the committed
-    # r14 full-gate record that covered the refactor before the fold.)
-    #
-    # r16: both modules' edits postdate the r15 fold and are proven by
-    # FULLGATE_r16.json (all 178 registry queries green at sf0.01,
-    # generated after the last behavior-changing edit of this round).
-    # A _TOUCHED_MODULES reset would flood the window (63- and 53-query
-    # closures vs 50 slots) and displace the r11 stale cohort VERDICT
-    # r15 #2 requires in CORRECTNESS_r16.
-    f"{_PKG}.sources.layout": "FULLGATE_r16.json",  # miss-path empty
-    # frame from persisted schema (VERDICT r15 #7 / ADVICE r15 #3);
-    # shared surgical-delete helper lifted here.
-    f"{_PKG}.operators.similarity": "FULLGATE_r16.json",  # delete
-    # lifecycle (per-cell name-encoded swap + heals in load/upsert) and
-    # persisted PQ codes with incremental upsert encode (VERDICT r15
-    # #4/#6).
+    # (The r16 sources.layout / operators.similarity entries retired at
+    # the r16 fold: FULLGATE_r16.json — all 180 registry queries green at
+    # sf0.01 — no longer postdates the fold, and every dependent query
+    # now carries a driver green: the similarity lifecycle, saved-store,
+    # and layout cohorts are all in _R16_GREEN or earlier folds that
+    # FULLGATE_r16 re-proved before the fold landed.)
 }
 
 
