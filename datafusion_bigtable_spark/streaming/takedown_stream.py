@@ -14,11 +14,13 @@ whose replays would double-count): both batch deletes are IDEMPOTENT by
 contract — ids not present in the store fold to nothing, with every
 statistic decremented from what the store actually held — so
 at-least-once delivery of a takedown batch is a no-op on redelivery by
-construction.  The same property makes a crash MID-delete safe: the
-per-store crash protocols (meta-removed-first for postings,
-name-encoded cell swaps for IVF) leave a store the next batch's
-operator heals or refuses, and the checkpoint re-delivers the batch to
-completion.
+construction.  A crash MID-delete follows each store's own protocol:
+the IVF store's name-encoded cell swaps self-heal on the next load, so
+the checkpoint's redelivery of the batch completes it; the postings
+store removes its meta first, so a mid-delete crash makes the replayed
+batch's ``load_postings_index`` fail LOUD and the store must be rebuilt
+per its documented derived-state contract — redelivery alone cannot
+finish it.
 
 Statistics merge by exact integers on both stores, so the streamed
 result is independent of micro-batch boundaries and ordering: the
