@@ -58,24 +58,92 @@ def _free_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
+def _union_find_collected(edges: DataFrame) -> DataFrame:
+    """Driver-side min-label union-find over a PROVEN-small edge list.
+
+    ``edges`` is the direction-doubled, deduped, localCheckpointed frame
+    from :func:`connected_components` — every vertex appears as ``src``
+    at least once (self loops included), so the vertex set is exactly
+    ``{src}``.  Union by MIN ROOT (the smaller id always wins the root)
+    plus full path compression makes the final root of each set its
+    minimum member — the same fixpoint the distributed loop computes.
+    """
+    spark = edges.sparkSession
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edges.collect():
+        a, b = row[0], row[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    from pyspark.sql import types as T
+
+    # nullable=True matches the distributed loop's output schema exactly
+    # (its longs come through cast/join plans), so the cap boundary is
+    # invisible to downstream schema pins.
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField("component", T.LongType(), True),
+        ]
+    )
+    return spark.createDataFrame(
+        [(v, find(v)) for v in parent], schema=schema
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    collect_cap: int = 500_000,
 ) -> DataFrame:
     """(vertex, component) for every vertex in ``pairs``; component is the
     MIN vertex id reachable (undirected).  Deterministic fixpoint.
 
-    Each round propagates the min label one hop, then SHORTCUTS by
-    looking the propagated label up at its own vertex (pointer doubling,
-    Shiloach-Vishkin style): ``L'(v) = min(P(v), P(P(v)))``.  Both steps
-    only ever move a label to another vertex of the same component
-    (propagation via an edge; doubling via transitivity), labels are
-    monotone non-increasing and bounded below by the component minimum,
-    and at any fixpoint the whole component carries that minimum — the
-    same fixpoint plain propagation reaches, in O(log n) rounds instead
-    of O(diameter)."""
+    Two physical strategies behind one contract:
+
+    - **Small graphs** (≤ ``collect_cap`` distinct undirected edges): the
+      deduped edge list is collected and solved with a driver-side
+      union-find.  This is the common shape in practice — a thresholded
+      near-dup pair stream is a tiny fraction of the corpus (sf0.1:
+      185 edges from 2k vectors) — and the distributed loop's cost there
+      is 100% fixed overhead: each round is 3 Spark jobs + a checkpoint
+      regardless of data (measured 2.6 s for those 185 edges; the
+      union-find path solves them in one collect, ~0.3 s end-to-end).
+      The collect is BOUNDED BY CONSTRUCTION: it only runs when the
+      post-``distinct`` edge count (one cheap job over the already-
+      checkpointed edges) proves the set fits — 500k edges of two longs
+      is ~8 MB on the driver.
+    - **Large graphs** (> cap): the fully distributed loop below.  Each
+      round propagates the min label one hop, then SHORTCUTS by looking
+      the propagated label up at its own vertex (pointer doubling,
+      Shiloach-Vishkin style): ``L'(v) = min(P(v), P(P(v)))``.  Both
+      steps only ever move a label to another vertex of the same
+      component (propagation via an edge; doubling via transitivity),
+      labels are monotone non-increasing and bounded below by the
+      component minimum, and at any fixpoint the whole component carries
+      that minimum — the same fixpoint plain propagation reaches, in
+      O(log n) rounds instead of O(diameter).
+
+    Both paths compute the identical min-label fixpoint, so results are
+    byte-equal across the cap boundary (pinned in tests)."""
     edges = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     )
@@ -83,6 +151,14 @@ def connected_components(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     edges = edges.localCheckpoint()
+
+    # Directed-doubled count; ≤ 2×cap directed ⇔ ≤ cap undirected (self
+    # loops appear once and only lower the count).  The edges are already
+    # checkpointed so this scans materialized blocks, not the pair plan.
+    if edges.count() <= 2 * collect_cap:
+        comp = _union_find_collected(edges)
+        _free_local_checkpoint(edges)
+        return comp
 
     labels = edges.select("src").distinct().withColumn("label", F.col("src"))
     labels = labels.localCheckpoint()

@@ -2601,6 +2601,11 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         # Entries are added in the SAME commit as each behavior-changing
         # module edit this round, so the set is truthful against
         # `git diff <fold>..HEAD` at every commit.
+        f"{_PKG}.operators.graph",  # r17: bounded driver-side union-find
+        # fast path for small edge sets (VERDICT r16 #2 — the creep was
+        # the distributed loop's per-round fixed overhead on a 185-edge
+        # graph); 7-query dependent closure, 4 of them r12-stale and due
+        # rotation anyway.
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset(

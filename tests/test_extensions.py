@@ -442,6 +442,25 @@ def test_connected_components_chain_and_clique(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_cap_boundary_equivalence(spark):
+    """r17: the driver-side union-find fast path (small graphs) and the
+    distributed pointer-doubling loop compute the SAME min-label
+    fixpoint with the SAME schema — the collect_cap boundary must be
+    invisible to callers.  Self loop (5,5) and a vertex joining an
+    existing component through a larger id (20,3) are the fiddly
+    cases."""
+    from datafusion_bigtable_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, 5), (20, 3), (7, 8), (8, 9), (9, 7)],
+        ["id_a", "id_b"],
+    )
+    fast = connected_components(pairs)  # 8 edges << default cap
+    slow = connected_components(pairs, collect_cap=0)  # forced distributed
+    assert fast.schema == slow.schema
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+
+
 def test_connected_components_chain_converges_in_log_rounds(spark):
     """VERDICT r8 #5: a 1000-vertex path is the O(diameter) killer —
     plain propagation needs 999 rounds and raised past max_iter=25.
@@ -452,7 +471,13 @@ def test_connected_components_chain_converges_in_log_rounds(spark):
 
     n = 1000
     pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"])
-    got = {r.id: r.component for r in connected_components(pairs, max_iter=12).collect()}
+    # collect_cap=0 forces the distributed loop — the default cap would
+    # route 999 edges to the driver-side union-find and stop exercising
+    # the pointer doubling this test exists to pin.
+    got = {
+        r.id: r.component
+        for r in connected_components(pairs, max_iter=12, collect_cap=0).collect()
+    }
     assert len(got) == n
     assert set(got.values()) == {0}
 
