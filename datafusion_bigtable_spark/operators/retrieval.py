@@ -331,7 +331,7 @@ def search_postings_index(
     weighting: str = "tfidf",
     k1: float = 1.2,
     b: float = 0.75,
-    max_query_docs: int = 10_000,
+    max_query_docs: int | None = 10_000,
 ) -> DataFrame:
     """Top-``k`` retrieval against a SAVED index — same join shape as
     :func:`sparse_topk` (broadcast query postings, one scoring shuffle of
@@ -386,10 +386,17 @@ def search_postings_index(
     # n_docs rows, one column — not on a distinct over the corpus-sized
     # postings scan (r16: the old count re-scanned the whole index per
     # search, ~0.3 s of pure guard overhead at sf0.1 and O(index) at
-    # scale; the docs count is the same bound sparse_topk's guard uses)
-    _guard_query_set(
-        index.docs().filter(query_pred).count(), max_query_docs
-    )
+    # scale; the docs count is the same bound sparse_topk's guard uses).
+    # max_query_docs=None is the PRE-VALIDATED escape hatch (VERDICT r16
+    # #6): a serving loop that validated its predicate once (or derives
+    # it from an absolute id list it already bounded) skips the per-call
+    # count entirely — zero extra Spark jobs per search, pinned in
+    # tests/test_retrieval.py.  The default stays fail-loud: None is an
+    # explicit caller decision, never an accident.
+    if max_query_docs is not None:
+        _guard_query_set(
+            index.docs().filter(query_pred).count(), max_query_docs
+        )
     scored = (
         postings.withColumn("wt", wt)
         .join(F.broadcast(queries), "term")

@@ -2606,6 +2606,10 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         # the distributed loop's per-round fixed overhead on a 185-edge
         # graph); 7-query dependent closure, 4 of them r12-stale and due
         # rotation anyway.
+        f"{_PKG}.operators.retrieval",  # r17: search_postings_index
+        # gained the pre-validated escape hatch (max_query_docs=None —
+        # VERDICT r16 #6); the default path is unchanged but the guard
+        # branch IS executed code, so the 13-query closure resets.
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset(
@@ -2641,6 +2645,18 @@ _FULLGATE_PROVEN_MODULES: dict[str, str] = {
     # now carries a driver green: the similarity lifecycle, saved-store,
     # and layout cohorts are all in _R16_GREEN or earlier folds that
     # FULLGATE_r16 re-proved before the fold landed.)
+    #
+    # r17: operators.similarity gained compact_ivf_store (VERDICT r16
+    # #4) and batch-sized PQ code appends (ADVICE r16 #3); the edits
+    # postdate the r16 fold and are proven by FULLGATE_r17.json (all
+    # 181 queries registered at generation time green at sf0.01,
+    # generated after the round's last behavior-changing similarity
+    # edit; retrieval_hybrid_saved_pq registered later and carries no
+    # driver green, so it schedules first and needs no artifact
+    # substitute).  A _TOUCHED_MODULES reset would flood the window
+    # (53-query closure vs 50 slots) and displace the r12 stale cohort
+    # VERDICT r16 #3 requires in CORRECTNESS_r17.
+    f"{_PKG}.operators.similarity": "FULLGATE_r17.json",
 }
 
 
@@ -7490,6 +7506,59 @@ def sim_topk_ivfpq_saved_q(spark, sf_dir):
     )
 
 
+@query(
+    "sim_index_compact",
+    REGISTRY["sim_search_after_upsert"].sql,
+)
+def sim_index_compact_q(spark, sf_dir):
+    # r17 (VERDICT r16 #4): IVF store COMPACTION — the maintenance half
+    # of the upsert lifecycle.  Every upsert appends one file set per
+    # touched cell (and one per batch into the codes table), so an
+    # ingest-only store fragments forever; compact_ivf_store restores a
+    # per-cell file bound (and the codes bound) with ONE rewrite job
+    # under the delete machinery's name-encoded swap protocol.  The
+    # lifecycle here: build+save on the base corpus (vec_id%4<>0),
+    # attach PQ codes, upsert the held-out quarter in TWO batches (both
+    # tables fragment — asserted in tests/test_ivf_lifecycle.py), then
+    # compact and search over the loaded store.  The oracle is
+    # sim_search_after_upsert's fresh-build SQL over the FULL corpus at
+    # base-derived seeds: a lost row, a duplicated row, or a torn cell
+    # from the rewrite all hash-mismatch.  Fresh store per call — the
+    # fragment-then-compact path itself is under test.
+    import os
+    import shutil
+
+    from datafusion_bigtable_spark.operators.similarity import (
+        attach_pq_codes,
+        build_ivf_index,
+        compact_ivf_store,
+        load_ivf_index,
+        pq_codebooks,
+        save_ivf_index,
+        topk_ivf,
+        upsert_ivf_index,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = _tag_of("ivfcmp1", os.path.abspath(src), st.st_mtime_ns, st.st_size)
+    path = f"/tmp/dbs_ivf_compact_{os.path.basename(os.path.normpath(sf_dir))}_{tag}"
+    _sweep_stale_store_versions(path)
+    shutil.rmtree(path, ignore_errors=True)
+    with build_ivf_index(e.filter(F.col("vec_id") % 4 != 0), n_cells=16) as idx:
+        save_ivf_index(idx, path)
+    attach_pq_codes(spark, path, pq_codebooks(e, m=8, k_c=16), n_files=2)
+    for m in (0, 4):
+        upsert_ivf_index(
+            spark,
+            path,
+            e.filter((F.col("vec_id") % 4 == 0) & (F.col("vec_id") % 8 == m)),
+        )
+    compact_ivf_store(spark, path, codes_n_files=1)
+    return topk_ivf(e, _sim_query_pred(), k=3, index=load_ivf_index(spark, path))
+
+
 def _saved_ivf_store(spark, sf_dir) -> str:
     """Build-or-reuse the content-addressed saved IVF store over the
     embeddings fixture: full corpus, n_cells=16 seed codebook (vec_id <
@@ -8654,6 +8723,123 @@ def retrieval_hybrid_saved_q(spark, sf_dir):
     )
     didx = load_ivf_index(spark, _saved_ivf_store(spark, sf_dir))
     dense = topk_ivf(e, _sim_query_pred(), k=10, index=didx)
+    return rrf_fuse([sparse, dense], rrf_k=60, k=5)
+
+
+@query(
+    "retrieval_hybrid_saved_pq",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x != '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    p AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df, dl.dl
+          FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN n
+          WHERE dfq.df <= 0.5 * n.n_docs),
+    ssc AS (SELECT q.doc_id AS query_id, p.doc_id AS neighbor_id,
+                   ROUND(SUM(q.tf
+                             * ln((n.n_docs - p.df + 0.5) / (p.df + 0.5) + 1)
+                             * p.tf * (1.2 + 1)
+                             / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / ad.avgdl))),
+                         4) AS score
+            FROM p JOIN p q USING (term) CROSS JOIN n CROSS JOIN ad
+            WHERE q.doc_id % 100 = 0 AND q.doc_id < 2000 AND p.doc_id <> q.doc_id
+            GROUP BY 1, 2),
+    sr AS (SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS rk
+           FROM ssc),
+    seeds AS (
+      SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS sv
+      FROM embeddings WHERE vec_id < 16),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, s.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.sv) DESC,
+                          s.cell) AS rn
+        FROM embeddings e CROSS JOIN seeds s) t
+      WHERE rn = 1),
+    dv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sub AS (
+      SELECT vec_id, j, v[j*8+1 : j*8+8] AS s
+      FROM dv, (SELECT unnest(generate_series(0, 7)) AS j) jj),
+    cents AS (
+      SELECT j, vec_id AS code, s AS cent, list_inner_product(s, s) AS cc
+      FROM sub WHERE vec_id < 16),
+    codes AS (
+      SELECT vec_id, j, code FROM (
+        SELECT d.vec_id, d.j, c.code,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.j
+                                  ORDER BY c.cc - 2 * list_inner_product(d.s, c.cent), c.code) AS rn
+        FROM sub d JOIN cents c ON c.j = d.j) t
+      WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, j, s AS qs FROM sub WHERE vec_id % 100 = 0 AND vec_id < 2000),
+    dsc AS (
+      SELECT q.query_id, d.vec_id AS neighbor_id,
+             ROUND(SUM(list_inner_product(q.qs, c.cent)), 6) AS score
+      FROM codes d
+      JOIN assign ca ON ca.vec_id = d.vec_id
+      JOIN q ON q.j = d.j AND q.query_id <> d.vec_id
+      JOIN assign qa ON qa.vec_id = q.query_id AND qa.cell = ca.cell
+      JOIN cents c ON c.j = d.j AND c.code = d.code
+      GROUP BY q.query_id, d.vec_id),
+    dr AS (SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS rk
+           FROM dsc),
+    u AS (SELECT query_id, neighbor_id, rk FROM sr WHERE rk <= 10
+          UNION ALL
+          SELECT query_id, neighbor_id, rk FROM dr WHERE rk <= 10),
+    f AS (SELECT query_id, neighbor_id,
+                 ROUND(SUM(1.0 / (60 + rk)), 8) AS rrf_score
+          FROM u GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, rrf_score, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, neighbor_id) AS rk
+      FROM f) t
+    WHERE rk <= 5
+    """,
+)
+def retrieval_hybrid_saved_pq_q(spark, sf_dir):
+    # r17 (VERDICT r16 #5): the serving-MEMORY completion of
+    # retrieval_hybrid_saved — same zero-build-jobs composition, but the
+    # dense leg rides the COMPRESSED representation: topk_ivfpq_saved
+    # scores ADC sums over the persisted PQ codes table (m bytes per
+    # vector) instead of raw `_dv` cosines over the assignment store.
+    # At 100 TB that is the difference between a dense leg whose serving
+    # working set is the corpus and one whose working set is ~1% of it —
+    # raw vectors never reach the scorer (query subspace slices come
+    # from the store's own vectors, the repo-wide queries-are-corpus-
+    # members ANN contract).  RRF makes the approximate leg safe: an ADC
+    # quantization miss degrades a fused rank, never corrupts a score.
+    # The oracle composes retrieval_hybrid_saved's BM25 CTEs with
+    # sim_topk_ivfpq's seed-codebook ADC CTEs at rk<=10, so both legs
+    # AND the fusion stay hash-checked end-to-end.
+    from datafusion_bigtable_spark.operators.retrieval import (
+        load_postings_index,
+        rrf_fuse,
+        search_postings_index,
+    )
+    from datafusion_bigtable_spark.operators.similarity import topk_ivfpq_saved
+
+    sidx = load_postings_index(spark, _postings_store(spark, sf_dir))
+    sparse = search_postings_index(
+        sidx,
+        (F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 2000),
+        k=10,
+        weighting="bm25",
+    )
+    dense = topk_ivfpq_saved(
+        spark, _saved_ivf_store(spark, sf_dir), _sim_query_pred(), k=10
+    )
     return rrf_fuse([sparse, dense], rrf_k=60, k=5)
 
 

@@ -268,6 +268,114 @@ def test_delete_removes_pq_code_rows(spark, sf_dir, tmp_path):
     assert left == {r.vec_id for r in e.filter(~DEL()).select("vec_id").collect()}
 
 
+def test_compact_restores_file_bounds_and_is_invisible(spark, sf_dir, tmp_path):
+    """VERDICT r16 #4 done-criterion: after K upserts fragment the cells
+    and the codes table, compact_ivf_store restores the per-cell and
+    codes file bounds while search AND code rows stay bit-identical; a
+    second call is a no-op."""
+    import glob
+
+    from datafusion_bigtable_spark.operators.similarity import compact_ivf_store
+
+    path = str(tmp_path / "store")
+    e = load(spark, sf_dir, "embeddings")
+    with build_ivf_index(e.filter(F.col("vec_id") % 4 != 0), n_cells=16) as idx:
+        save_ivf_index(idx, path)
+    attach_pq_codes(spark, path, pq_codebooks(e, m=8, k_c=16), n_files=2)
+    for m in (0, 4):
+        upsert_ivf_index(
+            spark, path, e.filter((F.col("vec_id") % 4 == 0) & (F.col("vec_id") % 8 == m))
+        )
+
+    def fcount(d):
+        return len(glob.glob(os.path.join(d, "*.parquet")))
+
+    assert max(fcount(c) for c in glob.glob(path + "/cell=*")) > 1  # fragmented
+    want = sorted(
+        map(tuple, topk_ivf(e, PRED(), k=3, index=load_ivf_index(spark, path)).collect())
+    )
+    codes_want = sorted(
+        map(
+            tuple,
+            load_pq_codes(spark, path)[0]
+            .select("id", F.col("codes").cast("string"))
+            .collect(),
+        )
+    )
+    res = compact_ivf_store(spark, path, codes_n_files=1)
+    assert res["cells_compacted"] > 0 and res["codes_compacted"]
+    assert max(fcount(c) for c in glob.glob(path + "/cell=*")) == 1
+    assert fcount(os.path.join(path, "_pq_codes")) == 1
+    got = sorted(
+        map(tuple, topk_ivf(e, PRED(), k=3, index=load_ivf_index(spark, path)).collect())
+    )
+    codes_got = sorted(
+        map(
+            tuple,
+            load_pq_codes(spark, path)[0]
+            .select("id", F.col("codes").cast("string"))
+            .collect(),
+        )
+    )
+    assert got == want and codes_got == codes_want
+    assert compact_ivf_store(spark, path, codes_n_files=1) == {
+        "cells_compacted": 0,
+        "codes_compacted": False,
+    }
+    # manifest still matches footers after the rewrite
+    from datafusion_bigtable_spark.operators.similarity import read_ivf_manifest
+
+    man = {m["cell"]: m["rows"] for m in read_ivf_manifest(path)}
+    actual = {
+        r["cell"]: r["n"]
+        for r in load_ivf_index(spark, path)
+        .assignments.groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert man == actual
+
+
+def test_compact_crash_shapes_heal(spark, sf_dir, tmp_path):
+    """Compaction reuses the delete swap machinery (cells) and the
+    meta-removed-first window (codes), so its crash shapes heal through
+    the SAME paths — pin the two compaction-specific states: a complete
+    cells tmp with a pending marker (rolls forward, manifest recounts),
+    and a torn codes rewrite (fails loud, re-attach recovers, the next
+    compact sweeps the leftover tmp)."""
+    import glob
+
+    from datafusion_bigtable_spark.operators.similarity import compact_ivf_store
+
+    path = str(tmp_path / "store")
+    e = _save_full(spark, sf_dir, path)
+    attach_pq_codes(spark, path, pq_codebooks(e, m=8, k_c=16))
+    rows_before = load_ivf_index(spark, path).assignments.count()
+
+    # cells: crash between the two renames mid-swap (the delete shapes
+    # test covers the full matrix; this pins that a COMPACTION-shaped
+    # tmp — same rows, fewer files — heals identically)
+    cdir = os.path.join(path, "cell=5")
+    tmp = os.path.join(path, "._del_tmp")
+    os.makedirs(tmp)
+    shutil.copytree(cdir, os.path.join(tmp, "cell=5"))
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    os.rename(cdir, os.path.join(path, "._del_old_cell=5"))
+    assert load_ivf_index(spark, path).assignments.count() == rows_before
+    assert os.path.isdir(cdir) and not os.path.isdir(tmp)
+
+    # codes: crash mid-rewrite — meta gone, tmp half-written
+    os.remove(os.path.join(path, "_pq_meta.json"))
+    os.makedirs(os.path.join(path, "_pq_codes_tmp"))
+    with pytest.raises(FileNotFoundError, match="re-run attach_pq_codes"):
+        load_pq_codes(spark, path)
+    attach_pq_codes(spark, path)  # recover from persisted codebooks
+    compact_ivf_store(spark, path)  # sweeps the leftover tmp
+    assert not os.path.isdir(os.path.join(path, "_pq_codes_tmp"))
+    assert len(glob.glob(os.path.join(path, "_pq_codes", "*.parquet"))) >= 1
+    load_pq_codes(spark, path)  # reads clean
+
+
 def test_streaming_takedown_replay_is_noop_both_stores(spark, sf_dir, tmp_path):
     """At-least-once delivery needs no guard on the takedown streams:
     the batch deletes are idempotent, so a worst-case full replay

@@ -118,6 +118,45 @@ def test_query_set_guard_fails_loud_on_oversized_predicate(spark, corpus):
             search_postings_index(idx, F.lit(True), k=3, max_query_docs=3)
 
 
+def test_prevalidated_search_skips_the_guard_job(spark, corpus, tmp_path):
+    """VERDICT r16 #6 done-criterion: max_query_docs=None (the explicit
+    pre-validated path) runs exactly one fewer Spark job per search than
+    the guarded default, and both produce identical results — a serving
+    loop that validated its predicate once pays zero per-call guard
+    jobs."""
+    from datafusion_bigtable_spark.operators.retrieval import (
+        load_postings_index,
+        save_postings_index,
+        search_postings_index,
+    )
+
+    path = str(tmp_path / "idx")
+    save_postings_index(corpus, path)
+    idx = load_postings_index(spark, path)
+    pred = F.col("doc_id").isin(0, 3)
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs_for(**kw):
+        before = set(tracker.getJobIdsForGroup(None))
+        rows = sorted(map(tuple, search_postings_index(idx, pred, k=10, **kw).collect()))
+        return rows, len(set(tracker.getJobIdsForGroup(None)) - before)
+
+    jobs_for()  # warm: one-time file-listing/broadcast jobs don't recur
+    guarded_rows, guarded_jobs = jobs_for()
+    pre_rows, pre_jobs = jobs_for(max_query_docs=None)
+    assert pre_rows == guarded_rows
+    # the saving is exactly the guard count's own job cost (an AQE count
+    # is more than one Spark job, so pin the identity, not a constant)
+    before = set(tracker.getJobIdsForGroup(None))
+    idx.docs().filter(pred).count()
+    guard_jobs = len(set(tracker.getJobIdsForGroup(None)) - before)
+    assert guard_jobs >= 1
+    assert pre_jobs == guarded_jobs - guard_jobs, (
+        f"pre-validated path ran {pre_jobs} jobs vs guarded {guarded_jobs} "
+        f"(guard count alone: {guard_jobs})"
+    )
+
+
 def test_saved_search_bit_equals_fresh_build(spark, corpus, tmp_path):
     """VERDICT r14 #4 done-criterion: the saved-index search hash-equals
     the fresh-build search (same pruning, same weights, same ranks)."""
