@@ -7559,6 +7559,112 @@ def sim_index_compact_q(spark, sf_dir):
     return topk_ivf(e, _sim_query_pred(), k=3, index=load_ivf_index(spark, path))
 
 
+@query(
+    "streaming_ivf_maintain",
+    REGISTRY["sim_search_after_upsert"].sql,
+)
+def streaming_ivf_maintain_q(spark, sf_dir):
+    # r17: the INGEST-FOREVER composition — sim_index_compact's
+    # lifecycle ON THE STREAM (streaming/index_stream.py::
+    # run_streaming_index_maintain): each micro-batch upserts, then the
+    # maintenance pass holds the store to max_files_per_cell=1 (the
+    # policy is compact_ivf_store's own listing-only planner — a store
+    # within bounds costs a directory listing, no Spark job), so a feed
+    # that never stops can never fragment the store past one batch's
+    # appends.  Build+save on the base corpus (vec_id%4<>0) with PQ
+    # codes attached (both tables maintain), stream the held-out
+    # quarter as 3 files -> 3 micro-batches, search over the loaded
+    # store.  Frozen centroids make the result independent of batch
+    # boundaries, and compaction is search-invisible — so the oracle is
+    # the SAME fresh-build SQL as the batch twin, and a torn swap, a
+    # lost code row, or a double-applied batch all hash-mismatch.
+    import os
+    import shutil
+
+    from datafusion_bigtable_spark.operators.similarity import (
+        attach_pq_codes,
+        build_ivf_index,
+        load_ivf_index,
+        pq_codebooks,
+        save_ivf_index,
+        topk_ivf,
+    )
+    from datafusion_bigtable_spark.streaming.index_stream import (
+        run_streaming_index_maintain,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = _tag_of("ivfmaint1", os.path.abspath(src), st.st_mtime_ns, st.st_size)
+    sfname = os.path.basename(os.path.normpath(sf_dir))
+    store = f"/tmp/dbs_ivf_maintain_{sfname}_{tag}"
+    feed = f"/tmp/dbs_ivf_mfeed_{sfname}_{tag}"
+    _sweep_stale_store_versions(store)
+    _sweep_stale_store_versions(feed)
+    shutil.rmtree(store, ignore_errors=True)  # the maintain path is under test
+    shutil.rmtree(feed, ignore_errors=True)  # fresh checkpoint: replay all
+    with build_ivf_index(e.filter(F.col("vec_id") % 4 != 0), n_cells=16) as idx:
+        save_ivf_index(idx, store)
+    attach_pq_codes(spark, store, pq_codebooks(e, m=8, k_c=16), n_files=2)
+    e.filter(F.col("vec_id") % 4 == 0).repartition(3).write.parquet(feed)
+    run_streaming_index_maintain(
+        spark, feed, store, codes_n_files=2, query_name=f"dbs_ivfmaint_{tag}"
+    )
+    return topk_ivf(e, _sim_query_pred(), k=3, index=load_ivf_index(spark, store))
+
+
+@query(
+    "streaming_postings_maintain",
+    None,  # oracle bound below once retrieval_sparse_topk registers
+)
+def streaming_postings_maintain_q(spark, sf_dir):
+    # r17: the sparse twin of streaming_ivf_maintain — each micro-batch
+    # folds into the saved postings index, then compaction holds both
+    # tables to n_files=8 (the policy is compact_postings_index's own
+    # footer-free planner; a within-bounds store is a listing-only
+    # no-op), so an ingest-forever document feed never fragments the
+    # store past one batch's appends.  Build on 3/4 of the corpus,
+    # stream the held-out quarter as 3 files -> 3 micro-batches (each
+    # append takes postings past the bound -> compaction fires per
+    # batch), search over the loaded store.  Exact integer stat merges
+    # make the result independent of batch boundaries, and compaction
+    # is search-invisible — the oracle IS retrieval_sparse_topk's
+    # fresh-build SQL over the full corpus, so a row lost, duplicated,
+    # or re-weighted anywhere in the fold+compact pipeline mismatches.
+    import os
+    import shutil
+
+    from datafusion_bigtable_spark.operators.retrieval import (
+        load_postings_index,
+        save_postings_index,
+        search_postings_index,
+    )
+    from datafusion_bigtable_spark.streaming.postings_stream import (
+        run_streaming_postings_maintain,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    tag = _src_tag("postmaint1", sf_dir, "documents")
+    sfname = os.path.basename(os.path.normpath(sf_dir))
+    store = f"/tmp/dbs_postmaint_{sfname}_{tag}"
+    feed = f"/tmp/dbs_postmfeed_{sfname}_{tag}"
+    _sweep_stale_store_versions(store)
+    _sweep_stale_store_versions(feed)
+    shutil.rmtree(store, ignore_errors=True)  # the maintain path is under test
+    shutil.rmtree(feed, ignore_errors=True)  # fresh checkpoint: replay all
+    save_postings_index(d.filter(F.col("doc_id") % 4 != 0), store, max_df_frac=0.5)
+    d.filter(F.col("doc_id") % 4 == 0).repartition(3).write.parquet(feed)
+    run_streaming_postings_maintain(
+        spark, feed, store, n_files=8, query_name=f"dbs_postmaint_{tag}"
+    )
+    return search_postings_index(
+        load_postings_index(spark, store),
+        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 5000),
+        k=3,
+    )
+
+
 def _saved_ivf_store(spark, sf_dir) -> str:
     """Build-or-reuse the content-addressed saved IVF store over the
     embeddings fixture: full corpus, n_cells=16 seed codebook (vec_id <
@@ -8256,6 +8362,14 @@ def streaming_postings_upsert_q(spark, sf_dir):
         (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 5000),
         k=3,
     )
+
+
+# streaming_postings_maintain registers above retrieval_sparse_topk in
+# file order; bind its (shared) oracle now that the SQL exists.
+REGISTRY["streaming_postings_maintain"] = QuerySpec(
+    REGISTRY["streaming_postings_maintain"].fn,
+    REGISTRY["retrieval_sparse_topk"].sql,
+)
 
 
 @query(

@@ -99,3 +99,77 @@ def run_streaming_index_upsert(
     finally:
         q.stop()
     return StreamUpsertResult(appended["n"], appended["drift"])
+
+
+class StreamMaintainResult(int):
+    """:func:`run_streaming_index_maintain`'s return: total ids appended
+    (an ``int`` subclass, same convention as :class:`StreamUpsertResult`)
+    plus ``compactions`` — one record per micro-batch whose post-upsert
+    maintenance pass actually rewrote something (``{"batch_id",
+    "cells_compacted", "codes_compacted"}``).  Bounded driver state:
+    ≤ one small dict per micro-batch."""
+
+    compactions: list
+
+    def __new__(cls, n: int, compactions=()) -> "StreamMaintainResult":
+        obj = super().__new__(cls, n)
+        obj.compactions = list(compactions)
+        return obj
+
+
+def run_streaming_index_maintain(
+    spark: SparkSession,
+    feed_dir: str,
+    store_path: str,
+    *,
+    max_files_per_cell: int = 1,
+    codes_n_files: int = 32,
+    query_name: str = "dbs_index_maintain",
+) -> StreamMaintainResult:
+    """The INGEST-FOREVER shape: drive the embedding feed to completion,
+    upserting each micro-batch and then holding the store to its file
+    bounds — so a feed that never stops can never fragment the store
+    past one batch's worth of appends (VERDICT r16 #3's compaction,
+    composed onto the stream it exists for).
+
+    The maintenance POLICY is :func:`~datafusion_bigtable_spark.operators.
+    similarity.compact_ivf_store`'s own listing-only planner: it runs
+    after every upsert, and a store within bounds is a no-op that reads
+    no data — the policy check costs a directory listing, never a Spark
+    job.  Replay safety needs nothing new: the upsert anti-joins a
+    redelivered batch to nothing, and compaction is idempotent (a
+    crashed swap heals through the delete machinery's reconcilers on the
+    next open — crash shapes pinned in tests/test_ivf_lifecycle.py), so
+    at-least-once delivery composes from parts that are already safe."""
+    from datafusion_bigtable_spark.operators.similarity import (
+        compact_ivf_store,
+        upsert_ivf_index,
+    )
+
+    state = {"n": 0, "compactions": []}
+
+    def _maintain(batch_df: DataFrame, batch_id: int) -> None:
+        state["n"] += upsert_ivf_index(
+            spark, store_path, batch_df.select("vec_id", "embedding")
+        )
+        res = compact_ivf_store(
+            spark,
+            store_path,
+            max_files_per_cell=max_files_per_cell,
+            codes_n_files=codes_n_files,
+        )
+        if res["cells_compacted"] or res["codes_compacted"]:
+            state["compactions"].append({"batch_id": batch_id, **res})
+
+    q = (
+        read_embeddings_stream(spark, feed_dir)
+        .writeStream.foreachBatch(_maintain)
+        .option("checkpointLocation", os.path.join(feed_dir, "_checkpoint"))
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return StreamMaintainResult(state["n"], state["compactions"])

@@ -104,3 +104,64 @@ def run_streaming_postings_upsert(
     finally:
         q.stop()
     return total["n"]
+
+
+def run_streaming_postings_maintain(
+    spark: SparkSession,
+    feed_dir: str,
+    store_path: str,
+    *,
+    n_files: int = 8,
+    query_name: str = "dbs_postings_maintain",
+) -> dict:
+    """The INGEST-FOREVER shape for the sparse store — the twin of
+    ``index_stream.run_streaming_index_maintain``: each micro-batch
+    folds into the saved index, then compaction holds both tables to
+    ``n_files``, so a document feed that never stops can never fragment
+    the store past one batch's appends.
+
+    The maintenance POLICY is ``compact_postings_index``'s own
+    footer-free planner (a directory listing decides; a store within
+    bounds returns unchanged — no Spark job).  Replay safety is the
+    upsert stream's anti-join guard, unchanged; compaction adds no
+    replay state because it is content-preserving (search bit-identical
+    before/after, oracle-checked).  Crash contract per the store's
+    design: a crash mid-compaction removes the meta first, so the next
+    load fails loud and the DERIVED index rebuilds from the corpus —
+    redelivery alone cannot heal the sparse store (only the IVF store's
+    swap protocol self-heals; see streaming/takedown_stream.py).
+
+    Returns ``{"folded": int, "compactions": [batch_id, ...]}`` —
+    bounded driver state (≤ one int per micro-batch)."""
+    from datafusion_bigtable_spark.operators.retrieval import (
+        compact_postings_index,
+        load_postings_index,
+        upsert_postings_index,
+    )
+
+    state = {"folded": 0, "compactions": []}
+
+    def _maintain(batch_df: DataFrame, batch_id: int) -> None:
+        idx = load_postings_index(spark, store_path)
+        id_col = idx.meta["id_col"]
+        fresh = batch_df.join(idx.docs().select(id_col), id_col, "left_anti")
+        if fresh.limit(1).count() > 0:
+            upd = upsert_postings_index(idx, fresh, check_duplicates=False)
+            state["folded"] += upd.meta["n_docs"] - idx.meta["n_docs"]
+            idx = upd
+        compacted = compact_postings_index(idx, n_files=n_files)
+        if compacted is not idx:  # the no-op path returns the same handle
+            state["compactions"].append(batch_id)
+
+    q = (
+        read_documents_stream(spark, feed_dir)
+        .writeStream.foreachBatch(_maintain)
+        .option("checkpointLocation", os.path.join(feed_dir, "_checkpoint"))
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return state

@@ -376,6 +376,50 @@ def test_compact_crash_shapes_heal(spark, sf_dir, tmp_path):
     load_pq_codes(spark, path)  # reads clean
 
 
+def test_streaming_maintain_holds_file_bounds(spark, sf_dir, tmp_path):
+    """r17 ingest-forever composition: the maintain stream upserts each
+    micro-batch and then holds the store to its file bounds — after the
+    feed drains, no cell (and not the codes table) exceeds the bound,
+    at least one batch actually compacted (the policy fired, not just
+    no-opped), and the search equals the batch-upsert store's."""
+    import glob
+
+    from datafusion_bigtable_spark.streaming.index_stream import (
+        run_streaming_index_maintain,
+    )
+
+    path = str(tmp_path / "store")
+    feed = str(tmp_path / "feed")
+    e = load(spark, sf_dir, "embeddings")
+    with build_ivf_index(e.filter(F.col("vec_id") % 4 != 0), n_cells=16) as idx:
+        save_ivf_index(idx, path)
+    attach_pq_codes(spark, path, pq_codebooks(e, m=8, k_c=16), n_files=2)
+    e.filter(F.col("vec_id") % 4 == 0).repartition(3).write.parquet(feed)
+    res = run_streaming_index_maintain(spark, feed, path, codes_n_files=2)
+    assert res == e.filter(F.col("vec_id") % 4 == 0).count()
+    assert res.compactions, "3 appending batches must trigger >=1 compaction"
+    assert max(
+        len(glob.glob(os.path.join(c, "*.parquet")))
+        for c in glob.glob(path + "/cell=*")
+    ) == 1
+    assert len(glob.glob(os.path.join(path, "_pq_codes", "*.parquet"))) <= 2
+    # equality with the batch twin: one upsert of the whole quarter
+    batch_path = str(tmp_path / "batch_store")
+    with build_ivf_index(e.filter(F.col("vec_id") % 4 != 0), n_cells=16) as idx:
+        save_ivf_index(idx, batch_path)
+    upsert_ivf_index(spark, batch_path, e.filter(F.col("vec_id") % 4 == 0))
+    got = sorted(
+        map(tuple, topk_ivf(e, PRED(), k=3, index=load_ivf_index(spark, path)).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            topk_ivf(e, PRED(), k=3, index=load_ivf_index(spark, batch_path)).collect(),
+        )
+    )
+    assert got == want
+
+
 def test_streaming_takedown_replay_is_noop_both_stores(spark, sf_dir, tmp_path):
     """At-least-once delivery needs no guard on the takedown streams:
     the batch deletes are idempotent, so a worst-case full replay

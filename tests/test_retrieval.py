@@ -157,6 +157,46 @@ def test_prevalidated_search_skips_the_guard_job(spark, corpus, tmp_path):
     )
 
 
+def test_streaming_maintain_holds_postings_file_bounds(spark, corpus, tmp_path):
+    """r17 ingest-forever composition (sparse twin): the maintain stream
+    folds each micro-batch then holds both tables to n_files — after the
+    feed drains, postings and docs are within bounds, at least one batch
+    compacted, and search equals a fresh build over the full corpus."""
+    import glob
+    import os
+
+    from datafusion_bigtable_spark.operators.retrieval import (
+        load_postings_index,
+        save_postings_index,
+        search_postings_index,
+        sparse_topk,
+    )
+    from datafusion_bigtable_spark.streaming.postings_stream import (
+        run_streaming_postings_maintain,
+    )
+
+    store = str(tmp_path / "idx")
+    feed = str(tmp_path / "feed")
+    base = corpus.filter(F.col("doc_id") % 3 != 0)
+    save_postings_index(base, store, n_files=2)
+    corpus.filter(F.col("doc_id") % 3 == 0).repartition(2).write.parquet(feed)
+    res = run_streaming_postings_maintain(spark, feed, store, n_files=2)
+    assert res["folded"] == corpus.filter(F.col("doc_id") % 3 == 0).count()
+    assert res["compactions"], "appending batches must trigger >=1 compaction"
+    for sub in ("postings", "docs"):
+        n = len(glob.glob(os.path.join(store, sub, "*.parquet")))
+        assert n <= 2, f"{sub} holds {n} files, bound is 2"
+    pred = F.col("doc_id").isin(0, 3)
+    got = sorted(
+        map(
+            tuple,
+            search_postings_index(load_postings_index(spark, store), pred, k=10).collect(),
+        )
+    )
+    want = sorted(map(tuple, sparse_topk(corpus, pred, k=10).collect()))
+    assert got == want
+
+
 def test_saved_search_bit_equals_fresh_build(spark, corpus, tmp_path):
     """VERDICT r14 #4 done-criterion: the saved-index search hash-equals
     the fresh-build search (same pruning, same weights, same ranks)."""

@@ -63,7 +63,7 @@ def test_registry_size_and_full_green_fold():
     # retrieval_postings_delete, sim_index_delete, sim_topk_ivfpq_saved,
     # retrieval_hybrid_saved, streaming_postings_delete,
     # streaming_ivf_delete).
-    assert len(q.REGISTRY) == 182
+    assert len(q.REGISTRY) == 184
     sched = q._schedule()
     for name in (n for n in q.REGISTRY if n not in q._LAST_GREEN):
         assert sched.index(name) < 50, f"new query {name} outside driver window"

@@ -73,6 +73,16 @@ PROBE = [
     "sim_index_delete",
     "retrieval_postings_delete",
     "retrieval_postings_compact",
+    # r17 additions: the PQ-backed hybrid (the serving-memory claim —
+    # dense leg over the persisted codes table; marginal cost should
+    # track the query set like retrieval_hybrid_saved's), the IVF
+    # compaction lifecycle (fresh store per call: build + attach +
+    # 2 upserts + compact + search — cost is the mutate-verify
+    # contract), and the component-pruned semantic dedup whose r17
+    # union-find fast path must not regress across decades.
+    "retrieval_hybrid_saved_pq",
+    "sim_index_compact",
+    "dedup_semantic_prune",
 ]
 
 
