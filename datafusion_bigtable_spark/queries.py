@@ -2615,6 +2615,10 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
 _TOUCHED_QUERIES: frozenset[str] = frozenset(
     {
         # r17 additions lead the window via their absence from _LAST_GREEN.
+        "dedup_semantic_prune",  # r17: blocking swapped to the two-level
+        # quantizer (flat assignment at corpus-relative n_cells measured
+        # O(n^2) at the sf10 probe); oracle rewritten to the two-level
+        # CTEs — hash changed, driver must re-prove.
     }
 )
 
@@ -3512,17 +3516,41 @@ def text_word_perplexity_q(spark, sf_dir):
     WITH RECURSIVE nc AS (
       SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 128.0) AS BIGINT)) AS n
       FROM embeddings),
-    seeds AS (
-      SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS sv
+    cc AS (SELECT CAST(CEIL(SQRT(n)) AS BIGINT) AS c FROM nc),
+    fine AS (
+      SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS fv
       FROM embeddings WHERE vec_id < (SELECT n FROM nc)),
-    assign AS (
-      SELECT vec_id, cell FROM (
-        SELECT e.vec_id, s.cell,
+    coarse AS (
+      SELECT vec_id AS ccell, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < (SELECT c FROM cc)),
+    f2c AS (
+      SELECT cell, ccell FROM (
+        SELECT f.cell, s.ccell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY f.cell
+                 ORDER BY list_cosine_similarity(f.fv, s.cv) DESC, s.ccell) AS rn
+        FROM fine f CROSS JOIN coarse s) t
+      WHERE rn = 1),
+    vcc AS (
+      SELECT vec_id, ccell FROM (
+        SELECT e.vec_id, s.ccell,
                ROW_NUMBER() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.sv) DESC,
-                          s.cell) AS rn
-        FROM embeddings e CROSS JOIN seeds s) t
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.cv) DESC,
+                          s.ccell) AS rn
+        FROM embeddings e CROSS JOIN coarse s) t
+      WHERE rn = 1),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, f.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]), f.fv) DESC,
+                          f.cell) AS rn
+        FROM vcc v
+          JOIN f2c m ON m.ccell = v.ccell
+          JOIN fine f ON f.cell = m.cell
+          JOIN embeddings e2 ON e2.vec_id = v.vec_id) t
       WHERE rn = 1),
     pairs AS (
       SELECT a.vec_id AS pa, b.vec_id AS pb
@@ -3554,17 +3582,32 @@ def dedup_semantic_prune_q(spark, sf_dir):
     # flag per vector — the shape a curation pipeline joins back onto
     # the corpus as an anti-join.
     #
-    # Scale shape: one cell-key shuffle for pairing, O(cluster diameter)
-    # label-propagation shuffles (near-cliques converge in 2-4), one
-    # broadcast join of the (tiny) dropped set — raw vectors shuffle
-    # exactly once.  target_block_size=128 keeps blocks corpus-relative
-    # (n_cells = max(16, ceil(corpus/128)) — identical to 16 at every
-    # tested SF, so hashes hold; the oracle's nc CTE mirrors it).
+    # Scale shape: one cell-key shuffle for pairing, a bounded-collect
+    # union-find (or O(log n) distributed rounds past the cap) for
+    # components, one broadcast join of the (tiny) dropped set — raw
+    # vectors shuffle exactly once.  The blocking rides the TWO-LEVEL
+    # quantizer (r17): with the corpus-relative cell count
+    # (n_cells = max(16, ceil(corpus/128))) a FLAT assignment pays
+    # n x n_cells cosine folds = O(n^2/128) compute — the r17 sf10
+    # probe measured exactly that shape, 147.8 s / d2 24.3x for 10x
+    # data while every other probed query stayed sublinear; coarse ->
+    # fine assignment is ~2*n*sqrt(n_cells) folds (measured post-fix:
+    # sf1 8.1 s, sf10 36.9 s — d2 4.6x, back under linear).  The
+    # oracle reproduces both ranking levels (same CTEs as
+    # dedup_embedding_cosine_ivf2's).
     from datafusion_bigtable_spark.operators.dedup import embedding_dup_pairs_ivf
     from datafusion_bigtable_spark.operators.graph import connected_components
+    from datafusion_bigtable_spark.operators.similarity import (
+        build_ivf_index_two_level,
+        materialize_owned,
+    )
 
     e = load(spark, sf_dir, "embeddings")
-    pairs = embedding_dup_pairs_ivf(e, threshold=0.4, n_cells=16, target_block_size=128)
+    n = e.select("vec_id").count()
+    idx = build_ivf_index_two_level(e, n_cells=max(16, -(-n // 128)))
+    pairs = materialize_owned(
+        embedding_dup_pairs_ivf(e, threshold=0.4, index=idx), idx
+    )
     comp = connected_components(pairs.select("id_a", "id_b"))
     return e.select("vec_id").join(
         F.broadcast(comp), F.col("vec_id") == F.col("id"), "left"
