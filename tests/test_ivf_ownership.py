@@ -69,7 +69,15 @@ def test_throwaway_paths_leave_no_storage(spark, sf_dir):
     """Each index=None call materializes its bounded result, drops the
     corpus-sized assignment cache before returning, and leaves the
     result's own (cache-manager-registered) entry as the ONLY block —
-    reclaimed here with a plain unpersist, back to baseline."""
+    reclaimed here with a plain unpersist, back to baseline.
+
+    The baseline comparisons are one-sided (<=): in the shared test
+    session a PRIOR module's lazy localCheckpoint block can survive
+    clearCache into our ``base`` and then be reclaimed by
+    ContextCleaner GC mid-test, dropping the count BELOW base — an
+    equality pin flakes on that race (seen r16 and r17) while a leak,
+    the thing this test exists to catch, only ever pushes the count
+    ABOVE base."""
     spark.catalog.clearCache()
     base = _storage_count(spark)
     e = load(spark, sf_dir, "embeddings")
@@ -86,7 +94,7 @@ def test_throwaway_paths_leave_no_storage(spark, sf_dir):
         grew = _storage_count(spark) - base
         assert grew <= 1, f"throwaway index leaked: {grew} extra storage entries"
         df.unpersist(blocking=True)
-        assert _storage_count(spark) == base, "result cache not reclaimable"
+        assert _storage_count(spark) <= base, "result cache not reclaimable"
 
 
 def test_owned_index_path_stays_lazy(spark, sf_dir):
