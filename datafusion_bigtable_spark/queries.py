@@ -2652,14 +2652,13 @@ _FULLGATE_PROVEN_MODULES: dict[str, str] = {
     #
     # r17: operators.similarity gained compact_ivf_store (VERDICT r16
     # #4) and batch-sized PQ code appends (ADVICE r16 #3); the edits
-    # postdate the r16 fold and are proven by FULLGATE_r17.json (all
-    # 181 queries registered at generation time green at sf0.01,
-    # generated after the round's last behavior-changing similarity
-    # edit; retrieval_hybrid_saved_pq registered later and carries no
-    # driver green, so it schedules first and needs no artifact
-    # substitute).  A _TOUCHED_MODULES reset would flood the window
-    # (53-query closure vs 50 slots) and displace the r12 stale cohort
-    # VERDICT r16 #3 requires in CORRECTNESS_r17.
+    # postdate the r16 fold and are proven by FULLGATE_r17.json —
+    # regenerated at round close over the FULL registry (all 184
+    # queries green at sf0.01), after the round's last
+    # behavior-changing similarity edit.  A _TOUCHED_MODULES reset
+    # would flood the window (53-query closure vs 50 slots) and
+    # displace the r12 stale cohort VERDICT r16 #3 requires in
+    # CORRECTNESS_r17.
     f"{_PKG}.operators.similarity": "FULLGATE_r17.json",
 }
 
