@@ -579,6 +579,33 @@ def compact_postings_index(
     return PostingsIndex(path=path, meta=index.meta, _spark=index._spark)
 
 
+def postings_store_stats(path: str) -> dict:
+    """Fragmentation/health snapshot of a saved postings store —
+    LISTING-ONLY (meta json + directory globs; no Spark session, no
+    data reads, no jobs): the observability a maintenance scheduler
+    needs to decide WHEN to run :func:`compact_postings_index` without
+    paying anything to ask.  Fails loud on a store whose meta is gone
+    (the crash contract: derived state, rebuild from the corpus).
+
+    Returns ``{"n_docs", "postings_files", "terms_files",
+    "docs_files", "version"}``."""
+    import glob as _glob
+    import json as _json
+    import os
+
+    with open(os.path.join(path, POSTINGS_META)) as f:
+        meta = _json.load(f)
+    counts = {
+        f"{name}_files": len(_glob.glob(os.path.join(path, sub, "*.parquet")))
+        for name, sub in (
+            ("postings", POSTINGS_DIR),
+            ("terms", TERMS_DIR),
+            ("docs", DOCS_DIR),
+        )
+    }
+    return {"n_docs": meta["n_docs"], **counts, "version": meta.get("version")}
+
+
 def delete_from_postings_index(
     index: PostingsIndex,
     delete_ids: DataFrame,

@@ -868,6 +868,38 @@ def compact_ivf_store(
     return {"cells_compacted": len(touched), "codes_compacted": codes_compacted}
 
 
+def ivf_store_stats(path: str) -> dict:
+    """Fragmentation/health snapshot of a saved IVF store — LISTING-ONLY
+    (manifest + directory globs; no Spark session, no data reads, no
+    jobs): the observability a maintenance scheduler needs to decide
+    WHEN to run :func:`compact_ivf_store` without paying anything to
+    ask.  A surviving crash marker triggers the bounded manifest
+    reconciliation first (the same heal-on-read every opener runs).
+
+    Returns ``{"n_cells", "n_rows", "total_files",
+    "max_files_per_cell", "pq_codes_files" (None when no codes
+    attached), "version"}``."""
+    import glob as _glob
+    import os
+
+    with open(os.path.join(path, "_ivf_meta.json")) as f:
+        meta = json.load(f)
+    man = read_ivf_manifest(path) or []
+    codes = (
+        len(_glob.glob(os.path.join(path, _PQ_CODES_DIR, "*.parquet")))
+        if os.path.isfile(os.path.join(path, _PQ_META))
+        else None
+    )
+    return {
+        "n_cells": len(man),
+        "n_rows": sum(m["rows"] for m in man),
+        "total_files": sum(m["files"] for m in man),
+        "max_files_per_cell": max((m["files"] for m in man), default=0),
+        "pq_codes_files": codes,
+        "version": meta.get("version"),
+    }
+
+
 def load_ivf_index(spark, path: str) -> IvfIndex:
     """Read a :func:`save_ivf_index` table back as a live
     :class:`IvfIndex`.  The frame is parquet-backed — no persist needed

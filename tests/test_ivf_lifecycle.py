@@ -420,6 +420,39 @@ def test_streaming_maintain_holds_file_bounds(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_store_stats_track_fragmentation_without_jobs(spark, sf_dir, tmp_path):
+    """ivf_store_stats is the maintenance scheduler's decision input:
+    listing-only (zero Spark jobs), tracks upsert fragmentation, and
+    returns to the bound after compaction."""
+    from datafusion_bigtable_spark.operators.similarity import (
+        compact_ivf_store,
+        ivf_store_stats,
+    )
+
+    path = str(tmp_path / "store")
+    e = load(spark, sf_dir, "embeddings")
+    with build_ivf_index(e.filter(F.col("vec_id") % 4 != 0), n_cells=16) as idx:
+        save_ivf_index(idx, path)
+    attach_pq_codes(spark, path, pq_codebooks(e, m=8, k_c=16), n_files=2)
+    s0 = ivf_store_stats(path)
+    assert s0["max_files_per_cell"] >= 1 and s0["pq_codes_files"] == 2
+    assert s0["n_rows"] == e.filter(F.col("vec_id") % 4 != 0).count()
+    for m in (0, 4):
+        upsert_ivf_index(
+            spark, path, e.filter((F.col("vec_id") % 4 == 0) & (F.col("vec_id") % 8 == m))
+        )
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    s1 = ivf_store_stats(path)
+    assert set(tracker.getJobIdsForGroup(None)) == before, "stats ran a Spark job"
+    assert s1["max_files_per_cell"] > s0["max_files_per_cell"]  # fragmented
+    assert s1["n_rows"] == e.count()
+    compact_ivf_store(spark, path, codes_n_files=1)
+    s2 = ivf_store_stats(path)
+    assert s2["max_files_per_cell"] == 1 and s2["pq_codes_files"] == 1
+    assert s2["n_rows"] == e.count()
+
+
 def test_streaming_takedown_replay_is_noop_both_stores(spark, sf_dir, tmp_path):
     """At-least-once delivery needs no guard on the takedown streams:
     the batch deletes are idempotent, so a worst-case full replay

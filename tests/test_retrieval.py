@@ -5,6 +5,7 @@ candidate contract, self-exclusion, weight math, and the plan shape
 from __future__ import annotations
 
 import math
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -195,6 +196,39 @@ def test_streaming_maintain_holds_postings_file_bounds(spark, corpus, tmp_path):
     )
     want = sorted(map(tuple, sparse_topk(corpus, pred, k=10).collect()))
     assert got == want
+
+
+def test_postings_store_stats_track_fragmentation_without_jobs(spark, corpus, tmp_path):
+    """postings_store_stats: listing-only (zero Spark jobs), tracks
+    upsert fragmentation, returns to bounds after compaction, fails
+    loud on a torn store (meta removed = the crash contract)."""
+    from datafusion_bigtable_spark.operators.retrieval import (
+        compact_postings_index,
+        load_postings_index,
+        postings_store_stats,
+        save_postings_index,
+        upsert_postings_index,
+    )
+
+    store = str(tmp_path / "idx")
+    base = corpus.filter(F.col("doc_id") % 3 != 0)
+    save_postings_index(base, store, n_files=2)
+    s0 = postings_store_stats(store)
+    assert s0["n_docs"] == base.count() and s0["postings_files"] <= 2
+    idx = load_postings_index(spark, store)
+    upsert_postings_index(idx, corpus.filter(F.col("doc_id") % 3 == 0))
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    s1 = postings_store_stats(store)
+    assert set(tracker.getJobIdsForGroup(None)) == before, "stats ran a Spark job"
+    assert s1["postings_files"] > s0["postings_files"]  # fragmented
+    assert s1["n_docs"] == corpus.count()
+    compact_postings_index(load_postings_index(spark, store), n_files=2)
+    s2 = postings_store_stats(store)
+    assert s2["postings_files"] <= 2 and s2["n_docs"] == corpus.count()
+    os.remove(os.path.join(store, "_postings_meta.json"))
+    with pytest.raises(FileNotFoundError):
+        postings_store_stats(store)
 
 
 def test_saved_search_bit_equals_fresh_build(spark, corpus, tmp_path):
