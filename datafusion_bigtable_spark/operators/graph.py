@@ -79,8 +79,14 @@ def _union_find_collected(edges: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in edges.collect():
-        a, b = row[0], row[1]
+    # Collect as Arrow, not Rows: the wire payload is two int64 columns
+    # (~8 MB at the 500k-edge cap ×2 directed) instead of ≤1M pyspark Row
+    # objects (~10-20× that in Python-object overhead — ADVICE r17).  The
+    # transient driver footprint is then the two value lists plus the
+    # parent dict: ~100-200 MB at the cap, which is the honest bound for
+    # a driver-side fast path and well inside any real driver.
+    tbl = edges.toArrow()
+    for a, b in zip(tbl.column(0).to_pylist(), tbl.column(1).to_pylist()):
         if a not in parent:
             parent[a] = a
         if b not in parent:
@@ -130,7 +136,9 @@ def connected_components(
       The collect is BOUNDED BY CONSTRUCTION: it only runs when the
       post-``distinct`` edge count (one cheap job over the already-
       checkpointed edges) proves the set fits — 500k edges of two longs
-      is ~8 MB on the driver.
+      is ~8 MB over the Arrow wire; the transient driver footprint
+      (value lists + parent map as Python objects) is ~100-200 MB at
+      the cap.
     - **Large graphs** (> cap): the fully distributed loop below.  Each
       round propagates the min label one hop, then SHORTCUTS by looking
       the propagated label up at its own vertex (pointer doubling,
@@ -147,6 +155,12 @@ def connected_components(
     edges = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     )
+    # One null contract for BOTH strategies (ADVICE r17): a null vertex id
+    # names no vertex, so edges touching one are dropped up front.  Before
+    # this filter the two paths diverged across the cap boundary — the
+    # driver union-find raised TypeError ordering None vs int while the
+    # distributed loop silently carried the row.
+    edges = edges.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()

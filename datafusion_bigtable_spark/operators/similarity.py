@@ -882,9 +882,26 @@ def ivf_store_stats(path: str) -> dict:
     import glob as _glob
     import os
 
+    # Heal swap crashes BEFORE counting, mirroring every other opener
+    # (load/delete/compact): without this, stats on a store crashed
+    # mid-delete/compact swap recounts the temporarily-absent cell dir as
+    # empty and writes that into the manifest — a forever-undercount the
+    # pending marker exists to prevent (ADVICE r17).  Both heals are
+    # pure-filesystem renames, so the listing-only/no-Spark contract holds.
+    _reconcile_retrain_swap(path)
+    _reconcile_delete_swaps(path)
     with open(os.path.join(path, "_ivf_meta.json")) as f:
         meta = json.load(f)
-    man = read_ivf_manifest(path) or []
+    man = read_ivf_manifest(path)
+    if man is None:
+        # Legacy store predating the manifest: absence of evidence is not
+        # an empty store — fail loud instead of reporting zeros a
+        # maintenance scheduler would act on (ADVICE r17).
+        raise FileNotFoundError(
+            f"IVF store at {path} has no manifest — pre-manifest store; "
+            "run an upsert (or re-save) to materialize one before asking "
+            "for stats"
+        )
     codes = (
         len(_glob.glob(os.path.join(path, _PQ_CODES_DIR, "*.parquet")))
         if os.path.isfile(os.path.join(path, _PQ_META))

@@ -2446,7 +2446,62 @@ _R16_GREEN = (
     "text_ngram_perplexity",
     "text_word_perplexity",
 )
-# Later rounds override earlier ones; every name absent from all sixteen
+# Round 17 driver window (CORRECTNESS_r17.json): 50/50 green — the r17
+# lifecycle additions (sim_index_compact, both maintain streams, the PQ-leg
+# hybrid) plus the rotated r12 stale cohort.
+_R17_GREEN = (
+    "corpus_leakage_safe_split",
+    "dedup_connected_components",
+    "dedup_semantic_prune",
+    "dedup_keep_canonical",
+    "pipeline_curated_corpus",
+    "dedup_keep_best_quality",
+    "sim_index_compact",
+    "streaming_ivf_maintain",
+    "streaming_postings_maintain",
+    "pipeline_embedding_store",
+    "retrieval_sparse_topk",
+    "retrieval_saved_topk",
+    "retrieval_bm25_topk",
+    "retrieval_index_upsert",
+    "streaming_postings_upsert",
+    "retrieval_postings_compact",
+    "retrieval_postings_delete",
+    "streaming_postings_delete",
+    "streaming_ivf_delete",
+    "retrieval_hybrid_rrf",
+    "retrieval_hybrid_rrf_ivf",
+    "retrieval_hybrid_saved",
+    "retrieval_hybrid_saved_pq",
+    "streaming_curation_filter",
+    "decontaminate_vs_benchmark",
+    "decontaminate_bloom",
+    "streaming_window_counts",
+    "streaming_dedup_pairs",
+    "streaming_attribution_join",
+    "streaming_enriched_counts",
+    "streaming_stateful_user_totals",
+    "streaming_session_windows",
+    "dedup_multi_signal",
+    "scd2_user_segments",
+    "text_line_dedup",
+    "dedup_incremental_ingest",
+    "streaming_ingest_dedup",
+    "events_asof_view_tolerance",
+    "events_asof_last_order",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "agg_distinct_stats",
+    "rollup_lineitem_qty",
+    "cube_orders_revenue",
+    "window_topk_per_group",
+    "window_running_sum",
+    "window_lag_delta",
+    "topk_orders_global",
+    "set_ops_nation_overlap",
+    "set_ops_nation_except",
+)
+# Later rounds override earlier ones; every name absent from all seventeen
 # tuples carries 0.
 _LAST_GREEN: dict[str, int] = {
     **{n: 1 for n in _R1_GREEN},
@@ -2465,6 +2520,7 @@ _LAST_GREEN: dict[str, int] = {
     **{n: 14 for n in _R14_GREEN},
     **{n: 15 for n in _R15_GREEN},
     **{n: 16 for n in _R16_GREEN},
+    **{n: 17 for n in _R17_GREEN},
 }
 
 # ---------------------------------------------------------------------------
@@ -2601,24 +2657,18 @@ _TOUCHED_MODULES: frozenset[str] = frozenset(
         # Entries are added in the SAME commit as each behavior-changing
         # module edit this round, so the set is truthful against
         # `git diff <fold>..HEAD` at every commit.
-        f"{_PKG}.operators.graph",  # r17: bounded driver-side union-find
-        # fast path for small edge sets (VERDICT r16 #2 — the creep was
-        # the distributed loop's per-round fixed overhead on a 185-edge
-        # graph); 7-query dependent closure, 4 of them r12-stale and due
-        # rotation anyway.
-        f"{_PKG}.operators.retrieval",  # r17: search_postings_index
-        # gained the pre-validated escape hatch (max_query_docs=None —
-        # VERDICT r16 #6); the default path is unchanged but the guard
-        # branch IS executed code, so the 13-query closure resets.
+        # (r17 graph/retrieval edits folded at the r17 fold.  r18 is the
+        # first optimization round: per-module optimization edits are
+        # instead carried by _FULLGATE_PROVEN_MODULES below, re-proven by
+        # a round-close full gate over the whole registry — a
+        # _TOUCHED_MODULES reset of every optimized module's closure
+        # would flood the 50-slot window many times over.)
     }
 )
 _TOUCHED_QUERIES: frozenset[str] = frozenset(
     {
-        # r17 additions lead the window via their absence from _LAST_GREEN.
-        "dedup_semantic_prune",  # r17: blocking swapped to the two-level
-        # quantizer (flat assignment at corpus-relative n_cells measured
-        # O(n^2) at the sf10 probe); oracle rewritten to the two-level
-        # CTEs — hash changed, driver must re-prove.
+        # (r17's dedup_semantic_prune rewrite proven green in
+        # CORRECTNESS_r17.json and folded.)
     }
 )
 
@@ -2643,23 +2693,22 @@ _TOUCHED_QUERIES: frozenset[str] = frozenset(
 _FULLGATE_PROVEN_MODULES: dict[str, str] = {
     # dotted module -> FULLGATE_r{N}.json filename proving all dependents
     # green after the module's edit.
-    # (The r16 sources.layout / operators.similarity entries retired at
-    # the r16 fold: FULLGATE_r16.json — all 180 registry queries green at
-    # sf0.01 — no longer postdates the fold, and every dependent query
-    # now carries a driver green: the similarity lifecycle, saved-store,
-    # and layout cohorts are all in _R16_GREEN or earlier folds that
-    # FULLGATE_r16 re-proved before the fold landed.)
+    # (The r17 operators.similarity entry retired at the r17 fold:
+    # FULLGATE_r17.json no longer postdates the fold, and every
+    # similarity dependent now carries a driver green — the compact /
+    # maintain / PQ-hybrid cohort is in _R17_GREEN and the rest in
+    # earlier folds FULLGATE_r17 re-proved before the fold landed.)
     #
-    # r17: operators.similarity gained compact_ivf_store (VERDICT r16
-    # #4) and batch-sized PQ code appends (ADVICE r16 #3); the edits
-    # postdate the r16 fold and are proven by FULLGATE_r17.json —
-    # regenerated at round close over the FULL registry (all 184
-    # queries green at sf0.01), after the round's last
-    # behavior-changing similarity edit.  A _TOUCHED_MODULES reset
-    # would flood the window (53-query closure vs 50 slots) and
-    # displace the r12 stale cohort VERDICT r16 #3 requires in
-    # CORRECTNESS_r17.
-    f"{_PKG}.operators.similarity": "FULLGATE_r17.json",
+    # r18 (optimization round): modules below received result-preserving
+    # performance edits; their dependent closures overflow the 50-slot
+    # window many times over, so the evidence is FULLGATE_r18.json —
+    # regenerated over the FULL registry (all 184 queries green vs their
+    # DuckDB oracles at sf0.01) after the round's last edit.
+    f"{_PKG}.operators.similarity": "FULLGATE_r18.json",
+    f"{_PKG}.operators.retrieval": "FULLGATE_r18.json",
+    f"{_PKG}.operators.graph": "FULLGATE_r18.json",
+    f"{_PKG}.streaming.index_stream": "FULLGATE_r18.json",
+    f"{_PKG}.streaming.postings_stream": "FULLGATE_r18.json",
 }
 
 
