@@ -255,11 +255,24 @@ def save_postings_index(
     except FileNotFoundError:
         pass
     tf, dfreq, total = corpus_term_stats(docs, id_col=id_col, text_col=text_col)
-    n_docs = total.first()["_n_docs"]
     # exact integer sums -> avgdl derives identically on any engine
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    dl_stats = dl.agg(
-        F.sum("dl").alias("_sum"), F.count(F.lit(1)).alias("_n")
+    # membership covers EVERY input document (left join: a zero-token
+    # doc gets dl=0), not just the token-bearing ones the tf table sees
+    membership = (
+        docs.select(id_col)
+        .join(dl, id_col, "left")
+        .select(id_col, F.coalesce(F.col("dl"), F.lit(0)).alias("dl"))
+    )
+    # ONE action yields every meta constant (r18, guide §1.2: previously
+    # three driver actions — n_docs first, the dl sum/count first —
+    # each a separate job over the same checkpointed tf): n_docs is the
+    # membership row count, dl_docs the token-bearing subset (dl>0 ⟺
+    # the doc has ≥1 token, i.e. a dl-table row).
+    stats = membership.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.sum("dl").alias("_sum"),
+        F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("_n"),
     ).first()
     rows = tf.join(dl, id_col).select("term", id_col, "tf", "dl")
     (
@@ -267,22 +280,20 @@ def save_postings_index(
         .write.mode("overwrite")
         .parquet(os.path.join(path, POSTINGS_DIR))
     )
-    dfreq.write.mode("overwrite").parquet(os.path.join(path, TERMS_DIR))
-    # membership covers EVERY input document (left join: a zero-token
-    # doc gets dl=0), not just the token-bearing ones the tf table sees
+    # vocab-sized table, broadcast at every search: one file, not one
+    # per shuffle partition (r18, guide §6 — 32 tiny files cost a
+    # footer read each at every search's planning)
+    dfreq.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, TERMS_DIR))
     (
-        docs.select(id_col)
-        .join(dl, id_col, "left")
-        .select(id_col, F.coalesce(F.col("dl"), F.lit(0)).alias("dl"))
-        .repartition(n_files, F.col(id_col))
+        membership.repartition(n_files, F.col(id_col))
         .write.mode("overwrite")
         .parquet(os.path.join(path, DOCS_DIR))
     )
     meta = {
         "id_col": id_col,
-        "n_docs": int(n_docs),
-        "dl_sum": int(dl_stats["_sum"] or 0),
-        "dl_docs": int(dl_stats["_n"]),
+        "n_docs": int(stats["_n_docs"]),
+        "dl_sum": int(stats["_sum"] or 0),
+        "dl_docs": int(stats["_n"]),
         "max_df_frac": max_df_frac,
         "version": POSTINGS_VERSION,
     }
@@ -455,19 +466,46 @@ def upsert_postings_index(
     # consumed three times (dup check joins postings separately): one
     # tokenize pass, same materialization discipline as corpus_term_stats
     tf = tf.localCheckpoint(eager=False)
-    batch_n = new_docs.count()
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    # batch membership (zero-token docs at dl=0) — written below AND the
+    # source of every meta delta
+    membership = (
+        new_docs.select(id_col)
+        .join(dl, id_col, "left")
+        .select(id_col, F.coalesce(F.col("dl"), F.lit(0)).alias("dl"))
+    )
+    # ONE action backs the duplicate probe AND every meta delta (r18,
+    # guide §1.2: was three driver actions — the dup-probe count,
+    # new_docs.count(), and a dl sum/count first).  The probe stays a
+    # broadcast-batch semi-shape over the docs membership table (store
+    # scans its id column once, map-side); its 1-row aggregate
+    # cross-joins onto the batch aggregate so both subtrees compute in
+    # one job.
+    stats_df = membership.agg(
+        F.count(F.lit(1)).alias("_batch_n"),
+        F.sum("dl").alias("_sum"),
+        F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("_n"),
+    )
     if check_duplicates:
         new_ids = F.broadcast(new_docs.select(id_col).distinct())
-        n_dup = index.docs().join(new_ids, id_col).limit(1).count()
-        if n_dup:
-            raise ValueError(
-                "upsert batch contains ids already in the index — upserts "
-                "are append-only; dedup the batch first"
-            )
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    dl_stats = dl.agg(
-        F.sum("dl").alias("_sum"), F.count(F.lit(1)).alias("_n")
-    ).first()
+        dup_df = (
+            index.docs().join(new_ids, id_col).agg(F.count(F.lit(1)).alias("_dup"))
+        )
+        stats_df = stats_df.crossJoin(dup_df)
+    stats = stats_df.first()
+    if check_duplicates and stats["_dup"]:
+        raise ValueError(
+            "upsert batch contains ids already in the index — upserts "
+            "are append-only; dedup the batch first"
+        )
+    batch_n = stats["_batch_n"]
+    if not batch_n:
+        # empty batch = no-op BEFORE the meta-removal window opens (r18):
+        # the streaming replay guard anti-joins a redelivered batch down
+        # to nothing and previously burned a separate limit(1).count()
+        # job per micro-batch to discover that — the stats action above
+        # already knows, so streams can just call upsert unconditionally.
+        return index
     batch_df = tf.groupBy("term").agg(F.count("*").alias("df"))
     # ---- mutation starts: invalidate, mutate, re-commit --------------
     os.remove(os.path.join(path, POSTINGS_META))
@@ -480,10 +518,7 @@ def upsert_postings_index(
     )
     # membership append covers the WHOLE batch (zero-token docs at dl=0)
     (
-        new_docs.select(id_col)
-        .join(dl, id_col, "left")
-        .select(id_col, F.coalesce(F.col("dl"), F.lit(0)).alias("dl"))
-        .repartition(n_files, F.col(id_col))
+        membership.repartition(n_files, F.col(id_col))
         .write.mode("append")
         .parquet(os.path.join(path, DOCS_DIR))
     )
@@ -496,16 +531,17 @@ def upsert_postings_index(
         .agg(F.sum("df").alias("df"))
     )
     # materialize the merge INTO the tmp dir before the old one goes away
-    # (the plan reads the old dir lazily; writing first completes it)
-    merged.write.mode("overwrite").parquet(terms_tmp)
+    # (the plan reads the old dir lazily; writing first completes it);
+    # one file — vocab-sized, broadcast at search (r18, guide §6)
+    merged.coalesce(1).write.mode("overwrite").parquet(terms_tmp)
     import shutil
 
     shutil.rmtree(terms_dir)
     os.rename(terms_tmp, terms_dir)
     meta = dict(index.meta)
     meta["n_docs"] = int(meta["n_docs"]) + int(batch_n)
-    meta["dl_sum"] = int(meta["dl_sum"]) + int(dl_stats["_sum"] or 0)
-    meta["dl_docs"] = int(meta["dl_docs"]) + int(dl_stats["_n"])
+    meta["dl_sum"] = int(meta["dl_sum"]) + int(stats["_sum"] or 0)
+    meta["dl_docs"] = int(meta["dl_docs"]) + int(stats["_n"])
     _commit_postings_meta(path, meta)
     return PostingsIndex(path=path, meta=meta, _spark=index._spark)
 
@@ -696,7 +732,8 @@ def delete_from_postings_index(
         )
         .filter(F.col("df") > 0)
     )
-    merged.write.mode("overwrite").parquet(terms_tmp)
+    # one file — vocab-sized, broadcast at search (r18, guide §6)
+    merged.coalesce(1).write.mode("overwrite").parquet(terms_tmp)
     shutil.rmtree(terms_dir)
     os.rename(terms_tmp, terms_dir)
     shutil.rmtree(delta_tmp)

@@ -314,6 +314,20 @@ IVF_DRIFT_THRESHOLD = 0.05
 IVF_UPSERT_HISTORY_CAP = 512
 
 
+def _round_half_up5(x: float) -> float:
+    """Replicate Spark's ``F.round(col, 5)`` on a driver-side double:
+    Spark rounds DoubleType via ``BigDecimal.valueOf(x)`` (the shortest
+    decimal repr, same as Python's ``repr``) with HALF_UP — Python's
+    builtin ``round`` differs on both counts (exact binary value,
+    HALF_EVEN), so a driver-assembled mean must not use it when the
+    value is oracle-compared against an engine's ROUND."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if x != x:  # NaN propagates, as through Spark's round
+        return x
+    return float(Decimal(repr(x)).quantize(Decimal("0.00001"), rounding=ROUND_HALF_UP))
+
+
 def _top1_mean(assignments: DataFrame, centroids: DataFrame) -> float | None:
     """Rounded mean top-1 cosine of ``_rn = 1`` assignments against their
     own cell centroid — the drift yardstick stored in ``_ivf_meta.json``.
@@ -501,7 +515,18 @@ def save_ivf_index(index: IvfIndex, path: str) -> None:
     import os
 
     df = index.assignments
-    df.write.mode("overwrite").partitionBy("cell").parquet(path)
+    # Cluster on the partition key BEFORE the partitioned write (r18,
+    # guide §6): a bare partitionBy("cell") from an M-partition frame
+    # opens up to M files per cell — measured 512 files for a 2k-row
+    # store at sf0.1 (32 shuffle partitions × 16 cells), paying file-open
+    # overhead per task at write time and per-file planning overhead on
+    # EVERY later load/search/footer sweep.  One batch-sized exchange on
+    # cell makes each cell's data land in one writer task: files per
+    # cell = 1, and the manifest footer sweep below touches n_cells
+    # files, not M × n_cells.
+    df.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
     meta = {"nprobe": index.nprobe, "columns": df.columns, "schema": df.schema.json()}
     if index.centroids is not None:
         # centroids ride along as their own parquet table (n_cells rows —
@@ -692,12 +717,20 @@ def delete_from_ivf_index(
     ids = F.broadcast(delete_ids.select(id_col).distinct())
     store = _read_store(spark, path, meta)
     hits = store.join(ids, id_col)
-    touched = sorted(
-        int(r["cell"]) for r in hits.select("cell").distinct().collect()
+    # ONE probe job yields both the touched-cell set and the removed-id
+    # count (r18, guide §1.2: the previous shape scanned `hits` twice —
+    # a distinct-cells collect plus a distinct-id count).  An id's
+    # _rn==1 row lives in exactly one cell, so per-cell distinct counts
+    # sum to the global distinct count.
+    probe = (
+        hits.groupBy("cell")
+        .agg(F.count_distinct(F.when(F.col("_rn") == 1, F.col(id_col))).alias("_ids"))
+        .collect()  # ≤ n_cells rows
     )
+    touched = sorted(int(r["cell"]) for r in probe)
     if not touched:
         return 0
-    n_gone = hits.filter(F.col("_rn") == 1).select(id_col).distinct().count()
+    n_gone = int(sum(r["_ids"] for r in probe))
     has_pq = os.path.isfile(os.path.join(path, _PQ_META))
     if has_pq:
         # invalidate the codes table FIRST: any crash in the window below
@@ -719,6 +752,10 @@ def delete_from_ivf_index(
         reader.parquet(*cell_dirs)
         .join(ids, id_col, "left_anti")
         .select(*meta["columns"])
+        # cluster survivors on cell (r18, guide §6) — mirrors
+        # compact_ivf_store's rewrite; without it the swap re-fragments
+        # every touched cell to (scan partitions) files
+        .repartition(len(touched), F.col("cell"))
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(tmp)
@@ -1244,23 +1281,43 @@ def upsert_ivf_index(
     ranked = ranked.select(*meta["columns"]).persist()  # stored column order
     record: dict | None = None
     try:
-        n_rows = ranked.count()  # one compute backs the stats and the write
-        # "appended" and the return value count IDS, not assignment rows —
-        # an nprobe>1 store writes nprobe rows per id (review r13 #2).
-        n_new = (
-            n_rows if nprobe == 1 else ranked.filter(F.col("_rn") == 1).count()
+        # ONE action backs every batch statistic (r18, guide §1.2/§2.4:
+        # the previous shape ran FOUR driver actions over the same cached
+        # batch — count, per-cell counts, the nprobe>1 id count, and the
+        # _top1_mean aggregate — each a full job with scheduler+py4j
+        # latency).  A single per-cell aggregate over the broadcast
+        # centroids yields rows-per-cell (manifest), appended-id count,
+        # and the drift yardstick's cosine sum/count in one pass.  The
+        # mean assembles on the driver as sum/count before the same
+        # round(.,5) — double-sum reorder noise is ~1e-13, far inside the
+        # rounding step (the _top1_mean docstring's argument, unchanged).
+        denom = F.col("_n") * F.col("sn")
+        is_top = F.col("_rn") == 1
+        cos6 = F.round(dot_raw(F.col("_dv"), F.col("sv")) / denom, 6)
+        cell_stats = (
+            ranked.join(F.broadcast(seeds), "cell", "left")
+            .groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("_rows"),
+                F.sum(F.when(is_top, 1).otherwise(0)).alias("_tops"),
+                F.sum(F.when(is_top & (denom > 0), cos6)).alias("_cos_sum"),
+                F.sum(F.when(is_top & (denom > 0), 1).otherwise(0)).alias("_cos_n"),
+            )
+            .collect()  # ≤ n_cells rows
         )
+        n_new = int(sum(r["_tops"] for r in cell_stats))
         if n_new:
             # Batch stats BEFORE the append: writing to `path` invalidates
             # ranked's cache entry (its plan reads the store through the
             # anti-join — refreshByPath drops it), and a post-write
             # recompute re-runs the anti-join against the grown store,
             # silently emptying the batch.
-            per_cell = {
-                int(r["cell"]): int(r["count"])
-                for r in ranked.groupBy("cell").count().collect()  # ≤ n_cells rows
-            }
-            batch_mean = _top1_mean(ranked, seeds)
+            per_cell = {int(r["cell"]): int(r["_rows"]) for r in cell_stats}
+            cos_n = sum(r["_cos_n"] for r in cell_stats)
+            cos_sum = sum(r["_cos_sum"] for r in cell_stats if r["_cos_sum"] is not None)
+            batch_mean = _round_half_up5(cos_sum / cos_n) if cos_n else None
+            if batch_mean is not None and batch_mean != batch_mean:
+                batch_mean = None  # NaN guard, as in _top1_mean
             # PQ codes maintenance (r16): encode ONLY the batch, with the
             # persisted training codebooks.  The codes APPEND happens
             # here, BEFORE the assignments append — writing to `path`
@@ -1307,7 +1364,16 @@ def upsert_ivf_index(
             # touched cells from footers if the marker survived a crash.
             _reconcile_pending_manifest(path)
             _write_pending_marker(path, per_cell)
-            ranked.write.mode("append").partitionBy("cell").parquet(path)
+            # cluster on cell before the partitioned append (r18, guide
+            # §6): an unclustered append opens up to (shuffle partitions)
+            # files per touched cell PER UPSERT — measured ~30 files/cell
+            # after two sf0.1 upserts; clustered, each upsert appends ONE
+            # file per touched cell, so fragmentation (and the compaction
+            # debt it creates) is bounded by upsert count, not by
+            # upserts × partitions.  The exchange moves batch rows only.
+            ranked.repartition(F.col("cell")).write.mode("append").partitionBy(
+                "cell"
+            ).parquet(path)
             _refresh_ivf_manifest(path, per_cell)
             _clear_pending_marker(path)
             if has_pq:
@@ -1366,14 +1432,15 @@ def negated_centroid_mean_batch(
     import os
 
     import numpy as np
+    import pyarrow.parquet as _pq
 
+    # n_cells rows of a local sidecar table: read with pyarrow on the
+    # driver — zero Spark jobs (r18; the spark.read path cost a scan job
+    # + a collect per call for a centroids-sized payload)
     sv = np.array(
-        [
-            r["sv"]
-            for r in spark.read.parquet(os.path.join(path, "_centroids"))
-            .select("sv")
-            .collect()
-        ]
+        _pq.read_table(os.path.join(path, "_centroids"), columns=["sv"])
+        .column("sv")
+        .to_pylist()
     )
     anti = [float(x) for x in -sv.mean(axis=0)]
     return spark.createDataFrame(
@@ -1447,9 +1514,14 @@ def retrain_ivf_index(
         vec_col=vec_col,
     ) as idx:
         save_ivf_index(idx, tmp)
-        # id count from the PERSISTED rebuild (cache-backed — no extra
-        # scan of the old store just for the return value, review r13 #6)
-        n = idx.assignments.filter(F.col("_rn") == 1).count()
+        # id count from the manifest the save just wrote (listing-only —
+        # r18: the previous cache-backed count was still a full Spark
+        # action per retrain); at nprobe=1 assignment rows == ids, and a
+        # wider store falls back to the one count over the cached frame
+        if idx.nprobe == 1:
+            n = sum(m["rows"] for m in read_ivf_manifest(tmp) or [])
+        else:
+            n = idx.assignments.filter(F.col("_rn") == 1).count()
     backup = path.rstrip("/") + "._retrain_old"
     shutil.rmtree(backup, ignore_errors=True)
     os.rename(path, backup)

@@ -7658,11 +7658,17 @@ def streaming_ivf_maintain_q(spark, sf_dir):
     # r17: the INGEST-FOREVER composition — sim_index_compact's
     # lifecycle ON THE STREAM (streaming/index_stream.py::
     # run_streaming_index_maintain): each micro-batch upserts, then the
-    # maintenance pass holds the store to max_files_per_cell=1 (the
-    # policy is compact_ivf_store's own listing-only planner — a store
-    # within bounds costs a directory listing, no Spark job), so a feed
-    # that never stops can never fragment the store past one batch's
-    # appends.  Build+save on the base corpus (vec_id%4<>0) with PQ
+    # maintenance pass holds the store to its file bounds (the policy is
+    # compact_ivf_store's own listing-only planner — a store within
+    # bounds costs a directory listing, no Spark job), so a feed that
+    # never stops can never fragment the store past the bound's worth
+    # of appends.  r18: the cell bound default rose 1 → 8 (per-batch
+    # full-cell rewrite was O(cell/batch) write amplification); on this
+    # 3-batch feed the CELL table stays within bounds while the CODES
+    # table (codes_n_files=2, one append per batch) still crosses its
+    # bound and compacts on the stream — the maintain machinery remains
+    # exercised per batch, and compaction stays search-invisible so the
+    # oracle is unchanged.  Build+save on the base corpus (vec_id%4<>0) with PQ
     # codes attached (both tables maintain), stream the held-out
     # quarter as 3 files -> 3 micro-batches, search over the loaded
     # store.  Frozen centroids make the result independent of batch
@@ -7712,13 +7718,16 @@ def streaming_ivf_maintain_q(spark, sf_dir):
 def streaming_postings_maintain_q(spark, sf_dir):
     # r17: the sparse twin of streaming_ivf_maintain — each micro-batch
     # folds into the saved postings index, then compaction holds both
-    # tables to n_files=8 (the policy is compact_postings_index's own
-    # footer-free planner; a within-bounds store is a listing-only
-    # no-op), so an ingest-forever document feed never fragments the
-    # store past one batch's appends.  Build on 3/4 of the corpus,
-    # stream the held-out quarter as 3 files -> 3 micro-batches (each
-    # append takes postings past the bound -> compaction fires per
-    # batch), search over the loaded store.  Exact integer stat merges
+    # tables under the trigger (4×n_files; the policy is a listing-only
+    # file count — a within-bounds store is a no-op), rewriting down to
+    # n_files=8 when crossed, so an ingest-forever document feed never
+    # fragments the store past the trigger.  r18: the trigger/target
+    # split replaced the single bound that made EVERY batch rewrite the
+    # whole table (write amplification); on this 3-batch feed the base
+    # build's 32 postings files cross the trigger once -> ONE stream
+    # compaction instead of three, same search result.  Build on 3/4 of
+    # the corpus, stream the held-out quarter as 3 files -> 3
+    # micro-batches, search over the loaded store.  Exact integer stat merges
     # make the result independent of batch boundaries, and compaction
     # is search-invisible — the oracle IS retrieval_sparse_topk's
     # fresh-build SQL over the full corpus, so a row lost, duplicated,

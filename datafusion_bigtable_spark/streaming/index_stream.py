@@ -122,15 +122,26 @@ def run_streaming_index_maintain(
     feed_dir: str,
     store_path: str,
     *,
-    max_files_per_cell: int = 1,
+    max_files_per_cell: int = 8,
     codes_n_files: int = 32,
     query_name: str = "dbs_index_maintain",
 ) -> StreamMaintainResult:
     """The INGEST-FOREVER shape: drive the embedding feed to completion,
     upserting each micro-batch and then holding the store to its file
     bounds — so a feed that never stops can never fragment the store
-    past one batch's worth of appends (VERDICT r16 #3's compaction,
-    composed onto the stream it exists for).
+    past ``max_files_per_cell`` batches' worth of appends (VERDICT r16
+    #3's compaction, composed onto the stream it exists for).
+
+    ``max_files_per_cell=8`` (r18; was 1): with the bound at 1, EVERY
+    batch's upsert took each touched cell over the bound, so compaction
+    rewrote every touched cell's FULL data every batch — write
+    amplification O(cell bytes / batch bytes) per batch, invisible at
+    sf0.1 but continuous rewriting of hot cells on a small-batch 100 TB
+    feed.  At 8 (each clustered upsert appends one file per touched
+    cell), a cell is rewritten once per ~8 batches, so amortized rewrite
+    cost per batch is ~cell/8 instead of ~cell; raise it further to
+    amortize more per rewrite, at the cost of searches planning over
+    more files between compactions.
 
     The maintenance POLICY is :func:`~datafusion_bigtable_spark.operators.
     similarity.compact_ivf_store`'s own listing-only planner: it runs

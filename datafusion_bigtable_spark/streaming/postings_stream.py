@@ -87,8 +87,10 @@ def run_streaming_postings_upsert(
         fresh = batch_df.join(
             idx.docs().select(id_col), id_col, "left_anti"
         )
-        if fresh.limit(1).count() == 0:
-            return
+        # no pre-count: upsert's own single stats action discovers an
+        # empty (fully-replayed) batch and no-ops before touching the
+        # store (r18 — the limit(1).count() here was one extra Spark
+        # job per micro-batch)
         upd = upsert_postings_index(idx, fresh, check_duplicates=False)
         total["n"] += upd.meta["n_docs"] - idx.meta["n_docs"]
 
@@ -112,46 +114,68 @@ def run_streaming_postings_maintain(
     store_path: str,
     *,
     n_files: int = 8,
+    trigger_files: int | None = None,
     query_name: str = "dbs_postings_maintain",
 ) -> dict:
     """The INGEST-FOREVER shape for the sparse store — the twin of
     ``index_stream.run_streaming_index_maintain``: each micro-batch
-    folds into the saved index, then compaction holds both tables to
-    ``n_files``, so a document feed that never stops can never fragment
-    the store past one batch's appends.
+    folds into the saved index, then compaction holds both tables under
+    ``trigger_files``, rewriting them down to ``n_files`` when crossed —
+    so a document feed that never stops can never fragment the store
+    past ``trigger_files``, and the table-wide rewrite amortizes over
+    many batches instead of firing on every one.
 
-    The maintenance POLICY is ``compact_postings_index``'s own
-    footer-free planner (a directory listing decides; a store within
-    bounds returns unchanged — no Spark job).  Replay safety is the
-    upsert stream's anti-join guard, unchanged; compaction adds no
-    replay state because it is content-preserving (search bit-identical
-    before/after, oracle-checked).  Crash contract per the store's
-    design: a crash mid-compaction removes the meta first, so the next
-    load fails loud and the DERIVED index rebuilds from the corpus —
-    redelivery alone cannot heal the sparse store (only the IVF store's
-    swap protocol self-heals; see streaming/takedown_stream.py).
+    ``trigger_files`` defaults to ``4 * n_files`` (r18): the postings
+    compaction is a WHOLE-TABLE rewrite, and with a single bound the
+    post-compaction file count sits exactly AT the bound, so the very
+    next batch's append re-crossed it — every micro-batch rewrote the
+    entire index (write amplification O(index bytes / batch bytes) per
+    batch).  Separating the trigger from the rewrite target (classic
+    compaction hysteresis) makes each rewrite pay for
+    ``(trigger - n_files) / files-per-batch`` batches of appends.
+
+    The maintenance POLICY stays listing-only (a directory count
+    decides; a store within bounds costs no Spark job).  Replay safety
+    is the upsert stream's anti-join guard, unchanged; compaction adds
+    no replay state because it is content-preserving (search
+    bit-identical before/after, oracle-checked).  Crash contract per the
+    store's design: a crash mid-compaction removes the meta first, so
+    the next load fails loud and the DERIVED index rebuilds from the
+    corpus — redelivery alone cannot heal the sparse store (only the
+    IVF store's swap protocol self-heals; see
+    streaming/takedown_stream.py).
 
     Returns ``{"folded": int, "compactions": [batch_id, ...]}`` —
     bounded driver state (≤ one int per micro-batch)."""
     from datafusion_bigtable_spark.operators.retrieval import (
+        DOCS_DIR,
+        POSTINGS_DIR,
+        _parquet_files,
         compact_postings_index,
         load_postings_index,
         upsert_postings_index,
     )
 
+    if trigger_files is None:
+        trigger_files = 4 * n_files
     state = {"folded": 0, "compactions": []}
 
     def _maintain(batch_df: DataFrame, batch_id: int) -> None:
         idx = load_postings_index(spark, store_path)
         id_col = idx.meta["id_col"]
         fresh = batch_df.join(idx.docs().select(id_col), id_col, "left_anti")
-        if fresh.limit(1).count() > 0:
-            upd = upsert_postings_index(idx, fresh, check_duplicates=False)
-            state["folded"] += upd.meta["n_docs"] - idx.meta["n_docs"]
-            idx = upd
-        compacted = compact_postings_index(idx, n_files=n_files)
-        if compacted is not idx:  # the no-op path returns the same handle
-            state["compactions"].append(batch_id)
+        # upsert no-ops on a fully-replayed batch (see the upsert stream)
+        upd = upsert_postings_index(idx, fresh, check_duplicates=False)
+        state["folded"] += upd.meta["n_docs"] - idx.meta["n_docs"]
+        idx = upd
+        over = any(
+            len(_parquet_files(os.path.join(store_path, sub))) > trigger_files
+            for sub in (POSTINGS_DIR, DOCS_DIR)
+        )
+        if over:
+            compacted = compact_postings_index(idx, n_files=n_files)
+            if compacted is not idx:  # the no-op path returns the same handle
+                state["compactions"].append(batch_id)
 
     q = (
         read_documents_stream(spark, feed_dir)

@@ -395,7 +395,11 @@ def test_streaming_maintain_holds_file_bounds(spark, sf_dir, tmp_path):
         save_ivf_index(idx, path)
     attach_pq_codes(spark, path, pq_codebooks(e, m=8, k_c=16), n_files=2)
     e.filter(F.col("vec_id") % 4 == 0).repartition(3).write.parquet(feed)
-    res = run_streaming_index_maintain(spark, feed, path, codes_n_files=2)
+    # max_files_per_cell=1 pins the per-batch CELL compaction path (the
+    # r18 default is 8 — amortized; see the write-amplification test)
+    res = run_streaming_index_maintain(
+        spark, feed, path, max_files_per_cell=1, codes_n_files=2
+    )
     assert res == e.filter(F.col("vec_id") % 4 == 0).count()
     assert res.compactions, "3 appending batches must trigger >=1 compaction"
     assert max(
@@ -418,6 +422,41 @@ def test_streaming_maintain_holds_file_bounds(spark, sf_dir, tmp_path):
         )
     )
     assert got == want
+
+
+def test_streaming_maintain_default_bound_amortizes_rewrites(spark, sf_dir, tmp_path):
+    """r18 write-amplification fix: at the default cell bound (8, was 1)
+    a short feed's upserts stay WITHIN bounds — zero full-cell rewrites
+    (previously every batch rewrote every touched cell's full data),
+    while the store still cannot fragment past the bound and the result
+    is identical (compaction is search-invisible by contract).  The
+    codes table's tighter bound still compacts on the stream, so the
+    maintain machinery itself stays exercised."""
+    import glob
+
+    from datafusion_bigtable_spark.streaming.index_stream import (
+        run_streaming_index_maintain,
+    )
+
+    path = str(tmp_path / "store")
+    feed = str(tmp_path / "feed")
+    e = load(spark, sf_dir, "embeddings")
+    with build_ivf_index(e.filter(F.col("vec_id") % 4 != 0), n_cells=16) as idx:
+        save_ivf_index(idx, path)
+    attach_pq_codes(spark, path, pq_codebooks(e, m=8, k_c=16), n_files=2)
+    e.filter(F.col("vec_id") % 4 == 0).repartition(3).write.parquet(feed)
+    res = run_streaming_index_maintain(spark, feed, path, codes_n_files=2)
+    assert res == e.filter(F.col("vec_id") % 4 == 0).count()
+    # no full-cell rewrite fired: 1 save file + ≤3 clustered appends per
+    # cell stays within the default bound of 8 …
+    assert sum(c["cells_compacted"] for c in res.compactions) == 0
+    assert max(
+        len(glob.glob(os.path.join(c, "*.parquet")))
+        for c in glob.glob(path + "/cell=*")
+    ) <= 8
+    # … while the codes bound (2) still compacted on the stream
+    assert any(c["codes_compacted"] for c in res.compactions)
+    assert len(glob.glob(os.path.join(path, "_pq_codes", "*.parquet"))) <= 2
 
 
 def test_store_stats_track_fragmentation_without_jobs(spark, sf_dir, tmp_path):

@@ -198,6 +198,51 @@ def test_streaming_maintain_holds_postings_file_bounds(spark, corpus, tmp_path):
     assert got == want
 
 
+def test_streaming_postings_maintain_amortizes_rewrites(spark, corpus, tmp_path):
+    """r18 write-amplification fix: the compaction TRIGGER (default
+    4×n_files) is separated from the rewrite target, so a short feed
+    compacts at most once instead of rewriting the whole table every
+    batch (with a single bound the post-compaction count sat AT the
+    bound and every append re-crossed it).  Store stays under the
+    trigger and search equals a fresh build."""
+    import glob
+    import os
+
+    from datafusion_bigtable_spark.operators.retrieval import (
+        load_postings_index,
+        save_postings_index,
+        search_postings_index,
+        sparse_topk,
+    )
+    from datafusion_bigtable_spark.streaming.postings_stream import (
+        run_streaming_postings_maintain,
+    )
+
+    store = str(tmp_path / "idx")
+    feed = str(tmp_path / "feed")
+    base = corpus.filter(F.col("doc_id") % 3 != 0)
+    save_postings_index(base, store, n_files=2)
+    corpus.filter(F.col("doc_id") % 3 == 0).repartition(3).write.parquet(feed)
+    # n_files=2 → trigger 8; each batch appends ≤8 postings files, so the
+    # 3-batch feed crosses the trigger at most twice and never rewrites
+    # on every batch
+    res = run_streaming_postings_maintain(spark, feed, store, n_files=2)
+    assert res["folded"] == corpus.filter(F.col("doc_id") % 3 == 0).count()
+    assert len(res["compactions"]) < 3, "per-batch rewrite is back"
+    for sub in ("postings", "docs"):
+        n = len(glob.glob(os.path.join(store, sub, "*.parquet")))
+        assert n <= 8, f"{sub} holds {n} files, trigger is 8"
+    pred = F.col("doc_id").isin(0, 3)
+    got = sorted(
+        map(
+            tuple,
+            search_postings_index(load_postings_index(spark, store), pred, k=10).collect(),
+        )
+    )
+    want = sorted(map(tuple, sparse_topk(corpus, pred, k=10).collect()))
+    assert got == want
+
+
 def test_postings_store_stats_track_fragmentation_without_jobs(spark, corpus, tmp_path):
     """postings_store_stats: listing-only (zero Spark jobs), tracks
     upsert fragmentation, returns to bounds after compaction, fails

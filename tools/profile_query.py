@@ -91,6 +91,20 @@ def main() -> None:
                     f"  job {j['jobId']:>4} {dur:7.3f}s  stages={len(j.get('stageIds', []))}"
                     f" tasks={j.get('numTasks', 0):>4}{gap}  {desc}"
                 )
+                if dur >= 1.0:
+                    for sid in sorted(j.get("stageIds", [])):
+                        try:
+                            for s in _api(spark, f"stages/{sid}"):
+                                nm = (s.get("name") or "")[:90]
+                                print(
+                                    f"       stage {sid}: {s['status']} tasks={s.get('numCompleteTasks', 0)}"
+                                    f" runTime={s.get('executorRunTime', 0) / 1000:.2f}s"
+                                    f" cpuTime={s.get('executorCpuTime', 0) / 1e9:.2f}s"
+                                    f" gc={s.get('jvmGcTime', 0) / 1000:.2f}s"
+                                    f" shufR={s.get('shuffleReadBytes', 0)} shufW={s.get('shuffleWriteBytes', 0)}  {nm}"
+                                )
+                        except Exception:
+                            pass
             print(
                 f"  jobs={len(jobs)} sum(job)={total_job:.3f}s driver-side={elapsed - total_job:.3f}s"
             )
