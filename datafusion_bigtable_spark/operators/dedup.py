@@ -591,12 +591,28 @@ def prefix_filter_pairs(
         .withColumn("sz", F.count("*").over(wsz))
     )
     prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    # NOT materialized (r18, measured): the a×b self-join does plan the
+    # shingle+3-window pipeline on both sides, but the broadcast side's
+    # job runs CONCURRENTLY with the probe side's (the exchanges
+    # overlap, measured gap −1.4 s at sf0.1), so a localCheckpoint here
+    # SERIALIZES the two computations and cost +2 s net.
     prefix = ranked.filter(F.col("rank") <= prefix_len).select("id", "shingle")
     a, b = prefix.alias("a"), prefix.alias("b")
+    spark = docs.sparkSession
     cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+        # pin verification parallelism (r18, guide §2.5): the candidate
+        # set is tiny in BYTES, so AQE coalesces the distinct's exchange
+        # to a handful of partitions — but each row's array_intersect
+        # over two full shingle arrays is CPU-heavy (measured 12 s of
+        # CPU squeezed through 4 tasks).  An explicit hash repartition
+        # at cluster parallelism is respected by AQE and spreads the
+        # compute; the exchange itself moves only the id pairs.
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("id_a"), F.col("id_b")
+        )
     )
     # per-doc distinct-shingle arrays: ONE id-keyed exchange of the
     # shingle table (shingles() ends in a (id, shingle) distinct, so its

@@ -3848,28 +3848,56 @@ def sim_trained_codebook_recall_q(spark, sf_dir):
     pred = _sim_query_pred()
     k = 10
 
-    truth: dict = {}
-    for r in S.topk_bruteforce(emb, pred, k=k).collect():
-        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # The five searches (brute-force truth + 4 recall candidates) are
+    # INDEPENDENT jobs — overlap their collect()s from a small thread
+    # pool (guide §2.6) so each search's straggler tail back-fills with
+    # the next search's tasks instead of idling 31 cores; every branch
+    # is deterministic, so concurrency changes wall-clock only (r18 —
+    # was 5 sequential collect()s).
+    from concurrent.futures import ThreadPoolExecutor
 
-    def recall(df) -> float:
+    def _pairs(df) -> dict:
         got: dict = {}
         for r in df.collect():
             got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return got
+
+    def _truth():
+        return _pairs(S.topk_bruteforce(emb, pred, k=k))
+
+    def _ivf_seed():
+        return _pairs(S.topk_ivf(emb, pred, n_cells=16, k=k, nprobe=4))
+
+    def _ivf_tr():
+        return _pairs(
+            S.topk_ivf(
+                emb, pred, n_cells=16, k=k, nprobe=4,
+                codebook=S.train_ivf_codebook(emb, n_cells=16, iters=3),
+            )
+        )
+
+    def _pq_seed():
+        return _pairs(S.topk_pq(emb, pred, k=k, m=16))
+
+    def _pq_tr():
+        return _pairs(
+            S.topk_pq(
+                emb, pred, k=k, m=16, codebooks=S.train_pq_codebooks(emb, m=16, iters=3)
+            )
+        )
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        futs = [pool.submit(f) for f in (_truth, _ivf_seed, _ivf_tr, _pq_seed, _pq_tr)]
+        truth, got_ivf_seed, got_ivf_tr, got_pq_seed, got_pq_tr = [
+            f.result() for f in futs
+        ]
+
+    def recall(got: dict) -> float:
         denom = sum(len(t) for t in truth.values())
         return sum(len(got.get(q, set()) & t) for q, t in truth.items()) / denom
 
-    ivf_seed = recall(S.topk_ivf(emb, pred, n_cells=16, k=k, nprobe=4))
-    ivf_tr = recall(
-        S.topk_ivf(
-            emb, pred, n_cells=16, k=k, nprobe=4,
-            codebook=S.train_ivf_codebook(emb, n_cells=16, iters=3),
-        )
-    )
-    pq_seed = recall(S.topk_pq(emb, pred, k=k, m=16))
-    pq_tr = recall(
-        S.topk_pq(emb, pred, k=k, m=16, codebooks=S.train_pq_codebooks(emb, m=16, iters=3))
-    )
+    ivf_seed, ivf_tr = recall(got_ivf_seed), recall(got_ivf_tr)
+    pq_seed, pq_tr = recall(got_pq_seed), recall(got_pq_tr)
     row = (
         len(truth),
         bool(ivf_tr >= ivf_seed - 1e-9),
