@@ -138,8 +138,16 @@ def build_embedding_store(
         survivors.withColumn("shard_id", shard_h), f"{out_path}/vectors"
     )
     if target_block_size:
-        # corpus-relative cell count, same derivation as the dedup stage
-        n_cells = max(2, -(-survivors.count() // target_block_size))
+        # corpus-relative cell count, same derivation as the dedup stage;
+        # the survivor count comes from the shard manifest the write just
+        # produced (footer truth, driver-side) instead of a second full
+        # count action over the survivors frame (r18, guide §1.2)
+        from datafusion_bigtable_spark.sources.layout import shard_file_stats
+
+        n_survivors = sum(
+            st["rows"] for st in shard_file_stats(f"{out_path}/vectors").values()
+        )
+        n_cells = max(2, -(-n_survivors // target_block_size))
     else:
         n_cells = 16
     with build_ivf_index(survivors, n_cells, id_col=id_col, vec_col=vec_col) as idx:

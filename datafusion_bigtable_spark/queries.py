@@ -9138,7 +9138,12 @@ def shards_compact_roundtrip_q(spark, sf_dir):
         "doc_id",
         F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("long").alias("fp"),
     )
-    n_docs = load(spark, sf_dir, "documents").count()
+    # row count from the source file's parquet footer (driver-side
+    # metadata read, no Spark job) — it only sizes the fragmentation
+    # harness, and the footer IS the count's source of truth
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.ParquetFile(src).metadata.num_rows
     frag = max(32, math.ceil(n_docs / 256))
     write_training_shards(d, path, max_records_per_file=frag)
     compact_training_shards(spark, path, target_records_per_file=100_000)

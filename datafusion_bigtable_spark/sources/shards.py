@@ -35,20 +35,20 @@ def write_training_shards(
 ) -> None:
     """Write ``df`` as ``path/<shard_col>=N/part-*.parquet`` with a
     manifest at ``path/_shard_manifest``.  One shuffle (hash on the
-    shard column); file count per shard = ⌈rows/max_records_per_file⌉."""
-    if df.limit(1).count() == 0:
-        # a zero-row split is legitimate (cluster-granular 80/10/10 on a
-        # small corpus); partitionBy on empty input writes NO footers and
-        # the directory becomes unreadable — write a plain empty parquet
-        # (schema-carrying footer, minus the partition column the data
-        # write would have moved into the path) plus an empty manifest so
-        # readers see a valid, empty table either way
-        df.write.mode("overwrite").parquet(path)
-        empty_manifest = df.select(shard_col).groupBy(shard_col).agg(
-            F.count(F.lit(1)).alias("n_rows"), F.count(F.lit(1)).alias("n_files")
-        )
-        empty_manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/{MANIFEST_DIR}")
-        return
+    shard column); file count per shard = ⌈rows/max_records_per_file⌉.
+
+    ONE Spark action (r18, guide §1.2/§5): emptiness is detected from
+    the write's own output (partitionBy on empty input creates no
+    ``shard=`` directories) instead of a pre-write ``limit(1).count()``
+    probe, and the manifest comes from the footer sweep compaction
+    already uses (layout.py::_refresh_manifest — O(files) metadata, no
+    data pages) instead of a full re-read+aggregate of the table just
+    written, which at 100 TB re-scanned the entire output once per
+    write.
+    """
+    import glob as _glob
+    import os as _os
+
     (
         df.repartition(F.col(shard_col))
         .write.mode("overwrite")
@@ -56,21 +56,22 @@ def write_training_shards(
         .partitionBy(shard_col)
         .parquet(path)
     )
-    spark = df.sparkSession
-    # input_file_name() is nondeterministic and may not sit INSIDE an
-    # aggregate — project it first, then count distinct over the column
-    written = spark.read.parquet(path).select(
-        shard_col, F.input_file_name().alias("_file")
-    )
-    manifest = (
-        written.groupBy(shard_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.count_distinct(F.col("_file")).alias("n_files"),
+    if not _glob.glob(_os.path.join(path, f"{shard_col}=*")):
+        # a zero-row split is legitimate (cluster-granular 80/10/10 on a
+        # small corpus); partitionBy on empty input writes NO footers and
+        # the directory becomes unreadable — rewrite as a plain empty
+        # parquet (schema-carrying footer, minus the partition column the
+        # data write would have moved into the path) plus an empty
+        # manifest so readers see a valid, empty table either way
+        df.write.mode("overwrite").parquet(path)
+        empty_manifest = df.select(shard_col).groupBy(shard_col).agg(
+            F.count(F.lit(1)).alias("n_rows"), F.count(F.lit(1)).alias("n_files")
         )
-        .orderBy(shard_col)
-    )
-    manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/{MANIFEST_DIR}")
+        empty_manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/{MANIFEST_DIR}")
+        return
+    from datafusion_bigtable_spark.sources.layout import _refresh_manifest
+
+    _refresh_manifest(path, shard_col)
 
 
 def _heal_before_read(path: str) -> None:
