@@ -4325,6 +4325,16 @@ def pipeline_curated_q(spark, sf_dir):
         & (X.langid(F.col("text")) != "und")
     )
     kept = d.filter(keep).select("doc_id", "text", "source")
+    # `kept` feeds TWO branches (the LSH pair pipeline and the final
+    # per-source accounting), and the curation predicate above is the
+    # expensive part (regex token counts + langid over full text) — an
+    # unmaterialized plan re-runs it once per branch.  Same discipline
+    # and mechanism as sparse_topk's twice-consumed postings: a LAZY
+    # localCheckpoint, materialized by whichever branch executes first
+    # (interleaved A/B at sf0.1: 3.76 → 2.80 s min-of-3; an eager
+    # persist measured the same, but has no owner to unpersist in a
+    # lazily-returned query plan).
+    kept = kept.localCheckpoint(eager=False)
 
     pairs = lsh_candidate_pairs(kept, bands=4, rows_per_band=2, k=3)
     comp = connected_components(pairs)
