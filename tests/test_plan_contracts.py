@@ -94,12 +94,17 @@ def test_dim_joins_broadcast_small_side(spark, sf_dir):
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, name
 
 
-def test_curation_gate_fused_into_scan(spark, sf_dir):
-    # pipeline_curated_corpus's 100 TB property: the keep/drop gate is a
-    # scan-level Filter (fused, no materialization barrier between the
-    # documents scan and the gate)
+def test_curation_gate_materialized_once(spark, sf_dir):
+    # pipeline_curated_corpus's 100 TB property (r18): the curation gate
+    # (regex token counts + langid over full text) feeds TWO branches —
+    # the LSH pair pipeline and the per-source accounting — and is
+    # computed ONCE.  The returned plan must consume the lazily
+    # checkpointed gate output, not re-run the Filter-over-scan subtree
+    # per branch (the pre-r18 shape re-scanned and re-gated the raw
+    # documents for the accounting branch).
     plan = _plan(spark, _q(spark, sf_dir, "pipeline_curated_corpus"), "formatted")
-    assert "Filter" in plan and "documents.parquet" in plan
+    assert "ExistingRDD" in plan, "gate output not materialized (checkpoint missing)"
+    assert "documents.parquet" not in plan, "accounting branch re-scans raw documents"
 
 
 def test_bt_pivot_partial_final_around_one_exchange(spark, composite_config):
