@@ -77,6 +77,25 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def table_num_rows(sf_dir: str, table: str) -> int:
+    """Exact row count of a testdata table from its parquet FOOTERS — a
+    driver-side metadata sweep (no Spark job, no data pages), equal to
+    ``COUNT(*)`` by the format's contract.  The r18 replacement for the
+    count actions that existed only to derive a corpus-relative dial
+    (IVF ``n_cells``): at 100 TB a dial derivation must not cost a full
+    pass over the corpus when O(files) footer reads carry the same
+    number (guide §1.2 — and the same footer-truth pattern as
+    layout.py's shard manifests)."""
+    import pyarrow.parquet as pq
+
+    path = Path(sf_dir) / f"{table}.parquet"
+    if path.is_dir():
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows for f in sorted(path.glob("*.parquet"))
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
     parquet reader rejects (PARQUET_TYPE_ILLEGAL).  Read nanos as long (the
@@ -3324,21 +3343,26 @@ def dedup_embedding_ivf_q(spark, sf_dir):
     # Σ|cell|² for corpora with no label at all.  One cell-key shuffle;
     # centroids broadcast.
     #
-    # target_block_size=128 is the CORPUS-RELATIVE dial (VERDICT r8 #2 /
-    # r9 #2): n_cells = max(16, ceil(corpus/128)), so expected block
-    # size — and per-cell pair cost — stays ~128 at any corpus size
-    # (linear total, vs quadratic at any fixed n_cells).  At the tested
-    # SFs (500/500/2000 vectors) the floor wins and the derived value is
-    # exactly 16, so every recorded hash is preserved; at sf1 (20k) it
-    # derives 157 cells.  The oracle mirrors the derivation in its `nc`
-    # CTE — the seed codebook stays `vec_id < derived`, SQL-expressible.
+    # n_cells = max(16, ceil(corpus/128)) is the CORPUS-RELATIVE dial
+    # (VERDICT r8 #2 / r9 #2): expected block size — and per-cell pair
+    # cost — stays ~128 at any corpus size (linear total, vs quadratic
+    # at any fixed n_cells).  At the tested SFs (500/500/2000 vectors)
+    # the floor wins and the derived value is exactly 16, so every
+    # recorded hash is preserved; at sf1 (20k) it derives 157 cells.
+    # The oracle mirrors the derivation in its `nc` CTE — the seed
+    # codebook stays `vec_id < derived`, SQL-expressible.  r18: the
+    # corpus size feeding the dial comes from the parquet FOOTER
+    # (table_num_rows — identical to COUNT(*) by format contract), not
+    # a count action; the operator's target_block_size path (kept for
+    # DataFrame callers with no file source) measured as a full count
+    # job + its planning round-trip per call here.
     from datafusion_bigtable_spark.operators.dedup import embedding_dup_pairs_ivf
 
+    n = table_num_rows(sf_dir, "embeddings")
     return embedding_dup_pairs_ivf(
         load(spark, sf_dir, "embeddings"),
         threshold=0.4,
-        n_cells=16,
-        target_block_size=128,
+        n_cells=max(16, -(-n // 128)),
     )
 
 
@@ -3413,7 +3437,8 @@ def dedup_embedding_ivf2_q(spark, sf_dir):
     )
 
     e = load(spark, sf_dir, "embeddings")
-    n = e.select("vec_id").count()
+    # corpus size from the parquet footer (r18) — see dedup_embedding_cosine_ivf
+    n = table_num_rows(sf_dir, "embeddings")
     n_cells = max(16, -(-n // 128))
     idx = build_ivf_index_two_level(e, n_cells=n_cells)
     pairs = embedding_dup_pairs_ivf(e, threshold=0.4, index=idx)
@@ -3651,7 +3676,8 @@ def dedup_semantic_prune_q(spark, sf_dir):
     )
 
     e = load(spark, sf_dir, "embeddings")
-    n = e.select("vec_id").count()
+    # corpus size from the parquet footer (r18) — see dedup_embedding_cosine_ivf
+    n = table_num_rows(sf_dir, "embeddings")
     idx = build_ivf_index_two_level(e, n_cells=max(16, -(-n // 128)))
     pairs = materialize_owned(
         embedding_dup_pairs_ivf(e, threshold=0.4, index=idx), idx

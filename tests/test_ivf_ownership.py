@@ -3,9 +3,12 @@
 VERDICT r9 #2/#3 and ADVICE r9: the throwaway-index paths must neither
 leak storage (the r8 orphaned persist) nor recompute the assignment
 subtree per join side (the r9 persist=False regression), and the
-``target_block_size`` dial must actually drive the registered queries,
-raise when it cannot apply, and match its documented ⌈corpus/target⌉
-derivation.
+corpus-relative sizing dial must match its documented ⌈corpus/target⌉
+derivation and raise when it cannot apply.  r18: the registered queries
+feed the dial from parquet FOOTERS (queries.table_num_rows — zero Spark
+jobs) instead of a count action; the operator's ``target_block_size``
+path stays for DataFrame callers with no file source, and the footer
+count must equal COUNT(*) for the derivation to stay hash-preserving.
 """
 
 from pyspark.sql import functions as F
@@ -130,6 +133,17 @@ def test_target_block_size_derivation(spark, sf_dir):
     assert _pairs(derived_case) == _pairs(explicit_20)
     for df in (floor_case, explicit_16, derived_case, explicit_20):
         df.unpersist()
+
+
+def test_footer_count_matches_spark_count(spark, sf_dir):
+    """table_num_rows (the r18 zero-job dial source) must equal COUNT(*)
+    — the property that keeps the footer-derived n_cells, and therefore
+    every registered IVF query's hash, identical to the count-action
+    derivation it replaced."""
+    from datafusion_bigtable_spark.queries import table_num_rows
+
+    for table in ("embeddings", "documents"):
+        assert table_num_rows(sf_dir, table) == load(spark, sf_dir, table).count()
 
 
 def test_nprobe1_maxby_assignment_matches_window_path(spark, sf_dir):
