@@ -2728,6 +2728,9 @@ _FULLGATE_PROVEN_MODULES: dict[str, str] = {
     f"{_PKG}.operators.graph": "FULLGATE_r18.json",
     f"{_PKG}.streaming.index_stream": "FULLGATE_r18.json",
     f"{_PKG}.streaming.postings_stream": "FULLGATE_r18.json",
+    f"{_PKG}.operators.dedup": "FULLGATE_r18.json",
+    f"{_PKG}.sources.shards": "FULLGATE_r18.json",
+    f"{_PKG}.pipeline": "FULLGATE_r18.json",
 }
 
 
