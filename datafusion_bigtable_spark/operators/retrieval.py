@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import json
 import os
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Sequence
 
@@ -275,20 +276,37 @@ def save_postings_index(
         F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("_n"),
     ).first()
     rows = tf.join(dl, id_col).select("term", id_col, "tf", "dl")
-    (
-        rows.repartition(n_files, F.col("term"))
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, POSTINGS_DIR))
-    )
-    # vocab-sized table, broadcast at every search: one file, not one
-    # per shuffle partition (r18, guide §6 — 32 tiny files cost a
-    # footer read each at every search's planning)
-    dfreq.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, TERMS_DIR))
-    (
-        membership.repartition(n_files, F.col(id_col))
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, DOCS_DIR))
-    )
+    # The three table writes are INDEPENDENT once the stats action above
+    # materialized the checkpointed tf (each reads the cache, different
+    # output dirs), so they run as concurrent jobs from a small thread
+    # pool (guide §2.6 — later jobs back-fill the earlier ones' straggler
+    # tails; job descriptions are thread-local so the UI stays labeled).
+    # The meta commit below still happens strictly AFTER all three
+    # complete, so the crash contract (complete meta ⇒ complete store)
+    # is unchanged.
+    def _w_postings():
+        (
+            rows.repartition(n_files, F.col("term"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, POSTINGS_DIR))
+        )
+
+    def _w_terms():
+        # vocab-sized table, broadcast at every search: one file, not one
+        # per shuffle partition (r18, guide §6 — 32 tiny files cost a
+        # footer read each at every search's planning)
+        dfreq.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, TERMS_DIR))
+
+    def _w_docs():
+        (
+            membership.repartition(n_files, F.col(id_col))
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, DOCS_DIR))
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for f in [pool.submit(w) for w in (_w_postings, _w_terms, _w_docs)]:
+            f.result()
     meta = {
         "id_col": id_col,
         "n_docs": int(stats["_n_docs"]),
@@ -509,31 +527,48 @@ def upsert_postings_index(
     batch_df = tf.groupBy("term").agg(F.count("*").alias("df"))
     # ---- mutation starts: invalidate, mutate, re-commit --------------
     os.remove(os.path.join(path, POSTINGS_META))
-    (
-        tf.join(dl, id_col)
-        .select("term", id_col, "tf", "dl")
-        .repartition(n_files, F.col("term"))
-        .write.mode("append")
-        .parquet(os.path.join(path, POSTINGS_DIR))
-    )
-    # membership append covers the WHOLE batch (zero-token docs at dl=0)
-    (
-        membership.repartition(n_files, F.col(id_col))
-        .write.mode("append")
-        .parquet(os.path.join(path, DOCS_DIR))
-    )
     terms_dir = os.path.join(path, TERMS_DIR)
     terms_tmp = terms_dir + "_tmp"
-    merged = (
-        index.terms()
-        .unionByName(batch_df)
-        .groupBy("term")
-        .agg(F.sum("df").alias("df"))
-    )
-    # materialize the merge INTO the tmp dir before the old one goes away
-    # (the plan reads the old dir lazily; writing first completes it);
-    # one file — vocab-sized, broadcast at search (r18, guide §6)
-    merged.coalesce(1).write.mode("overwrite").parquet(terms_tmp)
+
+    # The three mutation writes are INDEPENDENT (the stats action above
+    # materialized the checkpointed tf; each write reads the cache or the
+    # old terms dir and targets its own path), so they run as concurrent
+    # jobs (guide §2.6 — same overlap as save_postings_index).  The
+    # terms-dir swap and the meta re-commit stay strictly AFTER all three
+    # complete, so the crash window is unchanged: no meta until every
+    # table landed.
+    def _w_postings():
+        (
+            tf.join(dl, id_col)
+            .select("term", id_col, "tf", "dl")
+            .repartition(n_files, F.col("term"))
+            .write.mode("append")
+            .parquet(os.path.join(path, POSTINGS_DIR))
+        )
+
+    def _w_docs():
+        # membership append covers the WHOLE batch (zero-token docs at dl=0)
+        (
+            membership.repartition(n_files, F.col(id_col))
+            .write.mode("append")
+            .parquet(os.path.join(path, DOCS_DIR))
+        )
+
+    def _w_terms():
+        merged = (
+            index.terms()
+            .unionByName(batch_df)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+        )
+        # materialize the merge INTO the tmp dir before the old one goes
+        # away (the plan reads the old dir lazily; writing first completes
+        # it); one file — vocab-sized, broadcast at search (r18, guide §6)
+        merged.coalesce(1).write.mode("overwrite").parquet(terms_tmp)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for f in [pool.submit(w) for w in (_w_postings, _w_docs, _w_terms)]:
+            f.result()
     import shutil
 
     shutil.rmtree(terms_dir)
@@ -599,18 +634,29 @@ def compact_postings_index(
     if not todo:
         return index
     os.remove(os.path.join(path, POSTINGS_META))
-    for sub, keys in todo:
+
+    # The per-table rewrites are independent (each reads its own dir and
+    # writes its own _tmp sibling), so both jobs run concurrently (guide
+    # §2.6); the swaps happen only after EVERY rewrite landed, and the
+    # meta re-commit stays last — the crash contract (no meta until the
+    # store is whole) is unchanged.
+    def _rewrite(sub: str, keys: list) -> None:
         src = os.path.join(path, sub)
-        tmp = src + "_tmp"
         (
             spark.read.parquet(src)
             .repartition(n_files, F.col(keys[0]))
             .sortWithinPartitions(*keys)
             .write.mode("overwrite")
-            .parquet(tmp)
+            .parquet(src + "_tmp")
         )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(_rewrite, sub, keys) for sub, keys in todo]:
+            f.result()
+    for sub, _ in todo:
+        src = os.path.join(path, sub)
         shutil.rmtree(src)
-        os.rename(tmp, src)
+        os.rename(src + "_tmp", src)
     _commit_postings_meta(path, index.meta)
     return PostingsIndex(path=path, meta=index.meta, _spark=index._spark)
 
@@ -715,12 +761,6 @@ def delete_from_postings_index(
     shutil.rmtree(delta_tmp, ignore_errors=True)
     df_delta.write.mode("overwrite").parquet(delta_tmp)
     df_delta = spark.read.parquet(delta_tmp)
-    rewrite_files_dropping_ids(
-        spark, os.path.join(path, POSTINGS_DIR), id_col, ids, "term"
-    )
-    rewrite_files_dropping_ids(
-        spark, os.path.join(path, DOCS_DIR), id_col, ids, id_col
-    )
     terms_dir = os.path.join(path, TERMS_DIR)
     terms_tmp = terms_dir + "_tmp"
     merged = (
@@ -732,8 +772,30 @@ def delete_from_postings_index(
         )
         .filter(F.col("df") > 0)
     )
-    # one file — vocab-sized, broadcast at search (r18, guide §6)
-    merged.coalesce(1).write.mode("overwrite").parquet(terms_tmp)
+
+    # The three mutations are INDEPENDENT — the terms merge reads the
+    # OLD terms dir plus the df_delta scratch materialized above (never
+    # the postings files the rewrite replaces), and each touched-file
+    # rewrite owns its own directory — so they run as concurrent jobs
+    # (guide §2.6, same overlap as save/upsert/compact).  The terms swap
+    # and the meta re-commit stay strictly after all three complete.
+    def _rw_postings():
+        rewrite_files_dropping_ids(
+            spark, os.path.join(path, POSTINGS_DIR), id_col, ids, "term"
+        )
+
+    def _rw_docs():
+        rewrite_files_dropping_ids(
+            spark, os.path.join(path, DOCS_DIR), id_col, ids, id_col
+        )
+
+    def _w_terms():
+        # one file — vocab-sized, broadcast at search (r18, guide §6)
+        merged.coalesce(1).write.mode("overwrite").parquet(terms_tmp)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for f in [pool.submit(w) for w in (_rw_postings, _rw_docs, _w_terms)]:
+            f.result()
     shutil.rmtree(terms_dir)
     os.rename(terms_tmp, terms_dir)
     shutil.rmtree(delta_tmp)
