@@ -514,38 +514,68 @@ def save_ivf_index(index: IvfIndex, path: str) -> None:
     import json
     import os
 
+    from concurrent.futures import ThreadPoolExecutor
+
     df = index.assignments
-    # Cluster on the partition key BEFORE the partitioned write (r18,
-    # guide §6): a bare partitionBy("cell") from an M-partition frame
-    # opens up to M files per cell — measured 512 files for a 2k-row
-    # store at sf0.1 (32 shuffle partitions × 16 cells), paying file-open
-    # overhead per task at write time and per-file planning overhead on
-    # EVERY later load/search/footer sweep.  One batch-sized exchange on
-    # cell makes each cell's data land in one writer task: files per
-    # cell = 1, and the manifest footer sweep below touches n_cells
-    # files, not M × n_cells.
-    df.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(path)
     meta = {"nprobe": index.nprobe, "columns": df.columns, "schema": df.schema.json()}
+
+    def _write_assignments():
+        # Cluster on the partition key BEFORE the partitioned write (r18,
+        # guide §6): a bare partitionBy("cell") from an M-partition frame
+        # opens up to M files per cell — measured 512 files for a 2k-row
+        # store at sf0.1 (32 shuffle partitions × 16 cells), paying
+        # file-open overhead per task at write time and per-file planning
+        # overhead on EVERY later load/search/footer sweep.  One
+        # batch-sized exchange on cell makes each cell's data land in one
+        # writer task: files per cell = 1, and the manifest footer sweep
+        # below touches n_cells files, not M × n_cells.
+        df.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(path)
+
     if index.centroids is not None:
-        # centroids ride along as their own parquet table (n_cells rows —
-        # a json sidecar would not scale to corpus-relative cell counts),
-        # so the store can assign NEW vectors with the ORIGINAL centroids
-        # across ingestion rounds (upsert_ivf_index)
-        index.centroids.write.mode("overwrite").parquet(
-            os.path.join(path, "_centroids")
-        )
         meta["centroids_schema"] = index.centroids.schema.json()
-        # Drift yardstick (VERDICT r12 #4): the base build's mean top-1
-        # cosine — upserts compare their batch against this so recall
-        # decay against the frozen centroids is visible, not silent.
-        meta["base_top1_mean"] = _top1_mean(df, index.centroids)
-        meta["drift_threshold"] = IVF_DRIFT_THRESHOLD
-        meta["upserts"] = []
+        # The save's independent actions run as concurrent jobs (r18,
+        # guide §2.6 — the same overlap the postings store's multi-table
+        # writes use): the drift-yardstick aggregate reads only the
+        # (usually cached) assignments frame, so it back-fills the
+        # assignments write's straggler tail instead of idling through
+        # it.  The centroids write MUST wait for the assignments
+        # overwrite (mode("overwrite") deletes `path` wholesale — a
+        # concurrent write into path/_centroids could be wiped
+        # mid-flight); once the data files exist, the tiny centroids job
+        # and the driver-side manifest footer sweep (disjoint paths)
+        # overlap too.  The meta sidecar still commits strictly LAST, so
+        # the crash contract (complete meta ⇒ complete store) is
+        # unchanged.
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_asg = pool.submit(_write_assignments)
+            # Drift yardstick (VERDICT r12 #4): the base build's mean
+            # top-1 cosine — upserts compare their batch against this so
+            # recall decay against the frozen centroids is visible, not
+            # silent.
+            fut_mean = pool.submit(_top1_mean, df, index.centroids)
+            fut_asg.result()
+            # centroids ride along as their own parquet table (n_cells
+            # rows — a json sidecar would not scale to corpus-relative
+            # cell counts), so the store can assign NEW vectors with the
+            # ORIGINAL centroids across ingestion rounds
+            # (upsert_ivf_index)
+            fut_cent = pool.submit(
+                index.centroids.write.mode("overwrite").parquet,
+                os.path.join(path, "_centroids"),
+            )
+            fut_man = pool.submit(_refresh_ivf_manifest, path, None)
+            meta["base_top1_mean"] = fut_mean.result()
+            meta["drift_threshold"] = IVF_DRIFT_THRESHOLD
+            meta["upserts"] = []
+            fut_cent.result()
+            fut_man.result()
+    else:
+        _write_assignments()
+        _refresh_ivf_manifest(path, None)
     with open(os.path.join(path, "_ivf_meta.json"), "w") as f:
         json.dump(meta, f)
-    _refresh_ivf_manifest(path, None)
 
 
 def _read_store(spark, path: str, meta: dict):
@@ -852,13 +882,17 @@ def compact_ivf_store(
         for d in _glob.glob(os.path.join(base, "cell=*"))
         if len(_glob.glob(os.path.join(d, "*.parquet"))) > max_files_per_cell
     )
-    if touched:
-        _write_pending_marker(path, {c: 0 for c in touched})
+    codes_dir = os.path.join(base, _PQ_CODES_DIR)
+    ctmp = codes_dir + "_tmp"
+    needs_codes = os.path.isfile(os.path.join(base, _PQ_META)) and len(
+        _glob.glob(os.path.join(codes_dir, "*.parquet"))
+    ) > codes_n_files
+    tmp = os.path.join(base, "._del_tmp")
+
+    def _rewrite_cells():
         reader = spark.read.option("basePath", path)
         if "schema" in meta:
             reader = reader.schema(StructType.fromJson(json.loads(meta["schema"])))
-        tmp = os.path.join(base, "._del_tmp")
-        shutil.rmtree(tmp, ignore_errors=True)
         cell_dirs = [os.path.join(base, f"cell={c}") for c in touched]
         id_col = meta["columns"][0]  # build/upsert select id first by contract
         (
@@ -870,26 +904,8 @@ def compact_ivf_store(
             .partitionBy("cell")
             .parquet(tmp)
         )
-        for cell in touched:
-            cdir = os.path.join(base, f"cell={cell}")
-            tcell = os.path.join(tmp, f"cell={cell}")
-            old = os.path.join(base, f"._del_old_cell={cell}")
-            os.rename(cdir, old)
-            if os.path.isdir(tcell):
-                os.rename(tcell, cdir)
-        for cell in touched:
-            shutil.rmtree(os.path.join(base, f"._del_old_cell={cell}"))
-        shutil.rmtree(tmp)
-        _reconcile_pending_manifest(path)
-    codes_compacted = False
-    codes_dir = os.path.join(base, _PQ_CODES_DIR)
-    if os.path.isfile(os.path.join(base, _PQ_META)) and len(
-        _glob.glob(os.path.join(codes_dir, "*.parquet"))
-    ) > codes_n_files:
-        pq_meta = _read_pq_meta(path)
-        os.remove(os.path.join(base, _PQ_META))
-        ctmp = codes_dir + "_tmp"
-        shutil.rmtree(ctmp, ignore_errors=True)
+
+    def _rewrite_codes():
         (
             spark.read.schema("id long, codes array<int>")
             .parquet(codes_dir)
@@ -898,11 +914,47 @@ def compact_ivf_store(
             .write.mode("overwrite")
             .parquet(ctmp)
         )
-        shutil.rmtree(codes_dir)
-        os.rename(ctmp, codes_dir)
-        _commit_pq_meta(path, pq_meta)
-        codes_compacted = True
-    return {"cells_compacted": len(touched), "codes_compacted": codes_compacted}
+
+    # The two rewrites touch disjoint directories (cells → ._del_tmp,
+    # codes → _pq_codes_tmp) and neither reads the other's table, so
+    # they run as concurrent jobs (r18, guide §2.6 — the same overlap
+    # the postings store's compaction uses); each table's swap/renames
+    # still happen strictly after ITS OWN job lands, so both crash
+    # protocols are unchanged.  The codes meta is removed BEFORE the
+    # jobs launch (meta-removed-first window now spans the cells rewrite
+    # too — a crash anywhere in it reads as "codes missing — re-attach",
+    # exactly the contract upsert's window already uses).
+    if needs_codes:
+        pq_meta = _read_pq_meta(path)
+        os.remove(os.path.join(base, _PQ_META))
+        shutil.rmtree(ctmp, ignore_errors=True)
+    if touched:
+        _write_pending_marker(path, {c: 0 for c in touched})
+        shutil.rmtree(tmp, ignore_errors=True)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_cells = pool.submit(_rewrite_cells) if touched else None
+        fut_codes = pool.submit(_rewrite_codes) if needs_codes else None
+        if fut_cells is not None:
+            fut_cells.result()
+            for cell in touched:
+                cdir = os.path.join(base, f"cell={cell}")
+                tcell = os.path.join(tmp, f"cell={cell}")
+                old = os.path.join(base, f"._del_old_cell={cell}")
+                os.rename(cdir, old)
+                if os.path.isdir(tcell):
+                    os.rename(tcell, cdir)
+            for cell in touched:
+                shutil.rmtree(os.path.join(base, f"._del_old_cell={cell}"))
+            shutil.rmtree(tmp)
+            _reconcile_pending_manifest(path)
+        if fut_codes is not None:
+            fut_codes.result()
+            shutil.rmtree(codes_dir)
+            os.rename(ctmp, codes_dir)
+            _commit_pq_meta(path, pq_meta)
+    return {"cells_compacted": len(touched), "codes_compacted": needs_codes}
 
 
 def ivf_store_stats(path: str) -> dict:
