@@ -825,6 +825,7 @@ def compact_ivf_store(
     *,
     max_files_per_cell: int = 1,
     codes_n_files: int = 32,
+    codes_trigger_files: int | None = None,
 ) -> dict:
     """Re-cluster a saved IVF store's fragmented cells (and its PQ codes
     table) back to bounded file counts — the maintenance half the upsert
@@ -884,9 +885,17 @@ def compact_ivf_store(
     )
     codes_dir = os.path.join(base, _PQ_CODES_DIR)
     ctmp = codes_dir + "_tmp"
+    # Trigger/target split (r18, mirroring the postings maintain stream's
+    # hysteresis): the rewrite fires when the file count crosses the
+    # TRIGGER but compacts down to the TARGET (codes_n_files).  Default
+    # trigger == target keeps the batch op's "compact now to bound"
+    # semantics; a maintenance scheduler passes a higher trigger so each
+    # whole-table rewrite amortizes over (trigger − target) appends
+    # instead of firing on every batch that re-crosses the bound.
+    trigger = codes_n_files if codes_trigger_files is None else codes_trigger_files
     needs_codes = os.path.isfile(os.path.join(base, _PQ_META)) and len(
         _glob.glob(os.path.join(codes_dir, "*.parquet"))
-    ) > codes_n_files
+    ) > trigger
     tmp = os.path.join(base, "._del_tmp")
 
     def _rewrite_cells():

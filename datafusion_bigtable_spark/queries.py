@@ -7732,10 +7732,11 @@ def streaming_ivf_maintain_q(spark, sf_dir):
     # of appends.  r18: the cell bound default rose 1 → 8 (per-batch
     # full-cell rewrite was O(cell/batch) write amplification); on this
     # 3-batch feed the CELL table stays within bounds while the CODES
-    # table (codes_n_files=2, one append per batch) still crosses its
-    # bound and compacts on the stream — the maintain machinery remains
-    # exercised per batch, and compaction stays search-invisible so the
-    # oracle is unchanged.  Build+save on the base corpus (vec_id%4<>0) with PQ
+    # table (codes_n_files=2, one append per batch) crosses its default
+    # 2× trigger at the third batch and compacts ONCE on the stream
+    # (r18 hysteresis: with a single bound the table rewrote EVERY
+    # batch) — the maintain machinery remains exercised, and compaction
+    # stays search-invisible so the oracle is unchanged.  Build+save on the base corpus (vec_id%4<>0) with PQ
     # codes attached (both tables maintain), stream the held-out
     # quarter as 3 files -> 3 micro-batches, search over the loaded
     # store.  Frozen centroids make the result independent of batch

@@ -124,6 +124,7 @@ def run_streaming_index_maintain(
     *,
     max_files_per_cell: int = 8,
     codes_n_files: int = 32,
+    codes_trigger_files: int | None = None,
     query_name: str = "dbs_index_maintain",
 ) -> StreamMaintainResult:
     """The INGEST-FOREVER shape: drive the embedding feed to completion,
@@ -142,6 +143,16 @@ def run_streaming_index_maintain(
     cost per batch is ~cell/8 instead of ~cell; raise it further to
     amortize more per rewrite, at the cost of searches planning over
     more files between compactions.
+
+    The CODES table gets the same amortization via hysteresis (r18, the
+    postings maintain stream's trigger/target split): with a single
+    bound, the post-compaction file count sits exactly AT the bound, so
+    the next batch's one-file append re-crosses it and the whole codes
+    table rewrites EVERY batch.  ``codes_trigger_files`` (default
+    2 × ``codes_n_files``) is the fire threshold; the rewrite still
+    compacts down to ``codes_n_files``, so each table-wide rewrite
+    amortizes over ~``codes_n_files`` appending batches.  Pass
+    ``codes_trigger_files=codes_n_files`` to restore per-batch firing.
 
     The maintenance POLICY is :func:`~datafusion_bigtable_spark.operators.
     similarity.compact_ivf_store`'s own listing-only planner: it runs
@@ -168,6 +179,9 @@ def run_streaming_index_maintain(
             store_path,
             max_files_per_cell=max_files_per_cell,
             codes_n_files=codes_n_files,
+            codes_trigger_files=(
+                2 * codes_n_files if codes_trigger_files is None else codes_trigger_files
+            ),
         )
         if res["cells_compacted"] or res["codes_compacted"]:
             state["compactions"].append({"batch_id": batch_id, **res})

@@ -430,8 +430,11 @@ def test_streaming_maintain_default_bound_amortizes_rewrites(spark, sf_dir, tmp_
     (previously every batch rewrote every touched cell's full data),
     while the store still cannot fragment past the bound and the result
     is identical (compaction is search-invisible by contract).  The
-    codes table's tighter bound still compacts on the stream, so the
-    maintain machinery itself stays exercised."""
+    codes table compacts ONCE on the stream under the default 2×
+    trigger/target hysteresis (attach 2 + three 1-file appends crosses
+    trigger 4 at the third batch only — previously the single bound
+    re-fired every batch), so the maintain machinery stays exercised
+    without per-batch table rewrites."""
     import glob
 
     from datafusion_bigtable_spark.streaming.index_stream import (
@@ -454,8 +457,9 @@ def test_streaming_maintain_default_bound_amortizes_rewrites(spark, sf_dir, tmp_
         len(glob.glob(os.path.join(c, "*.parquet")))
         for c in glob.glob(path + "/cell=*")
     ) <= 8
-    # … while the codes bound (2) still compacted on the stream
-    assert any(c["codes_compacted"] for c in res.compactions)
+    # … while the codes table compacted EXACTLY once (trigger 2×2=4
+    # crossed at the third append only — hysteresis, not per-batch)
+    assert sum(bool(c["codes_compacted"]) for c in res.compactions) == 1
     assert len(glob.glob(os.path.join(path, "_pq_codes", "*.parquet"))) <= 2
 
 
