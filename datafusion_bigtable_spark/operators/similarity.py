@@ -1558,7 +1558,18 @@ def retrain_ivf_index(
             "build_ivf_index result"
         )
     if n_cells is None:
-        n_cells = store.centroids.count()
+        # codebook size from the sidecar table's parquet FOOTERS (driver-
+        # side metadata, zero Spark jobs — r18; the count() action cost a
+        # scheduled job + py4j round-trip per retrain for an n_cells-row
+        # table; same footer-truth pattern as negated_centroid_mean_batch)
+        import glob as _glob
+
+        import pyarrow.parquet as _pqt
+
+        n_cells = sum(
+            _pqt.ParquetFile(f).metadata.num_rows
+            for f in _glob.glob(os.path.join(path, "_centroids", "*.parquet"))
+        )
     # _dv IS the stored double vector — feed it back as the corpus.
     vectors = (
         store.assignments.filter(F.col("_rn") == 1)
