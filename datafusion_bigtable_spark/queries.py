@@ -2731,6 +2731,7 @@ _FULLGATE_PROVEN_MODULES: dict[str, str] = {
     f"{_PKG}.operators.dedup": "FULLGATE_r18.json",
     f"{_PKG}.sources.shards": "FULLGATE_r18.json",
     f"{_PKG}.pipeline": "FULLGATE_r18.json",
+    f"{_PKG}.streaming.cells_stream": "FULLGATE_r18.json",
 }
 
 

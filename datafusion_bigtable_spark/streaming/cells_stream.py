@@ -198,9 +198,17 @@ def streaming_ingest_dedup(
     is exactly what the oracle pins.
     """
     from datafusion_bigtable_spark.functions.text import words
-    from datafusion_bigtable_spark.operators.dedup import _band_signatures, shingles
+    from datafusion_bigtable_spark.operators.dedup import shingles
 
     num_hashes = bands * rows_per_band
+    # The file-stream source delivers one partition per input file, so the
+    # per-row minhash CPU (8 HOF md5 passes over every shingle) otherwise
+    # runs in ONE task per micro-batch (measured: 2.0 s of the query's
+    # 5.5 s warm wall at sf0.1 in a single task).  A deterministic hash
+    # repartition on doc_id (guide §2.5: never rand-derived under retries)
+    # spreads it across the streaming shuffle-partition count; the moved
+    # bytes are just the incoming batch's raw rows.
+    new_docs = new_docs.repartition(F.col("doc_id"))
     base = new_docs.select("doc_id", words(F.col("text")).alias("_w"))
     sh_arr = F.when(
         F.size("_w") >= k,
@@ -241,16 +249,39 @@ def streaming_ingest_dedup(
         F.col("doc_id").alias("nid"), "_sh", F.explode(band_structs).alias("x")
     ).select("nid", "_sh", F.col("x.band").alias("band"), F.col("x.band_sig").alias("band_sig"))
 
-    idx_banded = _band_signatures(index_docs, bands, rows_per_band, k, "text", "doc_id").select(
-        F.col("id").alias("xid"), "band", "band_sig"
-    )
-    idx_arrays = (
+    # Static side: ONE shingle chain instead of two (r18).  The previous
+    # form ran _band_signatures(index) AND shingles(index)+collect_list —
+    # two full scan+explode+window chains per micro-batch — then joined
+    # candidates back to the arrays on xid, which (no AQE inside a
+    # micro-batch plan) shuffled every index doc's shingle array per
+    # batch.  Now the shingle chain runs once, ends in collect_set (the
+    # distinct folds into the aggregate, and the window's id-exchange is
+    # reused — zero extra shuffles), and the per-seed minima + band sigs
+    # derive from the array row-locally with the SAME md5 expressions the
+    # stream side uses (identical strings over the identical distinct
+    # shingle set ⇒ identical minima ⇒ identical band signatures; the
+    # array order collect_set loses was never observable — consumers use
+    # only size() and array_intersect()).  Carrying _xsh through the band
+    # explode removes the xid join outright, and the tiny incoming batch
+    # is broadcast so the index side is never shuffled — per-batch cost is
+    # one index scan + one id-exchange, O(corpus) bytes moved once.
+    xarr = (
         shingles(index_docs, k, "text", "doc_id")
         .groupBy("id")
-        .agg(F.collect_list("shingle").alias("_xsh"))
-        .select(F.col("id").alias("xid"), "_xsh")
+        .agg(F.collect_set("shingle").alias("_xsh"))
     )
-    cand = stream_banded.join(idx_banded, ["band", "band_sig"]).select("nid", "xid", "_sh")
+    xmh = [
+        F.array_min(
+            F.transform(F.col("_xsh"), lambda x: F.md5(F.concat(F.lit(f"{s}|"), x)))
+        ).alias(f"mh_{s}")
+        for s in range(num_hashes)
+    ]
+    idx_banded = (
+        xarr.select(F.col("id").alias("xid"), "_xsh", *xmh)
+        .select("xid", "_xsh", F.explode(band_structs).alias("x"))
+        .select("xid", "_xsh", F.col("x.band").alias("band"), F.col("x.band_sig").alias("band_sig"))
+    )
+    cand = idx_banded.join(F.broadcast(stream_banded), ["band", "band_sig"])
     inter = F.size(F.array_intersect(F.col("_sh"), F.col("_xsh")))
     jac = F.round(
         inter.cast("double")
@@ -258,8 +289,7 @@ def streaming_ingest_dedup(
         4,
     )
     return (
-        cand.join(idx_arrays, "xid")
-        .select(
+        cand.select(
             F.col("nid").alias("new_doc_id"),
             F.col("xid").alias("matched_doc_id"),
             jac.alias("jaccard"),
