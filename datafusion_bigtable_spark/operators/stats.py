@@ -68,8 +68,16 @@ def order_statistics_df(df: DataFrame, col: str, ranks: list[int]) -> DataFrame:
         "_pid", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off")
     )
     w_local = Window.partitionBy("_pid").orderBy(F.col("_v").asc())
+    # Explicit-width exchange before the window (r18): the window's own
+    # hash(_pid) exchange is byte-small but CPU-dense (sort + row_number
+    # over every value), and AQE coalesces it to a handful of tasks at
+    # bench scale.  An explicit partition count is exempt from AQE
+    # coalescing and spreads the sort CPU; ranks are per-(pid) regardless
+    # of physical placement, so the result is unchanged.
+    dp = spark.sparkContext.defaultParallelism
     return (
         vals.join(F.broadcast(offsets), "_pid")
+        .repartition(dp, "_pid")
         .withColumn("_rk", F.row_number().over(w_local) + F.col("_off"))
         .filter(F.col("_rk").isin([int(r) for r in ranks]))
         .select("_rk", "_v")
@@ -172,8 +180,14 @@ def grouped_exact_percentiles(
         ).alias("_w"),
     ).select("_g", "_p", "_frac", F.col("_w._rk").alias("_rk"), F.col("_w._hi").alias("_hi"))
     w_local = Window.partitionBy("_g", "_pid").orderBy(F.col("_v").asc())
+    # Explicit-width exchange before the window — same rationale as
+    # order_statistics_df above (AQE coalesces the byte-small/CPU-dense
+    # rank stage; an explicit count is exempt).  Ranks are per-(_g,_pid),
+    # so physical placement cannot change them.
+    dp = spark.sparkContext.defaultParallelism
     ranked = (
         vals.join(F.broadcast(offsets), ["_g", "_pid"])
+        .repartition(dp, "_g", "_pid")
         .withColumn("_rk", F.row_number().over(w_local) + F.col("_off"))
     )
     # inner join: the _k+2 want has no match when _k+1 == n (p == 1.0);

@@ -2732,6 +2732,7 @@ _FULLGATE_PROVEN_MODULES: dict[str, str] = {
     f"{_PKG}.sources.shards": "FULLGATE_r18.json",
     f"{_PKG}.pipeline": "FULLGATE_r18.json",
     f"{_PKG}.streaming.cells_stream": "FULLGATE_r18.json",
+    f"{_PKG}.operators.stats": "FULLGATE_r18.json",
 }
 
 
