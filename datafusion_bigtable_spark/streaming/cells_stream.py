@@ -31,6 +31,7 @@ _STREAM_CONF_KEYS = (
     "spark.sql.session.timeZone",
     "spark.sql.legacy.parquet.nanosAsLong",
     "spark.sql.shuffle.partitions",
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled",
 )
 
 
@@ -515,6 +516,17 @@ def run_events_stream_to_memory(
         # vs 32.  A real deployment sizes this to key cardinality once.
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(min(int(prev_parts), 8)))
+        # This harness's checkpoint is EPHEMERAL (temp location, deleted on
+        # stop) — Spark 4.1's per-file checkpoint checksums (an integrity
+        # layer for durable checkpoints a recovery will re-read) protect
+        # nothing here and cost one extra awaited companion write per state
+        # file per batch: thread dumps showed every state-store commit task
+        # parked in ChecksumCancellableFSDataOutputStream.close, and the
+        # stream-stream join writes 4 state files per partition per batch.
+        # Interleaved A/B (streaming_attribution_join, sf0.1): 0.6-0.9×.
+        # The durable foreachBatch store streams (index/postings/takedown)
+        # keep the default: their checkpoint IS the replay contract.
+        spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
         q = (
             plan.writeStream.outputMode(mode)
             .format("memory")
