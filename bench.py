@@ -182,7 +182,14 @@ def main() -> None:
                 fh.write("\n")
         except OSError:
             pass  # read-only checkout: the stdout line still carries the result
-    print(json.dumps(result))
+    # The stdout line rounds per-query timings to 2 decimals (VERDICT r18
+    # #4/#7): the driver's stdout capture keeps only the tail of long
+    # lines, and the line grows with the registry — r17's line outgrew the
+    # capture window and its PERF comparison was lost.  2 decimals keeps
+    # all 184 entries comfortably inside the limit; the FULL-precision
+    # artifact lands in BENCH_LOCAL.json above, so nothing is lost.
+    stdout_line = dict(result, queries={n: round(t, 2) for n, t in result["queries"].items()})
+    print(json.dumps(stdout_line))
 
 
 if __name__ == "__main__":

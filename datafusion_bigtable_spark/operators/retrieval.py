@@ -292,10 +292,7 @@ def save_postings_index(
         )
 
     def _w_terms():
-        # vocab-sized table, broadcast at every search: one file, not one
-        # per shuffle partition (r18, guide §6 — 32 tiny files cost a
-        # footer read each at every search's planning)
-        dfreq.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, TERMS_DIR))
+        _write_terms(dfreq, os.path.join(path, TERMS_DIR))
 
     def _w_docs():
         (
@@ -317,6 +314,20 @@ def save_postings_index(
     }
     _commit_postings_meta(path, meta)
     return meta
+
+
+def _write_terms(terms: DataFrame, target: str) -> None:
+    """Write the vocabulary-sized ``(term, df)`` table with a BOUNDED
+    file count that still scales (r19, VERDICT r18 #3 / guide §6): the
+    previous ``coalesce(1)`` kept search planning to one footer read but
+    also narrowed the final merge AGGREGATION to a single task — correct
+    while the vocabulary is small (it is broadcast at search, so it must
+    be), but a single-task straggler if the term universe ever grows
+    unbounded.  A REBALANCE hint lets AQE size the write from the actual
+    bytes: a normal vocabulary still lands in ONE file (same planning
+    cost as before — pinned in tests), an outsized one splits into
+    advisory-sized files with the merge running at full parallelism."""
+    terms.hint("rebalance").write.mode("overwrite").parquet(target)
 
 
 def _commit_postings_meta(path: str, meta: dict) -> None:
@@ -563,8 +574,8 @@ def upsert_postings_index(
         )
         # materialize the merge INTO the tmp dir before the old one goes
         # away (the plan reads the old dir lazily; writing first completes
-        # it); one file — vocab-sized, broadcast at search (r18, guide §6)
-        merged.coalesce(1).write.mode("overwrite").parquet(terms_tmp)
+        # it); bounded files — vocab-sized, broadcast at search (guide §6)
+        _write_terms(merged, terms_tmp)
 
     with ThreadPoolExecutor(max_workers=3) as pool:
         for f in [pool.submit(w) for w in (_w_postings, _w_docs, _w_terms)]:
@@ -790,8 +801,8 @@ def delete_from_postings_index(
         )
 
     def _w_terms():
-        # one file — vocab-sized, broadcast at search (r18, guide §6)
-        merged.coalesce(1).write.mode("overwrite").parquet(terms_tmp)
+        # bounded files — vocab-sized, broadcast at search (guide §6)
+        _write_terms(merged, terms_tmp)
 
     with ThreadPoolExecutor(max_workers=3) as pool:
         for f in [pool.submit(w) for w in (_rw_postings, _rw_docs, _w_terms)]:

@@ -2520,7 +2520,61 @@ _R17_GREEN = (
     "set_ops_nation_overlap",
     "set_ops_nation_except",
 )
-# Later rounds override earlier ones; every name absent from all seventeen
+# Round 18 driver window (CORRECTNESS_r18.json): 50/50 green — the
+# rotated sample the r18 optimization round was graded on.
+_R18_GREEN = (
+    "semi_join_active_customers",
+    "anti_join_idle_customers",
+    "outer_join_nation_customer_counts",
+    "scalar_functions_part",
+    "json_extract_props",
+    "interval_join_order_events",
+    "text_quality",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_excess_suppliers",
+    "text_repetition_signals",
+    "text_tfidf_top_terms",
+    "corpus_shard_assign",
+    "text_pii_redaction",
+    "embedding_normalize_trunc",
+    "fk_orphan_audit",
+    "numeric_histogram_prices",
+    "zorder_bucket_counts",
+    "multimodal_jpeg_decode",
+    "multimodal_audio_spectral",
+    "set_ops_multiset",
+    "unpivot_cell_metrics",
+    "cte_above_nation_avg",
+    "having_repeat_customers",
+    "median_quantiles",
+    "exact_quantiles_distributed",
+    "grouped_exact_quantiles",
+    "bt_key_compose_range_prune",
+    "bt_key_split",
+    "bt_latest_version",
+    "bt_cell_pivot",
+    "events_retention_cohorts",
+    "bt_key_not_between_prune",
+    "bt_asof_snapshot",
+    "bt_read_rows_service",
+    "bt_value_pushdown_service",
+    "bt_read_rows_wire",
+    "bt_mutate_rows_wire",
+    "events_sessionize",
+    "asof_join_latest_event",
+    "events_moving_window_range",
+    "text_langid",
+    "sample_class_balanced",
+    "corpus_mixing_weights",
+    "text_token_counts",
+    "text_fingerprint",
+)
+# Later rounds override earlier ones; every name absent from all eighteen
 # tuples carries 0.
 _LAST_GREEN: dict[str, int] = {
     **{n: 1 for n in _R1_GREEN},
@@ -2540,6 +2594,7 @@ _LAST_GREEN: dict[str, int] = {
     **{n: 15 for n in _R15_GREEN},
     **{n: 16 for n in _R16_GREEN},
     **{n: 17 for n in _R17_GREEN},
+    **{n: 18 for n in _R18_GREEN},
 }
 
 # ---------------------------------------------------------------------------
@@ -2718,21 +2773,18 @@ _FULLGATE_PROVEN_MODULES: dict[str, str] = {
     # maintain / PQ-hybrid cohort is in _R17_GREEN and the rest in
     # earlier folds FULLGATE_r17 re-proved before the fold landed.)
     #
-    # r18 (optimization round): modules below received result-preserving
-    # performance edits; their dependent closures overflow the 50-slot
-    # window many times over, so the evidence is FULLGATE_r18.json —
-    # regenerated over the FULL registry (all 184 queries green vs their
-    # DuckDB oracles at sf0.01) after the round's last edit.
-    f"{_PKG}.operators.similarity": "FULLGATE_r18.json",
-    f"{_PKG}.operators.retrieval": "FULLGATE_r18.json",
-    f"{_PKG}.operators.graph": "FULLGATE_r18.json",
-    f"{_PKG}.streaming.index_stream": "FULLGATE_r18.json",
-    f"{_PKG}.streaming.postings_stream": "FULLGATE_r18.json",
-    f"{_PKG}.operators.dedup": "FULLGATE_r18.json",
-    f"{_PKG}.sources.shards": "FULLGATE_r18.json",
-    f"{_PKG}.pipeline": "FULLGATE_r18.json",
-    f"{_PKG}.streaming.cells_stream": "FULLGATE_r18.json",
-    f"{_PKG}.operators.stats": "FULLGATE_r18.json",
+    # (The r18 entries — similarity/retrieval/graph/index_stream/
+    # postings_stream/dedup/shards/pipeline/cells_stream/stats, all citing
+    # FULLGATE_r18.json — retired at the r18 fold, exactly as the r17
+    # entry did: the artifact no longer postdates the fold, and the r18
+    # window plus earlier folds carry the dependents' driver greens.)
+    #
+    # r19 (second optimization round): modules below received
+    # result-preserving performance edits; their dependent closures
+    # overflow the 50-slot window, so the evidence is FULLGATE_r19.json —
+    # regenerated over the FULL registry (every query green vs its DuckDB
+    # oracle at sf0.01) after the round's last edit.
+    f"{_PKG}.operators.retrieval": "FULLGATE_r19.json",
 }
 
 
