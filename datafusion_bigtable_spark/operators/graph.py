@@ -39,23 +39,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-
-def _free_local_checkpoint(df: DataFrame) -> None:
-    """Eagerly release a ``localCheckpoint()``'s storage blocks.
-
-    ``DataFrame.unpersist()`` cannot reach them (the persist lives on the
-    internal RDD behind the LogicalRDD plan, not in the cache manager), so
-    go through the JVM plan.  Callers must be done with EVERY DataFrame
-    derived from this checkpoint — the lineage is truncated, so freed
-    blocks are unrecoverable.  Best-effort: on any failure the
-    ContextCleaner's GC path still reclaims the blocks eventually.
-    """
-    try:
-        plan = df._jdf.queryExecution().analyzed()
-        if plan.getClass().getSimpleName() == "LogicalRDD":
-            plan.rdd().unpersist(False)
-    except Exception:
-        pass
+from datafusion_bigtable_spark.operators.partitioning import (  # noqa: F401
+    _free_local_checkpoint,
+)
 
 
 def _union_find_collected(edges: DataFrame) -> DataFrame:

@@ -42,3 +42,21 @@ def widen_if_narrow(df: DataFrame, key_col: str) -> DataFrame:
     if df.rdd.getNumPartitions() < sp:
         return df.repartition(sp, F.col(key_col))
     return df
+
+
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Eagerly release a ``localCheckpoint()``'s storage blocks.
+
+    ``DataFrame.unpersist()`` cannot reach them (the persist lives on the
+    internal RDD behind the LogicalRDD plan, not in the cache manager), so
+    go through the JVM plan.  Callers must be done with EVERY DataFrame
+    derived from this checkpoint — the lineage is truncated, so freed
+    blocks are unrecoverable.  Best-effort: on any failure the
+    ContextCleaner's GC path still reclaims the blocks eventually.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass

@@ -164,17 +164,33 @@ def sparse_topk(
 @dataclass(frozen=True)
 class PostingsIndex:
     """Handle over a saved postings store — meta only; the postings and
-    terms frames are lazy (each plans a scan, triggers nothing)."""
+    terms frames are lazy (each plans a scan, triggers nothing).
+
+    r19 (VERDICT r18 #1): stores save their table schemas into the meta
+    sidecar, so each accessor plans with an EXPLICIT schema — zero
+    schema-inference footer reads per open, which matters on the
+    streaming paths that re-plan these scans every micro-batch (the
+    same sidecar-schema pattern as the IVF store's ``_ivf_meta.json``).
+    Pre-r19 stores lack the key and fall back to inference unchanged."""
 
     path: str
     meta: dict
     _spark: SparkSession
 
+    def _reader(self, table: str):
+        from pyspark.sql.types import StructType
+
+        reader = self._spark.read
+        sch = self.meta.get("schemas", {}).get(table)
+        if sch:
+            reader = reader.schema(StructType.fromJson(json.loads(sch)))
+        return reader
+
     def postings(self) -> DataFrame:
-        return self._spark.read.parquet(os.path.join(self.path, POSTINGS_DIR))
+        return self._reader(POSTINGS_DIR).parquet(os.path.join(self.path, POSTINGS_DIR))
 
     def terms(self) -> DataFrame:
-        return self._spark.read.parquet(os.path.join(self.path, TERMS_DIR))
+        return self._reader(TERMS_DIR).parquet(os.path.join(self.path, TERMS_DIR))
 
     def docs(self) -> DataFrame:
         """The AUTHORITATIVE membership table ``(id_col, dl)`` — one row
@@ -182,7 +198,7 @@ class PostingsIndex:
         r15 #1/#2: membership inferred from postings presence is blind to
         token-less documents, so duplicate checks and streaming replay
         guards anchor here instead."""
-        return self._spark.read.parquet(os.path.join(self.path, DOCS_DIR))
+        return self._reader(DOCS_DIR).parquet(os.path.join(self.path, DOCS_DIR))
 
 
 def save_postings_index(
@@ -311,6 +327,15 @@ def save_postings_index(
         "dl_docs": int(stats["_n"]),
         "max_df_frac": max_df_frac,
         "version": POSTINGS_VERSION,
+        # table schemas ride the sidecar (r19): later opens — every
+        # search, and every streaming micro-batch — plan their scans
+        # without a schema-inference footer read, the same pay-once
+        # posture as the IVF store's sidecar schemas.
+        "schemas": {
+            POSTINGS_DIR: rows.schema.json(),
+            TERMS_DIR: dfreq.schema.json(),
+            DOCS_DIR: membership.schema.json(),
+        },
     }
     _commit_postings_meta(path, meta)
     return meta
@@ -496,6 +521,13 @@ def upsert_postings_index(
     # tokenize pass, same materialization discipline as corpus_term_stats
     tf = tf.localCheckpoint(eager=False)
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    # dl and membership are each consumed by multiple actions below
+    # (stats + the overlapped writes) — lineage-cut them too (r19, guide
+    # §1.2/§5): the stats action materializes all three checkpoints in
+    # one pass, and every write then reads blocks instead of re-running
+    # the groupBy/join subtrees (and re-analyzing them per action).
+    # Blocks are freed deterministically in the finally below.
+    dl = dl.localCheckpoint(eager=False)
     # batch membership (zero-token docs at dl=0) — written below AND the
     # source of every meta delta
     membership = (
@@ -503,6 +535,7 @@ def upsert_postings_index(
         .join(dl, id_col, "left")
         .select(id_col, F.coalesce(F.col("dl"), F.lit(0)).alias("dl"))
     )
+    membership = membership.localCheckpoint(eager=False)
     # ONE action backs the duplicate probe AND every meta delta (r18,
     # guide §1.2: was three driver actions — the dup-probe count,
     # new_docs.count(), and a dl sum/count first).  The probe stays a
@@ -521,6 +554,31 @@ def upsert_postings_index(
             index.docs().join(new_ids, id_col).agg(F.count(F.lit(1)).alias("_dup"))
         )
         stats_df = stats_df.crossJoin(dup_df)
+    from datafusion_bigtable_spark.operators.partitioning import _free_local_checkpoint
+
+    try:
+        return _apply_postings_upsert(
+            index, tf, dl, membership, stats_df, check_duplicates, n_files
+        )
+    finally:
+        # deterministic release of the three batch checkpoints on every
+        # exit (appended, empty-batch no-op, or duplicate failure) —
+        # DataFrame.unpersist cannot reach RDD-level checkpoint blocks
+        for _df in (membership, dl, tf):
+            _free_local_checkpoint(_df)
+
+
+def _apply_postings_upsert(
+    index: PostingsIndex,
+    tf: DataFrame,
+    dl: DataFrame,
+    membership: DataFrame,
+    stats_df: DataFrame,
+    check_duplicates: bool,
+    n_files: int,
+) -> PostingsIndex:
+    id_col = index.meta["id_col"]
+    path = index.path
     stats = stats_df.first()
     if check_duplicates and stats["_dup"]:
         raise ValueError(

@@ -708,6 +708,7 @@ def delete_from_ivf_index(
     path: str,
     delete_ids: DataFrame,
     id_col: str = "vec_id",
+    handle: "IvfStoreHandle | None" = None,
 ) -> int:
     """Remove vectors from a saved IVF store — the takedown/right-to-
     erasure half of the dense lifecycle (VERDICT r15 #4), mirroring
@@ -739,13 +740,15 @@ def delete_from_ivf_index(
     import os
     import shutil
 
-    _reconcile_retrain_swap(path)
-    _reconcile_delete_swaps(path)
+    # One-shot callers open (and heal) the store here; the takedown
+    # stream passes a handle built once — the same single-writer
+    # argument as upsert's (r19, VERDICT r18 #1).
+    if handle is None:
+        handle = IvfStoreHandle(spark, path)
     _reconcile_pending_manifest(path)
-    with open(os.path.join(path, "_ivf_meta.json")) as f:
-        meta = json.load(f)
+    meta = handle.meta
     ids = F.broadcast(delete_ids.select(id_col).distinct())
-    store = _read_store(spark, path, meta)
+    store = handle.read_store(spark)
     hits = store.join(ids, id_col)
     # ONE probe job yields both the touched-cell set and the removed-id
     # count (r18, guide §1.2: the previous shape scanned `hits` twice —
@@ -769,12 +772,10 @@ def delete_from_ivf_index(
         pq_meta = _read_pq_meta(path)
         os.remove(os.path.join(path, _PQ_META))
     _write_pending_marker(path, {c: 0 for c in touched})
-    from pyspark.sql.types import StructType
-
     reader = spark.read.option("basePath", path)
-    if "schema" in meta:
+    if handle.store_schema is not None:
         # sidecar schema: the rewrite reads no footer either
-        reader = reader.schema(StructType.fromJson(json.loads(meta["schema"])))
+        reader = reader.schema(handle.store_schema)
     tmp = os.path.join(path, "._del_tmp")
     shutil.rmtree(tmp, ignore_errors=True)
     cell_dirs = [os.path.join(path, f"cell={c}") for c in touched]
@@ -1219,6 +1220,69 @@ def topk_ivfpq_saved(
     return _adc_score_topk(corpus, cents, q, ["cell", "j"], k)
 
 
+class IvfStoreHandle:
+    """Driver-side handle over a saved IVF store's IMMUTABLE parts —
+    the meta dict, parsed sidecar schemas, the centroids scan plan, and
+    the PQ training codebooks — built once and carried across
+    ``foreachBatch`` invocations (r19, VERDICT r18 #1 / guide §1.2, §5):
+    re-opening, re-parsing and re-planning these per micro-batch was
+    pure per-batch fixed cost at the driver.  The handle NEVER holds
+    data, row counts, or results: the store's mutable truth (data
+    files, manifest, membership ids) is read fresh inside every
+    operation exactly as before, so nothing is cached across runs.
+
+    Contract: valid while its owner is the store's sole mutator — the
+    streaming harness's exact situation (checkpointed single-writer
+    foreachBatch).  The swap/manifest reconcilers run once at open; a
+    crash mid-batch is healed by the NEXT opener, the same recovery
+    point as the per-call open it replaces.  ``meta`` is mutated in
+    place by :func:`upsert_ivf_index` as drift records append, so the
+    dict mirrors the sidecar without a re-read per batch."""
+
+    def __init__(self, spark, path: str):
+        import os
+
+        from pyspark.sql.types import StructType
+
+        _reconcile_retrain_swap(path)
+        _reconcile_delete_swaps(path)
+        with open(os.path.join(path, "_ivf_meta.json")) as f:
+            self.meta = json.load(f)
+        self.path = path
+        self.store_schema = (
+            StructType.fromJson(json.loads(self.meta["schema"]))
+            if "schema" in self.meta
+            else None
+        )
+        cb_path = os.path.join(path, "_centroids")
+        if os.path.isdir(cb_path):
+            reader = spark.read
+            if "centroids_schema" in self.meta:
+                reader = reader.schema(
+                    StructType.fromJson(json.loads(self.meta["centroids_schema"]))
+                )
+            self.seeds = reader.parquet(cb_path)
+        else:
+            self.seeds = None
+        #: lazily parsed PQ codebooks (immutable training state —
+        #: attach_pq_codes is the only writer and never runs mid-stream)
+        self._pq_books: list | None = None
+
+    def pq_books(self) -> list:
+        import os
+
+        if self._pq_books is None:
+            with open(os.path.join(self.path, _PQ_CODEBOOKS)) as f:
+                self._pq_books = json.load(f)["codebooks"]
+        return self._pq_books
+
+    def read_store(self, spark):
+        reader = spark.read
+        if self.store_schema is not None:
+            reader = reader.schema(self.store_schema)
+        return reader.parquet(self.path)
+
+
 class UpsertResult(int):
     """:func:`upsert_ivf_index`'s return: the number of newly appended
     ids — a genuine ``int`` (every existing arithmetic/comparison call
@@ -1242,6 +1306,7 @@ def upsert_ivf_index(
     new_embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    handle: "IvfStoreHandle | None" = None,
 ) -> "UpsertResult":
     """Append assignments for NEW ids into a saved IVF store — the
     index-maintenance half of incremental ingestion (VERDICT r11 #5:
@@ -1281,29 +1346,26 @@ def upsert_ivf_index(
     """
     import os
 
-    from pyspark.sql.types import StructType
-
-    # Heal a mid-retrain-swap crash BEFORE opening the sidecar (review
-    # r14 #1): the streaming harness reaches the store through this
-    # function, not load_ivf_index, and must recover the same way.  A
-    # mid-delete-swap crash heals the same way (r16).
-    _reconcile_retrain_swap(path)
-    _reconcile_delete_swaps(path)
-    with open(os.path.join(path, "_ivf_meta.json")) as f:
-        meta = json.load(f)
-    cb_path = os.path.join(path, "_centroids")
-    if not os.path.isdir(cb_path):
+    # One-shot callers open the store here (swap heals + sidecar read —
+    # review r14 #1: the streaming harness reaches the store through
+    # this function, not load_ivf_index, and must recover the same way;
+    # a mid-delete-swap crash heals the same way, r16).  Streams pass a
+    # handle built ONCE before the stream starts (r19, VERDICT r18 #1):
+    # the heal/parse/plan work above is per-open fixed cost, and a
+    # single-writer stream's store cannot have crashed mid-swap between
+    # its own batches.
+    if handle is None:
+        handle = IvfStoreHandle(spark, path)
+    meta = handle.meta
+    seeds = handle.seeds
+    if seeds is None:
         raise ValueError(
             "IVF store has no _centroids table — rebuild it with "
             "save_ivf_index on an index built by build_ivf_index (which "
             "records its centroids); without the original centroids an "
             "upsert would assign new vectors against a DIFFERENT codebook"
         )
-    reader = spark.read
-    if "centroids_schema" in meta:
-        reader = reader.schema(StructType.fromJson(json.loads(meta["centroids_schema"])))
-    seeds = reader.parquet(cb_path)
-    existing = _read_store(spark, path, meta).select(id_col)
+    existing = handle.read_store(spark).select(id_col)
     fresh = new_embeddings.join(existing, id_col, "left_anti")
     base = (
         fresh.withColumn("_dv", as_double_vec(F.col(vec_col)))
@@ -1313,14 +1375,29 @@ def upsert_ivf_index(
     # map-side max_by for top-1, window only when the stored index probes
     # wider (see build_ivf_index for why max_by, not a window, at top-1)
     cs = dot_raw(F.col("_dv"), F.col("sv")) / (F.col("_n") * F.col("sn"))
-    scored = base.crossJoin(F.broadcast(seeds)).withColumn("_cs", cs)
+    # The drift yardstick's per-row cosine rides the assignment pass
+    # (r19, guide §1.2): round(_cs, 6) for the WINNING cell is exactly
+    # the cos6 the stats aggregate used to recompute through a second
+    # broadcast join of the centroids — same expression over the same
+    # doubles, so the batch mean (and the oracle-compared drift record)
+    # is bit-identical while the stats job loses a whole join subtree.
+    # The denom>0 guard (zero-norm vectors have no cosine — NULL, which
+    # sum/avg skip) moves here with it.
+    scored = (
+        base.crossJoin(F.broadcast(seeds))
+        .withColumn("_cs", cs)
+        .withColumn(
+            "_c6",
+            F.when(F.col("_n") * F.col("sn") > 0, F.round(F.col("_cs"), 6)),
+        )
+    )
     nprobe = int(meta.get("nprobe", 1))
     if nprobe == 1:
         ranked = (
             scored.groupBy(F.col(id_col))
             .agg(
                 F.max_by(
-                    F.struct(F.col("cell"), F.col("_dv"), F.col("_n")),
+                    F.struct(F.col("cell"), F.col("_dv"), F.col("_n"), F.col("_c6")),
                     F.struct(F.col("_cs"), (-F.col("cell")).alias("_nc")),
                 ).alias("_top")
             )
@@ -1330,6 +1407,7 @@ def upsert_ivf_index(
                 F.lit(1).alias("_rn"),
                 F.col("_top._dv").alias("_dv"),
                 F.col("_top._n").alias("_n"),
+                F.col("_top._c6").alias("_c6"),
             )
         )
     else:
@@ -1337,42 +1415,50 @@ def upsert_ivf_index(
         ranked = (
             scored.withColumn("_rn", F.row_number().over(aw))
             .filter(F.col("_rn") <= nprobe)
-            .select(id_col, "cell", "_rn", "_dv", "_n")
+            .select(id_col, "cell", "_rn", "_dv", "_n", "_c6")
         )
-    ranked = ranked.select(*meta["columns"]).persist()  # stored column order
+    # stored column order + the stats-only _c6 (stripped before writes).
+    # localCheckpoint, not persist (r19, guide §5/§1.2): the lineage cut
+    # means (a) the anti-join + assignment tree is analyzed/optimized
+    # ONCE per batch instead of once per downstream action (three), and
+    # (b) the cached plan carries NO file source, so appending to `path`
+    # can no longer invalidate it mid-flight — which is what makes the
+    # codes/assignments appends safe to OVERLAP below.  Blocks are freed
+    # deterministically in the finally (_free_local_checkpoint —
+    # the r18 leak objection was to blocks nobody freed).
+    ranked = ranked.select(*meta["columns"], "_c6").localCheckpoint(eager=False)
     record: dict | None = None
     try:
         # ONE action backs every batch statistic (r18, guide §1.2/§2.4:
         # the previous shape ran FOUR driver actions over the same cached
         # batch — count, per-cell counts, the nprobe>1 id count, and the
         # _top1_mean aggregate — each a full job with scheduler+py4j
-        # latency).  A single per-cell aggregate over the broadcast
-        # centroids yields rows-per-cell (manifest), appended-id count,
-        # and the drift yardstick's cosine sum/count in one pass.  The
-        # mean assembles on the driver as sum/count before the same
-        # round(.,5) — double-sum reorder noise is ~1e-13, far inside the
-        # rounding step (the _top1_mean docstring's argument, unchanged).
-        denom = F.col("_n") * F.col("sn")
+        # latency).  A single per-cell aggregate yields rows-per-cell
+        # (manifest), appended-id count, and the drift yardstick's cosine
+        # sum/count in one pass; the per-row cosine (_c6) was computed in
+        # the assignment pass itself (r19), so this job no longer
+        # re-joins the broadcast centroids at all.  The mean assembles on
+        # the driver as sum/count before the same round(.,5) —
+        # double-sum reorder noise is ~1e-13, far inside the rounding
+        # step (the _top1_mean docstring's argument, unchanged).
         is_top = F.col("_rn") == 1
-        cos6 = F.round(dot_raw(F.col("_dv"), F.col("sv")) / denom, 6)
         cell_stats = (
-            ranked.join(F.broadcast(seeds), "cell", "left")
-            .groupBy("cell")
+            ranked.groupBy("cell")
             .agg(
                 F.count(F.lit(1)).alias("_rows"),
                 F.sum(F.when(is_top, 1).otherwise(0)).alias("_tops"),
-                F.sum(F.when(is_top & (denom > 0), cos6)).alias("_cos_sum"),
-                F.sum(F.when(is_top & (denom > 0), 1).otherwise(0)).alias("_cos_n"),
+                F.sum(F.when(is_top, F.col("_c6"))).alias("_cos_sum"),
+                F.sum(
+                    F.when(is_top & F.col("_c6").isNotNull(), 1).otherwise(0)
+                ).alias("_cos_n"),
             )
             .collect()  # ≤ n_cells rows
         )
         n_new = int(sum(r["_tops"] for r in cell_stats))
         if n_new:
-            # Batch stats BEFORE the append: writing to `path` invalidates
-            # ranked's cache entry (its plan reads the store through the
-            # anti-join — refreshByPath drops it), and a post-write
-            # recompute re-runs the anti-join against the grown store,
-            # silently emptying the batch.
+            # Batch stats BEFORE the appends: the pending marker staged
+            # below needs per_cell, and the stats action is what
+            # materializes the checkpoint the appends read.
             per_cell = {int(r["cell"]): int(r["_rows"]) for r in cell_stats}
             cos_n = sum(r["_cos_n"] for r in cell_stats)
             cos_sum = sum(r["_cos_sum"] for r in cell_stats if r["_cos_sum"] is not None)
@@ -1380,23 +1466,17 @@ def upsert_ivf_index(
             if batch_mean is not None and batch_mean != batch_mean:
                 batch_mean = None  # NaN guard, as in _top1_mean
             # PQ codes maintenance (r16): encode ONLY the batch, with the
-            # persisted training codebooks.  The codes APPEND happens
-            # here, BEFORE the assignments append — writing to `path`
-            # would invalidate ranked's cache (the stats comment above)
-            # and a post-append re-encode would anti-join to an empty
-            # batch; the write itself is the materialization, so nothing
-            # lingers in executor storage (an eager localCheckpoint here
-            # leaked a scratch block per upsert until ContextCleaner
-            # GC).  The codes meta is removed FIRST so a crash anywhere
-            # in this window — including between this append and the
-            # assignments append — reads as "codes missing — re-attach"
-            # (derived state), never as a torn codes table.
+            # persisted training codebooks.  The codes meta is removed
+            # FIRST so a crash anywhere in this window reads as "codes
+            # missing — re-attach" (derived state), never as a torn
+            # codes table.
             has_pq = os.path.isfile(os.path.join(path, _PQ_META))
             if has_pq:
                 pq_meta = _read_pq_meta(path)
-                with open(os.path.join(path, _PQ_CODEBOOKS)) as f:
-                    books = json.load(f)["codebooks"]
+                books = handle.pq_books()
                 os.remove(os.path.join(path, _PQ_META))
+
+            def _append_codes():
                 # file count sized to the BATCH (ADVICE r16 #3): a
                 # constant left ~4 files per upsert regardless of batch
                 # size, unbounded fragmentation after K upserts; now a
@@ -1418,6 +1498,21 @@ def upsert_ivf_index(
                     .write.mode("append")
                     .parquet(os.path.join(path, _PQ_CODES_DIR))
                 )
+
+            def _append_assignments():
+                # cluster on cell before the partitioned append (r18,
+                # guide §6): an unclustered append opens up to (shuffle
+                # partitions) files per touched cell PER UPSERT —
+                # measured ~30 files/cell after two sf0.1 upserts;
+                # clustered, each upsert appends ONE file per touched
+                # cell, so fragmentation (and the compaction debt it
+                # creates) is bounded by upsert count, not by
+                # upserts × partitions.  The exchange moves batch rows
+                # only.
+                ranked.select(*meta["columns"]).repartition(F.col("cell")).write.mode(
+                    "append"
+                ).partitionBy("cell").parquet(path)
+
             # Crash consistency (review r13 #1): a death between the append
             # and the manifest refresh would undercount FOREVER (the
             # checkpoint replay anti-joins to 0 and never re-refreshes).
@@ -1425,18 +1520,26 @@ def upsert_ivf_index(
             # touched cells from footers if the marker survived a crash.
             _reconcile_pending_manifest(path)
             _write_pending_marker(path, per_cell)
-            # cluster on cell before the partitioned append (r18, guide
-            # §6): an unclustered append opens up to (shuffle partitions)
-            # files per touched cell PER UPSERT — measured ~30 files/cell
-            # after two sf0.1 upserts; clustered, each upsert appends ONE
-            # file per touched cell, so fragmentation (and the compaction
-            # debt it creates) is bounded by upsert count, not by
-            # upserts × partitions.  The exchange moves batch rows only.
-            ranked.repartition(F.col("cell")).write.mode("append").partitionBy(
-                "cell"
-            ).parquet(path)
-            _refresh_ivf_manifest(path, per_cell)
-            _clear_pending_marker(path)
+            # The two appends OVERLAP (r19, guide §2.6): both read the
+            # checkpointed batch blocks (no file source in the plan, so
+            # the assignments append landing first cannot invalidate the
+            # codes encode mid-flight — the r13 hazard the old sequential
+            # order existed to avoid), and they write disjoint paths.
+            # Commit ORDER is unchanged: manifest refresh after the
+            # assignments append, pq meta strictly LAST — a crash
+            # anywhere in the pool window reads exactly as before
+            # (pending marker heals the manifest; missing pq meta means
+            # re-attach).
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fut_codes = pool.submit(_append_codes) if has_pq else None
+                fut_asg = pool.submit(_append_assignments)
+                fut_asg.result()
+                _refresh_ivf_manifest(path, per_cell)
+                _clear_pending_marker(path)
+                if fut_codes is not None:
+                    fut_codes.result()
             if has_pq:
                 _commit_pq_meta(path, pq_meta)
             base_mean = meta.get("base_top1_mean")
@@ -1471,7 +1574,11 @@ def upsert_ivf_index(
             with open(os.path.join(path, "_ivf_meta.json"), "w") as f:
                 json.dump(meta, f)
     finally:
-        ranked.unpersist()
+        # deterministic release of the checkpoint blocks (DataFrame
+        # .unpersist cannot reach an RDD-level checkpoint)
+        from datafusion_bigtable_spark.operators.partitioning import _free_local_checkpoint
+
+        _free_local_checkpoint(ranked)
     return UpsertResult(n_new, record)
 
 

@@ -2785,6 +2785,10 @@ _FULLGATE_PROVEN_MODULES: dict[str, str] = {
     # regenerated over the FULL registry (every query green vs its DuckDB
     # oracle at sf0.01) after the round's last edit.
     f"{_PKG}.operators.retrieval": "FULLGATE_r19.json",
+    f"{_PKG}.operators.similarity": "FULLGATE_r19.json",
+    f"{_PKG}.streaming.index_stream": "FULLGATE_r19.json",
+    f"{_PKG}.streaming.postings_stream": "FULLGATE_r19.json",
+    f"{_PKG}.streaming.takedown_stream": "FULLGATE_r19.json",
 }
 
 

@@ -77,12 +77,24 @@ def run_streaming_index_upsert(
     :class:`StreamUpsertResult`: the number of rows appended across all
     batches (an ``int`` subclass) carrying each appending batch's drift
     record and an aggregate ``retrain_recommended`` flag."""
-    from datafusion_bigtable_spark.operators.similarity import upsert_ivf_index
+    from datafusion_bigtable_spark.operators.similarity import (
+        IvfStoreHandle,
+        upsert_ivf_index,
+    )
 
     appended = {"n": 0, "drift": []}
+    # The store's immutable parts (meta/schemas/centroids plan/PQ books)
+    # open ONCE for the whole stream instead of once per micro-batch
+    # (r19, VERDICT r18 #1): this stream is the store's single writer,
+    # so the per-batch re-open re-validated nothing that could have
+    # changed.  Mutable truth (data files, manifest, membership) is
+    # still read fresh inside every upsert.
+    handle = IvfStoreHandle(spark, store_path)
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
-        res = upsert_ivf_index(spark, store_path, batch_df.select("vec_id", "embedding"))
+        res = upsert_ivf_index(
+            spark, store_path, batch_df.select("vec_id", "embedding"), handle=handle
+        )
         appended["n"] += res
         if res.drift is not None:
             appended["drift"].append({"batch_id": batch_id, **res.drift})
@@ -164,15 +176,21 @@ def run_streaming_index_maintain(
     next open — crash shapes pinned in tests/test_ivf_lifecycle.py), so
     at-least-once delivery composes from parts that are already safe."""
     from datafusion_bigtable_spark.operators.similarity import (
+        IvfStoreHandle,
         compact_ivf_store,
         upsert_ivf_index,
     )
 
     state = {"n": 0, "compactions": []}
+    # single-writer stream: immutable store parts open once (r19; see
+    # run_streaming_index_upsert).  Compaction rewrites data files and
+    # the codes table but never meta/schemas/centroids, so the handle
+    # stays valid across maintenance passes.
+    handle = IvfStoreHandle(spark, store_path)
 
     def _maintain(batch_df: DataFrame, batch_id: int) -> None:
         state["n"] += upsert_ivf_index(
-            spark, store_path, batch_df.select("vec_id", "embedding")
+            spark, store_path, batch_df.select("vec_id", "embedding"), handle=handle
         )
         res = compact_ivf_store(
             spark,

@@ -71,10 +71,15 @@ def run_streaming_postings_upsert(
         upsert_postings_index,
     )
 
-    total = {"n": 0}
+    # The handle opens ONCE for the whole stream (r19, VERDICT r18 #1):
+    # this stream is the store's single writer, and every upsert RETURNS
+    # the advanced handle, so the per-batch re-load (json read + fresh
+    # scan plans) re-validated nothing that could have changed.  Mutable
+    # truth (data files, membership) is still read fresh per batch.
+    state = {"n": 0, "idx": load_postings_index(spark, store_path)}
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
-        idx = load_postings_index(spark, store_path)
+        idx = state["idx"]
         id_col = idx.meta["id_col"]
         # replay guard (at-least-once foreachBatch): already-folded ids
         # drop here, so a re-delivered batch is a no-op — the batch
@@ -92,7 +97,8 @@ def run_streaming_postings_upsert(
         # store (r18 — the limit(1).count() here was one extra Spark
         # job per micro-batch)
         upd = upsert_postings_index(idx, fresh, check_duplicates=False)
-        total["n"] += upd.meta["n_docs"] - idx.meta["n_docs"]
+        state["n"] += upd.meta["n_docs"] - idx.meta["n_docs"]
+        state["idx"] = upd
 
     q = (
         read_documents_stream(spark, feed_dir)
@@ -105,7 +111,7 @@ def run_streaming_postings_upsert(
         q.processAllAvailable()
     finally:
         q.stop()
-    return total["n"]
+    return state["n"]
 
 
 def run_streaming_postings_maintain(
@@ -158,10 +164,17 @@ def run_streaming_postings_maintain(
 
     if trigger_files is None:
         trigger_files = 4 * n_files
-    state = {"folded": 0, "compactions": []}
+    # handle opens once for the whole stream (r19; see the upsert
+    # stream) — upsert and compaction both RETURN the advanced handle,
+    # so the per-batch state is the handle itself, never data.
+    state = {
+        "folded": 0,
+        "compactions": [],
+        "idx": load_postings_index(spark, store_path),
+    }
 
     def _maintain(batch_df: DataFrame, batch_id: int) -> None:
-        idx = load_postings_index(spark, store_path)
+        idx = state["idx"]
         id_col = idx.meta["id_col"]
         fresh = batch_df.join(idx.docs().select(id_col), id_col, "left_anti")
         # upsert no-ops on a fully-replayed batch (see the upsert stream)
@@ -176,6 +189,8 @@ def run_streaming_postings_maintain(
             compacted = compact_postings_index(idx, n_files=n_files)
             if compacted is not idx:  # the no-op path returns the same handle
                 state["compactions"].append(batch_id)
+            idx = compacted
+        state["idx"] = idx
 
     q = (
         read_documents_stream(spark, feed_dir)

