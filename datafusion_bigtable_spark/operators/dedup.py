@@ -93,6 +93,7 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     df_cap: int | None = None,
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs by shared shingle, then exact Jaccard ≥ threshold.
 
@@ -127,15 +128,29 @@ def jaccard_pairs(
     above it, hot boilerplate shingles stop contributing to either side of
     the ratio.  Pick a cap above plausible real bucket sizes: it is a
     memory bound for hostile corpora, not a tuning dial.
+
+    ``_shingles`` (internal): a caller that already holds a materialized
+    shingle table for the same (docs, k) — :func:`lsh_quality_report`,
+    which shares one across its truth and candidate branches — passes it
+    here so the corpus is shingled once, not once per branch.
     """
-    # NOTE the shingle subtree is planned three times (sizes feeds both
-    # pair sides; the lists feed pair generation).  Persisting it was
-    # MEASURED SLOWER at sf0.1 (5.0 s vs 2.8 s steady-state): the cache
-    # serialization + lost stage fusion cost more than recomputing the
-    # cheap explode+window — recompute wins here, unlike topk_ivf's
-    # assignment index where the subtree carries a window over a cross
-    # join.  Revisit only if the shingle table becomes the dominant cost.
-    sh = shingles(docs, k, text_col, id_col)
+    # The shingle subtree feeds THREE consumers (sizes joins both pair
+    # sides; the lists feed pair generation), so it is lineage-cut with a
+    # lazy localCheckpoint (r19, guide §5): the r18 finding that
+    # PERSISTING it was slower (5.0 s vs 2.8 s — cache-manager
+    # serialization + lost stage fusion) does not carry over to the
+    # checkpoint, which also truncates the LOGICAL plan so the three
+    # consumers analyze a LogicalRDD instead of three copies of the
+    # explode+window pipeline.  The cut goes BEFORE the df-cap window,
+    # never after it (measured: post-cap checkpointing is SLOWER than no
+    # checkpoint at all — it un-fuses the window's exchange from the
+    # list aggregation that reuses it, the exact zero-extra-shuffle
+    # property the df_cap docstring above relies on).  Interleaved A/B/C
+    # at sf0.1, capped: orig 2.09-2.34 s, post-cap ckpt 2.51-2.71 s,
+    # THIS shape 1.80-1.90 s; identical pairs in all three.
+    sh = _shingles if _shingles is not None else shingles(
+        docs, k, text_col, id_col
+    ).localCheckpoint(eager=False)
 
     if df_cap is not None:
         wsh = W.partitionBy("shingle")
@@ -214,7 +229,9 @@ def containment_pairs(
     semantics: with ``df_cap`` set, numerator AND denominator come from
     the same ≤-cap shingle universe, so the ratio stays self-consistent.
     """
-    sh = shingles(docs, k, text_col, id_col)
+    # same three-consumer fan-out as jaccard_pairs — same lineage cut,
+    # same placement (BEFORE the cap window; see jaccard_pairs)
+    sh = shingles(docs, k, text_col, id_col).localCheckpoint(eager=False)
 
     if df_cap is not None:
         wsh = W.partitionBy("shingle")
@@ -292,10 +309,17 @@ def minhash_signatures(
     ).select("id", F.col("x.seed").alias("seed"), F.col("x.minhash").alias("minhash"))
 
 
-def _minhash_wide(docs: DataFrame, num_hashes: int, k: int, text_col: str, id_col: str) -> DataFrame:
+def _minhash_wide(
+    docs: DataFrame,
+    num_hashes: int,
+    k: int,
+    text_col: str,
+    id_col: str,
+    _shingles: DataFrame | None = None,
+) -> DataFrame:
     """(id, mh_0..mh_{n-1}): shingles evaluated once via explode, then one
     partial+final min-aggregation for all seeds."""
-    sh = shingles(docs, k, text_col, id_col)
+    sh = _shingles if _shingles is not None else shingles(docs, k, text_col, id_col)
     return sh.groupBy("id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"mh_{s}")
@@ -311,11 +335,12 @@ def _band_signatures(
     k: int,
     text_col: str,
     id_col: str,
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, band, band_sig): LSH band signatures assembled row-locally
     from the per-seed minhash columns (no groupBy beyond the minhash
     aggregation itself)."""
-    sig = _minhash_wide(docs, bands * rows_per_band, k, text_col, id_col)
+    sig = _minhash_wide(docs, bands * rows_per_band, k, text_col, id_col, _shingles)
     band_structs = F.array(
         *[
             F.struct(
@@ -342,6 +367,7 @@ def lsh_candidate_pairs(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH banding: docs sharing any band signature → (id_a, id_b).
 
@@ -349,8 +375,14 @@ def lsh_candidate_pairs(
     by (band, signature) — the classic sub-quadratic near-dup shape.
     Band signatures are assembled row-locally from the per-seed minhash
     columns (no groupBy), so the only shuffle is the candidate join.
+    (The self-join plans the signature subtree on both sides, but the
+    sides' exchanges are identical so ReuseExchange computes it once —
+    no materialization needed here; ``_shingles`` exists for callers
+    sharing a shingle table ACROSS operators, where reuse cannot fire.)
     """
-    banded = _band_signatures(docs, bands, rows_per_band, k, text_col, id_col)
+    banded = _band_signatures(
+        docs, bands, rows_per_band, k, text_col, id_col, _shingles
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -522,12 +554,20 @@ def lsh_quality_report(
     Output: one row (n_truth, n_candidates, n_true_positive, precision,
     recall); precision/recall are NULL when their denominator is empty.
     """
-    truth = jaccard_pairs(docs, k=k, threshold=threshold, df_cap=df_cap, text_col=text_col, id_col=id_col).select(
-        "id_a", "id_b", F.lit(1).alias("_t")
-    )
-    cand = lsh_candidate_pairs(docs, bands, rows_per_band, k, text_col, id_col).select(
-        "id_a", "id_b", F.lit(1).alias("_c")
-    )
+    # ONE shingle table feeds both branches (r19, guide §1.2/§5): the
+    # report used to plan the explode+window shingle pipeline five times
+    # (three in the truth branch, two sides of the candidate self-join);
+    # a shared lazy localCheckpoint shingles the corpus once and every
+    # branch reads blocks.  Interleaved A/B at sf0.1: 4.2 s → 3.0 s warm
+    # (cold 11.8 → 4.3 s), identical report row.
+    sh = shingles(docs, k, text_col, id_col).localCheckpoint(eager=False)
+    truth = jaccard_pairs(
+        docs, k=k, threshold=threshold, df_cap=df_cap, text_col=text_col,
+        id_col=id_col, _shingles=sh,
+    ).select("id_a", "id_b", F.lit(1).alias("_t"))
+    cand = lsh_candidate_pairs(
+        docs, bands, rows_per_band, k, text_col, id_col, _shingles=sh
+    ).select("id_a", "id_b", F.lit(1).alias("_c"))
     both = truth.join(cand, ["id_a", "id_b"], "full")
     tp = F.sum((F.col("_t").isNotNull() & F.col("_c").isNotNull()).cast("int")).cast("long")
     return both.agg(
