@@ -800,6 +800,7 @@ def embedding_dup_pairs_ivf(
     vec_col: str = "embedding",
     index=None,
     target_block_size: int | None = None,
+    pair_salt: int = 1,
 ) -> DataFrame:
     """IVF-cell-blocked near-duplicate pairs — the corpus-scale variant
     :func:`embedding_dup_pairs` prescribes: the blocking key comes from
@@ -871,8 +872,30 @@ def embedding_dup_pairs_ivf(
         F.col("_dv").alias("bv"), F.col("_n").alias("bn"),
     )
     c = F.round(dot_raw(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 6)
+    if pair_salt > 1:
+        # Hot-cell salting (r19, guide §2.5): seed-codebook assignment is
+        # SKEWED — measured at sf10, median cell 99 rows vs max 1606, so
+        # the Σ|cell|² scoring of one hot cell owns a whole task and the
+        # pair stage ran at ~1/3 of the cluster (wall 19.8 s vs 7.4 s of
+        # CPU/32; AQE's skew-join split never fires because these
+        # partitions sit far under its 256 MB byte threshold — the skew
+        # is COMPUTE per row, not bytes).  Salt the A side by a
+        # DETERMINISTIC id hash (retry-safe, guide §2.5's rand() caveat)
+        # and replicate the B side pair_salt ways: every (a, b) pair
+        # still meets exactly once — on the B replica carrying a's salt —
+        # so the pair set is IDENTICAL while the per-task work bound
+        # drops pair_salt-fold.  Callers derive pair_salt from corpus
+        # size (1 = off, byte-identical plan at the oracle-tested SFs;
+        # the replicated shuffle only pays where the skew lives).
+        a = a.withColumn("_s", F.pmod(F.xxhash64(F.col("id_a")), F.lit(pair_salt)))
+        b = b.withColumn(
+            "_s", F.explode(F.array(*[F.lit(i).cast("long") for i in range(pair_salt)]))
+        )
+        join_keys = ["cell", "_s"]
+    else:
+        join_keys = ["cell"]
     pairs = (
-        a.join(b, "cell")
+        a.join(b, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", c.alias("cosine"))
         .filter(F.col("cosine") >= threshold)

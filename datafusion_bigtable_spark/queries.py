@@ -96,6 +96,20 @@ def table_num_rows(sf_dir: str, table: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def _pair_salt_for(n: int) -> int:
+    """Skew-salt factor for the IVF-blocked pair stage (r19, guide §2.5):
+    seed-codebook cell sizes are SKEWED (measured at sf10: median 99 vs
+    max 1606 rows), so one hot cell's Σ|cell|² scoring owns a whole task
+    while the rest of the cluster idles.  Derived from corpus size so
+    the oracle-tested SFs (≤2000 vectors → 1 = salting off, plan
+    byte-identical to r18's) pay nothing, while sf1+ splits each cell's
+    scoring ``salt``-ways — the pair SET is identical at any value (the
+    B side replicates, every pair meets exactly once).  Cap 16: the
+    B-side replication multiplies one batch-sized shuffle, and 16× finer
+    tasks already puts the hottest measured cell under the mean."""
+    return max(1, min(16, n // 25_000))
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
     parquet reader rejects (PARQUET_TYPE_ILLEGAL).  Read nanos as long (the
@@ -3424,6 +3438,7 @@ def dedup_embedding_ivf_q(spark, sf_dir):
         load(spark, sf_dir, "embeddings"),
         threshold=0.4,
         n_cells=max(16, -(-n // 128)),
+        pair_salt=_pair_salt_for(n),
     )
 
 
@@ -3502,7 +3517,9 @@ def dedup_embedding_ivf2_q(spark, sf_dir):
     n = table_num_rows(sf_dir, "embeddings")
     n_cells = max(16, -(-n // 128))
     idx = build_ivf_index_two_level(e, n_cells=n_cells)
-    pairs = embedding_dup_pairs_ivf(e, threshold=0.4, index=idx)
+    pairs = embedding_dup_pairs_ivf(
+        e, threshold=0.4, index=idx, pair_salt=_pair_salt_for(n)
+    )
     return materialize_owned(pairs, idx)
 
 
@@ -3741,7 +3758,10 @@ def dedup_semantic_prune_q(spark, sf_dir):
     n = table_num_rows(sf_dir, "embeddings")
     idx = build_ivf_index_two_level(e, n_cells=max(16, -(-n // 128)))
     pairs = materialize_owned(
-        embedding_dup_pairs_ivf(e, threshold=0.4, index=idx), idx
+        embedding_dup_pairs_ivf(
+            e, threshold=0.4, index=idx, pair_salt=_pair_salt_for(n)
+        ),
+        idx,
     )
     comp = connected_components(pairs.select("id_a", "id_b"))
     return e.select("vec_id").join(

@@ -768,3 +768,34 @@ def test_reconcile_retrain_swap_state_machine(tmp_path):
         if True in (store, tmp, backup):
             assert True in got, case
         shutil.rmtree(root)
+
+
+def test_pair_salt_preserves_pair_set(spark, sf_dir):
+    """r19 (guide §2.5): the skew salt on the IVF-blocked pair stage must
+    be pure execution shape — the A side salts by a deterministic id
+    hash, the B side replicates, and every within-cell pair still meets
+    exactly once, so the (id_a, id_b, cosine) set is IDENTICAL at any
+    salt.  Salt 1 must take the unsalted code path (byte-identical plan
+    at the oracle-tested SFs, where _pair_salt_for derives 1)."""
+    from datafusion_bigtable_spark.queries import _pair_salt_for
+
+    e = load(spark, sf_dir, "embeddings")
+    with build_ivf_index(e, n_cells=16, nprobe=1) as idx:
+        base = sorted(
+            map(tuple, embedding_dup_pairs_ivf(e, threshold=0.4, index=idx).collect())
+        )
+        for salt in (2, 8):
+            salted = sorted(
+                map(
+                    tuple,
+                    embedding_dup_pairs_ivf(
+                        e, threshold=0.4, index=idx, pair_salt=salt
+                    ).collect(),
+                )
+            )
+            assert salted == base, f"pair set changed under salt={salt}"
+    assert len(base) > 0
+    # the derivation keeps tested SFs unsalted and engages by sf1+
+    assert _pair_salt_for(2000) == 1
+    assert _pair_salt_for(200_000) == 8
+    assert _pair_salt_for(10**9) == 16
