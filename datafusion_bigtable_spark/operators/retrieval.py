@@ -128,10 +128,16 @@ def sparse_topk(
     postings = tfidf_postings(
         docs, id_col=id_col, text_col=text_col, max_df_frac=max_df_frac
     )
-    # postings is consumed twice (index side + query side); without an
-    # explicit materialization Catalyst would tokenize the corpus once per
-    # branch — same trap, same fix as the tf table inside tfidf_postings
-    postings = postings.localCheckpoint(eager=False)
+    # postings is consumed twice (index side + query side) but is NOT
+    # materialized here (r19): the 2-FileScan re-tokenize trap this
+    # checkpoint once guarded against is already cut at the tf table
+    # INSIDE corpus_term_stats, so both branches replan only the cheap
+    # tf⋈(broadcast df) join over tf's blocks — and the query branch
+    # filters to the (bounded) query docs before doing even that.  The
+    # checkpoint itself was a full extra materialization pass of the
+    # index (measured at sf10: 256 MB of blocks written; removing it,
+    # 17-22 s → 10-15 s interleaved A/B, identical top-k; sf0.1
+    # 1.12-1.34 → 1.09-1.19 s).
     # both joins that touch the corpus-sized postings table carry an
     # EXPLICIT broadcast hint on their small side (the query-id list here,
     # the assembled query postings below): at real scale nothing

@@ -4436,7 +4436,7 @@ def pipeline_curated_q(spark, sf_dir):
     # per-source accounting), and the curation predicate above is the
     # expensive part (regex token counts + langid over full text) — an
     # unmaterialized plan re-runs it once per branch.  Same discipline
-    # and mechanism as sparse_topk's twice-consumed postings: a LAZY
+    # and mechanism as the tf table inside corpus_term_stats: a LAZY
     # localCheckpoint, materialized by whichever branch executes first
     # (interleaved A/B at sf0.1: 3.76 → 2.80 s min-of-3; an eager
     # persist measured the same, but has no owner to unpersist in a
