@@ -20,9 +20,36 @@ are deterministic across engines (ties broken by id).
 from __future__ import annotations
 
 import json
+import os
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from datafusion_bigtable_spark.operators.partitioning import widen_if_narrow
+
+# Widen the brute-force corpus side only when it carries at least one full
+# scan split of bytes (spark.sql.files.maxPartitionBytes at the session's
+# local setting): below that, the scoring CPU fits in a single scan task
+# anyway and the exchange is pure added latency (measured at sf0.1:
+# sim_topk_filtered 0.74 -> 1.09 s when widened unconditionally); above it,
+# a 1-2-row-group file pins the O(queries x corpus) fold CPU to 1-2 tasks.
+# Env-overridable for clusters whose split size differs from the local 16 MB.
+_BRUTE_WIDEN_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_BRUTE_WIDEN_MIN_BYTES", str(16 << 20))
+)
+
+
+def _plan_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate — compile-time only, no job.
+
+    File-scan-rooted plans report real byte sizes; RDD-backed plans
+    (e.g. Python createDataFrame) report the unknown-stats maximum, so an
+    unknown-size corpus widens whenever it is narrow — the scale-safe
+    default."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 0
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -84,9 +111,20 @@ def topk_bruteforce(
         F.col(id_col).alias("query_id"), F.col("_dv").alias("qv"), norm(F.col(vec_col)).alias("qn")
     )
     cside = base.filter(corpus_pred) if corpus_pred is not None else base
+    # The scoring stage inherits the corpus scan's split count, and parquet
+    # row groups are atomic per split — an embeddings table with 1-2 row
+    # groups pins the whole O(queries × corpus) cosine CPU to 1-2 tasks
+    # (measured at sf10: 31 s task CPU on 2 of 13 tasks, 20 s stage wall
+    # inside retrieval_hybrid_rrf).  Widen AFTER the projection so the
+    # exchange carries only (id, cast vector, norm) — but only past the
+    # byte gate above: a sub-split corpus scores in one task's time anyway.
+    # At real corpus scale the scan has >= shuffle-width splits and
+    # widen_if_narrow is a pass-through regardless.
     c = cside.select(
         F.col(id_col).alias("neighbor_id"), F.col("_dv").alias("cv"), norm(F.col(vec_col)).alias("cn")
     )
+    if _plan_bytes(embeddings) >= _BRUTE_WIDEN_MIN_BYTES:
+        c = widen_if_narrow(c, "neighbor_id")
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))

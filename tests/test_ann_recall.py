@@ -110,3 +110,41 @@ def test_filtered_topk_prefilter_semantics(spark):
         (2, 1),
         (3, 2),
     ]
+
+
+def test_bruteforce_corpus_widening_is_size_gated(spark, monkeypatch):
+    """r19: the corpus-side widen pays an exchange only past the byte gate
+    (a sub-split corpus scores within one task's time; measured at sf10 a
+    2-row-group file pinned the cosine CPU to 2 tasks).  Pin BOTH sides of
+    the gate on one fixture, and that the widened run returns the identical
+    ranking — repartitioning must be placement-only for a deterministic
+    (score DESC, neighbor_id ASC) window."""
+    import datafusion_bigtable_spark.operators.similarity as S
+
+    rows = [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(64)]
+    # parquet-backed like production: a Python-local frame is a LogicalRDD
+    # whose Catalyst size estimate is the unknown-stats maximum, which
+    # would trivially pass any byte gate
+    path = "/tmp/dbs_test_widen_gate.parquet"
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+    e = spark.read.parquet(path)
+    assert e.rdd.getNumPartitions() == 1, "fixture must be a narrow scan"
+    pred = F.col("vec_id") < 2
+
+    def n_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange hashpartitioning(neighbor_id")
+
+    base = S.topk_bruteforce(e, pred, k=3)
+    assert n_exchanges(base) == 0, "tiny corpus must not pay the widening exchange"
+
+    monkeypatch.setattr(S, "_BRUTE_WIDEN_MIN_BYTES", 1)
+    widened = S.topk_bruteforce(e, pred, k=3)
+    assert n_exchanges(widened) == 1, "gate lowered: corpus side must widen"
+
+    key = lambda r: (r["query_id"], r["rk"])
+    assert sorted(map(tuple, base.collect()), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, widened.collect()), key=lambda t: (t[0], t[3])
+    )
