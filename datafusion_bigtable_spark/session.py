@@ -25,6 +25,13 @@ def get_spark(app_name: str = "datafusion_bigtable_spark", *, cpus: int | None =
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let the planner pick shuffled-hash join when its size conditions
+        # hold instead of defaulting to sort-merge: both sides still shuffle,
+        # but the build side skips the sort (r19, measured at sf10:
+        # tpch_q5 10.0->7.2 s, tpch_q21 6.5->4.6 s, q3 3.9->3.5 s; sf0.1
+        # full-bench A/B flat).  The planner's per-partition size conditions
+        # still gate the choice, so a giant build side falls back to SMJ.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
