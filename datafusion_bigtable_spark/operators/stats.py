@@ -65,18 +65,33 @@ def order_statistics_df(df: DataFrame, col: str, ranks: list[int]) -> DataFrame:
     counts = vals.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
-        "_pid", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off")
+        "_pid",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+        F.col("_c"),
     )
     w_local = Window.partitionBy("_pid").orderBy(F.col("_v").asc())
+    # Rank-interval pruning (r19, guide §1.2 "don't compute things you
+    # throw away"): a range partition holds global ranks (_off, _off+_c];
+    # a partition whose interval contains NO requested rank cannot emit a
+    # surviving row, so drop it BEFORE the sort+row_number window — the
+    # stage that carried ~117 s of the 123 s task CPU at sf10 — instead of
+    # ranking every value and filtering after.  Surviving partitions keep
+    # every one of their rows, so local ranks (and therefore the selected
+    # values) are unchanged.
+    hit = None
+    for r in [int(r) for r in ranks]:
+        term = (F.col("_off") < F.lit(r)) & (F.lit(r) <= F.col("_off") + F.col("_c"))
+        hit = term if hit is None else (hit | term)
     # Explicit-width exchange before the window (r18): the window's own
-    # hash(_pid) exchange is byte-small but CPU-dense (sort + row_number
-    # over every value), and AQE coalesces it to a handful of tasks at
-    # bench scale.  An explicit partition count is exempt from AQE
-    # coalescing and spreads the sort CPU; ranks are per-(pid) regardless
-    # of physical placement, so the result is unchanged.
+    # hash(_pid) exchange is byte-small but CPU-dense (sort + row_number),
+    # and AQE coalesces it to a handful of tasks at bench scale.  An
+    # explicit partition count is exempt from AQE coalescing; ranks are
+    # per-(pid) regardless of physical placement, so the result is
+    # unchanged.
     dp = spark.sparkContext.defaultParallelism
     return (
         vals.join(F.broadcast(offsets), "_pid")
+        .filter(hit)
         .repartition(dp, "_pid")
         .withColumn("_rk", F.row_number().over(w_local) + F.col("_off"))
         .filter(F.col("_rk").isin([int(r) for r in ranks]))
@@ -154,7 +169,10 @@ def grouped_exact_percentiles(
         Window.partitionBy("_g").orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = counts.select(
-        "_g", "_pid", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off")
+        "_g",
+        "_pid",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+        F.col("_c"),
     )
     ng = counts.groupBy("_g").agg(F.sum("_c").alias("_n"))
     # per (group, p): the two neighbor ranks and the interpolation weight
@@ -180,6 +198,22 @@ def grouped_exact_percentiles(
         ).alias("_w"),
     ).select("_g", "_p", "_frac", F.col("_w._rk").alias("_rk"), F.col("_w._hi").alias("_hi"))
     w_local = Window.partitionBy("_g", "_pid").orderBy(F.col("_v").asc())
+    # Rank-interval pruning (r19): a (_g,_pid) slice holds that group's
+    # global ranks (_off, _off+_c]; a slice containing none of the
+    # group's wanted ranks cannot produce a surviving row, so drop it
+    # before the sort+row_number window.  `live` is a plan-side join of
+    # two broadcast-sized frames (groups×partitions against groups×2·|ps|)
+    # — no action runs.  Surviving slices keep all their rows, so local
+    # ranks are unchanged.
+    live = (
+        offsets.join(wants.select("_g", "_rk").distinct(), "_g")
+        .filter(
+            (F.col("_off") < F.col("_rk"))
+            & (F.col("_rk") <= F.col("_off") + F.col("_c"))
+        )
+        .select("_g", "_pid")
+        .distinct()
+    )
     # Explicit-width exchange before the window — same rationale as
     # order_statistics_df above (AQE coalesces the byte-small/CPU-dense
     # rank stage; an explicit count is exempt).  Ranks are per-(_g,_pid),
@@ -187,6 +221,7 @@ def grouped_exact_percentiles(
     dp = spark.sparkContext.defaultParallelism
     ranked = (
         vals.join(F.broadcast(offsets), ["_g", "_pid"])
+        .join(F.broadcast(live), ["_g", "_pid"], "leftsemi")
         .repartition(dp, "_g", "_pid")
         .withColumn("_rk", F.row_number().over(w_local) + F.col("_off"))
     )

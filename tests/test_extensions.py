@@ -1502,3 +1502,50 @@ def test_embedding_block_cap_identity_and_bound(spark, sf_dir):
             sub[vid] = i // cap
     expected = {(a, b, c) for a, b, c in uncapped if sub[a] == sub[b]}
     assert small == expected
+
+
+def test_order_statistics_rank_interval_pruning_boundaries(spark):
+    """r19: partitions whose global-rank interval (_off, _off+_c] misses
+    every requested rank are dropped BEFORE the sort window.  The risky
+    edge is a rank exactly on a partition boundary (r == _off+_c of one
+    partition, r == _off+1 of the next) — pin ranks straddling boundaries
+    against a local sort, on a parquet-backed multi-partition frame."""
+    from datafusion_bigtable_spark.operators.stats import order_statistics_df
+
+    import random
+
+    rng = random.Random(7)
+    vals = [rng.randrange(0, 10_000) for _ in range(1_000)]
+    path = "/tmp/dbs_test_rank_prune.parquet"
+    spark.createDataFrame([(v,) for v in vals], "x long").repartition(
+        8
+    ).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    want = sorted(vals)
+    n = len(vals)
+    # rank 1, a mid rank, ranks around likely partition boundaries, rank n
+    ranks = [1, 2, n // 3, n // 2, n // 2 + 1, n - 1, n]
+    got = {int(r["_rk"]): r["_v"] for r in order_statistics_df(df, "x", ranks).collect()}
+    assert set(got) == set(ranks)
+    for r in ranks:
+        assert got[r] == want[r - 1], f"rank {r}: got {got[r]} want {want[r-1]}"
+
+
+def test_grouped_exact_percentiles_extreme_ps(spark):
+    """r19 pruning edge: p=0.0 (rank 1) and p=1.0 (rank n, whose n+1
+    neighbor exists in no partition) must survive the live-slice prune
+    with per-group exact answers."""
+    from datafusion_bigtable_spark.operators.stats import grouped_exact_percentiles
+
+    rows = [("a", float(v)) for v in range(100)] + [("b", float(v * 3)) for v in range(17)]
+    path = "/tmp/dbs_test_grouped_prune.parquet"
+    spark.createDataFrame(rows, "g string, x double").repartition(5).write.mode(
+        "overwrite"
+    ).parquet(path)
+    df = spark.read.parquet(path)
+    got = {
+        (r["g"], r["p"]): r["value"]
+        for r in grouped_exact_percentiles(df, "g", "x", [0.0, 0.5, 1.0]).collect()
+    }
+    assert got[("a", 0.0)] == 0.0 and got[("a", 1.0)] == 99.0 and got[("a", 0.5)] == 49.5
+    assert got[("b", 0.0)] == 0.0 and got[("b", 1.0)] == 48.0 and got[("b", 0.5)] == 24.0
