@@ -2800,6 +2800,10 @@ _FULLGATE_PROVEN_MODULES: dict[str, str] = {
     # oracle at sf0.01) after the round's last edit.
     f"{_PKG}.operators.retrieval": "FULLGATE_r19.json",
     f"{_PKG}.operators.similarity": "FULLGATE_r19.json",
+    f"{_PKG}.operators.dedup": "FULLGATE_r19.json",
+    f"{_PKG}.operators.stats": "FULLGATE_r19.json",
+    f"{_PKG}.operators.graph": "FULLGATE_r19.json",
+    f"{_PKG}.operators.partitioning": "FULLGATE_r19.json",
     f"{_PKG}.streaming.index_stream": "FULLGATE_r19.json",
     f"{_PKG}.streaming.postings_stream": "FULLGATE_r19.json",
     f"{_PKG}.streaming.takedown_stream": "FULLGATE_r19.json",
